@@ -1,38 +1,831 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship hybrid-recommendation query at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
+north-star extension operators) as (spark, sf_dir) → DataFrame callables;
+``oracle_sql()`` carries the DuckDB-equivalent SQL for each.
+
+Cross-engine determinism discipline (SURVEY §7.1-7.2):
+- all float math in doubles, scores rounded to 6 before ranking
+- every ranking pins a total order (score desc, id asc)
+- sampling / hashing is md5-based (identical in both engines)
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hybrid_recommendation_system_using_vector_db_spark import (
+    CF_TOP_N,
+    CONTENT_TOP_N,
+    QUERY_MOD,
+    SEED,
+    TOP_K,
+)
+from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+from hybrid_recommendation_system_using_vector_db_spark.embeddings import hashing_embedder
+from hybrid_recommendation_system_using_vector_db_spark.functions.hashing import (
+    hyperplane_sql_bits,
+)
+from hybrid_recommendation_system_using_vector_db_spark.functions.portable import fround
+from hybrid_recommendation_system_using_vector_db_spark.functions.texttools import STOPWORDS
+from hybrid_recommendation_system_using_vector_db_spark.operators import (
+    copurchase,
+    dedup,
+    evaluate,
+    hybrid,
+    multimodal,
+    resolve,
+    sampling,
+    similarity,
+    textops,
+)
+from hybrid_recommendation_system_using_vector_db_spark.operators.textops import LANG_MARKERS
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+RESOLUTION_QUERIES = [
+    (1, "2"),            # exact item-id probe (ref :201-202)
+    (2, "blue"),         # multi-match substring → shortest name wins (ref :204-209)
+    (3, "RED WIDGET"),   # case-insensitive exact-name substring (ref :204)
+    (4, "zzz-no-match"), # no-match → null resolution (ref :206-207)
+    (5, "150"),          # exact id again (numeric-looking string)
+]
+
+NEARDUP_COS_THRESHOLD = 0.25
+JACCARD_THRESHOLD = 0.005
+
+
+# ---------------------------------------------------------------------------
+# shared builders (Spark side)
+# ---------------------------------------------------------------------------
+
+def _universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed item universe: embeddings restricted to catalog items (B5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    part = load_table(spark, sf_dir, "part")
+    return emb.join(part.select(F.col("p_partkey").alias("vec_id")), "vec_id", "left_semi")
+
+
+def _eval_queries(universe: DataFrame) -> DataFrame:
+    return universe.filter(F.col("vec_id") % QUERY_MOD == 0)
+
+
+def _names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(F.col("p_partkey").alias("item_id"), F.col("p_name").alias("name"))
+
+
+def _hybrid_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K,
+                 with_names: bool = True) -> DataFrame:
+    universe = _universe(spark, sf_dir)
+    queries = _eval_queries(universe)
+    edges = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    names = _names(spark, sf_dir) if with_names else None
+    return hybrid.hybrid_recommend(queries, universe, edges, names, k=k)
+
+
+# ---------------------------------------------------------------------------
+# entry + queries
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hybrid top-k recommendations for the seeded query set."""
+    return _hybrid_topk(spark, DEFAULT_SF_DIR)
+
+
+def q_copurchase_edges(spark, sf_dir):
+    return copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_cf_topn(spark, sf_dir):
+    universe = _universe(spark, sf_dir)
+    edges = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return copurchase.cf_topn(copurchase.restrict_to_universe(edges, universe), CF_TOP_N)
+
+
+def q_content_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K)
+
+
+def q_content_topk_gemm(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_gemm(emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K)
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K, n_bits=8)
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
+                               n_centroids=16, nprobe=2)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, NEARDUP_COS_THRESHOLD, n_bits=4)
+
+
+def q_hybrid_topk(spark, sf_dir):
+    return _hybrid_topk(spark, sf_dir)
+
+
+def q_precision_eval(spark, sf_dir):
+    universe = _universe(spark, sf_dir)
+    edges_all = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    redges = copurchase.restrict_to_universe(edges_all, universe)
+    queries = _eval_queries(universe)
+    eligible = queries.join(redges.select(F.col("src").alias("vec_id")), "vec_id", "left_semi")
+    max_k = 50
+    content = similarity.cosine_topk(eligible, universe, max_k).select("qid", "cand", "rank")
+    hyb = hybrid.hybrid_recommend(eligible, universe, edges_all, None, k=max_k) \
+        .select("qid", "cand", "rank")
+    gt = redges.join(eligible.select(F.col("vec_id").alias("src")), "src", "left_semi")
+    return evaluate.precision_at_k(
+        {"content": content, "hybrid": hyb}, gt,
+        eligible.select(F.col("vec_id").alias("qid")),
+    )
+
+
+def q_part_doc_projection(spark, sf_dir):
+    return hybrid.product_text(load_table(spark, sf_dir, "part"))
+
+
+def q_query_resolution(spark, sf_dir):
+    qdf = spark.createDataFrame(RESOLUTION_QUERIES, "qid int, query_text string")
+    return resolve.resolve_queries(qdf, _names(spark, sf_dir))
+
+
+def q_seeded_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.seeded_sample(docs.select("doc_id", "lang", "source", "n_chars"),
+                                  100, "doc_id", SEED)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    return dedup.minhash_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_jaccard_neardup(spark, sf_dir):
+    return dedup.jaccard_neardup_pairs(load_table(spark, sf_dir, "documents"),
+                                       threshold=JACCARD_THRESHOLD)
+
+
+def q_token_stats(spark, sf_dir):
+    return textops.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_scores(spark, sf_dir):
+    return textops.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_language_id(spark, sf_dir):
+    return textops.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    return textops.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_hash_embeddings(spark, sf_dir):
+    return hashing_embedder(load_table(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = multimodal.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_media_features(media)
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            fround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            fround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            fround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            fround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_parts_by_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+    return (
+        rev.join(F.broadcast(part.select("p_partkey", "p_name")),
+                 rev.l_partkey == part.p_partkey)
+        .select(F.col("l_partkey").alias("partkey"), F.col("p_name").alias("name"), "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("partkey").asc())
+        .limit(10)
+    )
+
+
+def q_customer_order_topn(spark, sf_dir):
+    from pyspark.sql import Window
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("orderkey"),
+                F.col("o_totalprice").alias("totalprice"), "rn")
+    )
+
+
+def q_orders_running_total(spark, sf_dir):
+    from pyspark.sql import Window
+    orders = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return orders.select(
+        F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("orderkey"),
+        fround(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    # tz-sensitive (date_trunc/date_format use session tz) — pin UTC to
+    # match the oracle regardless of the harness session's default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fround(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        )
+    )
+
+
+def q_sessionization(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("is_new",
+                    F.when(F.col("prev_ts").isNull() | (gap > 1800.0), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- reference parity (SURVEY §2 ids in operator docstrings) ---
+        "copurchase_edges": q_copurchase_edges,       # C1+D1
+        "cf_topn": q_cf_topn,                         # D2+G9+E1/F1+B5
+        "content_topk": q_content_topk,               # C5+E1+F1+B4+G7/G10
+        "hybrid_topk": q_hybrid_topk,                 # C2+C3+G8 (EP2)
+        "precision_eval": q_precision_eval,           # D3+D4+F3 (EP3)
+        "part_doc_projection": q_part_doc_projection, # B2+G6+G12
+        "query_resolution": q_query_resolution,       # C4+G4/G5
+        "seeded_sample": q_seeded_sample,             # F2
+        # --- similarity / ANN extensions ---
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "content_topk_gemm": q_content_topk_gemm,     # rows-only (mapInPandas)
+        # --- dedup extensions ---
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash_fingerprints": q_simhash,
+        "jaccard_neardup": q_jaccard_neardup,
+        # --- text analysis extensions ---
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "language_id": q_language_id,
+        "doc_fingerprints": q_fingerprints,
+        # --- embedding + multimodal plumbing (rows-only) ---
+        "hash_embeddings": q_hash_embeddings,
+        "multimodal_features": q_multimodal_features,
+        # --- generic relational operators over TPC-H-ish tables ---
+        "tpch_q1": q_tpch_q1,
+        "top_parts_by_revenue": q_top_parts_by_revenue,
+        "customer_order_topn": q_customer_order_topn,
+        "orders_running_total": q_orders_running_total,
+        "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _cos(a: str, b: str) -> str:
+    """Rounded cosine similarity between two DOUBLE[] expressions."""
+    return (
+        f"floor((CASE WHEN sqrt(list_inner_product({a},{a})) * sqrt(list_inner_product({b},{b})) > 0 "
+        f"THEN list_inner_product({a},{b}) / (sqrt(list_inner_product({a},{a})) * sqrt(list_inner_product({b},{b}))) "
+        f"ELSE 0.0 END) * 1000000 + 0.5) / 1000000"
+    )
+
+
+_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_DTOKS = f"list_distinct({_TOKS})"
+
+_EDGES_CTE = """
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+)"""
+
+_UNIVERSE_CTE = """
+universe AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v
+  FROM embeddings e JOIN part p ON e.vec_id = p.p_partkey
+)"""
+
+_REDGES_CTE = """
+redges AS (
+  SELECT src, dst, weight FROM edges
+  WHERE src IN (SELECT id FROM universe) AND dst IN (SELECT id FROM universe)
+)"""
+
+
+def _hybrid_sql(k: int, queries_cte: str, with_names: bool) -> str:
+    """Shared hybrid-fusion oracle: content top-60 ⊕ cf top-60 → blend → top-k."""
+    name_select = ", p.p_name AS name" if with_names else ""
+    name_join = "JOIN part p ON r.cand = p.p_partkey" if with_names else ""
+    return f"""
+WITH {_EDGES_CTE.strip()}, {_UNIVERSE_CTE.strip()}, {_REDGES_CTE.strip()},
+qs AS ({queries_cte}),
+cont_scored AS (
+  SELECT q.id AS qid, c.id AS cand, {_cos('q.v', 'c.v')} AS score
+  FROM qs q CROSS JOIN universe c WHERE c.id <> q.id
+),
+cont AS (
+  SELECT qid, cand, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk
+  FROM cont_scored
+),
+cf AS (
+  SELECT src, dst,
+         floor((weight::DOUBLE / max(weight) OVER (PARTITION BY src)) * 1000000 + 0.5) / 1000000 AS cf_score,
+         row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst ASC) AS cf_rank
+  FROM redges
+),
+fused AS (
+  SELECT coalesce(ct.qid, c2.src) AS qid, coalesce(ct.cand, c2.dst) AS cand,
+         coalesce(ct.score, 0.0) AS content_score,
+         coalesce(c2.cf_score, 0.0) AS cf_score
+  FROM (SELECT qid, cand, score FROM cont WHERE rnk <= 60) ct
+  FULL OUTER JOIN (
+    SELECT src, dst, cf_score FROM cf
+    WHERE cf_rank <= 60 AND src IN (SELECT id FROM qs)
+  ) c2 ON ct.qid = c2.src AND ct.cand = c2.dst
+),
+blended AS (
+  SELECT qid, cand, content_score, cf_score,
+         floor((greatest(0.0, least(1.0, 0.6 * content_score + 0.4 * cf_score))) * 1000000 + 0.5) / 1000000
+           AS hybrid_score
+  FROM fused
+),
+rankt AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hybrid_score DESC, cand ASC) AS rnk
+  FROM blended
+)
+SELECT r.qid, r.cand, r.content_score, r.cf_score, r.hybrid_score,
+       CAST(r.rnk AS INT) AS rank{name_select}
+FROM rankt r {name_join}
+WHERE r.rnk <= {k}
+"""
+
+
+_QS_CTE = "SELECT id, v FROM universe WHERE id % 50 = 0"
+
+
+def _precision_eval_sql() -> str:
+    return f"""
+WITH {_EDGES_CTE.strip()}, {_UNIVERSE_CTE.strip()}, {_REDGES_CTE.strip()},
+eligible AS (
+  SELECT id, v FROM universe
+  WHERE id % 50 = 0 AND id IN (SELECT src FROM redges)
+),
+gt AS (
+  SELECT src AS qid, dst AS cand FROM redges
+  WHERE src IN (SELECT id FROM eligible)
+),
+cont_scored AS (
+  SELECT q.id AS qid, c.id AS cand, {_cos('q.v', 'c.v')} AS score
+  FROM eligible q CROSS JOIN universe c WHERE c.id <> q.id
+),
+cont AS (
+  SELECT qid, cand, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk
+  FROM cont_scored
+),
+cf AS (
+  SELECT src, dst,
+         floor((weight::DOUBLE / max(weight) OVER (PARTITION BY src)) * 1000000 + 0.5) / 1000000 AS cf_score,
+         row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst ASC) AS cf_rank
+  FROM redges
+),
+fused AS (
+  SELECT coalesce(ct.qid, c2.src) AS qid, coalesce(ct.cand, c2.dst) AS cand,
+         coalesce(ct.score, 0.0) AS content_score,
+         coalesce(c2.cf_score, 0.0) AS cf_score
+  FROM (SELECT qid, cand, score FROM cont WHERE rnk <= 60) ct
+  FULL OUTER JOIN (
+    SELECT src, dst, cf_score FROM cf
+    WHERE cf_rank <= 60 AND src IN (SELECT id FROM eligible)
+  ) c2 ON ct.qid = c2.src AND ct.cand = c2.dst
+),
+blended AS (
+  SELECT qid, cand,
+         floor((greatest(0.0, least(1.0, 0.6 * content_score + 0.4 * cf_score))) * 1000000 + 0.5) / 1000000
+           AS hybrid_score
+  FROM fused
+),
+hyb AS (
+  SELECT qid, cand,
+         row_number() OVER (PARTITION BY qid ORDER BY hybrid_score DESC, cand ASC) AS rnk
+  FROM blended
+),
+ranked AS (
+  SELECT 'content' AS model, qid, cand, rnk FROM cont WHERE rnk <= 50
+  UNION ALL
+  SELECT 'hybrid' AS model, qid, cand, rnk FROM hyb WHERE rnk <= 50
+),
+ks AS (SELECT unnest([10, 20, 30, 40, 50]) AS k),
+hits AS (
+  SELECT r.model, r.qid, k.k, count(*) AS n_hits
+  FROM ranked r JOIN gt g ON r.qid = g.qid AND r.cand = g.cand
+  CROSS JOIN ks k
+  WHERE r.rnk <= k.k
+  GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT m.model, e.id AS qid, k.k
+  FROM (SELECT 'content' AS model UNION ALL SELECT 'hybrid') m
+  CROSS JOIN eligible e CROSS JOIN ks k
+)
+SELECT g.model, g.k,
+       floor((avg(coalesce(h.n_hits, 0)::DOUBLE / g.k)) * 1000000 + 0.5) / 1000000 AS precision
+FROM grid g
+LEFT JOIN hits h ON g.model = h.model AND g.qid = h.qid AND g.k = h.k
+GROUP BY 1, 2
+"""
+
+
+def _stop_list_sql() -> str:
+    return "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lsh8_e = hyperplane_sql_bits("e.embedding::DOUBLE[]", 8)
+    lsh4_e = hyperplane_sql_bits("e.embedding::DOUBLE[]", 4)
+    markers_values = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+    )
+    res_values = ", ".join(f"({qid}, '{txt}')" for qid, txt in RESOLUTION_QUERIES)
+    shingles = (
+        "CASE WHEN len(toks) >= 3 THEN "
+        "list_distinct(list_transform(range(1, len(toks) - 1), "
+        "i -> array_to_string(list_slice(toks, i, i + 2), ' '))) "
+        "ELSE [] END"
+    )
+
+    return {
+        "copurchase_edges": f"WITH {_EDGES_CTE.strip()} "
+                            "SELECT src, dst, weight FROM edges",
+
+        "cf_topn": f"""
+WITH {_EDGES_CTE.strip()}, {_UNIVERSE_CTE.strip()}, {_REDGES_CTE.strip()},
+cf AS (
+  SELECT src, dst, weight,
+         floor((weight::DOUBLE / max(weight) OVER (PARTITION BY src)) * 1000000 + 0.5) / 1000000 AS cf_score,
+         row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst ASC) AS cf_rank
+  FROM redges
+)
+SELECT src, dst, weight, cf_score, CAST(cf_rank AS INT) AS cf_rank
+FROM cf WHERE cf_rank <= {CF_TOP_N}
+""",
+
+        "content_topk": f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT qid, cand, {_cos('qv', 'cv')} AS score
+  FROM q CROSS JOIN c WHERE cand <> qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+""",
+
+        "hybrid_topk": _hybrid_sql(TOP_K, _QS_CTE, with_names=True),
+
+        "precision_eval": _precision_eval_sql(),
+
+        "part_doc_projection": """
+SELECT p_partkey AS item_id,
+       concat_ws(' | ', nullif(p_name, ''),
+         CASE WHEN nullif(p_brand, '') IS NOT NULL THEN 'Group: ' || p_brand END,
+         CASE WHEN nullif(p_type, '') IS NOT NULL THEN 'Category: ' || p_type END) AS doc
+FROM part
+""",
+
+        "query_resolution": f"""
+WITH q(qid, query_text) AS (VALUES {res_values}),
+names AS (SELECT p_partkey AS item_id, p_name AS name FROM part),
+exact AS (
+  SELECT qid, trim(query_text) AS qt, item_id, name, 1 AS prio
+  FROM q JOIN names ON trim(query_text) = CAST(item_id AS VARCHAR)
+),
+sub AS (
+  SELECT qid, trim(query_text) AS qt, item_id, name, 2 AS prio
+  FROM q JOIN names ON lower(name) LIKE '%' || lower(trim(query_text)) || '%'
+),
+u AS (SELECT * FROM exact UNION ALL SELECT * FROM sub),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY prio, length(name), name, item_id) AS rn FROM u)
+SELECT q.qid, trim(q.query_text) AS query_text, r.item_id, r.name
+FROM q LEFT JOIN (SELECT qid, item_id, name FROM r WHERE rn = 1) r ON q.qid = r.qid
+""",
+
+        "seeded_sample": f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+ORDER BY md5('{SEED}:' || CAST(doc_id AS VARCHAR)) LIMIT 100
+""",
+
+        "lsh_topk": f"""
+WITH b AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v, {lsh8_e} AS bucket
+  FROM embeddings e
+),
+q AS (SELECT id AS qid, v AS qv, bucket FROM b WHERE id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.qid, c.id AS cand, {_cos('q.qv', 'c.v')} AS score
+  FROM q JOIN b c ON q.bucket = c.bucket WHERE c.id <> q.qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+""",
+
+        "ivf_topk": f"""
+WITH u AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT id AS centroid_id, v AS cv FROM u WHERE id < 16),
+asg AS (
+  SELECT u.id AS vid, u.v, c.centroid_id, {_cos('u.v', 'c.cv')} AS csim
+  FROM u CROSS JOIN cent c
+),
+asg_r AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS cr FROM asg),
+lists AS (SELECT vid, v, centroid_id FROM asg_r WHERE cr = 1),
+q AS (SELECT id AS qid, v AS qv FROM u WHERE id % {QUERY_MOD} = 0),
+qc AS (
+  SELECT q.qid, q.qv, c.centroid_id, {_cos('q.qv', 'c.cv')} AS csim
+  FROM q CROSS JOIN cent c
+),
+qc_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, centroid_id ASC) AS cr FROM qc),
+probes AS (SELECT qid, qv, centroid_id FROM qc_r WHERE cr <= 2),
+scored AS (
+  SELECT p.qid, l.vid AS cand, {_cos('p.qv', 'l.v')} AS score
+  FROM probes p JOIN lists l USING (centroid_id) WHERE l.vid <> p.qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+""",
+
+        "embedding_neardup": f"""
+WITH b AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v, {lsh4_e} AS bucket
+  FROM embeddings e
+)
+SELECT a.id AS id1, c.id AS id2, {_cos('a.v', 'c.v')} AS score
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+WHERE {_cos('a.v', 'c.v')} >= {NEARDUP_COS_THRESHOLD}
+""",
+
+        "dedup_exact": """
+SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+""",
+
+        "minhash_signatures": f"""
+WITH t AS (SELECT doc_id, {_DTOKS} AS toks FROM documents)
+SELECT doc_id,
+  list_min(list_transform(toks, x -> md5('0:' || x))) AS mh0,
+  list_min(list_transform(toks, x -> md5('1:' || x))) AS mh1,
+  list_min(list_transform(toks, x -> md5('2:' || x))) AS mh2,
+  list_min(list_transform(toks, x -> md5('3:' || x))) AS mh3
+FROM t
+""",
+
+        "minhash_dup_pairs": f"""
+WITH t AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, concat_ws('|',
+    list_min(list_transform(toks, x -> md5('0:' || x))),
+    list_min(list_transform(toks, x -> md5('1:' || x))),
+    list_min(list_transform(toks, x -> md5('2:' || x))),
+    list_min(list_transform(toks, x -> md5('3:' || x)))) AS sig
+  FROM t
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig
+FROM s a JOIN s b ON a.sig = b.sig AND a.doc_id < b.doc_id
+""",
+
+        "simhash_fingerprints": f"""
+WITH t AS (SELECT doc_id, unnest({_DTOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM t),
+pos AS (SELECT unnest(range(16)) AS pos),
+contrib AS (
+  SELECT doc_id, pos,
+    CASE WHEN (CASE WHEN ascii(substr(h, CAST(pos AS INT) + 1, 1)) <= 57
+                    THEN ascii(substr(h, CAST(pos AS INT) + 1, 1)) - 48
+                    ELSE ascii(substr(h, CAST(pos AS INT) + 1, 1)) - 87 END) >= 8
+         THEN 1 ELSE -1 END AS c
+  FROM h CROSS JOIN pos
+),
+bits AS (
+  SELECT doc_id, pos, CASE WHEN sum(c) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM contrib GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(bit * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+
+        "jaccard_neardup": f"""
+WITH tk AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, source AS block, {shingles} AS sh FROM tk),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, floor((i::DOUBLE / u) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM pairs WHERE u > 0 AND floor((i::DOUBLE / u) * 1000000 + 0.5) / 1000000 >= {JACCARD_THRESHOLD}
+""",
+
+        "token_stats": f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS INT) AS n_tokens,
+  CAST(len({_DTOKS}) AS INT) AS n_distinct_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_pieces
+FROM documents
+""",
+
+        "quality_scores": f"""
+WITH c AS (
+  SELECT doc_id,
+    len({_TOKS}) AS n_tok,
+    len(list_filter({_TOKS}, t -> t IN {_stop_list_sql()})) AS n_stop,
+    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+    CASE WHEN len({_TOKS}) > 0
+         THEN list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE / len({_TOKS})
+         ELSE 0.0 END AS mean_wlen,
+    length(text) AS n_char
+  FROM documents
+)
+SELECT doc_id,
+  floor((CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+  floor((CASE WHEN n_char > 0 THEN n_punct::DOUBLE / n_char ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+  floor((mean_wlen) * 1000000 + 0.5) / 1000000 AS mean_word_len,
+  floor((0.4 * least(1.0, n_char / 500.0)
+      + 0.3 * least(1.0, (CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END) * 5)
+      + 0.3 * (1.0 - least(1.0, (CASE WHEN n_char > 0 THEN n_punct::DOUBLE / n_char ELSE 0.0 END) * 10))) * 1000000 + 0.5) / 1000000 AS quality_score
+FROM c
+""",
+
+        "language_id": f"""
+WITH markers(lang_guess, marker) AS (VALUES {markers_values}),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hits AS (
+  SELECT doc_id, lang_guess, count(*) AS n_hits
+  FROM tok JOIN markers ON tok = marker
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang_guess, n_hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang_guess ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id, coalesce(b.lang_guess, 'unknown') AS lang_guess,
+       CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN (SELECT doc_id, lang_guess, n_hits FROM best WHERE rn = 1) b
+  ON d.doc_id = b.doc_id
+""",
+
+        "doc_fingerprints": """
+SELECT doc_id,
+  md5(lower(trim(text))) AS digest,
+  md5(substr(lower(trim(text)), 1, 64)) AS head_digest,
+  md5(reverse(substr(reverse(lower(trim(text))), 1, 64))) AS tail_digest
+FROM documents
+""",
+
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+  floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+  floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+  floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+  floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
+  floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+
+        "top_parts_by_revenue": """
+WITH rev AS (
+  SELECT l_partkey, floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT r.l_partkey AS partkey, p.p_name AS name, r.revenue
+FROM rev r JOIN part p ON r.l_partkey = p.p_partkey
+ORDER BY r.revenue DESC, partkey ASC LIMIT 10
+""",
+
+        "customer_order_topn": """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+       CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 3
+""",
+
+        "orders_running_total": """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+  floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_total
+FROM orders
+""",
+
+        "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  floor((sum(value)) * 100 + 0.5) / 100 AS total_value,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2
+""",
+
+        "sessionization": """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM x
+)
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id
+""",
+    }

@@ -1,0 +1,59 @@
+"""Data model: table loaders + canonical schemas.
+
+The engine's product catalog schema mirrors the reference's implicit record
+shape (``Hybrid_Recom_vecdb.py:44-53``): asin/title/group/categories/similar.
+The driver-provided test tables (TPC-H-ish + documents/embeddings/events,
+see TESTDATA.md) back the generic-operator correctness checks; the mapping of
+the recommender domain onto them is:
+
+- ``part``        ≈ product catalog (p_partkey = item id, p_name = title)
+- ``lineitem``    → co-purchase graph: parts appearing in the same order are
+                    "bought together" (ref builds this from the ``similar``
+                    field, :133-141)
+- ``embeddings``  ≈ the vector collection (vec_id keyed to p_partkey /
+                    doc_id; 64-dim float vectors, ref used 384-dim MiniLM)
+- ``documents``   ≈ the synthesized doc-text corpus (ref :124-132)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Catalog schema for amazon-meta ingest (SURVEY §1.2; ref :44-53)
+PRODUCTS_SCHEMA = T.StructType([
+    T.StructField("asin", T.StringType(), False),
+    T.StructField("title", T.StringType(), False),
+    T.StructField("group", T.StringType(), True),
+    T.StructField("categories", T.ArrayType(T.StringType()), True),
+    T.StructField("similar", T.ArrayType(T.StringType()), True),
+])
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table. Parquet scan → full predicate pushdown
+    and column pruning apply to everything built on top.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects by default; read nanos as long and convert to a
+    microsecond timestamp (truncation — same as DuckDB's ns→µs view).
+    """
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}

@@ -1,0 +1,98 @@
+"""Batch embedding generation (H1 — the reference's one true UDF).
+
+Reference: ``model.encode(docs, batch_size=64)`` with Sentence-BERT
+(``Hybrid_Recom_vecdb.py:356, :374-379``). Spark-first design: the model
+runs inside Arrow-batched ``mapInPandas`` with a per-executor cached model
+(load once per worker, not per batch); Arrow batch size plays the role of
+the reference's batch_size=64.
+
+sentence-transformers is not in this container, so the default embedder is
+a deterministic hashing-trick encoder (token → md5 → signed bucket),
+L2-normalized — same plumbing, reproducible output. ``model_embedder``
+gates the real model behind an import-try.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+EMBED_DIM = 64
+
+
+def _hash_embed_texts(texts, dim: int = EMBED_DIM):
+    import numpy as np
+
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, t in enumerate(texts):
+        for tok in str(t).lower().split():
+            h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+            bucket = int(h[:8], 16) % dim
+            sign = 1.0 if int(h[8], 16) >= 8 else -1.0
+            out[i, bucket] += sign
+        n = np.linalg.norm(out[i])
+        if n > 0:
+            out[i] /= n
+    return out
+
+
+def hashing_embedder(documents: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", dim: int = EMBED_DIM) -> DataFrame:
+    """Deterministic hashing-trick embeddings via Arrow-batched mapInPandas."""
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _hash_embed_texts(list(pdf[text_col]), dim)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "embedding": [row.astype("float32").tolist() for row in mat],
+            })
+
+    return documents.select(id_col, text_col).mapInPandas(
+        encode, schema="doc_id long, embedding array<float>"
+    )
+
+
+_MODEL_CACHE: dict = {}
+
+
+def model_embedder(documents: DataFrame, model_name: str = "sentence-transformers/all-MiniLM-L12-v2",
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Sentence-transformer embeddings (requires the optional dependency).
+
+    Model is cached per executor process — loaded at most once per worker,
+    reused across Arrow batches (the distributed analogue of the
+    reference's single in-process model)."""
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "sentence-transformers not installed in this environment; "
+            "use hashing_embedder for deterministic plumbing"
+        ) from e
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from sentence_transformers import SentenceTransformer
+
+        if model_name not in _MODEL_CACHE:  # per-executor singleton
+            _MODEL_CACHE[model_name] = SentenceTransformer(model_name, device="cpu")
+        model = _MODEL_CACHE[model_name]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = model.encode(list(pdf[text_col]), batch_size=64)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "embedding": [v.astype("float32").tolist() for v in vecs],
+            })
+
+    return documents.select(id_col, text_col).mapInPandas(
+        encode, schema="doc_id long, embedding array<float>"
+    )

@@ -1,0 +1,84 @@
+"""Portable deterministic hashing primitives.
+
+The engine needs hashes that are (a) stable across runs/partitionings,
+(b) reproducible in the DuckDB oracle. Spark's ``hash()``/``xxhash64()``
+are engine-specific, so everything here is built on ``md5`` hex strings,
+which both engines produce identically.
+
+- seeded ordering key (sampling): ``md5('<seed>:' || key)``
+- MinHash: ``min over tokens of md5('<i>:' || token)`` — the lexicographic
+  min of a uniformly-distributed hex string is a valid min-hash
+- SimHash: per-token bits = top bit of each md5 hex nibble
+- Random-hyperplane LSH for embeddings: fixed seeded hyperplanes embedded
+  as literals (generated once, below) so oracle SQL can embed the same
+  constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import vector as V
+
+
+def seeded_key(key: Column, seed: int = 42) -> Column:
+    """Deterministic pseudo-random ordering key (uniform via md5)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+
+
+def minhash(toks: Column, i: int) -> Column:
+    """i-th MinHash of a token array (hex-string min). Null if no tokens."""
+    return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{i}:"), t))))
+
+
+def minhash_signature(toks: Column, n_hashes: int = 4) -> Column:
+    """Concatenated n-hash MinHash signature (one LSH band of width n)."""
+    return F.concat_ws("|", *[minhash(toks, i) for i in range(n_hashes)])
+
+
+def hex_nibble_value(c: Column) -> Column:
+    """Value 0-15 of a single lowercase hex char (portable: ascii math)."""
+    a = F.ascii(c)
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH planes: fixed seed so both engines share constants.
+# 16 planes → 16-bit bucket (65536 buckets); callers choose how many bits.
+# ---------------------------------------------------------------------------
+_LSH_SEED = 42
+_LSH_DIM = 64
+_LSH_PLANES = 16
+_rs = np.random.RandomState(_LSH_SEED)
+HYPERPLANES: list[list[float]] = [
+    [round(float(x), 6) for x in _rs.randn(_LSH_DIM)] for _ in range(_LSH_PLANES)
+]
+
+
+def hyperplane_bits(vec_dbl: Column, n_bits: int = 8) -> Column:
+    """LSH bucket id (string of 0/1) from the sign of plane·v.
+
+    ``vec_dbl`` must already be array<double> of length 64. Sign tie
+    (dot == 0) is pinned to bit '1' (>= 0 → 1) for determinism.
+    """
+    bits = []
+    for p in HYPERPLANES[:n_bits]:
+        plane = F.array(*[F.lit(x) for x in p])
+        bits.append(F.when(V.dot(plane, vec_dbl) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hyperplane_sql_bits(vec_expr: str, n_bits: int = 8) -> str:
+    """DuckDB SQL fragment computing the same LSH bucket for oracle parity.
+
+    ``vec_expr`` must be a DOUBLE[] SQL expression.
+    """
+    parts = []
+    for p in HYPERPLANES[:n_bits]:
+        lits = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        parts.append(
+            f"(CASE WHEN list_inner_product({lits}, {vec_expr}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(parts)

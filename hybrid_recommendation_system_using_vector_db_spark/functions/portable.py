@@ -1,0 +1,27 @@
+"""Cross-engine portable rounding.
+
+``round()`` semantics differ between engines at exact half-way points
+(Spark rounds the shortest decimal representation HALF_UP via BigDecimal;
+DuckDB scales-and-rounds the raw double), so two engines can disagree by
+1 ulp-of-the-last-digit on values that land on a .5 boundary — e.g. blends
+of decimal ratios. ``fround`` avoids the whole class: floor(x·10^d + 0.5)
+is a pure IEEE-double computation that yields bit-identical results in any
+engine given the same input double. Every score/measure the engine emits
+for oracle comparison goes through this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def fround(c: Column, digits: int = 6) -> Column:
+    s = float(10 ** digits)
+    return F.floor(c * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def fround_sql(expr: str, digits: int = 6) -> str:
+    """The identical computation as a SQL fragment (DuckDB oracle side)."""
+    s = 10 ** digits
+    return f"floor(({expr}) * {s} + 0.5) / {s}"

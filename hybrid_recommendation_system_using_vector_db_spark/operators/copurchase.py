@@ -1,0 +1,100 @@
+"""Co-purchase graph construction + CF candidate generation.
+
+Reference semantics: the item-item graph is a ``defaultdict(Counter)`` built
+from each product's ``similar`` list restricted to in-sample items
+(``Hybrid_Recom_vecdb.py:133-141``), and CF candidates are the max-normalized
+top-n neighbors (``:189-198``). Here the graph is an edge DataFrame (SURVEY
+§1.1) and both steps are declarative:
+
+- C1 edge semi-join + D1 count aggregation
+- D2 per-source max normalizer (analytic window, E2)
+- G9 ratio normalize with zero guard
+- F1/E1 per-source top-n with pinned tiebreaks
+
+On the driver test schema, "bought together" is derived from ``lineitem``:
+two parts sharing an order key form a directed edge each way; the weight is
+the number of co-occurrences (COUNT(*) GROUP BY src,dst) — the same shape
+the reference builds from the ``similar`` field.
+
+Scale notes: the self-join shuffles on ``l_orderkey`` once and the count
+aggregates map-side first (partial hash agg). At 100 TB, bucket the edge
+table by ``src`` on write so every downstream per-source operation
+(normalize, top-n, CF lookup) is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import fround
+
+from .. import ROUND_SCORE
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Directed weighted co-purchase edges from order co-occurrence (C1+D1)."""
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def edges_from_similar(products: DataFrame) -> DataFrame:
+    """Reference-shaped edge build from a ``similar`` array column
+    (explode → in-sample semi-join → self-loop drop → count).
+
+    Mirrors ``Hybrid_Recom_vecdb.py:133-141`` for catalogs ingested from
+    amazon-meta (see sources.amazon_meta).
+    """
+    exploded = products.select(
+        F.col("asin").alias("src"), F.explode("similar").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    in_sample = products.select(F.col("asin").alias("dst"))
+    return (
+        exploded.join(in_sample, "dst", "left_semi")  # B5 membership
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def restrict_to_universe(edges: DataFrame, universe: DataFrame,
+                         key: str = "vec_id") -> DataFrame:
+    """Keep only edges whose both endpoints are indexed items (B5).
+
+    ``universe`` is the set of items with embeddings — the reference's
+    "in-sample" set. Broadcast semi-joins: the universe is small relative
+    to the edge table at every scale.
+    """
+    u_src = universe.select(F.col(key).alias("src"))
+    u_dst = universe.select(F.col(key).alias("dst"))
+    return (
+        edges.join(F.broadcast(u_src), "src", "left_semi")
+        .join(F.broadcast(u_dst), "dst", "left_semi")
+    )
+
+
+def cf_topn(edges: DataFrame, top_n: int) -> DataFrame:
+    """Per-source normalized CF candidates (D2+G9+E1/F1).
+
+    cf_score = weight / max(weight per src), rounded; rank by raw weight
+    desc then dst asc (raw weights are exact integers → cross-engine-safe
+    ranking), keep top_n.
+    """
+    w_max = Window.partitionBy("src")
+    w_rank = Window.partitionBy("src").orderBy(F.col("weight").desc(), F.col("dst").asc())
+    return (
+        edges.withColumn("max_w", F.max("weight").over(w_max))
+        .withColumn(
+            "cf_score",
+            F.when(F.col("max_w") > 0,
+                   fround(F.col("weight") / F.col("max_w"), ROUND_SCORE)).otherwise(F.lit(0.0)),
+        )
+        .withColumn("cf_rank", F.row_number().over(w_rank))
+        .filter(F.col("cf_rank") <= top_n)
+        .select("src", "dst", "weight", "cf_score", "cf_rank")
+    )

@@ -1,0 +1,124 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (it has no dedup surface) — these are the north-star
+extensions (BASELINE.json), each designed as a blocking-join so the pair
+space never materializes quadratically:
+
+- exact:          hash-group on normalized text, keep min id
+- MinHash LSH:    shingle → minhash band signature → bucket join
+- SimHash:        64→16-bit sign fingerprint, Hamming-bucket candidates
+- n-gram Jaccard: token-shingle set overlap within blocks
+- embedding cosine near-dup lives in operators.similarity
+
+Hashing is md5-based (functions.hashing) so every operator is reproducible
+in the DuckDB oracle and stable across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import fround
+
+from .. import ROUND_SCORE
+from ..functions import texttools as TT
+from ..functions.hashing import hex_nibble_value, minhash
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text: canonical id = min id per text.
+
+    One hash-shuffle on the text digest (md5, not the full text — 100 TB
+    note: never shuffle multi-KB keys when 32 hex chars carry the identity).
+    """
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.lower(F.trim(F.col(text_col)))).alias("text_hash"),
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = 4,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc MinHash signature columns (one band of n_hashes rows)."""
+    toks = TT.distinct_tokens(F.col(text_col))
+    cols = [minhash(toks, i).alias(f"mh{i}") for i in range(n_hashes)]
+    return documents.select(F.col(id_col).alias("doc_id"), *cols)
+
+
+def minhash_dup_pairs(documents: DataFrame, n_hashes: int = 4,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs: identical full MinHash band signature.
+
+    groupBy(signature) blocks the pair space; the self-join happens only
+    inside buckets (shuffle key = signature, skew-safe under AQE).
+    """
+    sigs = minhash_signatures(documents, n_hashes, id_col, text_col)
+    sig = sigs.withColumn("sig", F.concat_ws("|", *[f"mh{i}" for i in range(n_hashes)]))
+    a = sig.select(F.col("doc_id").alias("id1"), "sig")
+    b = sig.select(F.col("doc_id").alias("id2"), "sig")
+    return a.join(b, "sig").filter(F.col("id1") < F.col("id2")).select("id1", "id2", "sig")
+
+
+def simhash_fingerprints(documents: DataFrame, n_bits: int = 16,
+                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint: bit j = sign of Σ_tokens (±1 from md5 bit j).
+
+    Portable bit extraction: bit j of a token = top bit of the j-th md5 hex
+    nibble (hex char ≥ '8'). Computed via explode(tokens) × positions —
+    all JVM-side; one shuffle on (doc_id).
+    """
+    spark = documents.sparkSession
+    pos = spark.range(n_bits).select(F.col("id").cast("int").alias("pos"))
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TT.distinct_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    contrib = (
+        tok.crossJoin(F.broadcast(pos))
+        .withColumn("nib", hex_nibble_value(F.substring(F.col("h"), F.col("pos") + 1, F.lit(1))))
+        .withColumn("c", F.when(F.col("nib") >= 8, F.lit(1)).otherwise(F.lit(-1)))
+    )
+    return (
+        contrib.groupBy("doc_id", "pos")
+        .agg(F.sum("c").alias("s"))
+        # tie (s == 0) pinned to bit 1 for determinism
+        .withColumn("bit", F.when(F.col("s") >= 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("pos")).cast("bigint")).alias("simhash"))
+    )
+
+
+def jaccard_neardup_pairs(documents: DataFrame, threshold: float = 0.5,
+                          shingle_n: int = 3, block_col: str = "source",
+                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram Jaccard near-dup pairs within blocks.
+
+    |A∪B| computed as |A|+|B|−|A∩B| (portable across engines). Blocking by
+    ``block_col`` keeps the self-join linear-ish; at 100 TB swap the block
+    key for a MinHash band (minhash_dup_pairs) and use this as the verify
+    stage of the candidate pipeline.
+    """
+    sh = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("block"),
+        F.array_distinct(TT.word_ngrams(TT.tokens(F.col(text_col)), shingle_n)).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("id1"), "block", F.col("sh").alias("sh1"))
+    b = sh.select(F.col("doc_id").alias("id2"), "block", F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        a.join(b, "block")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("jaccard",
+                    F.when(union > 0, fround(inter / union, ROUND_SCORE)).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

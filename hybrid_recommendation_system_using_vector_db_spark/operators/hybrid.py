@@ -1,0 +1,85 @@
+"""Hybrid fusion: α-blend of content similarity and CF weight (EP2).
+
+Reference: ``recommend_hybrid`` (``Hybrid_Recom_vecdb.py:213-231``) —
+content top-n (C5) ∪ CF top-n (D2/F1) via full-outer keyed by item with
+missing side → 0.0 (C2, ``:221-228``), blended ``α·cs + (1−α)·cf`` (G8),
+title enrichment (C3), final top-k (F1). Here the whole chain is one lazy
+DataFrame plan over all queries at once — no per-query driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import fround
+
+from .. import ALPHA, CF_TOP_N, CONTENT_TOP_N, ROUND_SCORE, TOP_K
+from ..functions import vector as V
+from . import similarity
+from .copurchase import cf_topn, restrict_to_universe
+from .similarity import topk_per_query
+
+
+def product_text(part: DataFrame) -> DataFrame:
+    """Doc-text projection (B2/G6/G12): ``name | Group: g | Category: c``.
+
+    ``concat_ws`` skips nulls, matching the reference's conditional append
+    (``Hybrid_Recom_vecdb.py:124-132``); empty strings are nulled first.
+    """
+    return part.select(
+        F.col("p_partkey").alias("item_id"),
+        F.concat_ws(
+            " | ",
+            F.nullif(F.col("p_name"), F.lit("")),
+            F.when(F.nullif(F.col("p_brand"), F.lit("")).isNotNull(),
+                   F.concat(F.lit("Group: "), F.col("p_brand"))),
+            F.when(F.nullif(F.col("p_type"), F.lit("")).isNotNull(),
+                   F.concat(F.lit("Category: "), F.col("p_type"))),
+        ).alias("doc"),
+    )
+
+
+def hybrid_recommend(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
+                     names: DataFrame | None = None,
+                     alpha: float = ALPHA, content_top_n: int = CONTENT_TOP_N,
+                     cf_top_n: int = CF_TOP_N, k: int = TOP_K,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Full hybrid top-k for a query table, as a single declarative plan.
+
+    queries:  (id_col, vec_col) — items to recommend for
+    corpus:   (id_col, vec_col) — the indexed universe
+    edges:    (src, dst, weight) — co-purchase graph (unrestricted;
+              restricted here to the corpus universe, B5)
+    names:    optional (item_id, name) for C3 enrichment (inner join —
+              drops unnamed candidates, matching ref :224-229)
+    """
+    content = similarity.cosine_topk(queries, corpus, content_top_n, id_col, vec_col) \
+        .select("qid", "cand", F.col("score").alias("content_score"))
+    cf = cf_topn(restrict_to_universe(edges, corpus, id_col), cf_top_n) \
+        .select(F.col("src").alias("qid"), F.col("dst").alias("cand"),
+                F.col("cf_score"))
+    # keep only CF rows for the queried items (predicate pushes into the window)
+    cf = cf.join(F.broadcast(queries.select(F.col(id_col).alias("qid"))), "qid", "left_semi")
+
+    blended = (
+        content.join(cf, ["qid", "cand"], "full_outer")  # C2
+        .select(
+            "qid", "cand",
+            F.coalesce("content_score", F.lit(0.0)).alias("content_score"),
+            F.coalesce("cf_score", F.lit(0.0)).alias("cf_score"),
+        )
+        .withColumn(
+            "hybrid_score",
+            fround(
+                V.clamp01(F.lit(alpha) * F.col("content_score")
+                          + F.lit(1.0 - alpha) * F.col("cf_score")),
+                ROUND_SCORE,
+            ),
+        )
+    )
+    out = topk_per_query(blended, k, score_col="hybrid_score") \
+        .select("qid", "cand", "content_score", "cf_score", "hybrid_score", "rank")
+    if names is not None:
+        out = out.join(F.broadcast(names.withColumnRenamed("item_id", "cand")), "cand")
+    return out

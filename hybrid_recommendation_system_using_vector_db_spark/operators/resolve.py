@@ -1,0 +1,54 @@
+"""Query resolution (C4): exact item-id probe, else case-insensitive
+substring match over names, shortest name wins.
+
+Reference: ``resolve_query_to_asin`` (``Hybrid_Recom_vecdb.py:199-210``) —
+exact ASIN lookup (``:201-202``) falling back to a substring scan over all
+titles sorted by length (``:204-209``). Python's stable sort breaks
+length-ties by insertion order; we pin (length, name, id) as the total
+order (SURVEY §7.1) and encode the same tiebreak in the oracle SQL.
+
+The substring branch is a theta-join → Spark plans a
+BroadcastNestedLoopJoin with the (tiny) query table broadcast; the name
+table streams through it once. At 100 TB the name side would carry an
+inverted token index instead; the API is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resolve_queries(queries: DataFrame, names: DataFrame) -> DataFrame:
+    """Resolve query strings to item ids.
+
+    queries: (qid int, query_text string)
+    names:   (item_id bigint, name string)
+    returns: (qid, query_text, item_id nullable, name nullable)
+    """
+    q = queries.select("qid", F.trim(F.col("query_text")).alias("query_text"))
+    exact = (
+        F.broadcast(q)
+        .join(names, q.query_text == names.item_id.cast("string"))
+        .select("qid", "query_text", "item_id", "name", F.lit(1).alias("prio"))
+    )
+    substr = (
+        F.broadcast(q)
+        .join(names, F.lower(F.col("name")).contains(F.lower(F.col("query_text"))))
+        .select("qid", "query_text", "item_id", "name", F.lit(2).alias("prio"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("prio").asc(), F.length("name").asc(), F.col("name").asc(),
+        F.col("item_id").asc(),
+    )
+    resolved = (
+        exact.unionByName(substr)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "query_text", "item_id", "name")
+    )
+    # keep unresolved queries with null item_id (ref returns None, :206-207)
+    return (
+        q.join(resolved.select("qid", "item_id", "name"), "qid", "left")
+        .select("qid", "query_text", "item_id", "name")
+    )

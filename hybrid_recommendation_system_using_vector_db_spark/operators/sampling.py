@@ -1,0 +1,40 @@
+"""Deterministic seeded sampling (F2/F3).
+
+The reference uses Algorithm-R reservoir sampling with Python's
+Mersenne-Twister (``Hybrid_Recom_vecdb.py:102-123``) and
+``random.Random(seed).sample`` for the eval query set (``:239-245``).
+Bitwise RNG parity is impossible across engines (SURVEY §7.2), so the
+engine defines *semantic* parity: an exact-size uniform sample that is a
+pure function of (seed, key) — rank rows by ``md5(seed || ':' || key)``
+and take the first n. Identical in Spark and any SQL oracle, stable under
+repartitioning, and single-pass distributed (TakeOrderedAndProject: each
+partition keeps its local top-n, the driver merges — the same property
+that makes reservoir sampling single-pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import seeded_key
+
+
+def seeded_sample(df: DataFrame, n: int, key_col: str, seed: int = 42) -> DataFrame:
+    """Exact-size uniform deterministic sample keyed by ``key_col``."""
+    return (
+        df.withColumn("__sk", seeded_key(F.col(key_col), seed))
+        .orderBy("__sk")
+        .limit(n)
+        .drop("__sk")
+    )
+
+
+def seeded_fraction_sample(df: DataFrame, fraction: float, key_col: str,
+                           seed: int = 42) -> DataFrame:
+    """Fraction-style deterministic sample: keep rows whose seeded md5 key
+    falls below the fraction threshold (first 8 hex chars as uniform u32).
+    Unlike ``seeded_sample`` this needs no global sort — fully map-side,
+    the 100 TB path."""
+    u32 = F.conv(F.substring(seeded_key(F.col(key_col), seed), 1, 8), 16, 10).cast("bigint")
+    return df.filter(u32 < F.lit(int(fraction * 0xFFFFFFFF)))

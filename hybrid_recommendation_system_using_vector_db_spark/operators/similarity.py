@@ -1,0 +1,254 @@
+"""Similarity search over embedding columns (C5 in SURVEY §2.3).
+
+The reference's ANN search is a ChromaDB HNSW query
+(``Hybrid_Recom_vecdb.py:172-187``). Distributed equivalents, fastest-path
+first at each scale:
+
+- ``cosine_topk``      exact brute force as one declarative plan: broadcast
+                       the (small) query side, score JVM-side, window top-k.
+                       This is the correctness oracle for every ANN variant.
+- ``cosine_topk_gemm`` exact brute force through Arrow + NumPy GEMM
+                       (``mapInPandas``): each executor multiplies its
+                       partition's matrix against the broadcast query matrix
+                       and emits only its local top-k → tiny shuffle. The
+                       100 TB fast path when Python is acceptable.
+- ``lsh_topk``         approximate: random-hyperplane bucket blocking; only
+                       same-bucket pairs are scored. Bucket column doubles as
+                       a partitioning/bucketing key at scale (co-located,
+                       shuffle-free candidate generation).
+- ``ivf_topk``         approximate: IVF coarse quantizer with deterministic
+                       centroids; queries probe ``nprobe`` nearest inverted
+                       lists.
+
+Determinism discipline (SURVEY §7.1): scores are rounded before ranking and
+ties are broken by candidate id ascending, so results are reproducible
+across partitionings and against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import fround
+
+from .. import ROUND_SCORE
+from ..functions import vector as V
+from ..functions.hashing import hyperplane_bits
+
+
+def _scored_pairs(queries: DataFrame, corpus: DataFrame,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Broadcast-join queries × corpus with rounded cosine, self excluded (B4)."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        V.as_double(F.col(vec_col)).alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand"),
+        V.as_double(F.col(vec_col)).alias("c_vec"),
+    )
+    return (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("cand") != F.col("qid"))
+        .withColumn("score", fround(V.cosine(F.col("q_vec"), F.col("c_vec")), ROUND_SCORE))
+    )
+
+
+def topk_per_query(scored: DataFrame, k: int, score_col: str = "score",
+                   cand_col: str = "cand") -> DataFrame:
+    """Ranking window (E1): row_number over (score desc, cand asc) ≤ k."""
+    w = Window.partitionBy("qid").orderBy(F.col(score_col).desc(), F.col(cand_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k (the C5 oracle path).
+
+    Plan shape: broadcast(queries) × corpus scan (pruned to id+vec) →
+    codegen'd cosine → per-query window top-k. No shuffle on the corpus
+    side except the final window (hash on qid, |Q|·k rows).
+    """
+    return (
+        topk_per_query(_scored_pairs(queries, corpus, id_col, vec_col), k)
+        .select("qid", "cand", "score", "rank")
+    )
+
+
+def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k via NumPy GEMM in ``mapInPandas`` (fast path).
+
+    The query matrix is captured in the closure (broadcast by Spark's task
+    serializer — fine up to ~10⁵ queries), each partition computes a
+    (batch × queries) GEMM and keeps only its local top-k per query; the
+    final exact top-k is a small window over ≤ partitions·|Q|·k rows.
+    """
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return cosine_topk(queries, corpus, k, id_col, vec_col)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+    qn = q_mat / q_norm[:, None]
+
+    def local_topk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0] = 1.0
+            # same portable rounding as fround(): floor(x·10^d + 0.5)/10^d
+            scale = 10.0 ** ROUND_SCORE
+            sims = np.floor((c_mat / c_norm[:, None]) @ qn.T * scale + 0.5) / scale  # (B, Q)
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = c_ids != qid  # B4 self-exclusion
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                take = min(k, idx.size)
+                # top-k by (-score, cand) for deterministic ties
+                order = np.lexsort((c_ids[idx], -col[idx]))[:take]
+                sel = idx[order]
+                out_q.extend([qid] * sel.size)
+                out_c.extend(c_ids[sel].tolist())
+                out_s.extend(col[sel].tolist())
+            yield pd.DataFrame({"qid": out_q, "cand": out_c, "score": out_s})
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, schema="qid long, cand long, score double"
+    )
+    return topk_per_query(local, k).select("qid", "cand", "score", "rank")
+
+
+def with_lsh_bucket(corpus: DataFrame, vec_col: str = "embedding",
+                    n_bits: int = 8, out_col: str = "bucket") -> DataFrame:
+    """Attach a random-hyperplane LSH bucket id.
+
+    At scale, write the corpus partitioned/bucketed by this column so
+    candidate generation is a co-located join (SURVEY §4 physical notes).
+    """
+    return corpus.withColumn(out_col, hyperplane_bits(V.as_double(F.col(vec_col)), n_bits))
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_bits: int = 8) -> DataFrame:
+    """Approximate cosine top-k: score only same-LSH-bucket pairs.
+
+    The bucket equi-join replaces the cross join — candidate count drops
+    ~2^n_bits×. Recall is tunable via n_bits (fewer bits → more recall,
+    more compute).
+    """
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_raw")),
+        "q_raw", n_bits,
+    ).withColumn("q_vec", V.as_double(F.col("q_raw")))
+    c = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("cand"), F.col(vec_col).alias("c_raw")),
+        "c_raw", n_bits,
+    ).withColumn("c_vec", V.as_double(F.col("c_raw")))
+    scored = (
+        F.broadcast(q.select("qid", "q_vec", "bucket"))
+        .join(c.select("cand", "c_vec", "bucket"), "bucket")
+        .filter(F.col("cand") != F.col("qid"))
+        .withColumn("score", fround(V.cosine(F.col("q_vec"), F.col("c_vec")), ROUND_SCORE))
+    )
+    return topk_per_query(scored, k).select("qid", "cand", "score", "rank")
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid (argmax cosine).
+
+    Deterministic tiebreak: higher similarity first, then lower centroid id.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        V.as_double(F.col(vec_col)).alias("cent_vec"),
+    )
+    v = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("raw_vec"),
+        V.as_double(F.col(vec_col)).alias("vec"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "csim", fround(V.cosine(F.col("vec"), F.col("cent_vec")), ROUND_SCORE)
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vid", "raw_vec", "centroid_id")
+    )
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int = 16,
+             nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style approximate search with deterministic coarse quantizer.
+
+    Centroids are the first ``n_centroids`` vectors by id (deterministic —
+    a stand-in for a k-means codebook; swap in MLlib KMeans offline for
+    production recall). Corpus rows live in inverted lists keyed by nearest
+    centroid; a query probes its ``nprobe`` nearest lists only. At 100 TB the
+    inverted-list key is the table's partition column → partition pruning
+    turns each query into a few-list scan.
+    """
+    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    lists = ivf_assign(corpus, centroids, id_col, vec_col)  # (vid, raw_vec, centroid_id)
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_raw"),
+                       V.as_double(F.col(vec_col)).alias("q_vec"))
+    cent = centroids.select(F.col(id_col).alias("centroid_id"),
+                            V.as_double(F.col(vec_col)).alias("cent_vec"))
+    q_cent = (
+        F.broadcast(q).crossJoin(F.broadcast(cent))
+        .withColumn("csim", fround(V.cosine(F.col("q_vec"), F.col("cent_vec")), ROUND_SCORE))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    probes = (
+        q_cent.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("qid", "q_vec", "centroid_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(lists, "centroid_id")
+        .filter(F.col("vid") != F.col("qid"))
+        .withColumn("score", fround(V.cosine(F.col("q_vec"), V.as_double(F.col("raw_vec"))), ROUND_SCORE))
+        .withColumnRenamed("vid", "cand")
+    )
+    return topk_per_query(scored, k).select("qid", "cand", "score", "rank")
+
+
+def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            n_bits: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking.
+
+    Self-join within LSH buckets (id1 < id2 halves the pair space), keep
+    cosine ≥ threshold. The blocking join is shuffle-partitioned by bucket —
+    scales linearly with bucket sizes rather than |corpus|².
+    """
+    b = with_lsh_bucket(corpus.select(id_col, vec_col), vec_col, n_bits)
+    left = b.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "bucket")
+    right = b.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("score", fround(V.cosine(V.as_double(F.col("v1")), V.as_double(F.col("v2"))), ROUND_SCORE))
+        .filter(F.col("score") >= threshold)
+        .select("id1", "id2", "score")
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators (north-star extensions, BASELINE.json):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure Spark SQL expressions — whole-stage codegen, no Python. Each has
+a DuckDB-oracle twin in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import fround
+
+from .. import ROUND_SCORE
+from ..functions import texttools as TT
+
+# Marker words per language for the n-gram language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "es": ["el", "los", "las", "una", "es"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def token_stats(documents: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish word-piece regex count."""
+    toks = TT.tokens(F.col(text_col))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        # BPE-ish proxy: alphanumeric runs + each non-space symbol is a token
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+         .alias("n_pieces"),
+    )
+
+
+def quality_scores(documents: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Quality signals: length, punctuation ratio, stopword ratio, mean
+    word length — blended into one [0,1] score (simple, documented mix)."""
+    toks = TT.tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    stop_ratio = F.when(n_tok > 0, TT.stopword_count(toks) / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_char > 0, TT.punct_count(F.col(text_col)) / n_char).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_tok > 0,
+                       F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok
+                       ).otherwise(F.lit(0.0))
+    length_score = F.least(F.lit(1.0), n_char / F.lit(500.0))
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * 5)
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10))
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        fround(stop_ratio, ROUND_SCORE).alias("stopword_ratio"),
+        fround(punct_ratio, ROUND_SCORE).alias("punct_ratio"),
+        fround(mean_wlen, ROUND_SCORE).alias("mean_word_len"),
+        fround(score, ROUND_SCORE).alias("quality_score"),
+    )
+
+
+def language_id(documents: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hits per language.
+
+    Relational shape: docs × marker table (broadcast) → count hits →
+    ranking window with (hits desc, lang asc) tiebreak; zero-hit docs get
+    'unknown'. Scales as one broadcast join + one shuffle on doc_id.
+    """
+    spark = documents.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
+        "lang_guess string, marker string",
+    )
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TT.tokens(F.col(text_col))).alias("tok"),
+    )
+    hits = (
+        tok.join(F.broadcast(markers), tok.tok == markers.marker)
+        .groupBy("doc_id", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("n_hits").desc(), F.col("lang_guess").asc())
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(best.select("doc_id", "lang_guess", "n_hits"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang_guess", F.lit("unknown")).alias("lang_guess"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+def fingerprints(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-text digest + rolling prefix digests.
+
+    The md5-of-normalized-text is the exact-dedup key; the 64-char-window
+    rolling digests (first/mid/last windows) give a cheap locality probe.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("digest"),
+        F.md5(F.substring(norm, 1, 64)).alias("head_digest"),
+        F.md5(F.reverse(F.substring(F.reverse(norm), 1, 64))).alias("tail_digest"),
+    )
