@@ -49,6 +49,22 @@ from hybrid_recommendation_system_using_vector_db_spark.operators import (
 )
 from hybrid_recommendation_system_using_vector_db_spark.operators.textops import LANG_MARKERS
 
+# The harness may launch the driver from any cwd; Python workers then cannot
+# import this package by name. Registering every package module for
+# pickle-by-value makes UDF closures self-contained on the wire.
+try:
+    # NB: must be pyspark's vendored cloudpickle — that's what serializes UDFs
+    from pyspark import cloudpickle as _cloudpickle
+
+    for _name, _mod in list(sys.modules.items()):
+        if _mod is not None and (
+            _name == "hybrid_recommendation_system_using_vector_db_spark"
+            or _name.startswith("hybrid_recommendation_system_using_vector_db_spark.")
+        ):
+            _cloudpickle.register_pickle_by_value(_mod)
+except Exception:  # pragma: no cover - best-effort; repo-cwd drivers work anyway
+    pass
+
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 RESOLUTION_QUERIES = [

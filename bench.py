@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the reference-parity pipeline (edges → CF → content ANN →
+hybrid fusion → precision eval) plus the scale-path operators (GEMM ANN,
+LSH/IVF ANN, MinHash near-dup, exact dedup, token stats) and the analytic
+queries. Each query is timed end-to-end including the action (count), after
+a warm-up of the input scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# the queries that make up the headline number (reference-parity EP1-EP3
+# pipeline + scale-path extensions); keys match __spark_entry__.queries()
+HEADLINE = [
+    "copurchase_edges",
+    "cf_topn",
+    "content_topk",
+    "content_topk_gemm",
+    "lsh_topk",
+    "ivf_topk",
+    "hybrid_topk",
+    "precision_eval",
+    "query_resolution",
+    "seeded_sample",
+    "dedup_exact",
+    "minhash_dup_pairs",
+    "embedding_neardup",
+    "token_stats",
+    "quality_scores",
+    "doc_fingerprints",
+    "tpch_q1",
+    "top_parts_by_revenue",
+    "events_hourly",
+    "sessionization",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("spark-graft-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qmap = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qmap]
+
+    # warm the file-scan + JVM (not counted): touch every input table once
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    for t in ("part", "orders", "lineitem", "events", "documents", "embeddings"):
+        try:
+            load_table(spark, SF_DIR, t).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        n = qmap[name](spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_total_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""A1/A2 amazon-meta ingest tests (FIXTURES.md §2)."""
+
+import gzip
+
+import pytest
+
+from hybrid_recommendation_system_using_vector_db_spark.sources.amazon_meta import read_amazon_meta
+
+FIXTURE = """Id:   0
+ASIN: 0771044445
+  discontinued product
+Id:   1
+ASIN: 0827229534
+  title: Patterns of Preaching
+  group: Book
+  salesrank: 396585
+  similar: 5 0804215715 156101074X 0687023955 0687074231 082721619X
+  categories: 2
+   |Books[283155]|Subjects[1000]|Religion[22]
+   |Books[283155]|Subjects[1000]|Preaching[12368]
+Id:   2
+ASIN: 0738700797
+  title: Candlemas: Feast of Flames
+  group: Book
+  similar: 0
+  categories: 0
+Id:   3
+ASIN: 0486287785
+  title: World War Z
+  group: Book
+  similar: 2 B00004W3V5 0486287785
+  categories: x
+   |Books[283155]|Fiction[17]
+Id:   4
+ASIN: B00004W3V5
+  title: a
+  group:
+  similar: 1 0827229534
+  categories: 1
+   |Music[5174]|Styles[301668]"""
+
+
+@pytest.fixture(scope="module")
+def products(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("meta") / "amazon-meta.txt.gz"
+    with gzip.open(path, "wt") as f:
+        f.write(FIXTURE)
+    return read_amazon_meta(spark, str(path)).orderBy("asin").collect()
+
+
+def test_validity_filter_drops_titleless(products):
+    # record 0 has no title (discontinued) → dropped (ref :46)
+    asins = [r.asin for r in products]
+    assert "0771044445" not in asins
+    assert len(products) == 4
+
+
+def test_fields_parsed(products):
+    by_asin = {r.asin: r for r in products}
+    r = by_asin["0827229534"]
+    assert r.title == "Patterns of Preaching"
+    assert r.group == "Book"
+    assert r.similar == ["0804215715", "156101074X", "0687023955", "0687074231", "082721619X"]
+    assert len(r.categories) == 2
+    assert r.categories[0].startswith("|Books[283155]|Subjects[1000]|Religion")
+
+
+def test_zero_and_nonnumeric_category_counts(products):
+    by_asin = {r.asin: r for r in products}
+    assert by_asin["0738700797"].categories == []     # categories: 0
+    assert by_asin["0738700797"].similar == []        # similar: 0
+    assert by_asin["0486287785"].categories == []     # non-numeric count → 0 (ref :84)
+
+
+def test_trailing_record_flush(products):
+    # last record has no trailing newline → still parsed (ref :99-101 EOF flush)
+    by_asin = {r.asin: r for r in products}
+    assert by_asin["B00004W3V5"].similar == ["0827229534"]
+    assert by_asin["B00004W3V5"].group == ""
+
+
+def test_roundtrip_edges(spark, products):
+    """Parsed catalog feeds the reference-shaped edge builder (C1 over similar)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.copurchase import (
+        edges_from_similar,
+    )
+    df = spark.createDataFrame(products)
+    edges = edges_from_similar(df).collect()
+    # only in-sample dsts survive the semi-join; self-loops dropped
+    pairs = {(e.src, e.dst) for e in edges}
+    assert ("B00004W3V5", "0827229534") in pairs
+    assert ("0486287785", "B00004W3V5") in pairs
+    assert ("0486287785", "0486287785") not in pairs  # self-loop dropped
+    assert all(dst in {r.asin for r in products} for _, dst in pairs)

@@ -1,0 +1,97 @@
+"""Property tests for engine invariants (SURVEY §5.3)."""
+
+from pyspark.sql import functions as F
+
+from hybrid_recommendation_system_using_vector_db_spark import QUERY_MOD
+from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+from hybrid_recommendation_system_using_vector_db_spark.embeddings import hashing_embedder
+from hybrid_recommendation_system_using_vector_db_spark.operators import multimodal, similarity
+
+import __spark_entry__ as entrymod
+
+
+def test_precision_in_unit_interval(spark, sf_dir):
+    rows = entrymod.q_precision_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.precision <= 1.0
+
+
+def test_hybrid_scores_clamped_and_self_excluded(spark, sf_dir):
+    rows = entrymod.q_hybrid_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.hybrid_score <= 1.0
+        assert r.cand != r.qid  # B4
+
+
+def test_topk_stable_under_repartition(spark, sf_dir):
+    """Pinned tiebreaks → identical results regardless of partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    a = similarity.cosine_topk(q, emb, 10).collect()
+    b = similarity.cosine_topk(q.repartition(7), emb.repartition(13), 10).collect()
+    key = lambda r: (r.qid, r.rank)
+    assert sorted(((r.qid, r.rank, r.cand, r.score) for r in a)) == \
+           sorted(((r.qid, r.rank, r.cand, r.score) for r in b))
+
+
+def test_gemm_matches_exact(spark, sf_dir):
+    """NumPy GEMM fast path is bit-compatible with the declarative plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = {(r.qid, r.rank): (r.cand, r.score) for r in similarity.cosine_topk(q, emb, 10).collect()}
+    gemm = {(r.qid, r.rank): (r.cand, r.score) for r in similarity.cosine_topk_gemm(q, emb, 10).collect()}
+    assert exact == gemm
+
+
+def test_lsh_results_subset_of_bruteforce_scores(spark, sf_dir):
+    """LSH returns true cosine scores (approximation only affects recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact_scores = {
+        (r.qid, r.cand): r.score
+        for r in similarity.cosine_topk(q, emb, 500).collect()
+    }
+    for r in similarity.lsh_topk(q, emb, 10).collect():
+        assert exact_scores.get((r.qid, r.cand)) == r.score
+
+
+def test_hashing_embedder_deterministic_unit_norm(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    a = {r.doc_id: r.embedding for r in hashing_embedder(docs).collect()}
+    b = {r.doc_id: r.embedding for r in hashing_embedder(docs.repartition(5)).collect()}
+    assert a == b
+    import math
+    for vec in a.values():
+        n = math.sqrt(sum(x * x for x in vec))
+        assert n == 0 or abs(n - 1.0) < 1e-5
+
+
+def test_multimodal_plumbing_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.attach_fake_media(docs)
+    feats = {r.doc_id: (r.n_bytes, r.mean_byte, r.max_byte)
+             for r in multimodal.extract_media_features(media).collect()}
+    assert len(feats) == 20
+    for n_bytes, mean_b, max_b in feats.values():
+        assert n_bytes == 16  # md5 digest payload
+        assert 0 <= mean_b <= 255 and 0 <= max_b <= 255
+    again = {r.doc_id: (r.n_bytes, r.mean_byte, r.max_byte)
+             for r in multimodal.extract_media_features(media.repartition(3)).collect()}
+    assert feats == again
+
+
+def test_seeded_sample_stable(spark, sf_dir):
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sampling import (
+        seeded_fraction_sample,
+        seeded_sample,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in seeded_sample(docs, 100, "doc_id").collect()}
+    b = {r.doc_id for r in seeded_sample(docs.repartition(9), 100, "doc_id").collect()}
+    assert a == b and len(a) == 100
+    f1 = {r.doc_id for r in seeded_fraction_sample(docs, 0.2, "doc_id").collect()}
+    f2 = {r.doc_id for r in seeded_fraction_sample(docs.repartition(4), 0.2, "doc_id").collect()}
+    assert f1 == f2
+    assert 0.05 < len(f1) / docs.count() < 0.4

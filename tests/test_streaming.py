@@ -1,0 +1,69 @@
+"""Structured Streaming: windowed event counts + incremental edge state."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+    incremental_copurchase,
+    read_events_stream,
+    run_stream_to_memory,
+    windowed_event_counts,
+)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    """Streaming tumbling-window agg over static files == batch equivalent."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = windowed_event_counts(stream)
+    q = run_stream_to_memory(agg, "hourly_stream")
+    try:
+        got = {
+            (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+            for r in spark.sql("SELECT * FROM hourly_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    want = {(r.window.start, r.event_type): (r.n, round(r.v, 6)) for r in batch}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_incremental_copurchase_merges_batches(spark, tmp_path):
+    """foreachBatch edge maintenance accumulates across micro-batches."""
+    state = str(tmp_path / "edges_state")
+    in_dir = tmp_path / "orders_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)], "order_id long, item_id long")
+    batch1.write.parquet(str(in_dir / "b1.parquet"))
+
+    # recursiveFileLookup: each batch write is a b*.parquet/ subdirectory
+    stream = (
+        spark.readStream.schema("order_id long, item_id long")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    q = incremental_copurchase(stream, state, ckpt)
+    q.awaitTermination(60)
+
+    edges1 = {(r.src, r.dst): r.weight for r in spark.read.parquet(state).collect()}
+    assert edges1[(10, 11)] == 1 and edges1[(10, 12)] == 1
+
+    # second batch repeats an order pairing → weight increments
+    batch2 = spark.createDataFrame([(3, 10), (3, 11)], "order_id long, item_id long")
+    batch2.write.parquet(str(in_dir / "b2.parquet"))
+    q2 = incremental_copurchase(stream, state, ckpt)
+    q2.awaitTermination(60)
+
+    edges2 = {(r.src, r.dst): r.weight for r in spark.read.parquet(state).collect()}
+    assert edges2[(10, 11)] == 2
+    assert edges2[(10, 12)] == 1
