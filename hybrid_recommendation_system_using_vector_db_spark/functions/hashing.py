@@ -63,6 +63,9 @@ def hyperplane_bits(vec_dbl: Column, n_bits: int = 8) -> Column:
     ``vec_dbl`` must already be array<double> of length 64. Sign tie
     (dot == 0) is pinned to bit '1' (>= 0 → 1) for determinism.
     """
+    # NB: deliberately the HOF fold, not the unrolled dot — the bucket is a
+    # per-row (not per-pair) expression, and unrolling n_bits × dim terms
+    # here blows up Catalyst analysis time far beyond any execution savings.
     bits = []
     for p in HYPERPLANES[:n_bits]:
         plane = F.array(*[F.lit(x) for x in p])

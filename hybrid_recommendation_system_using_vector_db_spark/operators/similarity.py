@@ -39,21 +39,49 @@ from ..functions import vector as V
 from ..functions.hashing import hyperplane_bits
 
 
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Probe the (fixed) embedding dimensionality — one-row scan.
+
+    Knowing dim lets every dot product unroll into a codegen-able flat
+    expression instead of an interpreted HOF fold (see functions.vector.dot).
+    """
+    try:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        return int(row.d) if row and row.d and row.d > 0 else None
+    except Exception:
+        return None
+
+
+def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for per-row scoring parallelism.
+
+    Broadcast joins preserve the stream side's partitioning; a corpus read
+    from one parquet file would otherwise score every candidate pair on one
+    core. Only widens — a 100 TB corpus that already has thousands of scan
+    partitions passes through untouched (no extra shuffle).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _scored_pairs(queries: DataFrame, corpus: DataFrame,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Broadcast-join queries × corpus with rounded cosine, self excluded (B4)."""
+    dim = _vec_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("qid"),
         V.as_double(F.col(vec_col)).alias("q_vec"),
     )
-    c = corpus.select(
+    c = _spread(corpus.select(
         F.col(id_col).alias("cand"),
         V.as_double(F.col(vec_col)).alias("c_vec"),
-    )
+    ))
     return (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("cand") != F.col("qid"))
-        .withColumn("score", fround(V.cosine(F.col("q_vec"), F.col("c_vec")), ROUND_SCORE))
+        .withColumn("score", fround(V.cosine(F.col("q_vec"), F.col("c_vec"), dim), ROUND_SCORE))
     )
 
 
@@ -162,7 +190,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     ).withColumn("c_vec", V.as_double(F.col("c_raw")))
     scored = (
         F.broadcast(q.select("qid", "q_vec", "bucket"))
-        .join(c.select("cand", "c_vec", "bucket"), "bucket")
+        .join(_spread(c.select("cand", "c_vec", "bucket")), "bucket")
         .filter(F.col("cand") != F.col("qid"))
         .withColumn("score", fround(V.cosine(F.col("q_vec"), F.col("c_vec")), ROUND_SCORE))
     )
@@ -179,11 +207,11 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
         F.col(id_col).alias("centroid_id"),
         V.as_double(F.col(vec_col)).alias("cent_vec"),
     )
-    v = corpus.select(
+    v = _spread(corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("raw_vec"),
         V.as_double(F.col(vec_col)).alias("vec"),
-    )
+    ))
     scored = v.crossJoin(F.broadcast(c)).withColumn(
         "csim", fround(V.cosine(F.col("vec"), F.col("cent_vec")), ROUND_SCORE)
     )
@@ -242,13 +270,23 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     cosine ≥ threshold. The blocking join is shuffle-partitioned by bucket —
     scales linearly with bucket sizes rather than |corpus|².
     """
-    b = with_lsh_bucket(corpus.select(id_col, vec_col), vec_col, n_bits)
-    left = b.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "bucket")
-    right = b.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "bucket")
+    dim = _vec_dim(corpus, vec_col)
+    # cast to double BEFORE the pair join: per-row cost, not per-pair cost
+    b = with_lsh_bucket(corpus.select(id_col, vec_col), vec_col, n_bits) \
+        .withColumn("_vd", V.as_double(F.col(vec_col)))
+    left = b.select(F.col(id_col).alias("id1"), F.col("_vd").alias("v1"), "bucket")
+    right = b.select(F.col(id_col).alias("id2"), F.col("_vd").alias("v2"), "bucket")
+    # the bucket join has only 2^n_bits keys and AQE coalesces its output by
+    # bytes, not by downstream scoring cost — hash-respread the pair stream
+    # over all cores before the cosine (explicit N opts out of coalescing)
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        left.join(right, "bucket").filter(F.col("id1") < F.col("id2"))
+        .repartition(target, F.col("id1"), F.col("id2"))
+    )
     return (
-        left.join(right, "bucket")
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("score", fround(V.cosine(V.as_double(F.col("v1")), V.as_double(F.col("v2"))), ROUND_SCORE))
+        pairs
+        .withColumn("score", fround(V.cosine(F.col("v1"), F.col("v2"), dim), ROUND_SCORE))
         .filter(F.col("score") >= threshold)
         .select("id1", "id2", "score")
     )
