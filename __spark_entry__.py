@@ -37,6 +37,7 @@ from hybrid_recommendation_system_using_vector_db_spark.functions.hashing import
 from hybrid_recommendation_system_using_vector_db_spark.functions.portable import fround
 from hybrid_recommendation_system_using_vector_db_spark.functions.texttools import STOPWORDS
 from hybrid_recommendation_system_using_vector_db_spark.operators import (
+    asof,
     copurchase,
     dedup,
     evaluate,
@@ -235,6 +236,61 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_media_features(media)
 
 
+def q_simhash_neardup(spark, sf_dir):
+    return dedup.simhash_neardup_pairs(load_table(spark, sf_dir, "documents"),
+                                       max_hamming=2)
+
+
+def q_stratified_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs.select("doc_id", "lang", "source", "n_chars"), 20, "lang", "doc_id", SEED)
+
+
+def q_asof_attribution(spark, sf_dir):
+    return asof.purchase_attribution(load_table(spark, sf_dir, "events"))
+
+
+def q_rollup_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue", "n_items",
+        )
+    )
+
+
+def q_parts_unindexed(spark, sf_dir):
+    """Anti-join: catalog items that have no embedding yet (index backlog)."""
+    part = load_table(spark, sf_dir, "part")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        part.join(emb.select(F.col("vec_id").alias("p_partkey")), "p_partkey", "left_anti")
+        .select(F.col("p_partkey").alias("partkey"), F.col("p_name").alias("name"))
+    )
+
+
+def q_doc_length_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(F.avg("n_chars"), 4).alias("avg_chars"),
+            fround(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+            fround(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -338,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_doc_projection": q_part_doc_projection, # B2+G6+G12
         "query_resolution": q_query_resolution,       # C4+G4/G5
         "seeded_sample": q_seeded_sample,             # F2
+        "stratified_sample": q_stratified_sample,     # F2 ext: per-stratum
         # --- similarity / ANN extensions ---
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -348,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_fingerprints": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "jaccard_neardup": q_jaccard_neardup,
         # --- text analysis extensions ---
         "token_stats": q_token_stats,
@@ -364,6 +422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_running_total": q_orders_running_total,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
+        "asof_attribution": q_asof_attribution,
+        "rollup_revenue": q_rollup_revenue,
+        "parts_unindexed": q_parts_unindexed,
+        "doc_length_stats": q_doc_length_stats,
     }
 
 
@@ -843,5 +905,96 @@ s AS (
 SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
        CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id
+""",
+
+        # union+window as-of: right rows sort before left at equal ts so
+        # "at or before" includes ties — identical window spec to the engine
+        "asof_attribution": """
+WITH u AS (
+  SELECT user_id, ts, 0 AS side, event_id AS id, event_id AS rid FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, event_id AS id, NULL AS rid FROM events WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT *,
+    last_value(rid IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, side, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS match_id,
+    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, side, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS match_ts
+  FROM u
+)
+SELECT user_id, id AS purchase_id, CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts,
+       match_id AS click_id, CAST(floor(epoch(match_ts)) AS BIGINT) AS click_ts,
+       CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(match_ts)) AS BIGINT) AS gap_s
+FROM w WHERE side = 1
+""",
+
+        "simhash_neardup": """
+WITH t AS (SELECT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM t),
+pos AS (SELECT unnest(range(16)) AS pos),
+contrib AS (
+  SELECT doc_id, pos,
+    CASE WHEN (CASE WHEN ascii(substr(h, CAST(pos AS INT) + 1, 1)) <= 57
+                    THEN ascii(substr(h, CAST(pos AS INT) + 1, 1)) - 48
+                    ELSE ascii(substr(h, CAST(pos AS INT) + 1, 1)) - 87 END) >= 8
+         THEN 1 ELSE -1 END AS c
+  FROM h CROSS JOIN pos
+),
+bits AS (
+  SELECT doc_id, pos, CASE WHEN sum(c) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM contrib GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id, CAST(sum(bit * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * 6)) & 63 AS val
+  FROM fp CROSS JOIN (SELECT unnest(range(3)) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.simhash AS h1, c.simhash AS h2
+  FROM bands a JOIN bands c ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+FROM cands WHERE bit_count(xor(h1, h2)) <= 2
+""",
+
+        "stratified_sample": f"""
+WITH r AS (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('{SEED}:' || CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 20
+""",
+
+        "rollup_revenue": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+
+        "parts_unindexed": """
+SELECT p_partkey AS partkey, p_name AS name
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = p_partkey)
+""",
+
+        "doc_length_stats": """
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  floor((avg(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars,
+  floor((quantile_cont(n_chars, 0.5)) * 10000 + 0.5) / 10000 AS p50_chars,
+  floor((quantile_cont(n_chars, 0.9)) * 10000 + 0.5) / 10000 AS p90_chars,
+  min(n_chars) AS min_chars,
+  max(n_chars) AS max_chars
+FROM documents GROUP BY source
 """,
     }

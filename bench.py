@@ -46,6 +46,11 @@ HEADLINE = [
     "top_parts_by_revenue",
     "events_hourly",
     "sessionization",
+    "asof_attribution",
+    "stratified_sample",
+    "rollup_revenue",
+    "parts_unindexed",
+    "doc_length_stats",
 ]
 
 

@@ -95,6 +95,47 @@ def simhash_fingerprints(documents: DataFrame, n_bits: int = 16,
     )
 
 
+def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 2,
+                          n_bits: int = 16, n_bands: int = 3,
+                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash near-dup pairs: banded blocking + exact Hamming verify.
+
+    Pigeonhole: distance ≤ max_hamming with n_bands > max_hamming bands
+    guarantees at least one identical band, so the candidate join is an
+    equi-join on (band index, band value) — never a quadratic scan. The
+    verify stage is ``bit_count(xor)`` on the full fingerprint.
+
+    Scale shape: explode × n_bands (linear), shuffle keyed by band value,
+    dedup of candidate pairs, O(candidates) verify.
+    """
+    assert n_bands > max_hamming, "pigeonhole needs n_bands > max_hamming"
+    fp = simhash_fingerprints(documents, n_bits, id_col, text_col)
+    width = (n_bits + n_bands - 1) // n_bands
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+            ) for i in range(n_bands)
+        ])).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"), "band", "val")
+    b = bands.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"), "band", "val")
+    cands = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "h1", "h2")
+        .distinct()  # a pair may collide in several bands
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
 def jaccard_neardup_pairs(documents: DataFrame, threshold: float = 0.5,
                           shingle_n: int = 3, block_col: str = "source",
                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

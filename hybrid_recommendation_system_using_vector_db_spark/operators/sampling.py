@@ -30,6 +30,24 @@ def seeded_sample(df: DataFrame, n: int, key_col: str, seed: int = 42) -> DataFr
     )
 
 
+def stratified_sample(df: DataFrame, n_per_stratum: int, stratum_col: str,
+                      key_col: str, seed: int = 42) -> DataFrame:
+    """Deterministic stratified sample: n rows per stratum, seeded.
+
+    Ranking window per stratum over the seeded md5 key — one shuffle on the
+    stratum column; within-stratum order is uniform and reproducible. The
+    scale path for "balance the training mix by language/source".
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(seeded_key(F.col(key_col), seed))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
 def seeded_fraction_sample(df: DataFrame, fraction: float, key_col: str,
                            seed: int = 42) -> DataFrame:
     """Fraction-style deterministic sample: keep rows whose seeded md5 key
