@@ -1,0 +1,86 @@
+"""Command-line surface mirroring the reference's interactive REPL.
+
+The reference runs ``python Hybrid_Recom_vecdb.py``, builds its index, then
+loops on stdin: a query string (ASIN or title substring) prints hybrid
+top-k; ``eval`` runs the Precision@K harness (``Hybrid_Recom_vecdb.py:
+384-421``). Batch-first Spark equivalent:
+
+    python -m hybrid_recommendation_system_using_vector_db_spark.cli build --meta amazon-meta.txt.gz --out /tmp/idx
+    python -m hybrid_recommendation_system_using_vector_db_spark.cli recommend --index /tmp/idx --query "calculus"
+    python -m hybrid_recommendation_system_using_vector_db_spark.cli recommend --index /tmp/idx   # interactive loop
+    python -m hybrid_recommendation_system_using_vector_db_spark.cli eval --sf-dir /root/testdata/sf0.01
+
+The query path is the same lazy plan as ``__spark_entry__``: resolve (C4)
+→ embed the query doc → content top-n (C5) ⊕ CF top-n (D2/F1) → α-blend
+(C2/G8) → top-k (F1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import TOP_K
+from .embeddings import hashing_embedder
+from .operators import hybrid, resolve
+from .pipeline import build_index, load_index
+from .session import get_spark
+
+
+def _recommend(spark: SparkSession, index_dir: str, query: str, k: int) -> DataFrame:
+    t = load_index(spark, index_dir)
+    index, edges = t["index"], t["edges"]
+    names = index.select(F.col("asin").alias("item_id"), F.col("title").alias("name"))
+    qdf = spark.createDataFrame([(1, query)], "qid int, query_text string")
+    resolved = resolve.resolve_queries(qdf, names).filter(F.col("item_id").isNotNull())
+    corpus = index.select(F.col("asin").alias("vec_id"), "embedding")
+    queries = resolved.join(corpus, resolved.item_id == corpus.vec_id).select("vec_id", "embedding")
+    e = edges.select("src", "dst", "weight")
+    return hybrid.hybrid_recommend(queries, corpus, e, names, k=k)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hybrid_recommendation_system_using_vector_db_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="EP1: parse catalog, build edges + vector index")
+    b.add_argument("--meta", required=True, help="amazon-meta .txt or .txt.gz path")
+    b.add_argument("--out", required=True, help="output directory for the index tables")
+    b.add_argument("--sample-size", type=int, default=100_000)
+
+    r = sub.add_parser("recommend", help="EP2: hybrid top-k for a query")
+    r.add_argument("--index", required=True)
+    r.add_argument("--query", default=None, help="ASIN or title substring; omit for a stdin loop")
+    r.add_argument("-k", type=int, default=TOP_K)
+
+    e = sub.add_parser("eval", help="EP3: Precision@K harness on the test tables")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    args = p.parse_args(argv)
+    spark = get_spark()
+    try:
+        if args.cmd == "build":
+            counts = build_index(spark, args.meta, args.out, args.sample_size)
+            print({k: v for k, v in counts.items()})
+        elif args.cmd == "recommend":
+            if args.query is not None:
+                _recommend(spark, args.index, args.query, args.k).show(args.k, truncate=60)
+            else:
+                for line in sys.stdin:  # the reference's REPL loop (:384-410)
+                    q = line.strip()
+                    if not q or q.lower() in {"quit", "exit"}:
+                        break
+                    _recommend(spark, args.index, q, args.k).show(args.k, truncate=60)
+        elif args.cmd == "eval":
+            import __spark_entry__ as entry  # noqa: PLC0415 — repo-root module
+            entry.q_precision_eval(spark, args.sf_dir).show(20)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,93 @@
+"""EP1 build pipeline: catalog → sample → edges → embeddings → vector index.
+
+The reference's ``main()`` steps 1-7 (``Hybrid_Recom_vecdb.py:331-383``):
+parse the amazon-meta dump, reservoir-sample 100k products, build the
+co-purchase adjacency, synthesize doc text, embed, and upsert everything
+into a ChromaDB collection. Here the same pipeline is three materialized
+parquet tables (SURVEY §3 EP1) written by one lazy DAG:
+
+- ``products``    parsed catalog (sources.amazon_meta), seeded sample
+- ``edges``       co-purchase graph (operators.copurchase, C1+D1)
+- ``index``       the vector collection (A3 sink): id, doc text, metadata
+                  columns, embedding array<float>, LSH bucket column
+
+"Index build" on Spark is a table layout decision, not a server process:
+the index table is written partitioned by the LSH bucket so an ANN probe
+prunes to matching partitions (SURVEY §4 physical notes). ``overwrite``
+mode reproduces the reference's destroy-and-recreate semantics (A4,
+``:150-158``, ALWAYS_FRESH_RUN ``:28``).
+
+At 100 TB: every stage is shuffle-bounded (sample = per-partition top-n
+merge; edges = one hash shuffle; embed = Arrow-batched map; write = one
+shuffle into bucket partitioning) — no driver-side materialization of
+anything but the final row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .embeddings import hashing_embedder
+from .operators.copurchase import edges_from_similar
+from .operators.sampling import seeded_sample
+from .operators.similarity import with_lsh_bucket
+from .sources.amazon_meta import read_amazon_meta
+
+DEFAULT_SAMPLE = 100_000  # ref Hybrid_Recom_vecdb.py:19 SAMPLE_SIZE
+INDEX_LSH_BITS = 4
+
+
+def catalog_doc_text(products: DataFrame) -> DataFrame:
+    """B2 doc-text projection on the ingested catalog schema
+    (title | Group: g | Category: c0 — ref :124-132)."""
+    return products.withColumn(
+        "doc",
+        F.concat_ws(
+            " | ",
+            F.nullif(F.col("title"), F.lit("")),
+            F.when(F.nullif(F.col("group"), F.lit("")).isNotNull(),
+                   F.concat(F.lit("Group: "), F.col("group"))),
+            F.when(F.size("categories") > 0,
+                   F.concat(F.lit("Category: "), F.element_at("categories", 1))),
+        ),
+    )
+
+
+def build_index(spark: SparkSession, meta_path: str, out_dir: str,
+                sample_size: int = DEFAULT_SAMPLE, seed: int = 42,
+                embed_dim: int = 64, lsh_bits: int = INDEX_LSH_BITS) -> dict[str, int]:
+    """Run the full EP1 pipeline; returns row counts per written table."""
+    products = read_amazon_meta(spark, meta_path)
+    sample = seeded_sample(products, sample_size, "asin", seed)
+    sample.write.mode("overwrite").parquet(f"{out_dir}/products")
+    sample = spark.read.parquet(f"{out_dir}/products")  # cut the lineage once
+
+    edges = edges_from_similar(sample)
+    edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+
+    docs = catalog_doc_text(sample).select(
+        F.xxhash64("asin").alias("doc_id"), "asin", "title", "group", "doc")
+    embedded = hashing_embedder(docs, id_col="doc_id", text_col="doc", dim=embed_dim)
+    index = (
+        docs.join(embedded, "doc_id")
+        .select("asin", "doc", "title", "group", "embedding")
+    )
+    index = with_lsh_bucket(index, "embedding", lsh_bits)
+    # A3 sink: partitioned by LSH bucket → ANN probes prune partitions
+    index.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/index")
+
+    return {
+        "products": spark.read.parquet(f"{out_dir}/products").count(),
+        "edges": spark.read.parquet(f"{out_dir}/edges").count(),
+        "index": spark.read.parquet(f"{out_dir}/index").count(),
+    }
+
+
+def load_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    """Load the three pipeline tables written by :func:`build_index`."""
+    return {
+        "products": spark.read.parquet(f"{out_dir}/products"),
+        "edges": spark.read.parquet(f"{out_dir}/edges"),
+        "index": spark.read.parquet(f"{out_dir}/index"),
+    }

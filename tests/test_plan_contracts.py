@@ -1,0 +1,79 @@
+"""Plan-shape regression tests: the physical plans we designed for must be
+the plans Catalyst produces (SURVEY §4). A correctness-passing operator
+with the wrong plan shape is a 100 TB regression waiting to happen."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+from hybrid_recommendation_system_using_vector_db_spark.operators import copurchase, similarity
+from hybrid_recommendation_system_using_vector_db_spark.plans import (
+    assert_plan,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+)
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """B1-style predicates must land in PushedFilters of the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    lines = pushed_filters(li.select("l_orderkey", "l_quantity"))
+    assert any("l_quantity" in ln for ln in lines), lines
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not scan the whole lineitem schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    schemas = read_schemas(li.select("l_orderkey", "l_partkey"))
+    assert schemas and all("l_extendedprice" not in s for s in schemas), schemas
+
+
+def test_edges_use_shuffled_hash_join(spark, sf_dir):
+    """The order-key self-join must not fall back to sort-merge."""
+    edges = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    assert_plan(edges, contains=("ShuffledHashJoin",), not_contains=("SortMergeJoin",))
+
+
+def test_edges_aggregate_is_partial(spark, sf_dir):
+    """D1 count agg must have a map-side partial before the shuffle."""
+    edges = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    plan = formatted_plan(edges)
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_restrict_to_universe_broadcasts(spark, sf_dir):
+    """B5 membership semi-joins must broadcast the small universe side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    restricted = copurchase.restrict_to_universe(edges, emb)
+    plan = formatted_plan(restricted)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_cosine_topk_broadcasts_queries_and_stays_jvm(spark, sf_dir):
+    """C5 exact: queries broadcast; no Python eval nodes in the plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, 10)
+    plan = formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan   # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan, plan   # and no pandas UDF either
+
+
+def test_lsh_topk_is_equijoin_not_crossjoin(spark, sf_dir):
+    """LSH blocking must plan as a hash equi-join on the bucket key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, 10, n_bits=8)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_topk_limit_is_rank_filter_not_global_sort(spark, sf_dir):
+    """E1 per-query top-k must be a windowed rank filter, no global Sort of
+    the full pair stream above the window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, 10)
+    plan = formatted_plan(out)
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
