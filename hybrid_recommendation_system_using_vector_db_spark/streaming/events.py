@@ -78,6 +78,57 @@ def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete
     return q
 
 
+def stateful_user_stats(events: DataFrame):
+    """Custom stateful streaming operator via ``applyInPandasWithState``.
+
+    Maintains per-user running state (event count, value sum, last seen
+    epoch seconds) across micro-batches — the pattern for anything the
+    built-in windowed aggregations can't express (custom session logic,
+    decaying counters, per-key models). State lives in the Spark state
+    store (RocksDB/HDFS-backed on a cluster), keyed by user — scale is
+    bounded by distinct keys, not event volume.
+
+    Returns an *unstarted* grouped-state DataFrame; drive it with
+    ``run_stream_to_memory(..., output_mode="update")``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_seen", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("last", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, v, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
+        state.update((n, v, last))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [v], "last_seen": [last]})
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def merge_edge_batch(batch: DataFrame, state_path: str) -> None:
     """Merge one micro-batch of (src, dst) pairs into persisted edge counts.
 

@@ -8,6 +8,7 @@ from hybrid_recommendation_system_using_vector_db_spark.streaming.events import 
     incremental_copurchase,
     read_events_stream,
     run_stream_to_memory,
+    stateful_user_stats,
     windowed_event_counts,
 )
 
@@ -33,6 +34,29 @@ def test_windowed_counts_match_batch(spark, sf_dir):
     want = {(r.window.start, r.event_type): (r.n, round(r.v, 6)) for r in batch}
     assert got == want
     assert len(got) > 0
+
+
+def test_stateful_user_stats_matches_batch(spark, sf_dir):
+    """applyInPandasWithState totals == batch groupBy over the same files."""
+    stream = read_events_stream(spark, sf_dir)
+    q = run_stream_to_memory(stateful_user_stats(stream), "user_state", "update")
+    try:
+        # update mode may emit one row per user per batch — keep the last
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in spark.sql(
+                "SELECT * FROM user_state ORDER BY n_events ASC").collect()
+        }
+    finally:
+        q.stop()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    want = {r.user_id: (r.n, round(r.v, 6)) for r in batch}
+    assert got == want
 
 
 def test_incremental_copurchase_merges_batches(spark, tmp_path):
