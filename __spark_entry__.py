@@ -165,8 +165,12 @@ def q_precision_eval(spark, sf_dir):
     queries = _eval_queries(universe)
     eligible = queries.join(redges.select(F.col("src").alias("vec_id")), "vec_id", "left_semi")
     max_k = 50
-    content = similarity.cosine_topk(eligible, universe, max_k).select("qid", "cand", "rank")
-    hyb = hybrid.hybrid_recommend(eligible, universe, edges_all, None, k=max_k) \
+    # rank once to max(50, CONTENT_TOP_N): the content model reads rank<=50,
+    # the hybrid blend consumes the top-60 pool — one query x corpus pass
+    ranked = similarity.cosine_topk(eligible, universe, max(max_k, CONTENT_TOP_N))
+    content = ranked.filter(F.col("rank") <= max_k).select("qid", "cand", "rank")
+    hyb = hybrid.hybrid_recommend(eligible, universe, edges_all, None, k=max_k,
+                                  content_candidates=ranked) \
         .select("qid", "cand", "rank")
     gt = redges.join(eligible.select(F.col("vec_id").alias("src")), "src", "left_semi")
     return evaluate.precision_at_k(

@@ -44,7 +44,8 @@ def hybrid_recommend(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
                      names: DataFrame | None = None,
                      alpha: float = ALPHA, content_top_n: int = CONTENT_TOP_N,
                      cf_top_n: int = CF_TOP_N, k: int = TOP_K,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     content_candidates: DataFrame | None = None) -> DataFrame:
     """Full hybrid top-k for a query table, as a single declarative plan.
 
     queries:  (id_col, vec_col) — items to recommend for
@@ -53,9 +54,17 @@ def hybrid_recommend(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
               restricted here to the corpus universe, B5)
     names:    optional (item_id, name) for C3 enrichment (inner join —
               drops unnamed candidates, matching ref :224-229)
+    content_candidates: optional precomputed C5 ranking (qid, cand, score,
+              rank) with rank ≤ content_top_n — lets callers that also need
+              the content-only ranking (the eval harness) score the
+              query × corpus pairs once instead of twice
     """
-    content = similarity.cosine_topk(queries, corpus, content_top_n, id_col, vec_col) \
-        .select("qid", "cand", F.col("score").alias("content_score"))
+    if content_candidates is not None:
+        content = content_candidates.filter(F.col("rank") <= content_top_n) \
+            .select("qid", "cand", F.col("score").alias("content_score"))
+    else:
+        content = similarity.cosine_topk(queries, corpus, content_top_n, id_col, vec_col) \
+            .select("qid", "cand", F.col("score").alias("content_score"))
     cf = cf_topn(restrict_to_universe(edges, corpus, id_col), cf_top_n) \
         .select(F.col("src").alias("qid"), F.col("dst").alias("cand"),
                 F.col("cf_score"))
