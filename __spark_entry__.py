@@ -43,6 +43,7 @@ from hybrid_recommendation_system_using_vector_db_spark.operators import (
     evaluate,
     hybrid,
     multimodal,
+    rangejoin,
     resolve,
     sampling,
     similarity,
@@ -295,6 +296,30 @@ def q_doc_length_stats(spark, sf_dir):
     )
 
 
+def q_coactivity(spark, sf_dir):
+    return rangejoin.cross_user_coactivity(load_table(spark, sf_dir, "events"),
+                                           window_s=30)
+
+
+def q_distinct_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_user_type_setops(spark, sf_dir):
+    """Set operations (EXCEPT / INTERSECT / UNION) over user segments."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    clean = buyers.subtract(erring).select(F.lit("clean").alias("segment"), "user_id")
+    both = buyers.intersect(erring).select(F.lit("both").alias("segment"), "user_id")
+    return clean.unionByName(both)
+
+
 def q_tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -427,6 +452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "asof_attribution": q_asof_attribution,
+        "coactivity": q_coactivity,
+        "distinct_users": q_distinct_users,
+        "user_type_setops": q_user_type_setops,
         "rollup_revenue": q_rollup_revenue,
         "parts_unindexed": q_parts_unindexed,
         "doc_length_stats": q_doc_length_stats,
@@ -909,6 +937,44 @@ s AS (
 SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
        CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id
+""",
+
+        "coactivity": """
+WITH ev AS (
+  SELECT event_id, user_id, epoch(ts) AS t FROM events
+),
+p AS (
+  SELECT event_id AS p_id, user_id AS p_user,
+         epoch(ts) - 30 AS lo, epoch(ts) + 30 AS hi
+  FROM events WHERE event_type = 'purchase'
+),
+bins AS (
+  SELECT p.*, unnest(range(CAST(floor(lo / 30) AS BIGINT),
+                           CAST(floor(hi / 30) AS BIGINT) + 1)) AS bin
+  FROM p
+),
+cand AS (
+  SELECT b.p_id, b.p_user, e.user_id
+  FROM bins b JOIN ev e ON CAST(floor(e.t / 30) AS BIGINT) = b.bin
+  WHERE e.t >= b.lo AND e.t <= b.hi AND e.user_id <> b.p_user
+)
+SELECT p_id AS purchase_id, CAST(count(*) AS BIGINT) AS n_nearby_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_nearby_users
+FROM cand GROUP BY p_id
+""",
+
+        "distinct_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+
+        "user_type_setops": """
+WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+erring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT 'clean' AS segment, user_id FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM erring)
+UNION ALL
+SELECT 'both' AS segment, user_id FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM erring)
 """,
 
         # union+window as-of: right rows sort before left at equal ts so

@@ -51,6 +51,9 @@ HEADLINE = [
     "rollup_revenue",
     "parts_unindexed",
     "doc_length_stats",
+    "coactivity",
+    "distinct_users",
+    "user_type_setops",
 ]
 
 
@@ -89,10 +92,14 @@ def main() -> None:
     total = 0.0
     for name in names:
         best, n = float("inf"), 0
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            n = qmap[name](spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                n = qmap[name](spark, SF_DIR).count()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:  # one broken query must not zero the report
+            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
