@@ -241,6 +241,12 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_media_features(media)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return dedup.connected_components(pairs, docs.select("doc_id"))
+
+
 def q_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardup_pairs(load_table(spark, sf_dir, "documents"),
                                        max_hamming=2)
@@ -299,6 +305,18 @@ def q_doc_length_stats(spark, sf_dir):
 def q_coactivity(spark, sf_dir):
     return rangejoin.cross_user_coactivity(load_table(spark, sf_dir, "events"),
                                            window_s=30)
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot: one row per user with per-type event counts as columns."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
 
 
 def q_distinct_users(spark, sf_dir):
@@ -435,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_fingerprints": q_simhash,
         "simhash_neardup": q_simhash_neardup,
+        "dedup_clusters": q_dedup_clusters,
         "jaccard_neardup": q_jaccard_neardup,
         # --- text analysis extensions ---
         "token_stats": q_token_stats,
@@ -453,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "asof_attribution": q_asof_attribution,
         "coactivity": q_coactivity,
+        "events_pivot": q_events_pivot,
         "distinct_users": q_distinct_users,
         "user_type_setops": q_user_type_setops,
         "rollup_revenue": q_rollup_revenue,
@@ -963,6 +983,16 @@ SELECT p_id AS purchase_id, CAST(count(*) AS BIGINT) AS n_nearby_events,
 FROM cand GROUP BY p_id
 """,
 
+        "events_pivot": """
+SELECT user_id,
+  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+FROM events GROUP BY user_id
+""",
+
         "distinct_users": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(count(*) AS BIGINT) AS n_events
@@ -997,6 +1027,26 @@ SELECT user_id, id AS purchase_id, CAST(floor(epoch(ts)) AS BIGINT) AS purchase_
        match_id AS click_id, CAST(floor(epoch(match_ts)) AS BIGINT) AS click_ts,
        CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(match_ts)) AS BIGINT) AS gap_s
 FROM w WHERE side = 1
+""",
+
+
+        "dedup_clusters": f"""
+WITH RECURSIVE tk AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, source AS block, {shingles} AS sh FROM tk),
+jpairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+    AND floor((len(list_intersect(a.sh, b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 >= {JACCARD_THRESHOLD}
+),
+und AS (SELECT id1 AS a, id2 AS b FROM jpairs UNION ALL SELECT id2, id1 FROM jpairs),
+reach(id, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.b, r.l FROM reach r JOIN und u ON u.a = r.id
+)
+SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id
 """,
 
         "simhash_neardup": """

@@ -95,6 +95,45 @@ def simhash_fingerprints(documents: DataFrame, n_bits: int = 16,
     )
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         id_col: str = "doc_id", max_iter: int = 25) -> DataFrame:
+    """Near-dup clusters: connected components by min-label propagation.
+
+    pairs: (id1, id2) candidate duplicate edges; nodes: one column of ids.
+    Returns (doc_id, cluster_id) where cluster_id = min id reachable —
+    the canonical document per duplicate cluster.
+
+    Iterative DataFrame algorithm (the one class the oracle expresses as a
+    recursive CTE): each round every node takes the min of its own label
+    and its neighbors' labels; stop when a round changes nothing. Rounds =
+    graph diameter (near-dup graphs are shallow); each round is one
+    shuffle keyed by node. ``localCheckpoint`` cuts the growing lineage so
+    round N doesn't re-plan rounds 1..N-1.
+    """
+    und = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                    (F.col("nmin") < F.col("label")).alias("changed"))
+        ).localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 2,
                           n_bits: int = 16, n_bands: int = 3,
                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -263,27 +263,30 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int = 1
 
 def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            n_bits: int = 4) -> DataFrame:
+                            n_bits: int = 4, n_salts: int = 32) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking.
 
     Self-join within LSH buckets (id1 < id2 halves the pair space), keep
-    cosine ≥ threshold. The blocking join is shuffle-partitioned by bucket —
-    scales linearly with bucket sizes rather than |corpus|².
+    cosine ≥ threshold. The join is **salted**: the bucket key alone has
+    only 2^n_bits values, so one side is sliced by ``id % n_salts`` and
+    the other replicated across salts — join-key cardinality becomes
+    2^n_bits · n_salts and the per-pair cosine runs at full parallelism
+    straight out of the join, no second shuffle of the pair stream. The
+    replication cost is n_salts copies of (id, vector) on one side —
+    cheap relative to the pair volume it spreads.
     """
     dim = _vec_dim(corpus, vec_col)
+    spark = corpus.sparkSession
     # cast to double BEFORE the pair join: per-row cost, not per-pair cost
     b = with_lsh_bucket(corpus.select(id_col, vec_col), vec_col, n_bits) \
         .withColumn("_vd", V.as_double(F.col(vec_col)))
-    left = b.select(F.col(id_col).alias("id1"), F.col("_vd").alias("v1"), "bucket")
-    right = b.select(F.col(id_col).alias("id2"), F.col("_vd").alias("v2"), "bucket")
-    # the bucket join has only 2^n_bits keys and AQE coalesces its output by
-    # bytes, not by downstream scoring cost — hash-respread the pair stream
-    # over all cores before the cosine (explicit N opts out of coalescing)
-    target = corpus.sparkSession.sparkContext.defaultParallelism
-    pairs = (
-        left.join(right, "bucket").filter(F.col("id1") < F.col("id2"))
-        .repartition(target, F.col("id1"), F.col("id2"))
+    left = b.select(F.col(id_col).alias("id1"), F.col("_vd").alias("v1"), "bucket",
+                    F.pmod(F.col(id_col), F.lit(n_salts)).alias("salt"))
+    right = (
+        b.select(F.col(id_col).alias("id2"), F.col("_vd").alias("v2"), "bucket")
+        .crossJoin(spark.range(n_salts).select(F.col("id").cast("bigint").alias("salt")))
     )
+    pairs = left.join(right, ["bucket", "salt"]).filter(F.col("id1") < F.col("id2"))
     return (
         pairs
         .withColumn("score", fround(V.cosine(F.col("v1"), F.col("v2"), dim), ROUND_SCORE))

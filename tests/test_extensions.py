@@ -59,6 +59,17 @@ def test_simhash_neardup_properties(spark, sf_dir):
     assert any(p.hamming == 0 for p in pairs2)
 
 
+def test_connected_components(spark):
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import connected_components
+
+    # two chains + an isolate: {1-2-3-4}, {10-11}, {99}
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (10, 11)], "id1 long, id2 long")
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_stratified_sample_deterministic(spark, sf_dir):
     from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
