@@ -141,13 +141,14 @@ def q_content_topk_gemm(spark, sf_dir):
 
 def q_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K, n_bits=8)
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
+                               n_bits=5, n_tables=8)
 
 
 def q_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
-                               n_centroids=16, nprobe=2)
+                               n_centroids=16, nprobe=4)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -648,7 +649,12 @@ def _stop_list_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    lsh8_e = hyperplane_sql_bits("e.embedding::DOUBLE[]", 8)
+    lsh_tables = [hyperplane_sql_bits("e.embedding::DOUBLE[]", 5, t * 5)
+                  for t in range(8)]
+    lsh_bucket_cols = ",\n         ".join(
+        f"{expr} AS b{t}" for t, expr in enumerate(lsh_tables))
+    lsh_or = " OR ".join(f"q.b{t} = c.b{t}" for t in range(8))
+    lsh_qcols = ", ".join(f"b{t}" for t in range(8))
     lsh4_e = hyperplane_sql_bits("e.embedding::DOUBLE[]", 4)
     markers_values = ", ".join(
         f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
@@ -723,15 +729,18 @@ ORDER BY md5('{SEED}:' || CAST(doc_id AS VARCHAR)) LIMIT 100
 """,
 
         "lsh_topk": f"""
-WITH b AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v, {lsh8_e} AS bucket
+WITH c AS (
+  SELECT e.vec_id AS cand, e.embedding::DOUBLE[] AS v,
+         {lsh_bucket_cols}
   FROM embeddings e
 ),
-q AS (SELECT id AS qid, v AS qv, bucket FROM b WHERE id % {QUERY_MOD} = 0),
-scored AS (
-  SELECT q.qid, c.id AS cand, {_cos('q.qv', 'c.v')} AS score
-  FROM q JOIN b c ON q.bucket = c.bucket WHERE c.id <> q.qid
+q AS (SELECT cand AS qid, v AS qv, {lsh_qcols} FROM c WHERE cand % {QUERY_MOD} = 0),
+cands AS (
+  SELECT DISTINCT q.qid, c.cand, q.qv, c.v
+  FROM q JOIN c ON ({lsh_or})
+  WHERE c.cand <> q.qid
 ),
+scored AS (SELECT qid, cand, {_cos('qv', 'v')} AS score FROM cands),
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """,
@@ -751,7 +760,7 @@ qc AS (
   FROM q CROSS JOIN cent c
 ),
 qc_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, centroid_id ASC) AS cr FROM qc),
-probes AS (SELECT qid, qv, centroid_id FROM qc_r WHERE cr <= 2),
+probes AS (SELECT qid, qv, centroid_id FROM qc_r WHERE cr <= 4),
 scored AS (
   SELECT p.qid, l.vid AS cand, {_cos('p.qv', 'l.v')} AS score
   FROM probes p JOIN lists l USING (centroid_id) WHERE l.vid <> p.qid

@@ -46,40 +46,43 @@ def hex_nibble_value(c: Column) -> Column:
 
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH planes: fixed seed so both engines share constants.
-# 16 planes → 16-bit bucket (65536 buckets); callers choose how many bits.
+# 64 planes — enough for 8 independent 8-bit tables (multi-table LSH
+# OR-amplifies recall: a pair is a candidate if ANY table buckets it
+# together). Callers slice via (n_bits, offset).
 # ---------------------------------------------------------------------------
 _LSH_SEED = 42
 _LSH_DIM = 64
-_LSH_PLANES = 16
+_LSH_PLANES = 64
 _rs = np.random.RandomState(_LSH_SEED)
 HYPERPLANES: list[list[float]] = [
     [round(float(x), 6) for x in _rs.randn(_LSH_DIM)] for _ in range(_LSH_PLANES)
 ]
 
 
-def hyperplane_bits(vec_dbl: Column, n_bits: int = 8) -> Column:
+def hyperplane_bits(vec_dbl: Column, n_bits: int = 8, offset: int = 0) -> Column:
     """LSH bucket id (string of 0/1) from the sign of plane·v.
 
     ``vec_dbl`` must already be array<double> of length 64. Sign tie
     (dot == 0) is pinned to bit '1' (>= 0 → 1) for determinism.
+    ``offset`` selects the plane slice — table t uses offset = t · n_bits.
     """
     # NB: deliberately the HOF fold, not the unrolled dot — the bucket is a
     # per-row (not per-pair) expression, and unrolling n_bits × dim terms
     # here blows up Catalyst analysis time far beyond any execution savings.
     bits = []
-    for p in HYPERPLANES[:n_bits]:
+    for p in HYPERPLANES[offset:offset + n_bits]:
         plane = F.array(*[F.lit(x) for x in p])
         bits.append(F.when(V.dot(plane, vec_dbl) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
-def hyperplane_sql_bits(vec_expr: str, n_bits: int = 8) -> str:
+def hyperplane_sql_bits(vec_expr: str, n_bits: int = 8, offset: int = 0) -> str:
     """DuckDB SQL fragment computing the same LSH bucket for oracle parity.
 
     ``vec_expr`` must be a DOUBLE[] SQL expression.
     """
     parts = []
-    for p in HYPERPLANES[:n_bits]:
+    for p in HYPERPLANES[offset:offset + n_bits]:
         lits = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
         parts.append(
             f"(CASE WHEN list_inner_product({lits}, {vec_expr}) >= 0 THEN '1' ELSE '0' END)"

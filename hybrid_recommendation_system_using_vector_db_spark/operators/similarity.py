@@ -162,36 +162,53 @@ def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
 
 
 def with_lsh_bucket(corpus: DataFrame, vec_col: str = "embedding",
-                    n_bits: int = 8, out_col: str = "bucket") -> DataFrame:
-    """Attach a random-hyperplane LSH bucket id.
+                    n_bits: int = 8, out_col: str = "bucket",
+                    offset: int = 0) -> DataFrame:
+    """Attach a random-hyperplane LSH bucket id (one hash table).
 
     At scale, write the corpus partitioned/bucketed by this column so
     candidate generation is a co-located join (SURVEY §4 physical notes).
     """
-    return corpus.withColumn(out_col, hyperplane_bits(V.as_double(F.col(vec_col)), n_bits))
+    return corpus.withColumn(
+        out_col, hyperplane_bits(V.as_double(F.col(vec_col)), n_bits, offset))
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_bits: int = 8) -> DataFrame:
-    """Approximate cosine top-k: score only same-LSH-bucket pairs.
+             n_bits: int = 8, n_tables: int = 4) -> DataFrame:
+    """Approximate cosine top-k: multi-table random-hyperplane LSH.
 
-    The bucket equi-join replaces the cross join — candidate count drops
-    ~2^n_bits×. Recall is tunable via n_bits (fewer bits → more recall,
-    more compute).
+    A pair is a candidate if ANY of the ``n_tables`` independent b-bit
+    tables buckets query and corpus row together (OR-amplification:
+    recall = 1 − (1 − p^b)^L for per-plane agreement p). Candidates are
+    deduped on (qid, cand) BEFORE scoring so each pair pays one cosine.
+
+    Scale shape: L equi-joins on 2^b-key buckets (union), one distinct
+    shuffle of id pairs, then a hash join back to the corpus vectors —
+    candidate volume scales with bucket sizes × L, never |Q|·|corpus|.
     """
-    q = with_lsh_bucket(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_raw")),
-        "q_raw", n_bits,
-    ).withColumn("q_vec", V.as_double(F.col("q_raw")))
-    c = with_lsh_bucket(
-        corpus.select(F.col(id_col).alias("cand"), F.col(vec_col).alias("c_raw")),
-        "c_raw", n_bits,
-    ).withColumn("c_vec", V.as_double(F.col("c_raw")))
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_raw")) \
+        .withColumn("q_vec", V.as_double(F.col("q_raw")))
+    c = _spread(corpus.select(F.col(id_col).alias("cand"), F.col(vec_col).alias("c_raw"))
+                .withColumn("c_vec", V.as_double(F.col("c_raw"))))
+    per_table = []
+    for t in range(n_tables):
+        qt = with_lsh_bucket(q.select("qid", "q_raw"), "q_raw", n_bits, offset=t * n_bits)
+        ct = with_lsh_bucket(c.select("cand", "c_raw"), "c_raw", n_bits, offset=t * n_bits)
+        per_table.append(
+            F.broadcast(qt.select("qid", "bucket"))
+            .join(ct.select("cand", "bucket"), "bucket")
+            .filter(F.col("cand") != F.col("qid"))
+            .select("qid", "cand")
+        )
+    cands = per_table[0]
+    for p in per_table[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.distinct()
     scored = (
-        F.broadcast(q.select("qid", "q_vec", "bucket"))
-        .join(_spread(c.select("cand", "c_vec", "bucket")), "bucket")
-        .filter(F.col("cand") != F.col("qid"))
+        cands
+        .join(F.broadcast(q.select("qid", "q_vec")), "qid")
+        .join(c.select("cand", "c_vec"), "cand")
         .withColumn("score", fround(V.cosine(F.col("q_vec"), F.col("c_vec")), ROUND_SCORE))
     )
     return topk_per_query(scored, k).select("qid", "cand", "score", "rank")
