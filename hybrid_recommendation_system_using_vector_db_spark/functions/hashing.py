@@ -20,7 +20,6 @@ import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from . import vector as V
 
 
 def seeded_key(key: Column, seed: int = 42) -> Column:
@@ -59,21 +58,35 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
-def hyperplane_bits(vec_dbl: Column, n_bits: int = 8, offset: int = 0) -> Column:
+def hyperplane_bits(vec_sql: str, n_bits: int = 8, offset: int = 0) -> Column:
     """LSH bucket id (string of 0/1) from the sign of plane·v.
 
-    ``vec_dbl`` must already be array<double> of length 64. Sign tie
-    (dot == 0) is pinned to bit '1' (>= 0 → 1) for determinism.
-    ``offset`` selects the plane slice — table t uses offset = t · n_bits.
+    ``vec_sql`` is a Spark SQL fragment (e.g. a column name) evaluating to
+    array<double> of length 64. Sign tie (dot == 0) is pinned to bit '1'
+    (>= 0 → 1) for determinism. ``offset`` selects the plane slice — table
+    t uses offset = t · n_bits.
+
+    Built as ONE ``F.expr`` string, not per-literal Column objects: n_bits
+    planes × 64 components as ``F.lit`` calls cost thousands of py4j
+    round-trips (~5s of driver time for 8 tables), the single parsed
+    string costs one. The dot stays the HOF fold — a per-row (not
+    per-pair) expression; unrolling it blows up Catalyst analysis time
+    far beyond any execution savings.
     """
-    # NB: deliberately the HOF fold, not the unrolled dot — the bucket is a
-    # per-row (not per-pair) expression, and unrolling n_bits × dim terms
-    # here blows up Catalyst analysis time far beyond any execution savings.
-    bits = []
+    parts = []
     for p in HYPERPLANES[offset:offset + n_bits]:
-        plane = F.array(*[F.lit(x) for x in p])
-        bits.append(F.when(V.dot(plane, vec_dbl) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        # CAST('<repr>' AS DOUBLE): the exact decimal strings the DuckDB
+        # oracle embeds — both engines parse them correctly-rounded, so the
+        # plane constants are bitwise-identical across engines.
+        arr = "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in p) + ")"
+        dot = f"aggregate(zip_with({arr}, {vec_sql}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        parts.append(f"(CASE WHEN {dot} >= 0D THEN '1' ELSE '0' END)")
+    return F.expr("concat(" + ", ".join(parts) + ")")
+
+
+def as_double_sql(vec_col: str) -> str:
+    """SQL fragment widening an array<float> column to array<double>."""
+    return f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
 
 
 def hyperplane_sql_bits(vec_expr: str, n_bits: int = 8, offset: int = 0) -> str:

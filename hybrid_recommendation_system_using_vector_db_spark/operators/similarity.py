@@ -36,7 +36,7 @@ from ..functions.portable import fround
 
 from .. import ROUND_SCORE
 from ..functions import vector as V
-from ..functions.hashing import hyperplane_bits
+from ..functions.hashing import as_double_sql, hyperplane_bits
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
@@ -170,7 +170,7 @@ def with_lsh_bucket(corpus: DataFrame, vec_col: str = "embedding",
     candidate generation is a co-located join (SURVEY §4 physical notes).
     """
     return corpus.withColumn(
-        out_col, hyperplane_bits(V.as_double(F.col(vec_col)), n_bits, offset))
+        out_col, hyperplane_bits(as_double_sql(vec_col), n_bits, offset))
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
@@ -183,34 +183,43 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     recall = 1 − (1 − p^b)^L for per-plane agreement p). Candidates are
     deduped on (qid, cand) BEFORE scoring so each pair pays one cosine.
 
-    Scale shape: L equi-joins on 2^b-key buckets (union), one distinct
-    shuffle of id pairs, then a hash join back to the corpus vectors —
-    candidate volume scales with bucket sizes × L, never |Q|·|corpus|.
+    Scale shape: ONE pass computes all L buckets per row, ``posexplode``
+    emits (table, bucket) keys, and a single equi-join on that composite
+    key generates candidates — candidate volume scales with bucket sizes
+    × L, never |Q|·|corpus|, and the corpus is scanned/hashed once (not
+    L times as a per-table join-branch design would).
     """
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_raw")) \
         .withColumn("q_vec", V.as_double(F.col("q_raw")))
     c = _spread(corpus.select(F.col(id_col).alias("cand"), F.col(vec_col).alias("c_raw"))
                 .withColumn("c_vec", V.as_double(F.col("c_raw"))))
-    per_table = []
-    for t in range(n_tables):
-        qt = with_lsh_bucket(q.select("qid", "q_raw"), "q_raw", n_bits, offset=t * n_bits)
-        ct = with_lsh_bucket(c.select("cand", "c_raw"), "c_raw", n_bits, offset=t * n_bits)
-        per_table.append(
-            F.broadcast(qt.select("qid", "bucket"))
-            .join(ct.select("cand", "bucket"), "bucket")
-            .filter(F.col("cand") != F.col("qid"))
-            .select("qid", "cand")
-        )
-    cands = per_table[0]
-    for p in per_table[1:]:
-        cands = cands.unionByName(p)
-    cands = cands.distinct()
-    scored = (
-        cands
-        .join(F.broadcast(q.select("qid", "q_vec")), "qid")
-        .join(c.select("cand", "c_vec"), "cand")
-        .withColumn("score", fround(V.cosine(F.col("q_vec"), F.col("c_vec")), ROUND_SCORE))
+
+    def keyed(df: DataFrame, id_out: str, raw_col: str, vec_out: str) -> DataFrame:
+        tables = F.array(*[hyperplane_bits(as_double_sql(raw_col), n_bits, offset=t * n_bits)
+                           for t in range(n_tables)])
+        return df.select(id_out, vec_out, F.posexplode(tables).alias("t", "bucket"))
+
+    # Vectors ride along through the bucket join so no join-back is needed
+    # after dedup — one shuffle total. The explicit-N hash repartition on
+    # the dedup keys feeds the dedup aggregate (exchange reuse, no second
+    # shuffle) and opts out of AQE bytes-based coalescing: id pairs are
+    # tiny in bytes but each costs a cosine downstream, so a coalesced
+    # single task would serialize the scoring stage. Duplicate (qid, cand)
+    # rows carry identical vectors, so dropDuplicates is value-deterministic.
+    parallelism = queries.sparkSession.sparkContext.defaultParallelism
+    cands = (
+        F.broadcast(keyed(q, "qid", "q_raw", "q_vec"))
+        .join(keyed(c, "cand", "c_raw", "c_vec"), ["t", "bucket"])
+        .filter(F.col("cand") != F.col("qid"))
+        .select("qid", "cand", "q_vec", "c_vec")
+        .repartition(parallelism, "qid", "cand")
+        .dropDuplicates(["qid", "cand"])
     )
+    # HOF cosine, not the dim-unrolled form: candidate volume here is
+    # bucket-pruned (low pair count), so driver-side expression build
+    # cost dominates any per-pair execution savings from unrolling.
+    scored = cands.withColumn(
+        "score", fround(V.cosine(F.col("q_vec"), F.col("c_vec")), ROUND_SCORE))
     return topk_per_query(scored, k).select("qid", "cand", "score", "rank")
 
 
@@ -294,19 +303,41 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     """
     dim = _vec_dim(corpus, vec_col)
     spark = corpus.sparkSession
-    # cast to double BEFORE the pair join: per-row cost, not per-pair cost
+    # cast to double AND take the L2 norm BEFORE the pair join: per-row
+    # cost, not per-pair cost. The per-pair expression is then one dot +
+    # divide — 3× less work than a full cosine, and small enough to stay
+    # inside whole-stage codegen (3 unrolled 64-dim dots in the join's
+    # consume path overflows the JVM's 64KB method limit and falls back
+    # to interpreted eval). sqrt(dot(v,v)) * sqrt(dot(w,w)) hoisted
+    # per-row is the same ops in the same order → bitwise-identical to
+    # the inline cosine and to the oracle.
     b = with_lsh_bucket(corpus.select(id_col, vec_col), vec_col, n_bits) \
-        .withColumn("_vd", V.as_double(F.col(vec_col)))
-    left = b.select(F.col(id_col).alias("id1"), F.col("_vd").alias("v1"), "bucket",
+        .withColumn("_vd", V.as_double(F.col(vec_col))) \
+        .withColumn("_nrm", V.l2_norm(F.col("_vd")))
+    left = b.select(F.col(id_col).alias("id1"), F.col("_vd").alias("v1"),
+                    F.col("_nrm").alias("n1"), "bucket",
                     F.pmod(F.col(id_col), F.lit(n_salts)).alias("salt"))
     right = (
-        b.select(F.col(id_col).alias("id2"), F.col("_vd").alias("v2"), "bucket")
+        b.select(F.col(id_col).alias("id2"), F.col("_vd").alias("v2"),
+                 F.col("_nrm").alias("n2"), "bucket")
         .crossJoin(spark.range(n_salts).select(F.col("id").cast("bigint").alias("salt")))
     )
-    pairs = left.join(right, ["bucket", "salt"]).filter(F.col("id1") < F.col("id2"))
+    # Explicit-N repartition on the join keys: AQE would coalesce the
+    # join's shuffle by BYTES (a few MB of vectors → 1 task) while the
+    # within-bucket pair generation + cosine is the CPU hot spot; the
+    # explicit repartition keeps the join stage at full parallelism.
+    parallelism = spark.sparkContext.defaultParallelism
+    pairs = (
+        left.repartition(parallelism, "bucket", "salt")
+        .join(right.repartition(parallelism, "bucket", "salt"), ["bucket", "salt"])
+        .filter(F.col("id1") < F.col("id2"))
+    )
+    denom = F.col("n1") * F.col("n2")
+    cos = F.when(denom > 0, V.dot(F.col("v1"), F.col("v2"), dim) / denom) \
+        .otherwise(F.lit(0.0))
     return (
         pairs
-        .withColumn("score", fround(V.cosine(F.col("v1"), F.col("v2"), dim), ROUND_SCORE))
+        .withColumn("score", fround(cos, ROUND_SCORE))
         .filter(F.col("score") >= threshold)
         .select("id1", "id2", "score")
     )
