@@ -68,20 +68,32 @@ def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
 def _scored_pairs(queries: DataFrame, corpus: DataFrame,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Broadcast-join queries × corpus with rounded cosine, self excluded (B4)."""
+    """Broadcast-join queries × corpus with rounded cosine, self excluded (B4).
+
+    L2 norms are hoisted per-row (HOF fold, cheap to build) so the
+    per-pair expression is one ``dim``-unrolled dot + divide: a full
+    inline cosine is 3 unrolled dots, which both costs ~5s of py4j
+    Column construction on the driver and overflows the 64KB codegen
+    method limit inside the join (silent interpreted fallback). The
+    hoisted form is the same ops in the same order → bitwise-identical.
+    """
     dim = _vec_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("qid"),
         V.as_double(F.col(vec_col)).alias("q_vec"),
-    )
+    ).withColumn("q_nrm", V.l2_norm(F.col("q_vec")))
     c = _spread(corpus.select(
         F.col(id_col).alias("cand"),
         V.as_double(F.col(vec_col)).alias("c_vec"),
-    ))
+    )).withColumn("c_nrm", V.l2_norm(F.col("c_vec")))
+    pair_dot = V.dot_expr("q_vec", "c_vec", dim) if dim else \
+        V.dot(F.col("q_vec"), F.col("c_vec"))
+    denom = F.col("q_nrm") * F.col("c_nrm")
+    cos = F.when(denom > 0, pair_dot / denom).otherwise(F.lit(0.0))
     return (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("cand") != F.col("qid"))
-        .withColumn("score", fround(V.cosine(F.col("q_vec"), F.col("c_vec"), dim), ROUND_SCORE))
+        .withColumn("score", fround(cos, ROUND_SCORE))
     )
 
 
@@ -332,9 +344,10 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
         .join(right.repartition(parallelism, "bucket", "salt"), ["bucket", "salt"])
         .filter(F.col("id1") < F.col("id2"))
     )
+    pair_dot = V.dot_expr("v1", "v2", dim) if dim else \
+        V.dot(F.col("v1"), F.col("v2"))
     denom = F.col("n1") * F.col("n2")
-    cos = F.when(denom > 0, V.dot(F.col("v1"), F.col("v2"), dim) / denom) \
-        .otherwise(F.lit(0.0))
+    cos = F.when(denom > 0, pair_dot / denom).otherwise(F.lit(0.0))
     return (
         pairs
         .withColumn("score", fround(cos, ROUND_SCORE))
