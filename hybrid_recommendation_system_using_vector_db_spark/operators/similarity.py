@@ -253,11 +253,20 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     scored = v.crossJoin(F.broadcast(c)).withColumn(
         "csim", fround(V.cosine(F.col("vec"), F.col("cent_vec")), ROUND_SCORE)
     )
-    w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    # argmax via max_by, not a rank-1 window: the aggregate gets map-side
+    # partial aggregation, so the shuffle carries one row per vector
+    # instead of n_centroids rows per vector. The ordering struct
+    # (csim, -centroid_id) reproduces the window's tiebreak exactly:
+    # highest similarity first, then lowest centroid id.
     return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("vid", "raw_vec", "centroid_id")
+        scored.groupBy("vid")
+        .agg(F.max_by(
+            F.struct("raw_vec", "centroid_id"),
+            F.struct(F.col("csim"), (-F.col("centroid_id")).alias("neg_cid")),
+        ).alias("best"))
+        .select("vid",
+                F.col("best.raw_vec").alias("raw_vec"),
+                F.col("best.centroid_id").alias("centroid_id"))
     )
 
 
