@@ -431,6 +431,36 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+def q_streaming_hourly(spark, sf_dir):
+    """Structured Streaming twin of ``events_hourly`` (SURVEY §2.10).
+
+    Drives the watermarked tumbling-window aggregation over the static
+    events file as a real streaming query (file source → memory sink,
+    ``processAllAvailable``). Deterministic — complete output mode never
+    evicts window state, so the final table equals the batch hourly
+    aggregate and the same SQL oracle applies.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_hourly_mem":
+            q.stop()
+    agg = windowed_event_counts(read_events_stream(spark, sf_dir))
+    sq = run_stream_to_memory(agg, "q_streaming_hourly_mem", output_mode="complete")
+    sq.stop()
+    return spark.table("q_streaming_hourly_mem").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.col("n_events"),
+        fround(F.col("total_value"), 2).alias("total_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- reference parity (SURVEY §2 ids in operator docstrings) ---
@@ -470,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_topn": q_customer_order_topn,
         "orders_running_total": q_orders_running_total,
         "events_hourly": q_events_hourly,
+        "streaming_hourly": q_streaming_hourly,  # Structured Streaming path
         "sessionization": q_sessionization,
         "asof_attribution": q_asof_attribution,
         "coactivity": q_coactivity,
@@ -948,6 +979,15 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
   CAST(count(*) AS BIGINT) AS n_events,
   floor((sum(value)) * 100 + 0.5) / 100 AS total_value,
   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2
+""",
+
+        # the streaming path computes the same hourly aggregate (complete
+        # output mode keeps all window state → final table == batch agg)
+        "streaming_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  floor((sum(value)) * 100 + 0.5) / 100 AS total_value
 FROM events GROUP BY 1, 2
 """,
 
