@@ -242,6 +242,30 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_media_features(media)
 
 
+def q_media_resize(spark, sf_dir):
+    """Resize stage over fake image payloads; hex-projected so the DuckDB
+    oracle can re-derive the exact bytes (np.resize tiles the md5 digest)."""
+    media = multimodal.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    resized = multimodal.resize_media(media, width=6, height=4)
+    return resized.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Frame sampling (every 3rd of 8 fake frames); frame bytes are
+    md5(text || frame_idx), so the oracle reconstructs them in SQL."""
+    media = multimodal.attach_fake_video(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, every_k=3)
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.lower(F.hex("frame_payload")).alias("frame_hex"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD)
@@ -494,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- embedding + multimodal plumbing (rows-only) ---
         "hash_embeddings": q_hash_embeddings,
         "multimodal_features": q_multimodal_features,
+        "media_resize": q_media_resize,
+        "media_frame_sample": q_media_frame_sample,
         # --- generic relational operators over TPC-H-ish tables ---
         "tpch_q1": q_tpch_q1,
         "top_parts_by_revenue": q_top_parts_by_revenue,
@@ -922,6 +948,22 @@ FROM documents d LEFT JOIN (SELECT doc_id, lang_guess, n_hits FROM best WHERE rn
   ON d.doc_id = b.doc_id
 """,
 
+        "media_resize": """
+-- fake resize tiles the 16-byte md5 payload to width*height=24 bytes,
+-- i.e. 48 hex chars of the digest repeated
+SELECT doc_id,
+  CAST(6 AS INTEGER) AS width,
+  CAST(4 AS INTEGER) AS height,
+  substr(repeat(md5(text), 2), 1, 48) AS payload_hex
+FROM documents
+""",
+        "media_frame_sample": """
+-- fake frame i is md5(text || i); every_k=3 over 8 frames -> 0,3,6
+SELECT doc_id,
+  CAST(i AS INTEGER) AS frame_idx,
+  md5(text || CAST(i AS VARCHAR)) AS frame_hex
+FROM documents CROSS JOIN (VALUES (0), (3), (6)) AS t(i)
+""",
         "doc_fingerprints": """
 SELECT doc_id,
   md5(lower(trim(text))) AS digest,

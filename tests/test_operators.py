@@ -95,6 +95,27 @@ def test_multimodal_plumbing_deterministic(spark, sf_dir):
     assert feats == again
 
 
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    resized = multimodal.resize_media(multimodal.attach_fake_media(docs), 6, 4)
+    rows = resized.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.payload) == 24  # tiled to width*height bytes
+        assert (r.meta.width, r.meta.height) == (6, 4)
+        assert r.payload[16:] == r.payload[:8]  # np.resize tiles the digest cyclically
+
+    video = multimodal.attach_fake_video(docs)
+    frames = multimodal.sample_frames(video, every_k=3).collect()
+    # 8 fake frames, every 3rd -> indices {0, 3, 6} per doc
+    assert len(frames) == 30
+    assert {r.frame_idx for r in frames} == {0, 3, 6}
+    assert all(len(r.frame_payload) == multimodal.FRAME_BYTES for r in frames)
+    again = multimodal.sample_frames(video.repartition(4), every_k=3)
+    assert sorted((r.doc_id, r.frame_idx, bytes(r.frame_payload)) for r in frames) \
+        == sorted((r.doc_id, r.frame_idx, bytes(r.frame_payload)) for r in again.collect())
+
+
 def test_seeded_sample_stable(spark, sf_dir):
     from hybrid_recommendation_system_using_vector_db_spark.operators.sampling import (
         seeded_fraction_sample,
