@@ -234,7 +234,19 @@ def q_fingerprints(spark, sf_dir):
 
 
 def q_hash_embeddings(spark, sf_dir):
-    return hashing_embedder(load_table(spark, sf_dir, "documents"))
+    """H1 hashing-trick embedder, projected to a canonicalizable long form.
+
+    The raw ``array<float>`` column crashes the harness canonicalizer
+    (r1 err), so the query explodes to (doc_id, pos, val): one row per
+    component, val = round(float64(float32 component), 6). The md5
+    hashing-trick is fully SQL-expressible, so this carries a real DuckDB
+    oracle (ref parity target: ``Hybrid_Recom_vecdb.py:374-379``)."""
+    emb = hashing_embedder(load_table(spark, sf_dir, "documents"))
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("pos", "val_f"))
+        .select("doc_id", "pos",
+                fround(F.col("val_f").cast("double"), 6).alias("val"))
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -705,6 +717,12 @@ def _stop_list_sql() -> str:
     return "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 
+def _nib(expr: str) -> str:
+    """DuckDB: value 0-15 of a single lowercase hex char (ascii math)."""
+    return (f"(CASE WHEN ascii({expr}) <= 57 THEN ascii({expr}) - 48 "
+            f"ELSE ascii({expr}) - 87 END)")
+
+
 def oracle_sql() -> dict[str, str]:
     lsh_tables = [hyperplane_sql_bits("e.embedding::DOUBLE[]", 5, t * 5)
                   for t in range(8)]
@@ -749,6 +767,69 @@ scored AS (
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+""",
+
+        # bit-equal by construction to content_topk (the GEMM path applies
+        # the identical floor(x*1e6+0.5)/1e6 rounding before ranking), so the
+        # declarative SQL is its oracle too — proving fast path == slow path
+        "content_topk_gemm": f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT qid, cand, {_cos('qv', 'cv')} AS score
+  FROM q CROSS JOIN c WHERE cand <> qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+""",
+
+        # the hashing-trick encoder is pure md5 arithmetic: bucket = low 6
+        # bits of int(md5(tok)[:8],16) = (16*nib7 + nib8) % 64, sign from
+        # the 9th hex char; sum per bucket, L2-normalize (float64), cast to
+        # float32 (REAL round-trip) exactly as the Arrow path does
+        "hash_embeddings": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+hb AS (
+  SELECT doc_id,
+         (16 * {_nib('substr(md5(tok), 7, 1)')} + {_nib('substr(md5(tok), 8, 1)')}) % 64 AS bucket,
+         CASE WHEN {_nib('substr(md5(tok), 9, 1)')} >= 8 THEN 1.0 ELSE -1.0 END AS sign
+  FROM tok
+),
+sums AS (SELECT doc_id, bucket, sum(sign) AS s FROM hb GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, p.pos FROM documents d
+  CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+),
+vec AS (
+  SELECT g.doc_id, g.pos, coalesce(s.s, 0.0) AS s
+  FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.pos = s.bucket
+),
+nrm AS (SELECT doc_id, sqrt(sum(s * s)) AS n FROM vec GROUP BY doc_id)
+SELECT v.doc_id, CAST(v.pos AS INT) AS pos,
+       floor(CAST(CAST(CASE WHEN n.n > 0 THEN v.s / n.n ELSE 0.0 END AS REAL) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS val
+FROM vec v JOIN nrm n ON v.doc_id = n.doc_id
+""",
+
+        # fake payload = unhex(md5(text)): 16 bytes, byte j = hex chars
+        # 2j+1..2j+2; mean is an exact multiple of 1/16 so round(.,4) is
+        # the identity in both engines
+        "multimodal_features": f"""
+WITH h AS (SELECT doc_id, length(text) AS n, md5(text) AS hx FROM documents),
+b AS (
+  SELECT doc_id, n,
+         16 * {_nib('substr(hx, CAST(2 * i + 1 AS INT), 1)')} + {_nib('substr(hx, CAST(2 * i + 2 AS INT), 1)')} AS byte
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) t
+)
+SELECT doc_id,
+  CAST(n % 64 + 1 AS INTEGER) AS width,
+  CAST(n % 48 + 1 AS INTEGER) AS height,
+  CAST(16 AS BIGINT) AS n_bytes,
+  sum(byte) / 16.0 AS mean_byte,
+  CAST(max(byte) AS INTEGER) AS max_byte
+FROM b GROUP BY doc_id, n
 """,
 
         "hybrid_topk": _hybrid_sql(TOP_K, _QS_CTE, with_names=True),
