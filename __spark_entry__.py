@@ -205,7 +205,20 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_minhash_dup_pairs(spark, sf_dir):
+    """Banded (4×2) MinHash LSH links + signature-overlap verify — the
+    linear-output replacement for round 1's quadratic single-band join."""
     return dedup.minhash_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_jaccard_neardup(spark, sf_dir):
+    """The chained dedup pipeline: banded MinHash candidates → exact
+    n-gram-Jaccard verify. Candidate volume is linear (chain links), the
+    verify cost is O(|candidates|) — the 100 TB near-dup shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=8)
+    cand = dedup.minhash_band_links(sigs, n_hashes=8, n_bands=4)
+    return dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD,
+                                       candidates=cand)
 
 
 def q_simhash(spark, sf_dir):
@@ -518,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "minhash_jaccard_neardup": q_minhash_jaccard_neardup,
         "simhash_fingerprints": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "dedup_clusters": q_dedup_clusters,
@@ -721,6 +735,38 @@ def _nib(expr: str) -> str:
     """DuckDB: value 0-15 of a single lowercase hex char (ascii math)."""
     return (f"(CASE WHEN ascii({expr}) <= 57 THEN ascii({expr}) - 48 "
             f"ELSE ascii({expr}) - 87 END)")
+
+
+def _minhash_cand_cte(n_hashes: int = 8, n_bands: int = 4) -> str:
+    """CTE chain ending in ``cand(id1, id2)``: banded-MinHash chain links.
+
+    Mirrors ``dedup.minhash_band_links``: per (band, band-key) bucket, each
+    doc links to its predecessor in doc_id order (lag window) — linear
+    output, same connected components as the all-pairs bucket graph.
+    Also exposes ``s`` (doc_id, mh0..mh{n-1}) for verify stages.
+    """
+    r = n_hashes // n_bands
+    mh_cols = ",\n    ".join(
+        f"list_min(list_transform(toks, x -> md5('{i}:' || x))) AS mh{i}"
+        for i in range(n_hashes))
+    band_case = " ".join(
+        f"WHEN {i} THEN concat_ws('|', " + ", ".join(f"mh{j}" for j in range(i * r, (i + 1) * r)) + ")"
+        for i in range(n_bands))
+    return f"""t AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, {mh_cols}
+  FROM t
+),
+bands AS (
+  SELECT doc_id, bk.band, CASE bk.band {band_case} END AS key
+  FROM s CROSS JOIN (SELECT unnest(range({n_bands})) AS band) bk
+),
+links AS (
+  SELECT lag(doc_id) OVER (PARTITION BY band, key ORDER BY doc_id) AS id1,
+         doc_id AS id2
+  FROM bands
+),
+cand AS (SELECT DISTINCT id1, id2 FROM links WHERE id1 IS NOT NULL)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -934,17 +980,30 @@ FROM t
 """,
 
         "minhash_dup_pairs": f"""
-WITH t AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
-s AS (
-  SELECT doc_id, concat_ws('|',
-    list_min(list_transform(toks, x -> md5('0:' || x))),
-    list_min(list_transform(toks, x -> md5('1:' || x))),
-    list_min(list_transform(toks, x -> md5('2:' || x))),
-    list_min(list_transform(toks, x -> md5('3:' || x)))) AS sig
-  FROM t
+WITH {_minhash_cand_cte()},
+ver AS (
+  SELECT c.id1, c.id2,
+         ({' + '.join(f'CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END' for i in range(8))}) AS n_match
+  FROM cand c JOIN s a ON c.id1 = a.doc_id JOIN s b ON c.id2 = b.doc_id
 )
-SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig
-FROM s a JOIN s b ON a.sig = b.sig AND a.doc_id < b.doc_id
+SELECT id1, id2, CAST(n_match AS INT) AS n_match,
+       floor((n_match / 8.0) * 1000000 + 0.5) / 1000000 AS est_jaccard
+FROM ver WHERE floor((n_match / 8.0) * 1000000 + 0.5) / 1000000 >= 0.5
+""",
+
+        "minhash_jaccard_neardup": f"""
+WITH {_minhash_cand_cte()},
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {shingles} AS sh FROM tk),
+ver AS (
+  SELECT c.id1, c.id2,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+  FROM cand c JOIN sh a ON c.id1 = a.doc_id JOIN sh b ON c.id2 = b.doc_id
+)
+SELECT id1, id2, floor((i::DOUBLE / u) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM ver
+WHERE u > 0 AND floor((i::DOUBLE / u) * 1000000 + 0.5) / 1000000 >= {JACCARD_THRESHOLD}
 """,
 
         "simhash_fingerprints": f"""

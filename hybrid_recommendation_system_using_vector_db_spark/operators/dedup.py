@@ -16,7 +16,7 @@ in the DuckDB oracle and stable across partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import fround
@@ -46,24 +46,89 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = 4,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-doc MinHash signature columns (one band of n_hashes rows)."""
+    """Per-doc MinHash signature columns (``n_hashes`` independent hashes)."""
     toks = TT.distinct_tokens(F.col(text_col))
     cols = [minhash(toks, i).alias(f"mh{i}") for i in range(n_hashes)]
     return documents.select(F.col(id_col).alias("doc_id"), *cols)
 
 
-def minhash_dup_pairs(documents: DataFrame, n_hashes: int = 4,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Candidate near-dup pairs: identical full MinHash band signature.
+def minhash_band_links(sigs: DataFrame, n_hashes: int = 8,
+                       n_bands: int = 4) -> DataFrame:
+    """Candidate duplicate links from banded MinHash LSH — linear output.
 
-    groupBy(signature) blocks the pair space; the self-join happens only
-    inside buckets (shuffle key = signature, skew-safe under AQE).
+    ``sigs`` is ``minhash_signatures`` output (doc_id, mh0..mh{n-1}).
+    The signature splits into ``n_bands`` bands of ``r = n_hashes/n_bands``
+    hashes; two docs are candidates if ANY band matches (classic b×r LSH:
+    P(candidate) = 1 − (1 − j^r)^b for Jaccard j).
+
+    Scale design — the round-1 single-band join emitted every within-bucket
+    pair: a bucket of m near-identical docs produced m²/2 rows (2.84 M pairs
+    from 5 k docs at sf0.1). Here each bucket instead emits a *chain* —
+    every doc links to its predecessor in doc_id order (``lag`` window) —
+    so output is ≤ n_bands · (N − #buckets), linear in the corpus, while
+    staying connectivity-equivalent for clustering: any two docs sharing a
+    bucket are joined through the chain, so connected components (and the
+    canonical-id choice) are identical to the all-pairs graph's.
+
+    One shuffle keyed by (band, band_key). A degenerate bucket (all docs
+    identical) sorts its m members in one window partition — O(m log m)
+    per task, not m² rows; at 100 TB pre-collapse exact dups upstream
+    (exact_dedup) if a single text dominates the corpus.
+    """
+    assert n_hashes % n_bands == 0, "n_hashes must divide into n_bands"
+    r = n_hashes // n_bands
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws("|", *[F.col(f"mh{j}") for j in range(i * r, (i + 1) * r)])
+                 .alias("key"),
+            ) for i in range(n_bands)
+        ])).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
+    return (
+        bands.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id1"), F.col("doc_id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_dup_pairs(documents: DataFrame, n_hashes: int = 8,
+                      n_bands: int = 4, threshold: float = 0.5,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup links: banded MinHash candidates + signature-overlap verify.
+
+    Candidate generation is ``minhash_band_links`` (linear chain output, no
+    quadratic bucket blowup); the verify stage joins the full signatures
+    back onto each candidate link and keeps links whose estimated Jaccard
+    (matching-component fraction, the standard MinHash estimator) clears
+    ``threshold``. Returns (id1, id2, n_match, est_jaccard).
+
+    At 100 TB: materialize ``minhash_signatures`` once (parquet), feed this
+    and the exact-Jaccard verify (``jaccard_neardup_pairs(candidates=...)``)
+    from that table instead of recomputing signatures per stage.
     """
     sigs = minhash_signatures(documents, n_hashes, id_col, text_col)
-    sig = sigs.withColumn("sig", F.concat_ws("|", *[f"mh{i}" for i in range(n_hashes)]))
-    a = sig.select(F.col("doc_id").alias("id1"), "sig")
-    b = sig.select(F.col("doc_id").alias("id2"), "sig")
-    return a.join(b, "sig").filter(F.col("id1") < F.col("id2")).select("id1", "id2", "sig")
+    cand = minhash_band_links(sigs, n_hashes, n_bands)
+    a = sigs.select(F.col("doc_id").alias("id1"),
+                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)])
+    b = sigs.select(F.col("doc_id").alias("id2"),
+                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)])
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cand.join(a, "id1").join(b, "id2")
+        .withColumn("n_match", n_match.cast("int"))
+        .withColumn("est_jaccard",
+                    fround(F.col("n_match") / F.lit(float(n_hashes)), ROUND_SCORE))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "n_match", "est_jaccard")
+    )
 
 
 def simhash_fingerprints(documents: DataFrame, n_bits: int = 16,
@@ -177,26 +242,41 @@ def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 2,
 
 def jaccard_neardup_pairs(documents: DataFrame, threshold: float = 0.5,
                           shingle_n: int = 3, block_col: str = "source",
-                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """n-gram Jaccard near-dup pairs within blocks.
+                          id_col: str = "doc_id", text_col: str = "text",
+                          candidates: DataFrame | None = None) -> DataFrame:
+    """n-gram Jaccard near-dup pairs: exact verify over a candidate set.
 
-    |A∪B| computed as |A|+|B|−|A∩B| (portable across engines). Blocking by
-    ``block_col`` keeps the self-join linear-ish; at 100 TB swap the block
-    key for a MinHash band (minhash_dup_pairs) and use this as the verify
-    stage of the candidate pipeline.
+    |A∪B| computed as |A|+|B|−|A∩B| (portable across engines).
+
+    Two candidate-generation modes:
+    - ``candidates`` given — the 100 TB path: verify exactly the supplied
+      (id1, id2) pairs (e.g. ``minhash_band_links`` output), joining each
+      side's shingle set on. Cost is O(|candidates|), never quadratic.
+    - block mode (default, legacy) — self-join within ``block_col`` blocks.
+      The block key has fixed cardinality, so blocks grow linearly with the
+      corpus and within-block pairs quadratically: fine for bounded blocks,
+      wrong at scale. Kept for small-data parity; prefer the chained
+      pipeline (``minhash_jaccard_neardup`` in the query surface).
     """
     sh = documents.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
         F.array_distinct(TT.word_ngrams(TT.tokens(F.col(text_col)), shingle_n)).alias("sh"),
     )
-    a = sh.select(F.col("doc_id").alias("id1"), "block", F.col("sh").alias("sh1"))
-    b = sh.select(F.col("doc_id").alias("id2"), "block", F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
     union = F.size("sh1") + F.size("sh2") - inter
+    if candidates is not None:
+        pairs = (
+            candidates.select("id1", "id2")
+            .join(sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+            .join(sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("id1"), "block", F.col("sh").alias("sh1"))
+        b = sh.select(F.col("doc_id").alias("id2"), "block", F.col("sh").alias("sh2"))
+        pairs = a.join(b, "block").filter(F.col("id1") < F.col("id2"))
     return (
-        a.join(b, "block")
-        .filter(F.col("id1") < F.col("id2"))
+        pairs
         .withColumn("jaccard",
                     F.when(union > 0, fround(inter / union, ROUND_SCORE)).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)

@@ -59,6 +59,55 @@ def test_simhash_neardup_properties(spark, sf_dir):
     assert any(p.hamming == 0 for p in pairs2)
 
 
+def test_minhash_band_links_linear_volume(spark, sf_dir):
+    """The r2 scale contract: banded chain links are <= n_bands * N rows
+    (round 1's single-band all-pairs join emitted ~m^2/2 per bucket)."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import (
+        minhash_band_links, minhash_signatures)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    links = minhash_band_links(minhash_signatures(docs, 8), 8, 4)
+    assert 0 < links.count() <= 4 * n_docs
+
+
+def test_minhash_chain_connectivity(spark):
+    """Chain links preserve bucket connectivity: a group of identical docs
+    ends up in ONE connected component, and the verify stage scores the
+    links as exact signature matches (est_jaccard = 1.0)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import (
+        connected_components, minhash_band_links, minhash_dup_pairs, minhash_signatures)
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(5)] + \
+           [(10, "totally different text content here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    links = minhash_band_links(minhash_signatures(docs, 8), 8, 4)
+    comp = {r.doc_id: r.cluster_id
+            for r in connected_components(links, docs.select("doc_id")).collect()}
+    assert all(comp[i] == 0 for i in range(5))
+    assert comp[10] == 10
+    verified = minhash_dup_pairs(docs).collect()
+    assert len(verified) > 0
+    assert all(p.n_match == 8 and p.est_jaccard == 1.0 for p in verified)
+
+
+def test_jaccard_candidate_mode_matches_block_mode(spark):
+    """candidates= verify returns exactly the candidate pairs' Jaccard —
+    same values the block path computes for those pairs."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import (
+        jaccard_neardup_pairs)
+    rows = [(1, "a", "one two three four five six"),
+            (2, "a", "one two three four five seven"),
+            (3, "a", "completely unrelated words entirely different")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    cand = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    via_cand = {(r.id1, r.id2): r.jaccard
+                for r in jaccard_neardup_pairs(docs, 0.1, candidates=cand).collect()}
+    via_block = {(r.id1, r.id2): r.jaccard
+                 for r in jaccard_neardup_pairs(docs, 0.1).collect()}
+    assert (1, 2) in via_cand
+    assert via_cand[(1, 2)] == via_block[(1, 2)]
+
+
 def test_connected_components(spark):
     from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import connected_components
 
