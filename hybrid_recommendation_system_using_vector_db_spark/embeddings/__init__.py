@@ -63,26 +63,39 @@ _MODEL_CACHE: dict = {}
 
 
 def model_embedder(documents: DataFrame, model_name: str = "sentence-transformers/all-MiniLM-L12-v2",
-                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Sentence-transformer embeddings (requires the optional dependency).
+                   id_col: str = "doc_id", text_col: str = "text",
+                   model_factory=None) -> DataFrame:
+    """Sentence-transformer embeddings (H1 real-model path, ref
+    ``Hybrid_Recom_vecdb.py:356``).
 
-    Model is cached per executor process — loaded at most once per worker,
-    reused across Arrow batches (the distributed analogue of the
-    reference's single in-process model)."""
-    try:
-        import sentence_transformers  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "sentence-transformers not installed in this environment; "
-            "use hashing_embedder for deterministic plumbing"
-        ) from e
+    Model is cached per executor process under ``model_name`` — the
+    factory runs at most once per worker, and the instance is reused
+    across every Arrow batch and task that worker handles (the
+    distributed analogue of the reference's single in-process model).
+
+    ``model_factory``: optional zero-arg picklable callable returning an
+    object with ``.encode(list[str], batch_size=n) -> ndarray``. Defaults
+    to loading the SentenceTransformer (requires the optional
+    dependency); tests inject a deterministic fake to exercise the
+    batching/caching/schema path without the library."""
+    if model_factory is None:
+        try:
+            import sentence_transformers  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "sentence-transformers not installed in this environment; "
+                "use hashing_embedder for deterministic plumbing"
+            ) from e
+
+        def model_factory():
+            from sentence_transformers import SentenceTransformer
+            return SentenceTransformer(model_name, device="cpu")
 
     def encode(batches: Iterator) -> Iterator:
         import pandas as pd
-        from sentence_transformers import SentenceTransformer
 
         if model_name not in _MODEL_CACHE:  # per-executor singleton
-            _MODEL_CACHE[model_name] = SentenceTransformer(model_name, device="cpu")
+            _MODEL_CACHE[model_name] = model_factory()
         model = _MODEL_CACHE[model_name]
         for pdf in batches:
             if pdf.empty:

@@ -196,6 +196,13 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # a silent early stop would return wrong cluster_ids for any chain
+        # deeper than max_iter — fail loudly instead (ADVICE r1)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing); raise max_iter or use a "
+            f"shallower candidate graph")
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -129,16 +129,47 @@ def stateful_user_stats(events: DataFrame):
     )
 
 
-def merge_edge_batch(batch: DataFrame, state_path: str) -> None:
-    """Merge one micro-batch of (src, dst) pairs into persisted edge counts.
+def _read_state_pointer(state_path: str) -> tuple[str | None, int]:
+    """(current snapshot dir name, last merged epoch) from ``_CURRENT``."""
+    cur = os.path.join(state_path, "_CURRENT")
+    if not os.path.exists(cur):
+        return None, -1
+    with open(cur) as f:
+        lines = f.read().strip().split("\n")
+    return lines[0], int(lines[1])
 
-    Emulates MERGE INTO on plain parquet: read state, union deltas,
-    re-aggregate, atomically replace via temp-dir rename.
+
+def read_edge_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Read the live edge-state snapshot (None if no merge has run yet)."""
+    name, _ = _read_state_pointer(state_path)
+    if name is None:
+        return None
+    return spark.read.parquet(os.path.join(state_path, name))
+
+
+def merge_edge_batch(batch: DataFrame, state_path: str,
+                     epoch_id: int | None = None) -> None:
+    """Idempotent MERGE of one micro-batch into versioned parquet edge state.
+
+    Plain parquet has no MERGE INTO, so state lives as immutable snapshot
+    dirs (``v<epoch>``) under ``state_path`` with a ``_CURRENT`` pointer
+    file flipped via ``os.replace`` (atomic on POSIX): readers never see a
+    half-written snapshot, and a crash mid-write leaves the previous
+    snapshot live. ``foreachBatch`` delivers at-least-once, so a replayed
+    micro-batch (``epoch_id`` ≤ last merged epoch) is skipped — the merge
+    is effectively exactly-once. Swap the writer for Delta/Iceberg
+    MERGE INTO at production scale (same hook, transactional log instead
+    of the pointer file); partition snapshots by bucket(src) at 100 TB so
+    a merge rewrites only touched buckets.
     """
     spark = batch.sparkSession
+    os.makedirs(state_path, exist_ok=True)
+    cur_name, last_epoch = _read_state_pointer(state_path)
+    if epoch_id is not None and epoch_id <= last_epoch:
+        return  # at-least-once replay of an already-merged batch
     deltas = batch.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
-    if os.path.exists(state_path):
-        state = spark.read.parquet(state_path)
+    if cur_name is not None:
+        state = spark.read.parquet(os.path.join(state_path, cur_name))
         merged = (
             state.unionByName(deltas)
             .groupBy("src", "dst")
@@ -146,10 +177,16 @@ def merge_edge_batch(batch: DataFrame, state_path: str) -> None:
         )
     else:
         merged = deltas
-    tmp = state_path + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(state_path)
+    new_epoch = epoch_id if epoch_id is not None else last_epoch + 1
+    new_name = f"v{new_epoch}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_name))
+    tmp = os.path.join(state_path, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{new_name}\n{new_epoch}\n")
+    os.replace(tmp, os.path.join(state_path, "_CURRENT"))
+    if cur_name is not None and cur_name != new_name:
+        import shutil
+        shutil.rmtree(os.path.join(state_path, cur_name), ignore_errors=True)
 
 
 def incremental_copurchase(order_lines: DataFrame, state_path: str,
@@ -164,7 +201,7 @@ def incremental_copurchase(order_lines: DataFrame, state_path: str,
         a = batch.select(F.col("order_id").alias("ok"), F.col("item_id").alias("src"))
         b = batch.select(F.col("order_id").alias("ok"), F.col("item_id").alias("dst"))
         pairs = a.join(b, "ok").filter(F.col("src") != F.col("dst")).select("src", "dst")
-        merge_edge_batch(pairs, state_path)
+        merge_edge_batch(pairs, state_path, epoch_id)
 
     return (
         order_lines.writeStream.foreachBatch(process)

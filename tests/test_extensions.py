@@ -119,6 +119,58 @@ def test_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_model_embedder_batching_caching_schema(spark):
+    """H1 real-model path exercised with an injected fake model factory:
+    Arrow batch iteration is real (maxRecordsPerBatch honored), the
+    per-executor model cache instantiates ONCE across all batches of a
+    partition, and the output schema matches the hashing embedder's."""
+    from hybrid_recommendation_system_using_vector_db_spark.embeddings import model_embedder
+
+    def fake_factory():
+        import builtins
+        count = getattr(builtins, "_fake_st_instantiations", 0) + 1
+        builtins._fake_st_instantiations = count
+
+        class FakeModel:
+            def encode(self, texts, batch_size=32):
+                import numpy as np
+                return np.array(
+                    [[float(count), float(len(texts)), float(len(t))] for t in texts],
+                    dtype=np.float64)
+        return FakeModel()
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("document number "), F.col("id")).alias("text"),
+        ).repartition(1)  # one worker, many Arrow batches -> cache must hold
+        out = model_embedder(docs, model_name="fake-test-model",
+                             model_factory=fake_factory)
+        assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == \
+            [("doc_id", "bigint"), ("embedding", "array<float>")]
+        rows = out.collect()
+        assert len(rows) == 50
+        for r in rows:
+            assert r.embedding[0] == 1.0  # single instantiation across batches
+            assert r.embedding[1] <= 10.0  # Arrow batching bounded each encode call
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_model_embedder_gated_without_dependency(spark):
+    """Without the optional dependency the default path fails loudly."""
+    from hybrid_recommendation_system_using_vector_db_spark.embeddings import model_embedder
+    try:
+        import sentence_transformers  # noqa: F401
+        pytest.skip("sentence-transformers present; gate not reachable")
+    except ImportError:
+        pass
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        model_embedder(docs)
+
+
 def test_stratified_sample_deterministic(spark, sf_dir):
     from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")

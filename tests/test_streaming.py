@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
 from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
     incremental_copurchase,
+    merge_edge_batch,
+    read_edge_state,
     read_events_stream,
     run_stream_to_memory,
     stateful_user_stats,
@@ -79,7 +81,7 @@ def test_incremental_copurchase_merges_batches(spark, tmp_path):
     q = incremental_copurchase(stream, state, ckpt)
     q.awaitTermination(60)
 
-    edges1 = {(r.src, r.dst): r.weight for r in spark.read.parquet(state).collect()}
+    edges1 = {(r.src, r.dst): r.weight for r in read_edge_state(spark, state).collect()}
     assert edges1[(10, 11)] == 1 and edges1[(10, 12)] == 1
 
     # second batch repeats an order pairing → weight increments
@@ -88,6 +90,19 @@ def test_incremental_copurchase_merges_batches(spark, tmp_path):
     q2 = incremental_copurchase(stream, state, ckpt)
     q2.awaitTermination(60)
 
-    edges2 = {(r.src, r.dst): r.weight for r in spark.read.parquet(state).collect()}
+    edges2 = {(r.src, r.dst): r.weight for r in read_edge_state(spark, state).collect()}
     assert edges2[(10, 11)] == 2
     assert edges2[(10, 12)] == 1
+
+
+def test_merge_edge_batch_replay_is_idempotent(spark, tmp_path):
+    """at-least-once foreachBatch: replaying an epoch must not double-count."""
+    state = str(tmp_path / "edges_state")
+    pairs = spark.createDataFrame([(10, 11), (10, 12)], "src long, dst long")
+    merge_edge_batch(pairs, state, epoch_id=0)
+    merge_edge_batch(pairs, state, epoch_id=0)  # replay of the same epoch
+    edges = {(r.src, r.dst): r.weight for r in read_edge_state(spark, state).collect()}
+    assert edges == {(10, 11): 1, (10, 12): 1}
+    merge_edge_batch(pairs, state, epoch_id=1)  # a genuinely new epoch merges
+    edges = {(r.src, r.dst): r.weight for r in read_edge_state(spark, state).collect()}
+    assert edges == {(10, 11): 2, (10, 12): 2}
