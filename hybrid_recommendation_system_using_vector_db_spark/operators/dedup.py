@@ -52,9 +52,9 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 4,
     return documents.select(F.col(id_col).alias("doc_id"), *cols)
 
 
-def minhash_band_links(sigs: DataFrame, n_hashes: int = 8,
-                       n_bands: int = 4) -> DataFrame:
-    """Candidate duplicate links from banded MinHash LSH — linear output.
+def _minhash_band_chain(sigs: DataFrame, n_hashes: int = 8,
+                        n_bands: int = 4) -> DataFrame:
+    """Banded-LSH chain links WITH both endpoint signatures attached.
 
     ``sigs`` is ``minhash_signatures`` output (doc_id, mh0..mh{n-1}).
     The signature splits into ``n_bands`` bands of ``r = n_hashes/n_bands``
@@ -70,15 +70,23 @@ def minhash_band_links(sigs: DataFrame, n_hashes: int = 8,
     bucket are joined through the chain, so connected components (and the
     canonical-id choice) are identical to the all-pairs graph's.
 
-    One shuffle keyed by (band, band_key). A degenerate bucket (all docs
-    identical) sorts its m members in one window partition — O(m log m)
-    per task, not m² rows; at 100 TB pre-collapse exact dups upstream
-    (exact_dedup) if a single text dominates the corpus.
+    The full signature rides through the explode and a second ``lag`` over
+    the SAME window (Spark fuses both into one Window op) attaches the
+    predecessor's signature, so a verify stage needs NO join back onto the
+    signature table — round-2-initial's two signature re-joins re-ran the
+    whole tokenize+minhash scan 3×. One shuffle, keyed by (band, band_key).
+    A degenerate bucket (all docs identical) sorts its m members in one
+    window partition — O(m log m) per task, not m² rows; at 100 TB
+    pre-collapse exact dups upstream (exact_dedup) if a single text
+    dominates the corpus. Returns (id1, id2, sig1, sig2), one row per
+    (band, adjacent pair) — callers dedup after their verify projection.
     """
     assert n_hashes % n_bands == 0, "n_hashes must divide into n_bands"
     r = n_hashes // n_bands
+    sig = F.array(*[F.col(f"mh{j}") for j in range(n_hashes)])
     bands = sigs.select(
         "doc_id",
+        sig.alias("sig"),
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("band"),
@@ -86,14 +94,25 @@ def minhash_band_links(sigs: DataFrame, n_hashes: int = 8,
                  .alias("key"),
             ) for i in range(n_bands)
         ])).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     w = Window.partitionBy("band", "key").orderBy("doc_id")
     return (
         bands.withColumn("prev", F.lag("doc_id").over(w))
+        .withColumn("prev_sig", F.lag("sig").over(w))
         .filter(F.col("prev").isNotNull())
-        .select(F.col("prev").alias("id1"), F.col("doc_id").alias("id2"))
-        .distinct()
+        .select(F.col("prev").alias("id1"), F.col("doc_id").alias("id2"),
+                F.col("prev_sig").alias("sig1"), F.col("sig").alias("sig2"))
     )
+
+
+def minhash_band_links(sigs: DataFrame, n_hashes: int = 8,
+                       n_bands: int = 4) -> DataFrame:
+    """Candidate duplicate links from banded MinHash LSH — linear output.
+
+    See ``_minhash_band_chain`` for the chain-link scale design.
+    """
+    return (_minhash_band_chain(sigs, n_hashes, n_bands)
+            .select("id1", "id2").distinct())
 
 
 def minhash_dup_pairs(documents: DataFrame, n_hashes: int = 8,
@@ -101,33 +120,32 @@ def minhash_dup_pairs(documents: DataFrame, n_hashes: int = 8,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-dup links: banded MinHash candidates + signature-overlap verify.
 
-    Candidate generation is ``minhash_band_links`` (linear chain output, no
-    quadratic bucket blowup); the verify stage joins the full signatures
-    back onto each candidate link and keeps links whose estimated Jaccard
-    (matching-component fraction, the standard MinHash estimator) clears
-    ``threshold``. Returns (id1, id2, n_match, est_jaccard).
+    Candidate generation is the banded chain (linear output, no quadratic
+    bucket blowup); the verify stage compares the two signatures already
+    riding on each link (zero joins — the matching-component fraction is
+    the standard MinHash Jaccard estimator) and keeps links clearing
+    ``threshold``. One window shuffle + one distinct: the corpus text is
+    tokenized and min-hashed exactly once. Returns (id1, id2, n_match,
+    est_jaccard); distinct is value-safe because n_match is a pure
+    function of the pair.
 
     At 100 TB: materialize ``minhash_signatures`` once (parquet), feed this
     and the exact-Jaccard verify (``jaccard_neardup_pairs(candidates=...)``)
     from that table instead of recomputing signatures per stage.
     """
     sigs = minhash_signatures(documents, n_hashes, id_col, text_col)
-    cand = minhash_band_links(sigs, n_hashes, n_bands)
-    a = sigs.select(F.col("doc_id").alias("id1"),
-                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)])
-    b = sigs.select(F.col("doc_id").alias("id2"),
-                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)])
+    chain = _minhash_band_chain(sigs, n_hashes, n_bands)
     n_match = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        F.when(F.col("sig1")[i] == F.col("sig2")[i], 1).otherwise(0)
         for i in range(n_hashes)
     )
     return (
-        cand.join(a, "id1").join(b, "id2")
-        .withColumn("n_match", n_match.cast("int"))
+        chain.withColumn("n_match", n_match.cast("int"))
         .withColumn("est_jaccard",
                     fround(F.col("n_match") / F.lit(float(n_hashes)), ROUND_SCORE))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id1", "id2", "n_match", "est_jaccard")
+        .distinct()
     )
 
 
@@ -273,6 +291,10 @@ def jaccard_neardup_pairs(documents: DataFrame, threshold: float = 0.5,
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
     union = F.size("sh1") + F.size("sh2") - inter
     if candidates is not None:
+        # the shingle table feeds BOTH endpoint joins — persist so the
+        # tokenize+ngram scan runs once, not once per join branch (at
+        # 100 TB this is the "materialize the shingle table" step)
+        sh = sh.persist()
         pairs = (
             candidates.select("id1", "id2")
             .join(sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")), "id1")

@@ -278,88 +278,187 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     return _assign_to_centroids(corpus, c, id_col, vec_col)
 
 
-def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
-                     n_iters: int = 2, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
-    """Deterministic spherical k-means codebook for the IVF quantizer.
+def _dlit(x: float) -> str:
+    """Exact double literal for a SQL fragment (repr round-trips IEEE-754)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _cents_literal_sql(cents: list[tuple[int, list[float]]]) -> str:
+    """The codebook as ONE literal array<struct<cid,cv,nrm>> SQL fragment.
+
+    Catalyst constant-folds the whole array (including each center's
+    ``sqrt(v·v)`` norm, summed in the same left-to-right order as the
+    oracle's ``list_inner_product``) into a single Literal at plan time —
+    the generated code references one constant instead of inlining
+    n_centroids·dim CASTs, which Janino refuses to compile (measured:
+    60 InternalCompilerExceptions → interpreted fallback with the
+    fully-unrolled form at 16×64).
+    """
+    elems = []
+    for cid, cv in cents:
+        arr = ", ".join(_dlit(x) for x in cv)
+        sq = " + ".join(f"{_dlit(x)} * {_dlit(x)}" for x in cv)
+        elems.append(f"named_struct('cid', CAST({cid} AS BIGINT), "
+                     f"'cv', array({arr}), 'nrm', sqrt({sq}))")
+    return f"array({', '.join(elems)})"
+
+
+def _cos_vs_c_sql(vec_col: str = "vec", norm_col: str = "vnorm",
+                  digits: int = ROUND_SCORE) -> str:
+    """Rounded cosine of ``vec_col`` vs lambda-var ``c`` (a codebook entry).
+
+    The same zip_with/aggregate left fold with 0.0 seed as ``vector.dot``
+    — bit-identical to the oracle-green HOF scoring path. ``norm_col``
+    must hold sqrt(v·v) of ``vec_col``.
+    """
+    s = float(10 ** digits)
+    dot = (f"aggregate(zip_with({vec_col}, c.cv, (a, b) -> a * b), "
+           f"CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)")
+    cos = (f"(CASE WHEN ({norm_col} * c.nrm) > CAST(0.0 AS DOUBLE) "
+           f"THEN ({dot}) / ({norm_col} * c.nrm) ELSE CAST(0.0 AS DOUBLE) END)")
+    return f"floor(({cos}) * {s!r} + 0.5) / {s!r}"
+
+
+def _vnorm_sql(vec_col: str = "vec") -> str:
+    """sqrt(v·v) with the same HOF fold as ``vector.l2_norm``."""
+    return (f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (a, b) -> a * b), "
+            f"CAST(0.0 AS DOUBLE), (acc, y) -> acc + y))")
+
+
+def _argmax_centroid_sql(cents: list[tuple[int, list[float]]],
+                         vec_col: str = "vec", norm_col: str = "vnorm") -> str:
+    """Map-side nearest-centroid id: max csim, ties → lower centroid id.
+
+    ``array_max`` over (csim, -cid) structs is lexicographic, reproducing
+    the (csim DESC, cid ASC) window tiebreak with zero shuffle. fround
+    never emits -0.0, so struct double ordering has no ±0 pitfall.
+    """
+    lit = _cents_literal_sql(cents)
+    cf = _cos_vs_c_sql(vec_col, norm_col)
+    return (f"CAST(-(array_max(transform({lit}, "
+            f"c -> named_struct('s', {cf}, 'n', -c.cid))).n) AS BIGINT)")
+
+
+def _probe_centroids_sql(cents: list[tuple[int, list[float]]], nprobe: int,
+                         vec_col: str = "vec", norm_col: str = "vnorm") -> str:
+    """Map-side top-``nprobe`` centroid ids as an array (csim DESC, cid ASC)."""
+    lit = _cents_literal_sql(cents)
+    cf = _cos_vs_c_sql(vec_col, norm_col)
+    return (f"transform(slice(array_sort(transform({lit}, "
+            f"c -> named_struct('k', -({cf}), 'cid', c.cid))), 1, {nprobe}), "
+            f"x -> x.cid)")
+
+
+def kmeans_centroids_local(corpus: DataFrame, n_centroids: int = 16,
+                           n_iters: int = 2, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means codebook, driver-resident.
 
     Init = the vectors of the ``n_centroids`` smallest ids (seeded,
     engine-agnostic); each Lloyd iteration assigns by argmax cosine
     (ties → lower centroid id) and recomputes every centroid as the
     per-component mean of its assigned vectors, rounded to 6 decimals so
-    both engines agree bitwise despite summation-order differences; empty
-    clusters keep their previous centroid. The whole loop is declarative
-    (no collect): per iteration, one broadcast cross-score + one max_by
-    partial aggregate + one posexplode mean — shuffle volume is O(N) rows
-    per round, never O(N·n_centroids). Returns (centroid_id, cent_vec).
+    both engines agree despite summation-order differences; empty clusters
+    keep their previous centroid.
 
-    Replaces r1's first-N-ids recall stand-in (VERDICT r1 #8): a real
-    codebook tightens the inverted lists, so the same nprobe recovers
-    more true neighbors. At 100 TB run this offline on a sample and
-    persist the codebook as a table.
+    Scale shape — the codebook is n_centroids·dim doubles, KB-sized *by
+    definition*, so it lives on the driver and each Lloyd round embeds the
+    centers as literals in a map-side argmax expression (MLlib KMeans'
+    broadcast-centers pattern): assignment costs ZERO shuffles, and the
+    only distributed work per round is one partial-aggregated component
+    mean (posexplode → groupBy(cid, pos)) whose result — n_centroids·dim
+    rows — is the only thing ever collected. The r2-initial formulation
+    kept the codebook as a DataFrame: its lineage (a corpus scan per
+    round, referenced twice per round and twice downstream) re-executed at
+    every use — a measured 5× ivf_topk regression. At 100 TB: train on a
+    sample, persist the codebook as a table, load it into this literal
+    form (VERDICT r1 #8).
     """
-    cent = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"),
-        V.as_double(F.col(vec_col)).alias("cent_vec"),
-    )
-    vecs = corpus.select(F.col(id_col).alias("vid"),
-                         V.as_double(F.col(vec_col)).alias("vec"))
+    init = (corpus.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).cast("long").alias("cid"),
+                    V.as_double(F.col(vec_col)).alias("cv"))
+            .collect())  # bounded: n_centroids rows
+    cents = sorted((r.cid, list(r.cv)) for r in init)
+    if not cents:
+        return []
+    dim = len(cents[0][1])
+    vecs = corpus.select(V.as_double(F.col(vec_col)).alias("vec"))
     for _ in range(n_iters):
-        scored = vecs.crossJoin(F.broadcast(cent)).withColumn(
-            "csim", fround(V.cosine(F.col("vec"), F.col("cent_vec")), ROUND_SCORE))
-        best = (
-            scored.groupBy("vid")
-            .agg(F.max_by(
-                F.struct("vec", "centroid_id"),
-                F.struct(F.col("csim"), (-F.col("centroid_id")).alias("neg_cid")),
-            ).alias("b"))
-            .select(F.col("b.vec").alias("vec"), F.col("b.centroid_id").alias("centroid_id"))
+        assigned = (
+            vecs.withColumn("vnorm", F.expr(_vnorm_sql("vec")))
+            .withColumn("centroid_id", F.expr(_argmax_centroid_sql(cents)))
         )
-        means = (
-            best.select("centroid_id", F.posexplode("vec").alias("pos", "x"))
+        rows = (
+            assigned.select("centroid_id", F.posexplode("vec").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
             .agg(fround(F.avg("x"), ROUND_SCORE).alias("m"))
-            .groupBy("centroid_id")
-            .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                             lambda s: s["m"]).alias("new_vec"))
-        )
-        cent = cent.join(means, "centroid_id", "left").select(
-            "centroid_id",
-            F.coalesce("new_vec", "cent_vec").alias("cent_vec"))
-    return cent
+            .collect())  # bounded: n_centroids × dim rows
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r.centroid_id, {})[r.pos] = r.m
+        cents = [
+            (cid, [by_cid[cid][p] for p in range(dim)] if cid in by_cid else old)
+            for cid, old in cents
+        ]
+    return cents
+
+
+def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
+                     n_iters: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """``kmeans_centroids_local`` as a (centroid_id, cent_vec) DataFrame."""
+    spark = corpus.sparkSession
+    cents = kmeans_centroids_local(corpus, n_centroids, n_iters, id_col, vec_col)
+    return spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents],
+        "centroid_id bigint, cent_vec array<double>")
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int = 16,
              nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-             kmeans_iters: int = 2) -> DataFrame:
+             kmeans_iters: int = 2,
+             centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
     """IVF-style approximate search with a deterministic k-means quantizer.
 
-    The codebook is ``kmeans_centroids`` (seeded init = first ids, Lloyd
-    iterations, cross-engine-deterministic means; ``kmeans_iters=0`` falls
-    back to raw first-N-ids centroids). Corpus rows live in inverted lists
-    keyed by nearest centroid; a query probes its ``nprobe`` nearest lists
-    only. At 100 TB the inverted-list key is the table's partition column →
+    The codebook is ``kmeans_centroids_local`` (seeded init = first ids,
+    Lloyd iterations, cross-engine-deterministic means; ``kmeans_iters=0``
+    uses the raw first-N-ids vectors). Both the corpus inverted-list
+    assignment and the query probe selection are map-side literal-centroid
+    expressions — no shuffle, no crossJoin; the search itself is one
+    broadcast join (queries × their probed lists) plus the top-k window.
+    At 100 TB the inverted-list key is the table's partition column →
     partition pruning turns each query into a few-list scan.
-    """
-    if kmeans_iters > 0:
-        cent = kmeans_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
-    else:
-        cent = corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"),
-            V.as_double(F.col(vec_col)).alias("cent_vec"))
-    lists = _assign_to_centroids(corpus, cent, id_col, vec_col)  # (vid, raw_vec, centroid_id)
 
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_raw"),
-                       V.as_double(F.col(vec_col)).alias("q_vec"))
-    q_cent = (
-        F.broadcast(q).crossJoin(F.broadcast(cent))
-        .withColumn("csim", fround(V.cosine(F.col("q_vec"), F.col("cent_vec")), ROUND_SCORE))
+    ``centroids``: a pretrained codebook (``kmeans_centroids_local``
+    output). Index construction and search are separate phases in every
+    IVF system (the reference builds its ChromaDB/HNSW index once at
+    ingest, `Hybrid_Recom_vecdb.py:150-165`, and its published timings
+    are query-only) — callers that query the same corpus repeatedly
+    should train once and pass it in.
+    """
+    if centroids is not None:
+        cents = centroids
+    else:
+        iters = kmeans_iters if kmeans_iters > 0 else 0
+        cents = kmeans_centroids_local(corpus, n_centroids, iters, id_col, vec_col)
+    if not cents:
+        return queries.sparkSession.createDataFrame(
+            [], "qid long, cand long, score double, rank int")
+    lists = (
+        _spread(corpus.select(F.col(id_col).alias("vid"),
+                              F.col(vec_col).alias("raw_vec")))
+        .withColumn("vec", V.as_double(F.col("raw_vec")))
+        .withColumn("vnorm", F.expr(_vnorm_sql("vec")))
+        .withColumn("centroid_id", F.expr(_argmax_centroid_sql(cents)))
+        .select("vid", "raw_vec", "centroid_id")
     )
-    wq = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
     probes = (
-        q_cent.withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") <= nprobe)
-        .select("qid", "q_vec", "centroid_id")
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_raw"))
+        .withColumn("vec", V.as_double(F.col("q_raw")))
+        .withColumn("vnorm", F.expr(_vnorm_sql("vec")))
+        .withColumn("centroid_id",
+                    F.explode(F.expr(_probe_centroids_sql(cents, nprobe))))
+        .select("qid", F.col("vec").alias("q_vec"), "centroid_id")
     )
     scored = (
         F.broadcast(probes)
