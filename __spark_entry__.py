@@ -390,6 +390,14 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.connected_components(pairs, docs.select("doc_id"))
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same clusters via large-star/small-star (O(log n) rounds) — shares
+    ``dedup_clusters``'s recursive-CTE oracle, proving equivalence."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return dedup.connected_components_star(pairs, docs.select("doc_id"))
+
+
 def q_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardup_pairs(load_table(spark, sf_dir, "documents"),
                                        max_hamming=2)
@@ -628,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "jaccard_neardup": q_jaccard_neardup,
         # --- text analysis extensions ---
         "token_stats": q_token_stats,
@@ -980,6 +989,9 @@ FROM ih, nq
 
 
 def oracle_sql() -> dict[str, str]:
+    """Per-query DuckDB oracle SQL. ``dedup_clusters_star`` deliberately
+    shares ``dedup_clusters``'s SQL — both engines must produce the same
+    min-reachable-id clusters regardless of the CC algorithm used."""
     lsh_tables = [hyperplane_sql_bits("e.embedding::DOUBLE[]", 5, t * 5)
                   for t in range(8)]
     lsh_bucket_cols = ",\n         ".join(
@@ -998,7 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "ELSE [] END"
     )
 
-    return {
+    sql = {
         "copurchase_edges": f"WITH {_EDGES_CTE.strip()} "
                             "SELECT src, dst, weight FROM edges",
 
@@ -1565,3 +1577,5 @@ SELECT source,
 FROM documents GROUP BY source
 """,
     }
+    sql["dedup_clusters_star"] = sql["dedup_clusters"]
+    return sql

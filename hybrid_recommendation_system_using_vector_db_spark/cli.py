@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
 
     e = sub.add_parser("eval", help="EP3: Precision@K harness on the test tables")
     e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    e.add_argument("--out", default=None,
+                   help="write precision_k.csv (+ PNGs when matplotlib is "
+                        "available) here, mirroring the reference's plot "
+                        "artifacts (Hybrid_Recom_vecdb.py:294-318)")
 
     args = p.parse_args(argv)
     spark = get_spark()
@@ -75,8 +79,22 @@ def main(argv: list[str] | None = None) -> int:
                         break
                     _recommend(spark, args.index, q, args.k).show(args.k, truncate=60)
         elif args.cmd == "eval":
+            import time  # noqa: PLC0415
+
             import __spark_entry__ as entry  # noqa: PLC0415 — repo-root module
-            entry.q_precision_eval(spark, args.sf_dir).show(20)
+
+            from .reports import print_results, write_eval_report  # noqa: PLC0415
+
+            t0 = time.monotonic()
+            rows = entry.q_precision_eval(spark, args.sf_dir).collect()
+            elapsed = time.monotonic() - t0
+            # one shared Spark job serves every model — attribute the wall
+            # time to the batch, as the reference reports per-model totals
+            runtimes = {m: elapsed for m in sorted({r["model"] for r in rows})}
+            print_results(rows, runtimes)
+            if args.out:
+                written = write_eval_report(rows, args.out, runtimes)
+                print({k: v for k, v in sorted(written.items())})
     finally:
         spark.stop()
     return 0

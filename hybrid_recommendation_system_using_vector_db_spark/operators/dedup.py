@@ -224,6 +224,83 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of an undirected edge list as (u, v)."""
+    return (edges.select(F.col("u"), F.col("v"))
+            .unionByName(edges.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v"))))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every neighbor v > u re-links to min(N(u) ∪ {u}).
+
+    One shuffle (groupBy center). Self-loops (v == m) drop out so the
+    edge count never grows.
+    """
+    sym = _symmetrize(edges)
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient to (larger, smaller); link u and its smaller
+    neighbors to their collective minimum."""
+    directed = (edges.select(F.greatest("u", "v").alias("u"),
+                             F.least("u", "v").alias("v"))
+                .filter(F.col("u") != F.col("v")))
+    m = directed.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    nbrs = directed.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfs = m.select(F.col("u"), F.col("m").alias("v"))
+    return (nbrs.unionByName(selfs)
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def connected_components_star(pairs: DataFrame, nodes: DataFrame,
+                              id_col: str = "doc_id",
+                              max_iter: int = 25) -> DataFrame:
+    """Connected components via large-star/small-star — O(log n) rounds.
+
+    Same contract as ``connected_components`` (cluster_id = min reachable
+    id; the two are property-tested equivalent), but each round contracts
+    path lengths multiplicatively instead of by one hop, so a chain of
+    depth d converges in O(log d) rounds rather than d (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Prefer this
+    on candidate graphs whose diameter is unknown — transitive MinHash
+    chains over boilerplate-heavy corpora at 100 TB routinely exceed
+    min-label propagation's practical round budget.
+
+    Each round = two grouped aggregations (two shuffles) + a distinct;
+    convergence check = ``exceptAll`` count on the edge set (exact, not a
+    count heuristic — equal cardinality with different edges still
+    iterates). ``localCheckpoint`` per round cuts the growing lineage.
+    """
+    edges = (pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        n_diff = stepped.exceptAll(edges).count()
+        prev, edges = edges, stepped
+        if n_diff == 0 and prev.exceptAll(stepped).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds")
+    # converged edge set is a star forest: every non-root points at its
+    # component minimum; roots and isolated nodes label themselves
+    roots = edges.groupBy("u").agg(F.min("v").alias("label"))
+    return (nodes.select(F.col(id_col).alias("id"))
+            .join(roots.withColumnRenamed("u", "id"), "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("label", F.col("id")).alias("cluster_id")))
+
+
 def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 2,
                           n_bits: int = 16, n_bands: int = 3,
                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -119,6 +119,40 @@ def test_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_star_equivalence(spark):
+    """Star variant ≡ min-label propagation on a random multi-component
+    graph (seeded), including isolates and self-loop edges."""
+    import random
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import (
+        connected_components, connected_components_star)
+
+    rng = random.Random(42)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    base = {r.doc_id: r.cluster_id
+            for r in connected_components(pairs, nodes, max_iter=80).collect()}
+    star = {r.doc_id: r.cluster_id
+            for r in connected_components_star(pairs, nodes).collect()}
+    assert star == base
+
+
+def test_connected_components_star_deep_chain(spark):
+    """A 64-deep chain needs 63 propagation rounds but must converge for
+    the star variant within 10 — the O(log n) claim, asserted."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import (
+        connected_components_star)
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id1 long, id2 long")
+    nodes = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components_star(pairs, nodes, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
 def test_model_embedder_batching_caching_schema(spark):
     """H1 real-model path exercised with an injected fake model factory:
     Arrow batch iteration is real (maxRecordsPerBatch honored), the

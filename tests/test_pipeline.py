@@ -82,3 +82,37 @@ def test_overwrite_semantics(spark, index_dir, tmp_path_factory):
     counts = build_index(spark, str(meta), index_dir, sample_size=2)
     assert counts["products"] == 2
     assert load_index(spark, index_dir)["products"].count() == 2 < t1 + 1
+
+
+def test_eval_report_sink(tmp_path):
+    """A5 report sink: CSV artifacts + console table mirror the reference's
+    plot_precision_k / plot_runtime_total / print_results surfaces
+    (Hybrid_Recom_vecdb.py:294-331); PNGs only when matplotlib exists."""
+    import csv
+
+    from hybrid_recommendation_system_using_vector_db_spark.reports import print_results, write_eval_report
+
+    rows = [
+        {"model": "content", "k": 5, "precision": 0.2},
+        {"model": "content", "k": 10, "precision": 0.15},
+        {"model": "hybrid", "k": 5, "precision": 0.3},
+        {"model": "hybrid", "k": 10, "precision": 0.25},
+    ]
+    runtimes = {"content": 1.25, "hybrid": 2.5}
+    written = write_eval_report(rows, str(tmp_path), runtimes, num_queries=40)
+    assert "precision_k.csv" in written and "runtime_total.csv" in written
+    with open(written["precision_k.csv"]) as f:
+        got = list(csv.DictReader(f))
+    assert {(r["model"], int(r["k"]), float(r["precision"])) for r in got} == \
+        {(r["model"], r["k"], r["precision"]) for r in rows}
+    with open(written["runtime_total.csv"]) as f:
+        rt = {r["model"]: float(r["total_time_s"]) for r in csv.DictReader(f)}
+    assert rt == runtimes
+    try:
+        import matplotlib  # noqa: F401
+        assert "precision_k.png" in written
+    except ImportError:
+        assert "precision_k.png" not in written
+
+    text = print_results(rows, runtimes, num_queries=40)
+    assert "Precision@K" in text and "0.3000" in text and "Queries: 40" in text
