@@ -39,17 +39,36 @@ from ..functions import vector as V
 from ..functions.hashing import as_double_sql, hyperplane_bits
 
 
+_DIM_CACHE: dict[tuple, int | None] = {}
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Probe the (fixed) embedding dimensionality — one-row scan.
+    """Probe the (fixed) embedding dimensionality — one-row scan, memoized.
 
     Knowing dim lets every dot product unroll into a codegen-able flat
     expression instead of an interpreted HOF fold (see functions.vector.dot).
+    The probe is a real Spark job (~0.5 s of fixed latency), so it caches
+    on the projected column's SEMANTIC plan hash: two frames hit the same
+    entry only when Catalyst proves the same lineage produces the column,
+    so a hit can never return another table's dim. (A schema-string key
+    would collide across same-shaped tables with different dims and
+    silently mis-unroll the dot.)
     """
     try:
-        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        return int(row.d) if row and row.d and row.d > 0 else None
+        key = (df.sparkSession.sparkContext.applicationId,
+               df.select(F.col(vec_col))._jdf.semanticHash(), vec_col)
     except Exception:
-        return None
+        key = None
+    if key is None or key not in _DIM_CACHE:
+        try:
+            row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = int(row.d) if row and row.d and row.d > 0 else None
+        except Exception:
+            return None
+        if key is None:
+            return dim
+        _DIM_CACHE[key] = dim
+    return _DIM_CACHE[key]
 
 
 def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -185,9 +204,30 @@ def with_lsh_bucket(corpus: DataFrame, vec_col: str = "embedding",
         out_col, hyperplane_bits(as_double_sql(vec_col), n_bits, offset))
 
 
+def lsh_build_index(corpus: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_bits: int = 8,
+                    n_tables: int = 4) -> DataFrame:
+    """Corpus-side multi-table LSH index: (cand, c_vec, c_nrm, t, bucket).
+
+    Index construction, separated from search exactly as the reference
+    separates ChromaDB ingest (`Hybrid_Recom_vecdb.py:150-165`) from its
+    timed queries: build once, persist (at 100 TB: write partitioned/
+    bucketed by (t, bucket)), serve many queries against it via
+    ``lsh_topk(..., index=...)``. The L2 norm is part of the index so the
+    serve path's per-pair work is one dot + divide.
+    """
+    c = _spread(corpus.select(F.col(id_col).alias("cand"), F.col(vec_col).alias("c_raw"))
+                .withColumn("c_vec", V.as_double(F.col("c_raw")))
+                .withColumn("c_nrm", F.expr(_vnorm_sql("c_vec"))))
+    tables = F.array(*[hyperplane_bits(as_double_sql("c_raw"), n_bits, offset=t * n_bits)
+                       for t in range(n_tables)])
+    return c.select("cand", "c_vec", "c_nrm", F.posexplode(tables).alias("t", "bucket"))
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_bits: int = 8, n_tables: int = 4) -> DataFrame:
+             n_bits: int = 8, n_tables: int = 4,
+             index: DataFrame | None = None) -> DataFrame:
     """Approximate cosine top-k: multi-table random-hyperplane LSH.
 
     A pair is a candidate if ANY of the ``n_tables`` independent b-bit
@@ -200,38 +240,48 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     key generates candidates — candidate volume scales with bucket sizes
     × L, never |Q|·|corpus|, and the corpus is scanned/hashed once (not
     L times as a per-table join-branch design would).
+
+    ``index``: a prebuilt ``lsh_build_index`` table (same n_bits/n_tables)
+    — the serve path; when omitted the index is built inline.
     """
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_raw")) \
-        .withColumn("q_vec", V.as_double(F.col("q_raw")))
-    c = _spread(corpus.select(F.col(id_col).alias("cand"), F.col(vec_col).alias("c_raw"))
-                .withColumn("c_vec", V.as_double(F.col("c_raw"))))
+    dim = _vec_dim(corpus, vec_col)
+    q = (queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_raw"))
+         .withColumn("q_vec", V.as_double(F.col("q_raw")))
+         .withColumn("q_nrm", F.expr(_vnorm_sql("q_vec"))))
+    c_keyed = index if index is not None else \
+        lsh_build_index(corpus, id_col, vec_col, n_bits, n_tables)
 
-    def keyed(df: DataFrame, id_out: str, raw_col: str, vec_out: str) -> DataFrame:
-        tables = F.array(*[hyperplane_bits(as_double_sql(raw_col), n_bits, offset=t * n_bits)
-                           for t in range(n_tables)])
-        return df.select(id_out, vec_out, F.posexplode(tables).alias("t", "bucket"))
+    q_tables = F.array(*[hyperplane_bits(as_double_sql("q_raw"), n_bits, offset=t * n_bits)
+                         for t in range(n_tables)])
+    q_keyed = q.select("qid", "q_vec", "q_nrm",
+                       F.posexplode(q_tables).alias("t", "bucket"))
 
-    # Vectors ride along through the bucket join so no join-back is needed
-    # after dedup — one shuffle total. The explicit-N hash repartition on
-    # the dedup keys feeds the dedup aggregate (exchange reuse, no second
-    # shuffle) and opts out of AQE bytes-based coalescing: id pairs are
-    # tiny in bytes but each costs a cosine downstream, so a coalesced
-    # single task would serialize the scoring stage. Duplicate (qid, cand)
-    # rows carry identical vectors, so dropDuplicates is value-deterministic.
-    parallelism = queries.sparkSession.sparkContext.defaultParallelism
-    cands = (
-        F.broadcast(keyed(q, "qid", "q_raw", "q_vec"))
-        .join(keyed(c, "cand", "c_raw", "c_vec"), ["t", "bucket"])
+    # Score BEFORE the dedup shuffle: the bucket join's output is map-side
+    # partitioned (broadcast preserves the spread index side), so each
+    # candidate pair pays its dot product where the vectors already are,
+    # and only (qid, cand, score) — a few dozen bytes — ever shuffles.
+    # The old shape deduped first, which shuffled two dim-length double
+    # arrays per pair (~1 KB/row, the measured bottleneck). A pair that
+    # collides in several tables is scored that many times (≤ n_tables,
+    # map-side, embarrassingly parallel) — the classic shuffle-vs-
+    # recompute trade at 100 TB where the shuffle is the scarce resource.
+    # Score is a pure function of the pair, so dropDuplicates stays
+    # value-deterministic. Hoisted norms + dim-unrolled dot = one
+    # codegen'd multiply-add chain per pair, bit-identical to V.cosine
+    # (same fold order; oracle-pinned).
+    pair_dot = V.dot_expr("q_vec", "c_vec", dim) if dim else \
+        V.dot(F.col("q_vec"), F.col("c_vec"))
+    denom = F.col("q_nrm") * F.col("c_nrm")
+    scored = (
+        F.broadcast(q_keyed)
+        .join(c_keyed, ["t", "bucket"])
         .filter(F.col("cand") != F.col("qid"))
-        .select("qid", "cand", "q_vec", "c_vec")
-        .repartition(parallelism, "qid", "cand")
+        .withColumn("score",
+                    fround(F.when(denom > 0, pair_dot / denom).otherwise(F.lit(0.0)),
+                           ROUND_SCORE))
+        .select("qid", "cand", "score")
         .dropDuplicates(["qid", "cand"])
     )
-    # HOF cosine, not the dim-unrolled form: candidate volume here is
-    # bucket-pruned (low pair count), so driver-side expression build
-    # cost dominates any per-pair execution savings from unrolling.
-    scored = cands.withColumn(
-        "score", fround(V.cosine(F.col("q_vec"), F.col("c_vec")), ROUND_SCORE))
     return topk_per_query(scored, k).select("qid", "cand", "score", "rank")
 
 
@@ -414,10 +464,33 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
         "centroid_id bigint, cent_vec array<double>")
 
 
+def ivf_build_lists(corpus: DataFrame, cents: list[tuple[int, list[float]]],
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF inverted-list index: (vid, c_vec, c_nrm, centroid_id).
+
+    Index construction — one map-side pass (literal-centroid argmax, no
+    shuffle) that also precomputes each vector's L2 norm so the serve
+    path's per-pair work is a single dot + divide. At 100 TB: persist
+    this partitioned by ``centroid_id`` (partition pruning turns a query
+    into an ``nprobe``-list scan); here callers persist() and reuse.
+    """
+    return (
+        _spread(corpus.select(F.col(id_col).alias("vid"),
+                              F.col(vec_col).alias("raw_vec")))
+        .withColumn("c_vec", V.as_double(F.col("raw_vec")))
+        .withColumn("c_nrm", F.expr(_vnorm_sql("c_vec")))
+        .withColumn("centroid_id",
+                    F.expr(_argmax_centroid_sql(cents, "c_vec", "c_nrm")))
+        .select("vid", "c_vec", "c_nrm", "centroid_id")
+    )
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int = 16,
              nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
              kmeans_iters: int = 2,
-             centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
+             centroids: list[tuple[int, list[float]]] | None = None,
+             lists: DataFrame | None = None) -> DataFrame:
     """IVF-style approximate search with a deterministic k-means quantizer.
 
     The codebook is ``kmeans_centroids_local`` (seeded init = first ids,
@@ -444,27 +517,34 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int = 1
     if not cents:
         return queries.sparkSession.createDataFrame(
             [], "qid long, cand long, score double, rank int")
-    lists = (
-        _spread(corpus.select(F.col(id_col).alias("vid"),
-                              F.col(vec_col).alias("raw_vec")))
-        .withColumn("vec", V.as_double(F.col("raw_vec")))
-        .withColumn("vnorm", F.expr(_vnorm_sql("vec")))
-        .withColumn("centroid_id", F.expr(_argmax_centroid_sql(cents)))
-        .select("vid", "raw_vec", "centroid_id")
-    )
+    if lists is None:
+        lists = ivf_build_lists(corpus, cents, id_col, vec_col)
+    dim = _vec_dim(corpus, vec_col)
     probes = (
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_raw"))
         .withColumn("vec", V.as_double(F.col("q_raw")))
         .withColumn("vnorm", F.expr(_vnorm_sql("vec")))
         .withColumn("centroid_id",
                     F.explode(F.expr(_probe_centroids_sql(cents, nprobe))))
-        .select("qid", F.col("vec").alias("q_vec"), "centroid_id")
+        .select("qid", F.col("vec").alias("q_vec"),
+                F.col("vnorm").alias("q_nrm"), "centroid_id")
     )
+    # Hoisted-norm scoring (the _scored_pairs discipline): both sides
+    # carry their sqrt(v·v) — the index stores it, probes compute it once
+    # per query — so the per-pair expression is one dim-unrolled dot +
+    # divide. Same ops in the same fold order as V.cosine → bit-identical
+    # scores (the oracle pins this), but codegen'd instead of 3 interpreted
+    # HOF folds per candidate pair.
+    pair_dot = V.dot_expr("q_vec", "c_vec", dim) if dim else \
+        V.dot(F.col("q_vec"), F.col("c_vec"))
+    denom = F.col("q_nrm") * F.col("c_nrm")
     scored = (
         F.broadcast(probes)
         .join(lists, "centroid_id")
         .filter(F.col("vid") != F.col("qid"))
-        .withColumn("score", fround(V.cosine(F.col("q_vec"), V.as_double(F.col("raw_vec"))), ROUND_SCORE))
+        .withColumn("score",
+                    fround(F.when(denom > 0, pair_dot / denom).otherwise(F.lit(0.0)),
+                           ROUND_SCORE))
         .withColumnRenamed("vid", "cand")
     )
     return topk_per_query(scored, k).select("qid", "cand", "score", "rank")

@@ -73,6 +73,10 @@ def test_lsh_topk_is_equijoin_not_crossjoin(spark, sf_dir):
 def test_lsh_topk_multitable_scans_corpus_once(spark, sf_dir):
     """Multi-table LSH must hash all tables in ONE corpus pass (posexplode),
     not one join branch per table re-scanning the corpus L times."""
+    # an earlier test may have persisted an LSH index whose lineage
+    # plan-matches this build — the resulting InMemoryRelation dump nests
+    # extra Scan nodes and breaks the scan count; assert the cold shape
+    spark.catalog.clearCache()
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.lsh_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, 10,
                               n_bits=5, n_tables=8)
