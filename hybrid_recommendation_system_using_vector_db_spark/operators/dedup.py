@@ -24,6 +24,7 @@ from ..functions.portable import fround
 from .. import ROUND_SCORE
 from ..functions import texttools as TT
 from ..functions.hashing import hex_nibble_value, minhash
+from .similarity import _spread
 
 
 def exact_dedup(documents: DataFrame, id_col: str = "doc_id",
@@ -46,10 +47,18 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = 4,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-doc MinHash signature columns (``n_hashes`` independent hashes)."""
+    """Per-doc MinHash signature columns (``n_hashes`` independent hashes).
+
+    ``_spread`` first: the n_hashes × |tokens| md5 evaluations are the
+    expensive map-side stage, and a corpus read from one parquet file
+    would otherwise hash every document on one core (measured 2× on the
+    sf0.1 bench; a no-op on a many-file 100 TB scan).
+    """
     toks = TT.distinct_tokens(F.col(text_col))
     cols = [minhash(toks, i).alias(f"mh{i}") for i in range(n_hashes)]
-    return documents.select(F.col(id_col).alias("doc_id"), *cols)
+    return _spread(documents.select(F.col(id_col).alias("doc_id"),
+                                    F.col(text_col).alias(text_col))) \
+        .select("doc_id", *cols)
 
 
 def _minhash_band_chain(sigs: DataFrame, n_hashes: int = 8,
@@ -159,8 +168,9 @@ def simhash_fingerprints(documents: DataFrame, n_bits: int = 16,
     """
     spark = documents.sparkSession
     pos = spark.range(n_bits).select(F.col("id").cast("int").alias("pos"))
-    tok = documents.select(
-        F.col(id_col).alias("doc_id"),
+    tok = _spread(documents.select(F.col(id_col).alias("doc_id"),
+                                   F.col(text_col).alias(text_col))).select(
+        "doc_id",
         F.explode(TT.distinct_tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
     contrib = (
@@ -360,9 +370,12 @@ def jaccard_neardup_pairs(documents: DataFrame, threshold: float = 0.5,
       wrong at scale. Kept for small-data parity; prefer the chained
       pipeline (``minhash_jaccard_neardup`` in the query surface).
     """
-    sh = documents.select(
+    sh = _spread(documents.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
+        F.col(text_col).alias(text_col),
+    )).select(
+        "doc_id", "block",
         F.array_distinct(TT.word_ngrams(TT.tokens(F.col(text_col)), shingle_n)).alias("sh"),
     )
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))

@@ -272,6 +272,14 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     pair_dot = V.dot_expr("q_vec", "c_vec", dim) if dim else \
         V.dot(F.col("q_vec"), F.col("c_vec"))
     denom = F.col("q_nrm") * F.col("c_nrm")
+    # ONE shuffle end-to-end: the explicit qid repartition feeds BOTH the
+    # dedup aggregate (clustering (qid, cand) ⊇ qid → EnsureRequirements
+    # elides its exchange; partial agg still combines map-side) and the
+    # top-k window (clustering qid) — the old dedup-then-window shape paid
+    # two back-to-back exchanges on ~the same rows. Explicit-N also opts
+    # out of AQE bytes-based coalescing: post-score rows are tiny in bytes
+    # but the window sort behind them should stay wide.
+    parallelism = queries.sparkSession.sparkContext.defaultParallelism
     scored = (
         F.broadcast(q_keyed)
         .join(c_keyed, ["t", "bucket"])
@@ -280,6 +288,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
                     fround(F.when(denom > 0, pair_dot / denom).otherwise(F.lit(0.0)),
                            ROUND_SCORE))
         .select("qid", "cand", "score")
+        .repartition(parallelism, "qid")
         .dropDuplicates(["qid", "cand"])
     )
     return topk_per_query(scored, k).select("qid", "cand", "score", "rank")
