@@ -138,12 +138,14 @@ def _hybrid_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K,
     queries = _eval_queries(universe)
     edges = _served_edges(spark, sf_dir)
     names = _names(spark, sf_dir) if with_names else None
-    # content candidates via the GEMM exact scorer: hash-identical to the
-    # declarative cosine_topk by construction (same fround rounding, same
-    # tiebreaks — pinned green by content_topk_gemm's oracle entry), so
-    # the hybrid oracle SQL is untouched, but the query × corpus scoring
-    # runs as one vectorized local-top-k pass instead of a window over
-    # the full pair stream.
+    # content candidates via the GEMM exact scorer. Same fround rounding
+    # and tiebreaks as the declarative cosine_topk, but NumPy's GEMM uses
+    # pairwise summation while the SQL path is a left fold — so equality
+    # after round-to-6 is EMPIRICALLY pinned by content_topk_gemm's own
+    # oracle entry (a score within an ULP of a 0.5 rounding boundary
+    # could in principle flip), not guaranteed by construction. The win:
+    # query × corpus scoring runs as one vectorized local-top-k pass
+    # instead of a window over the full pair stream.
     cands = similarity.cosine_topk_gemm(queries, universe, CONTENT_TOP_N)
     return hybrid.hybrid_recommend(queries, universe, edges, names, k=k,
                                    content_candidates=cands)
@@ -315,8 +317,9 @@ def q_precision_eval(spark, sf_dir):
     # reference-faithful pools (Hybrid_Recom_vecdb.py:254-256): the eval
     # builds BOTH candidate pools with top_n = maxK, not the serving-path
     # 60-pool — rank once to max_k and share it across both models.
-    # GEMM scorer = exact twin of cosine_topk (content_topk_gemm's green
-    # oracle pins the hash identity), so the eval oracle is unchanged.
+    # GEMM scorer ≡ cosine_topk is empirically pinned by
+    # content_topk_gemm's green oracle (pairwise vs left-fold summation
+    # differ pre-rounding), so the eval oracle is unchanged.
     # persist: `ranked` feeds both models (edges_all is already persisted
     # by _served_edges) — without it Spark re-executes the GEMM lineage
     # per consumer.

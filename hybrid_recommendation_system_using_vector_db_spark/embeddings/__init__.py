@@ -27,7 +27,13 @@ def _hash_embed_texts(texts, dim: int = EMBED_DIM):
 
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for i, t in enumerate(texts):
-        for tok in str(t).lower().split():
+        # split on single spaces (the repo-wide _TOKS convention), NOT
+        # str.split()'s any-whitespace runs: the DuckDB oracle tokenizes
+        # with string_split(text, ' '), and a tab/newline in a document
+        # would silently diverge the two engines (ADVICE r2)
+        for tok in str(t).lower().split(" "):
+            if not tok:
+                continue
             h = hashlib.md5(tok.encode("utf-8")).hexdigest()
             bucket = int(h[:8], 16) % dim
             sign = 1.0 if int(h[8], 16) >= 8 else -1.0

@@ -129,26 +129,47 @@ def stateful_user_stats(events: DataFrame):
     )
 
 
-def _read_state_pointer(state_path: str) -> tuple[str | None, int]:
-    """(current snapshot dir name, last merged epoch) from ``_CURRENT``."""
+def _read_state_pointer(state_path: str) -> tuple[str | None, int, str | None]:
+    """(snapshot dir, last merged epoch, owning run id) from ``_CURRENT``."""
     cur = os.path.join(state_path, "_CURRENT")
     if not os.path.exists(cur):
-        return None, -1
+        return None, -1, None
     with open(cur) as f:
         lines = f.read().strip().split("\n")
-    return lines[0], int(lines[1])
+    run_id = lines[2] if len(lines) > 2 else None
+    return lines[0], int(lines[1]), run_id
 
 
 def read_edge_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     """Read the live edge-state snapshot (None if no merge has run yet)."""
-    name, _ = _read_state_pointer(state_path)
+    name, _, _ = _read_state_pointer(state_path)
     if name is None:
         return None
     return spark.read.parquet(os.path.join(state_path, name))
 
 
+def checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The streaming query id recorded in a checkpoint's metadata file.
+
+    Spark writes ``<checkpoint>/metadata`` (JSON ``{"id": ...}``) when a
+    query first starts against the location and regenerates it when the
+    checkpoint is cleared — so this id is exactly the identity whose
+    change signals that epoch numbering restarted from 0.
+    """
+    path = os.path.join(checkpoint_dir, "metadata")
+    if not os.path.exists(path):
+        return None
+    import json
+    try:
+        with open(path) as f:
+            return str(json.load(f).get("id"))
+    except (ValueError, OSError):
+        return None
+
+
 def merge_edge_batch(batch: DataFrame, state_path: str,
-                     epoch_id: int | None = None) -> None:
+                     epoch_id: int | None = None,
+                     run_id: str | None = None) -> None:
     """Idempotent MERGE of one micro-batch into versioned parquet edge state.
 
     Plain parquet has no MERGE INTO, so state lives as immutable snapshot
@@ -161,10 +182,19 @@ def merge_edge_batch(batch: DataFrame, state_path: str,
     MERGE INTO at production scale (same hook, transactional log instead
     of the pointer file); partition snapshots by bucket(src) at 100 TB so
     a merge rewrites only touched buckets.
+
+    ``run_id`` is the checkpoint identity (``checkpoint_query_id``): epoch
+    ids restart from 0 when the checkpoint location is cleared while state
+    is retained, so the replay-skip only applies within the SAME run —
+    a new run id resets the epoch watermark instead of silently dropping
+    every batch until the counter catches up (ADVICE r2).
     """
     spark = batch.sparkSession
     os.makedirs(state_path, exist_ok=True)
-    cur_name, last_epoch = _read_state_pointer(state_path)
+    cur_name, last_epoch, state_run = _read_state_pointer(state_path)
+    same_run = run_id is None or state_run is None or run_id == state_run
+    if not same_run:
+        last_epoch = -1  # fresh checkpoint: epoch numbering restarted
     if epoch_id is not None and epoch_id <= last_epoch:
         return  # at-least-once replay of an already-merged batch
     deltas = batch.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
@@ -181,8 +211,9 @@ def merge_edge_batch(batch: DataFrame, state_path: str,
     new_name = f"v{new_epoch}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_name))
     tmp = os.path.join(state_path, "_CURRENT.tmp")
+    keep_run = run_id if run_id is not None else (state_run if same_run else None)
     with open(tmp, "w") as f:
-        f.write(f"{new_name}\n{new_epoch}\n")
+        f.write(f"{new_name}\n{new_epoch}\n{keep_run or ''}\n")
     os.replace(tmp, os.path.join(state_path, "_CURRENT"))
     if cur_name is not None and cur_name != new_name:
         import shutil
@@ -201,7 +232,10 @@ def incremental_copurchase(order_lines: DataFrame, state_path: str,
         a = batch.select(F.col("order_id").alias("ok"), F.col("item_id").alias("src"))
         b = batch.select(F.col("order_id").alias("ok"), F.col("item_id").alias("dst"))
         pairs = a.join(b, "ok").filter(F.col("src") != F.col("dst")).select("src", "dst")
-        merge_edge_batch(pairs, state_path, epoch_id)
+        # checkpoint metadata exists by the time the first batch fires; the
+        # query id it carries scopes the epoch-replay skip to this run
+        merge_edge_batch(pairs, state_path, epoch_id,
+                         run_id=checkpoint_query_id(checkpoint_dir))
 
     return (
         order_lines.writeStream.foreachBatch(process)

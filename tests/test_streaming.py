@@ -106,3 +106,23 @@ def test_merge_edge_batch_replay_is_idempotent(spark, tmp_path):
     merge_edge_batch(pairs, state, epoch_id=1)  # a genuinely new epoch merges
     edges = {(r.src, r.dst): r.weight for r in read_edge_state(spark, state).collect()}
     assert edges == {(10, 11): 2, (10, 12): 2}
+
+
+def test_merge_edge_batch_run_identity_resets_epoch(spark, tmp_path):
+    """A new checkpoint identity restarts epoch numbering at 0; the merge
+    must treat that as fresh work, not a replay to skip (ADVICE r2)."""
+    state = str(tmp_path / "edges_state_runid")
+    pairs = spark.createDataFrame([(10, 11)], "src long, dst long")
+    merge_edge_batch(pairs, state, epoch_id=5, run_id="run-A")
+    # same run, epoch regression -> replay, skipped
+    merge_edge_batch(pairs, state, epoch_id=0, run_id="run-A")
+    edges = {(r.src, r.dst): r.weight for r in read_edge_state(spark, state).collect()}
+    assert edges == {(10, 11): 1}
+    # NEW run (checkpoint cleared): epoch 0 is legitimate new work
+    merge_edge_batch(pairs, state, epoch_id=0, run_id="run-B")
+    edges = {(r.src, r.dst): r.weight for r in read_edge_state(spark, state).collect()}
+    assert edges == {(10, 11): 2}
+    # and the new run's own replays still dedup
+    merge_edge_batch(pairs, state, epoch_id=0, run_id="run-B")
+    edges = {(r.src, r.dst): r.weight for r in read_edge_state(spark, state).collect()}
+    assert edges == {(10, 11): 2}
