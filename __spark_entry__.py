@@ -460,6 +460,24 @@ def q_dedup_clusters_star(spark, sf_dir):
     return dedup.connected_components_star(pairs, docs.select("doc_id"))
 
 
+def q_dedup_clusters_chained(spark, sf_dir):
+    """The flagship clustering pipeline — every stage linear in the corpus.
+
+    banded-MinHash chain links (candidate generation, output linear) →
+    exact n-gram-Jaccard verify over exactly those candidates →
+    large-star/small-star connected components (O(log n) rounds).
+    This is the 100 TB dedup ground-truth shape (VERDICT r2 next #1);
+    ``dedup_clusters``/``_star`` remain as the small-data parity pair for
+    the legacy within-block candidate generator, whose within-block
+    quadratic pair space this pipeline exists to avoid."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=8)
+    cand = dedup.minhash_band_links(sigs, n_hashes=8, n_bands=4)
+    pairs = dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD,
+                                        candidates=cand)
+    return dedup.connected_components_star(pairs, docs.select("doc_id"))
+
+
 def q_simhash_neardup(spark, sf_dir):
     # 32-bit fingerprints (md5 yields one portable bit per hex nibble, 32
     # max): a 16-bit space holds 65k distinct values and saturates on any
@@ -704,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_clusters_chained": q_dedup_clusters_chained,
         "jaccard_neardup": q_jaccard_neardup,
         # --- text analysis extensions ---
         "token_stats": q_token_stats,
@@ -1562,6 +1581,26 @@ sh AS (SELECT doc_id, source AS block, {shingles} AS sh FROM tk),
 jpairs AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2
   FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+    AND floor((len(list_intersect(a.sh, b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 >= {JACCARD_THRESHOLD}
+),
+und AS (SELECT id1 AS a, id2 AS b FROM jpairs UNION ALL SELECT id2, id1 FROM jpairs),
+reach(id, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.b, r.l FROM reach r JOIN und u ON u.a = r.id
+)
+SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id
+""",
+
+        "dedup_clusters_chained": f"""
+WITH RECURSIVE {_minhash_cand_cte()},
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+shg AS (SELECT doc_id, {shingles} AS sh FROM tk),
+jpairs AS (
+  SELECT c.id1, c.id2
+  FROM cand c JOIN shg a ON c.id1 = a.doc_id JOIN shg b ON c.id2 = b.doc_id
   WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
     AND floor((len(list_intersect(a.sh, b.sh))::DOUBLE /
         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 >= {JACCARD_THRESHOLD}
