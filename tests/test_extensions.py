@@ -291,3 +291,58 @@ def test_multiprobe_lsh_recall_floor(spark):
     r_mp = recall(1)
     assert r_mp >= 0.9, f"multi-probe recall@10 regressed below floor: {r_mp}"
     assert r_mp > recall(0), "multi-probe should strictly improve recall"
+
+
+def test_hnsw_topk_gated_without_dependency(spark, sf_dir):
+    """hnswlib is absent in this container: the operator must gate cleanly."""
+    import pytest as _pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(NotImplementedError, match="hnswlib"):
+        similarity.hnsw_topk(emb.limit(2), emb, 5)
+
+
+def test_hnsw_topk_plumbing_with_fake_index(spark):
+    """Injected exact fake index proves the mapInPandas plumbing: per-
+    partition build, self-exclusion, local-top-k merge, rounding, ties.
+    With an exact index the result must equal cosine_topk."""
+    import numpy as np
+
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    class FakeHnsw:
+        """Brute-force stand-in with the hnswlib Index surface."""
+
+        def __init__(self, dim):
+            self.vecs, self.ids = None, None
+
+        def add_items(self, mat, ids):
+            self.vecs, self.ids = np.asarray(mat, dtype=np.float64), np.asarray(ids)
+
+        def knn_query(self, q, k):
+            q = np.asarray(q, dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1); qn[qn == 0] = 1.0
+            cn = np.linalg.norm(self.vecs, axis=1); cn[cn == 0] = 1.0
+            sims = (q / qn[:, None]) @ (self.vecs / cn[:, None]).T
+            labels, dists = [], []
+            for row in sims:
+                order = np.lexsort((self.ids, -row))[:k]
+                labels.append(self.ids[order])
+                dists.append(1.0 - row[order])
+            return np.array(labels), np.array(dists)
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter((emb.vec_id % 50) == 0)
+    for nparts in (1, 4):
+        got = similarity.hnsw_topk(qs, emb.repartition(nparts), 10,
+                                   index_factory=lambda dim: FakeHnsw(dim)) \
+            .orderBy("qid", "rank").collect()
+        want = similarity.cosine_topk(qs, emb, 10).orderBy("qid", "rank").collect()
+        assert [(r.qid, r.cand, r.rank) for r in got] == \
+               [(r.qid, r.cand, r.rank) for r in want]
+        assert all(abs(g.score - w.score) < 1e-9 for g, w in zip(got, want))
