@@ -45,7 +45,8 @@ def hybrid_recommend(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
                      alpha: float = ALPHA, content_top_n: int = CONTENT_TOP_N,
                      cf_top_n: int = CF_TOP_N, k: int = TOP_K,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     content_candidates: DataFrame | None = None) -> DataFrame:
+                     content_candidates: DataFrame | None = None,
+                     cf_candidates: DataFrame | None = None) -> DataFrame:
     """Full hybrid top-k for a query table, as a single declarative plan.
 
     queries:  (id_col, vec_col) — items to recommend for
@@ -58,6 +59,12 @@ def hybrid_recommend(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
               rank) with rank ≤ content_top_n — lets callers that also need
               the content-only ranking (the eval harness) score the
               query × corpus pairs once instead of twice
+    cf_candidates: optional precomputed ``cf_topn`` table (src, dst,
+              cf_score, cf_rank) built with rank ≥ cf_top_n — the served
+              CF index: the reference keeps its co-purchase dict in
+              memory across queries, the Spark analogue is this persisted
+              ranking reused across serve calls instead of re-running the
+              normalize+rank window per query
     """
     if content_candidates is not None:
         content = content_candidates.filter(F.col("rank") <= content_top_n) \
@@ -65,9 +72,14 @@ def hybrid_recommend(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
     else:
         content = similarity.cosine_topk(queries, corpus, content_top_n, id_col, vec_col) \
             .select("qid", "cand", F.col("score").alias("content_score"))
-    cf = cf_topn(restrict_to_universe(edges, corpus, id_col), cf_top_n) \
-        .select(F.col("src").alias("qid"), F.col("dst").alias("cand"),
-                F.col("cf_score"))
+    if cf_candidates is not None:
+        cf = cf_candidates.filter(F.col("cf_rank") <= cf_top_n) \
+            .select(F.col("src").alias("qid"), F.col("dst").alias("cand"),
+                    F.col("cf_score"))
+    else:
+        cf = cf_topn(restrict_to_universe(edges, corpus, id_col), cf_top_n) \
+            .select(F.col("src").alias("qid"), F.col("dst").alias("cand"),
+                    F.col("cf_score"))
     # keep only CF rows for the queried items (predicate pushes into the window)
     cf = cf.join(F.broadcast(queries.select(F.col(id_col).alias("qid"))), "qid", "left_semi")
 

@@ -87,7 +87,8 @@ def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
 
 def _scored_pairs(queries: DataFrame, corpus: DataFrame,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  dim: int | None = None) -> DataFrame:
     """Broadcast-join queries × corpus with rounded cosine, self excluded (B4).
 
     L2 norms are hoisted per-row (HOF fold, cheap to build) so the
@@ -97,7 +98,8 @@ def _scored_pairs(queries: DataFrame, corpus: DataFrame,
     method limit inside the join (silent interpreted fallback). The
     hoisted form is the same ops in the same order → bitwise-identical.
     """
-    dim = _vec_dim(corpus, vec_col)
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("qid"),
         V.as_double(F.col(vec_col)).alias("q_vec"),
@@ -125,35 +127,49 @@ def topk_per_query(scored: DataFrame, k: int, score_col: str = "score",
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
     """Exact brute-force cosine top-k (the C5 oracle path).
 
     Plan shape: broadcast(queries) × corpus scan (pruned to id+vec) →
     codegen'd cosine → per-query window top-k. No shuffle on the corpus
     side except the final window (hash on qid, |Q|·k rows).
+    ``dim``: pass the known embedding dimensionality to skip the probe job.
     """
     return (
-        topk_per_query(_scored_pairs(queries, corpus, id_col, vec_col), k)
+        topk_per_query(_scored_pairs(queries, corpus, id_col, vec_col, dim), k)
         .select("qid", "cand", "score", "rank")
     )
 
 
 def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_local=None) -> DataFrame:
     """Exact cosine top-k via NumPy GEMM in ``mapInPandas`` (fast path).
 
     The query matrix is captured in the closure (broadcast by Spark's task
     serializer — fine up to ~10⁵ queries), each partition computes a
     (batch × queries) GEMM and keeps only its local top-k per query; the
     final exact top-k is a small window over ≤ partitions·|Q|·k rows.
+
+    ``q_local``: optional pre-collected ``(ids, matrix)`` for the query
+    side — serving chains that answer the same query set repeatedly
+    collect it once and skip this call's driver job (the reference holds
+    its query vectors in process for the same reason).
     """
     import numpy as np
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        return cosine_topk(queries, corpus, k, id_col, vec_col)
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if q_local is None:
+        q_rows = queries.select(id_col, vec_col).collect()
+        if not q_rows:
+            return cosine_topk(queries, corpus, k, id_col, vec_col)
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    else:
+        q_ids = np.asarray(q_local[0], dtype=np.int64)
+        q_mat = np.asarray(q_local[1], dtype=np.float64)
+        if q_ids.size == 0:
+            return cosine_topk(queries, corpus, k, id_col, vec_col)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm[q_norm == 0] = 1.0
     qn = q_mat / q_norm[:, None]
@@ -550,7 +566,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int = 1
              nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
              kmeans_iters: int = 2,
              centroids: list[tuple[int, list[float]]] | None = None,
-             lists: DataFrame | None = None) -> DataFrame:
+             lists: DataFrame | None = None,
+             dim: int | None = None) -> DataFrame:
     """IVF-style approximate search with a deterministic k-means quantizer.
 
     The codebook is ``kmeans_centroids_local`` (seeded init = first ids,
@@ -579,7 +596,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int = 1
             [], "qid long, cand long, score double, rank int")
     if lists is None:
         lists = ivf_build_lists(corpus, cents, id_col, vec_col)
-    dim = _vec_dim(corpus, vec_col)
+    if dim is None:
+        # the codebook IS the dim authority when supplied — no probe job
+        dim = len(cents[0][1]) if cents else _vec_dim(corpus, vec_col)
     probes = (
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_raw"))
         .withColumn("vec", V.as_double(F.col("q_raw")))
@@ -697,7 +716,8 @@ def hnsw_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
 def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            n_bits: int = 4, n_salts: int = 32) -> DataFrame:
+                            n_bits: int = 4, n_salts: int = 32,
+                            dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking.
 
     Self-join within LSH buckets (id1 < id2 halves the pair space), keep
@@ -709,7 +729,8 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     replication cost is n_salts copies of (id, vector) on one side —
     cheap relative to the pair volume it spreads.
     """
-    dim = _vec_dim(corpus, vec_col)
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
     spark = corpus.sparkSession
     # cast to double AND take the L2 norm BEFORE the pair join: per-row
     # cost, not per-pair cost. The per-pair expression is then one dot +
