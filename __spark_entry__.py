@@ -34,7 +34,7 @@ from hybrid_recommendation_system_using_vector_db_spark.embeddings import hashin
 from hybrid_recommendation_system_using_vector_db_spark.functions.hashing import (
     hyperplane_sql_bits,
 )
-from hybrid_recommendation_system_using_vector_db_spark.functions.portable import fround
+from hybrid_recommendation_system_using_vector_db_spark.functions.portable import epoch_seconds, fround
 from hybrid_recommendation_system_using_vector_db_spark.functions.texttools import STOPWORDS
 from hybrid_recommendation_system_using_vector_db_spark.operators import (
     asof,
@@ -743,7 +743,7 @@ def q_sessionization(spark, sf_dir):
     from pyspark.sql import Window
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+    gap = epoch_seconds("ts") - epoch_seconds("prev_ts")
     return (
         ev.withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn("is_new",

@@ -39,18 +39,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table. Parquet scan → full predicate pushdown
     and column pruning apply to everything built on top.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects by default; read nanos as long and convert to a
-    microsecond timestamp (truncation — same as DuckDB's ns→µs view).
+    ``events.parquet`` has been written with different physical timestamp
+    encodings across testdata generations — TIMESTAMP(NANOS) (readable
+    only as long) and µs without isAdjustedToUTC (loads as TIMESTAMP_NTZ
+    in Spark 4, which no numeric cast accepts). Normalize both to a plain
+    session-tz TIMESTAMP here so every downstream query sees one type;
+    the session tz is pinned UTC, so the instant is unchanged.
     """
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ wall times in the testdata are UTC instants; pin the
+        # session tz so the NTZ→TIMESTAMP cast below (and any epoch
+        # extraction downstream) is correct under a vanilla driver session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -25,3 +25,17 @@ def fround_sql(expr: str, digits: int = 6) -> str:
     """The identical computation as a SQL fragment (DuckDB oracle side)."""
     s = 10 ** digits
     return f"floor(({expr}) * {s} + 0.5) / {s}"
+
+
+def epoch_seconds(c: Column | str) -> Column:
+    """Epoch seconds (double) of a timestamp column, portable across
+    TIMESTAMP and TIMESTAMP_NTZ sources.
+
+    Parquet timestamps written without ``isAdjustedToUTC`` load as
+    TIMESTAMP_NTZ in Spark 4, which cannot cast directly to a numeric
+    type; the NTZ→TIMESTAMP hop interprets the wall time in the session
+    timezone, which the engine pins to UTC (session.py), so the result is
+    the same instant either way.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("timestamp").cast("double")

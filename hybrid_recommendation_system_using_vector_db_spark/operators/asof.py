@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hybrid_recommendation_system_using_vector_db_spark.functions.portable import epoch_seconds
+
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str = "ts", right_ts: str = "ts",
@@ -87,8 +89,9 @@ def purchase_attribution(events: DataFrame,
     return out.select(
         "user_id",
         F.col("event_id").alias("purchase_id"),
-        F.col("ts").cast("long").alias("purchase_ts"),
+        epoch_seconds("ts").cast("long").alias("purchase_ts"),
         F.col("match_id").alias("click_id"),
-        F.col("match_ts").cast("long").alias("click_ts"),
-        (F.col("ts").cast("long") - F.col("match_ts").cast("long")).alias("gap_s"),
+        epoch_seconds("match_ts").cast("long").alias("click_ts"),
+        (epoch_seconds("ts").cast("long")
+         - epoch_seconds("match_ts").cast("long")).alias("gap_s"),
     )

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hybrid_recommendation_system_using_vector_db_spark.functions.portable import epoch_seconds
+
 
 def range_join(points: DataFrame, intervals: DataFrame,
                point_col: str, lo_col: str, hi_col: str,
@@ -48,14 +50,14 @@ def cross_user_coactivity(events: DataFrame, window_s: int = 30) -> DataFrame:
     """
     ev = events.select(
         F.col("event_id"), F.col("user_id"),
-        F.col("ts").cast("double").alias("t"),
+        epoch_seconds("ts").alias("t"),
     )
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
-            (F.col("ts").cast("double") - window_s).alias("lo"),
-            (F.col("ts").cast("double") + window_s).alias("hi"),
+            (epoch_seconds("ts") - window_s).alias("lo"),
+            (epoch_seconds("ts") + window_s).alias("hi"),
         )
     )
     joined = range_join(ev, purchases, "t", "lo", "hi", bin_width=float(window_s))

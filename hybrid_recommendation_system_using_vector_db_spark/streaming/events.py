@@ -30,25 +30,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (nanos ts → µs timestamp)."""
+    """File-source stream over the events table, normalized to a session-tz
+    TIMESTAMP ``ts``.
+
+    The file source needs an explicit schema; hardcoding one couples the
+    job to the writer's physical timestamp encoding (the testdata has been
+    written both as TIMESTAMP(NANOS) — readable only as long — and as
+    µs TIMESTAMP_NTZ). Instead, take the schema from a one-off batch read
+    of the same footer, then normalize whatever ``ts`` arrived as:
+    long nanos → ``timestamp_micros``, NTZ/LTZ → plain cast (UTC session,
+    so the instant is unchanged).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = batch.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    return raw.withColumn("ts", ts)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
@@ -114,7 +122,10 @@ def stateful_user_stats(events: DataFrame):
                 continue
             n += len(pdf)
             v += float(pdf["value"].sum())
-            last = max(last, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
+            # Arrow hands ts back as datetime64 whose unit tracks the source
+            # (ns or µs) — go through pandas Timestamp.timestamp() (naive ==
+            # UTC under the pinned session tz) instead of assuming a unit.
+            last = max(last, int(pd.to_datetime(pdf["ts"]).max().timestamp()))
         state.update((n, v, last))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "total_value": [v], "last_seen": [last]})
