@@ -87,24 +87,67 @@ def main() -> None:
         except Exception:
             pass
 
-    # min of 2 runs per query: measures steady-state engine throughput, not
-    # first-run JIT/codegen compilation (which amortizes to zero at scale)
+    # min of N runs per query: measures steady-state engine throughput, not
+    # first-run JIT/codegen compilation (which amortizes to zero at scale).
+    # ALL iteration times are reported (VERDICT r2 #4: a single min hid a
+    # noisy-machine artifact in BENCH_r02), plus a load sentinel so a
+    # loaded-host run is identifiable after the fact.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
+    all_iters: dict[str, list] = {}
     total = 0.0
     for name in names:
-        best, n = float("inf"), 0
+        times: list[float] = []
+        n = 0
         try:
             for _ in range(iters):
                 t0 = time.perf_counter()
                 n = qmap[name](spark, SF_DIR).count()
-                best = min(best, time.perf_counter() - t0)
+                times.append(round(time.perf_counter() - t0, 3))
         except Exception as e:  # one broken query must not zero the report
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
             continue
-        timings[name] = round(best, 3)
+        best = min(times)
+        timings[name] = best
+        all_iters[name] = times
         total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {best:.3f}s ({n} rows) iters={times}", file=sys.stderr)
+
+    # index build phases, timed separately (VERDICT r2 #8): the serve-path
+    # entries above ride session-memoized persisted indexes, so the build
+    # cost would otherwise be invisible in the headline numbers. These are
+    # un-memoized single-shot builds (build cost is paid once per corpus
+    # in production — min-of-iters would just measure the scan cache).
+    from hybrid_recommendation_system_using_vector_db_spark.operators import (
+        copurchase, similarity,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    builds = {
+        "lsh_build": lambda: similarity.lsh_build_index(
+            emb, n_bits=5, n_tables=8).count(),
+        "ivf_build": lambda: similarity.ivf_build_lists(
+            emb, similarity.kmeans_centroids_local(emb, 16, 2)).count(),
+        "cf_build": lambda: copurchase.cf_topn(
+            copurchase.copurchase_edges(
+                load_table(spark, SF_DIR, "lineitem")), 60).count(),
+    }
+    build_timings: dict[str, float] = {}
+    for name, fn in builds.items():
+        try:
+            t0 = time.perf_counter()
+            n = fn()
+            dt = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+            continue
+        build_timings[name] = dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    try:
+        load_avg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_avg = []
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -116,6 +159,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "iters": all_iters,
+        "builds": build_timings,
+        "load_avg": load_avg,
         "sf": sf_val,
     }))
     spark.stop()

@@ -68,6 +68,26 @@ def hashing_embedder(documents: DataFrame, id_col: str = "doc_id",
 _MODEL_CACHE: dict = {}
 
 
+def _gated_model_factory(model_name: str, model_factory):
+    """Resolve the model factory, gating the default on the optional
+    sentence-transformers dependency (shared by both embedder variants)."""
+    if model_factory is not None:
+        return model_factory
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "sentence-transformers not installed in this environment; "
+            "use hashing_embedder for deterministic plumbing"
+        ) from e
+
+    def default_factory():
+        from sentence_transformers import SentenceTransformer
+        return SentenceTransformer(model_name, device="cpu")
+
+    return default_factory
+
+
 def model_embedder(documents: DataFrame, model_name: str = "sentence-transformers/all-MiniLM-L12-v2",
                    id_col: str = "doc_id", text_col: str = "text",
                    model_factory=None) -> DataFrame:
@@ -84,18 +104,7 @@ def model_embedder(documents: DataFrame, model_name: str = "sentence-transformer
     to loading the SentenceTransformer (requires the optional
     dependency); tests inject a deterministic fake to exercise the
     batching/caching/schema path without the library."""
-    if model_factory is None:
-        try:
-            import sentence_transformers  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "sentence-transformers not installed in this environment; "
-                "use hashing_embedder for deterministic plumbing"
-            ) from e
-
-        def model_factory():
-            from sentence_transformers import SentenceTransformer
-            return SentenceTransformer(model_name, device="cpu")
+    model_factory = _gated_model_factory(model_name, model_factory)
 
     def encode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -115,3 +124,44 @@ def model_embedder(documents: DataFrame, model_name: str = "sentence-transformer
     return documents.select(id_col, text_col).mapInPandas(
         encode, schema="doc_id long, embedding array<float>"
     )
+
+
+def model_embedder_pbu(documents: DataFrame,
+                       model_name: str = "sentence-transformers/all-MiniLM-L12-v2",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       model_factory=None, batch_size: int = 64) -> DataFrame:
+    """``predict_batch_udf`` variant of the model embedder (SURVEY §2.9,
+    Spark ≥ 3.4 — the API purpose-built for DL batch inference).
+
+    Same semantics and caching contract as ``model_embedder``; the
+    difference is mechanical: ``predict_batch_udf`` is a scalar column
+    expression rather than a whole-DataFrame transform, so it composes
+    with other projections in one pass and Spark handles the Arrow
+    batching + numpy conversion (``batch_size`` maps to the reference's
+    encode batch, ``Hybrid_Recom_vecdb.py:21``). The model loads once per
+    Python worker via the same ``_MODEL_CACHE`` singleton.
+    """
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    model_factory = _gated_model_factory(model_name, model_factory)
+
+    def make_predict_fn():
+        import numpy as np
+
+        if model_name not in _MODEL_CACHE:  # per-worker singleton
+            _MODEL_CACHE[model_name] = model_factory()
+        model = _MODEL_CACHE[model_name]
+
+        def predict(inputs):
+            vecs = model.encode([str(t) for t in inputs], batch_size=batch_size)
+            return np.asarray(vecs, dtype=np.float32)
+
+        return predict
+
+    udf = predict_batch_udf(make_predict_fn,
+                            return_type=T.ArrayType(T.FloatType()),
+                            batch_size=batch_size)
+    return documents.select(id_col, text_col).select(
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("embedding"))

@@ -60,7 +60,10 @@ def hybrid_recommend(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
               the content-only ranking (the eval harness) score the
               query × corpus pairs once instead of twice
     cf_candidates: optional precomputed ``cf_topn`` table (src, dst,
-              cf_score, cf_rank) built with rank ≥ cf_top_n — the served
+              cf_score, cf_rank) whose build pool depth (its ``max_n``)
+              is ≥ cf_top_n, so the ``cf_rank <= cf_top_n`` filter below
+              reproduces the inline computation — a shallower table would
+              silently truncate the CF pool. The served
               CF index: the reference keeps its co-purchase dict in
               memory across queries, the Spark analogue is this persisted
               ranking reused across serve calls instead of re-running the

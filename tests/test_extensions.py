@@ -205,6 +205,66 @@ def test_model_embedder_gated_without_dependency(spark):
         model_embedder(docs)
 
 
+def test_model_embedder_pbu_matches_mapinpandas(spark):
+    """The predict_batch_udf variant (SURVEY §2.9, VERDICT r2 #7) produces
+    the same rows and schema as the mapInPandas embedder for a
+    deterministic injected model."""
+    from hybrid_recommendation_system_using_vector_db_spark.embeddings import (
+        model_embedder, model_embedder_pbu)
+
+    def factory():
+        class DetModel:
+            def encode(self, texts, batch_size=32):
+                import numpy as np
+                return np.array([[float(len(t)), float(len(t)) % 7.0]
+                                 for t in texts], dtype=np.float64)
+        return DetModel()
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"))
+    a = model_embedder(docs, model_name="det-a", model_factory=factory)
+    b = model_embedder_pbu(docs, model_name="det-b", model_factory=factory,
+                           batch_size=16)
+    assert a.schema.simpleString() == b.schema.simpleString()
+    ra = {r.doc_id: list(r.embedding) for r in a.collect()}
+    rb = {r.doc_id: list(r.embedding) for r in b.collect()}
+    assert ra == rb
+
+
+def test_default_factory_branch_with_stub_module(spark, monkeypatch):
+    """The default sentence-transformers factory path (import + model
+    construction + device kwarg) exercised via a stubbed module in
+    sys.modules — covers the branch the import gate otherwise hides
+    (VERDICT r2 #7)."""
+    import sys
+    import types
+
+    from hybrid_recommendation_system_using_vector_db_spark import embeddings as emb_mod
+
+    stub = types.ModuleType("sentence_transformers")
+
+    class SentenceTransformer:
+        def __init__(self, name, device=None):
+            assert device == "cpu"
+            self.name = name
+
+        def encode(self, texts, batch_size=32):
+            import numpy as np
+            return np.array([[float(len(t))] for t in texts], dtype=np.float64)
+
+    stub.SentenceTransformer = SentenceTransformer
+    monkeypatch.setitem(sys.modules, "sentence_transformers", stub)
+    # driver-side only: Spark's python workers are separate processes
+    # that would not see the stubbed sys.modules entry, so exercise the
+    # factory (the gated import + construction + device kwarg) directly
+    factory = emb_mod._gated_model_factory("stub-model", None)
+    model = factory()
+    assert model.name == "stub-model"
+    vecs = model.encode(["ab", "abcd"])
+    assert [list(v) for v in vecs] == [[2.0], [4.0]]
+
+
 def test_stratified_sample_deterministic(spark, sf_dir):
     from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -232,6 +292,33 @@ def test_jaccard_candidate_mode_leaves_no_session_cache(spark):
     for _ in range(3):
         jaccard_neardup_pairs(docs, 0.1, candidates=cand).count()
     assert jsc.isEmpty(), "jaccard_neardup_pairs leaked entries into the CacheManager"
+
+
+def test_chained_dedup_candidate_volume_linear(spark, sf_dir):
+    """Candidate-link volume of the banded-MinHash chain stays linear in
+    corpus size (VERDICT r2 #9). Grown in place 1×→4× by id-shifted
+    union: links are per-bucket chains (length = bucket size − 1), so
+    growth tracks corpus growth — a quadratic generator would grow ≥16×."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    docs0 = load_table(spark, sf_dir, "documents")
+
+    def n_links(growth):
+        parts = [docs0.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                 for i in range(growth)]
+        docs = parts[0]
+        for p in parts[1:]:
+            docs = docs.unionByName(p)
+        sigs = dedup.minhash_signatures(docs, n_hashes=8)
+        return dedup.minhash_band_links(sigs, n_hashes=8, n_bands=4).count()
+
+    n1, n4 = n_links(1), n_links(4)
+    assert n1 > 0
+    # exact duplicates across the 4 shifted copies share every bucket, so
+    # growth slightly exceeds 4× (chains concatenate); quadratic would be 16×
+    assert n4 <= 6 * n1, f"candidate links grew superlinearly: {n1} -> {n4}"
+    assert n4 >= 3 * n1, f"candidate generation lost coverage: {n1} -> {n4}"
 
 
 def test_lsh_index_param_mismatch_raises(spark, sf_dir):
