@@ -99,6 +99,24 @@ def _universe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(part.select(F.col("p_partkey").alias("vec_id")), "vec_id", "left_semi")
 
 
+_UNIVERSE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _served_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once persisted universe for the serving/eval chains.
+
+    The reference's serve loop reads its in-memory catalog on every query
+    (`Hybrid_Recom_vecdb.py:150-165`); the per-call Spark twin re-ran the
+    embeddings×part semi-join (a scan + broadcast job) each call. Pure
+    function of the inputs → memoization cannot change results; the
+    un-memoized `_universe` remains the build-phase form.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, "universe")
+    if key not in _UNIVERSE_CACHE:
+        _UNIVERSE_CACHE[key] = _universe(spark, sf_dir).persist()
+    return _UNIVERSE_CACHE[key]
+
+
 def _eval_queries(universe: DataFrame) -> DataFrame:
     return universe.filter(F.col("vec_id") % QUERY_MOD == 0)
 
@@ -155,7 +173,7 @@ def _served_cf(spark: SparkSession, sf_dir: str, max_n: int = CF_TOP_N) -> DataF
     """
     key = (spark.sparkContext.applicationId, sf_dir, max_n)
     if key not in _CF_INDEX:
-        universe = _universe(spark, sf_dir)
+        universe = _served_universe(spark, sf_dir)
         edges = _served_edges(spark, sf_dir)
         _CF_INDEX[key] = copurchase.cf_topn(
             copurchase.restrict_to_universe(edges, universe), max_n).persist()
@@ -187,7 +205,7 @@ def _query_matrix(spark: SparkSession, sf_dir: str, tag: str,
 
 def _hybrid_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K,
                  with_names: bool = True) -> DataFrame:
-    universe = _universe(spark, sf_dir)
+    universe = _served_universe(spark, sf_dir)
     queries = _eval_queries(universe)
     edges = _served_edges(spark, sf_dir)
     names = _names(spark, sf_dir) if with_names else None
@@ -312,7 +330,7 @@ def _lsh_index(spark, sf_dir, universe_only: bool = False):
     """
     key = (spark.sparkContext.applicationId, sf_dir, "lsh", universe_only)
     if key not in _ANN_INDEXES:
-        corpus = _universe(spark, sf_dir) if universe_only \
+        corpus = _served_universe(spark, sf_dir) if universe_only \
             else load_table(spark, sf_dir, "embeddings")
         _ANN_INDEXES[key] = similarity.lsh_build_index(
             corpus, n_bits=5, n_tables=8).persist()
@@ -383,7 +401,7 @@ def q_hybrid_topk_ann(spark, sf_dir):
     corpus pass) instead of the O(|Q|·N) brute-force scorer — the shape
     that survives a 100× corpus. Brute force stays as the oracle's exact
     twin in ``hybrid_topk``; this entry pins the ANN chain's semantics."""
-    universe = _universe(spark, sf_dir)
+    universe = _served_universe(spark, sf_dir)
     queries = _eval_queries(universe)
     edges = _served_edges(spark, sf_dir)
     # multiprobe=1: the serving chain rides the HNSW-class-recall LSH
@@ -399,7 +417,7 @@ def q_hybrid_topk_ann(spark, sf_dir):
 
 
 def q_precision_eval(spark, sf_dir):
-    universe = _universe(spark, sf_dir)
+    universe = _served_universe(spark, sf_dir)
     edges_all = _served_edges(spark, sf_dir)
     redges = copurchase.restrict_to_universe(edges_all, universe)
     queries = _eval_queries(universe)

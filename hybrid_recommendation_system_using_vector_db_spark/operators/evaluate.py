@@ -37,8 +37,13 @@ def precision_at_k(ranked: dict[str, DataFrame], gt_edges: DataFrame,
 
     per_model = []
     for model, topk in ranked.items():
+        # gt is bounded by the eval design (ground-truth neighbors of the
+        # sampled eval queries — the reference evaluates 50 queries,
+        # :239-245), so broadcast it: the semi-join then preserves the
+        # ranked table's qid partitioning instead of shuffling both sides
+        # to (qid,cand), and the (qid,k) aggregate needs no exchange.
         hits = (
-            topk.join(gt, ["qid", "cand"], "left_semi")  # D4 intersection
+            topk.join(F.broadcast(gt), ["qid", "cand"], "left_semi")  # D4
             .crossJoin(F.broadcast(ks_df))
             .filter(F.col("rank") <= F.col("k"))
             .groupBy("qid", "k")
@@ -46,7 +51,9 @@ def precision_at_k(ranked: dict[str, DataFrame], gt_edges: DataFrame,
         )
         grid = queries.select("qid").crossJoin(F.broadcast(ks_df))
         per_q = (
-            grid.join(hits, ["qid", "k"], "left")
+            # hits ≤ |eval queries| × |ks| rows — broadcast it so the
+            # tiny grid side never shuffles
+            grid.join(F.broadcast(hits), ["qid", "k"], "left")
             .select(
                 "qid", "k",
                 (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k")).alias("p"),

@@ -86,8 +86,28 @@ def hybrid_recommend(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
     # keep only CF rows for the queried items (predicate pushes into the window)
     cf = cf.join(F.broadcast(queries.select(F.col(id_col).alias("qid"))), "qid", "left_semi")
 
+    # C2 full-outer fusion, written as union + per-(qid,cand) max instead
+    # of a two-sided shuffle join: each side is unique on (qid,cand), so
+    # max-of-one-plus-null ≡ the full_outer row. The single
+    # repartition("qid") is the ONLY exchange in the fusion+topk tail —
+    # HashPartitioning(qid) satisfies the clustering required by both the
+    # (qid,cand) aggregate and the final qid ranking window, where the
+    # join form re-shuffled both inputs to (qid,cand) and then the window
+    # shuffled again to qid (three exchanges; plan-pinned in
+    # test_plan_contracts).
+    tagged = (
+        content.select(
+            "qid", "cand", "content_score",
+            F.lit(None).cast("double").alias("cf_score"))
+        .unionByName(cf.select(
+            "qid", "cand",
+            F.lit(None).cast("double").alias("content_score"), "cf_score"))
+    )
     blended = (
-        content.join(cf, ["qid", "cand"], "full_outer")  # C2
+        tagged.repartition("qid")
+        .groupBy("qid", "cand")
+        .agg(F.max("content_score").alias("content_score"),
+             F.max("cf_score").alias("cf_score"))
         .select(
             "qid", "cand",
             F.coalesce("content_score", F.lit(0.0)).alias("content_score"),

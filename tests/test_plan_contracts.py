@@ -106,3 +106,41 @@ def test_topk_limit_is_rank_filter_not_global_sort(spark, sf_dir):
     out = similarity.cosine_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, 10)
     plan = formatted_plan(out)
     assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_hybrid_fusion_single_exchange_tail(spark, sf_dir):
+    """The C2 fusion + final top-k must ride ONE hash exchange (the
+    repartition by qid): the union+max-agg rewrite keeps the (qid,cand)
+    aggregate and the qid ranking window on the same partitioning, where
+    the old full_outer-join form shuffled both inputs to (qid,cand) and
+    then re-shuffled to qid for the window."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import hybrid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase.copurchase_edges(li)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = hybrid.hybrid_recommend(queries, emb, edges, None, k=10)
+    plan = formatted_plan(out)
+    # tail = everything above the fusion Union; count its hash exchanges.
+    tail = plan.split("Union", 1)[0]
+    n_ex = tail.count("Exchange hashpartitioning")
+    assert n_ex <= 1, f"fusion tail has {n_ex} hash exchanges:\n{tail}"
+    assert "FullOuter" not in plan, "fusion regressed to the join form"
+
+
+def test_serve_chain_job_count_bounded(spark):
+    """Steady-state hybrid serving must stay a small, bounded number of
+    Spark jobs (VERDICT r2 next #3): the memoized indexes (edges, CF,
+    universe, GEMM query matrix) mean a warm serve call pays only the
+    fusion plan's own actions — a regression that sneaks a per-call
+    probe/collect job back in fails here."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    m.queries()["hybrid_topk"](spark, sf).count()  # warm: builds indexes
+    st = spark.sparkContext.statusTracker()
+    j0 = max(st.getJobIdsForGroup() or [0])
+    m.queries()["hybrid_topk"](spark, sf).count()
+    jobs = max(st.getJobIdsForGroup() or [0]) - j0
+    assert jobs <= 8, f"warm hybrid_topk used {jobs} jobs (expected <= 8)"
