@@ -370,11 +370,28 @@ def jaccard_neardup_pairs(documents: DataFrame, threshold: float = 0.5,
       wrong at scale. Kept for small-data parity; prefer the chained
       pipeline (``minhash_jaccard_neardup`` in the query surface).
     """
-    sh = _spread(documents.select(
+    docs_sel = documents.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
         F.col(text_col).alias(text_col),
-    )).select(
+    )
+    if candidates is not None:
+        # materialize the candidate links once — they now feed three plan
+        # branches (two endpoint unions + the pair join), and the banded
+        # chain that produces them must not re-run per branch. Same
+        # localCheckpoint-not-persist lifecycle as the shingle table below.
+        candidates = candidates.select("id1", "id2").localCheckpoint(eager=True)
+        # shingle ONLY candidate endpoints: at scale the banded-LSH links
+        # touch a fraction of the corpus, and tokenize+ngram is the verify
+        # stage's dominant cost — the semi-join prunes it before the text
+        # is ever read (the filter lands below the shingle projection)
+        touched = (
+            candidates.select(F.col("id1").alias("doc_id"))
+            .unionByName(candidates.select(F.col("id2").alias("doc_id")))
+            .distinct()
+        )
+        docs_sel = docs_sel.join(touched, "doc_id", "left_semi")
+    sh = _spread(docs_sel).select(
         "doc_id", "block",
         F.array_distinct(TT.word_ngrams(TT.tokens(F.col(text_col)), shingle_n)).alias("sh"),
     )
