@@ -27,28 +27,32 @@ def resolve_queries(queries: DataFrame, names: DataFrame) -> DataFrame:
     returns: (qid, query_text, item_id nullable, name nullable)
     """
     q = queries.select("qid", F.trim(F.col("query_text")).alias("query_text"))
-    exact = (
+    # exact-id probe and substring theta-match in ONE pass over names:
+    # the OR-condition join is a BroadcastNestedLoopJoin over the tiny
+    # broadcast query side — the same cost the substring arm alone already
+    # paid, but names is scanned once instead of twice (two joins + a
+    # union was two scans and two broadcasts). A row matching both arms
+    # gets prio 1, exactly as the union form's window resolved it.
+    is_exact = F.col("query_text") == F.col("item_id").cast("string")
+    is_sub = F.lower(F.col("name")).contains(F.lower(F.col("query_text")))
+    matched = (
         F.broadcast(q)
-        .join(names, q.query_text == names.item_id.cast("string"))
-        .select("qid", "query_text", "item_id", "name", F.lit(1).alias("prio"))
-    )
-    substr = (
-        F.broadcast(q)
-        .join(names, F.lower(F.col("name")).contains(F.lower(F.col("query_text"))))
-        .select("qid", "query_text", "item_id", "name", F.lit(2).alias("prio"))
+        .join(names, is_exact | is_sub)
+        .select("qid", "query_text", "item_id", "name",
+                F.when(is_exact, F.lit(1)).otherwise(F.lit(2)).alias("prio"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("prio").asc(), F.length("name").asc(), F.col("name").asc(),
         F.col("item_id").asc(),
     )
     resolved = (
-        exact.unionByName(substr)
+        matched
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("qid", "query_text", "item_id", "name")
     )
     # keep unresolved queries with null item_id (ref returns None, :206-207)
     return (
-        q.join(resolved.select("qid", "item_id", "name"), "qid", "left")
+        q.join(F.broadcast(resolved.select("qid", "item_id", "name")), "qid", "left")
         .select("qid", "query_text", "item_id", "name")
     )
