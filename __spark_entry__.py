@@ -814,6 +814,32 @@ def q_streaming_hourly(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact-dedup twin (first-seen distinct keys over a stream).
+
+    Runs a real streaming query (file source → ``dropDuplicates`` state →
+    memory sink). Emitting the key columns makes the output equal the
+    batch ``SELECT DISTINCT`` regardless of arrival order, so the full
+    SQL oracle applies — see ``streaming.events.streaming_dedup_keys``
+    for the state-bounding story at scale.
+    """
+    _pin_utc(spark)
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_dedup_keys,
+    )
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_dedup_mem":
+            q.stop()
+    dd = streaming_dedup_keys(read_events_stream(spark, sf_dir),
+                              ["user_id", "event_type"])
+    sq = run_stream_to_memory(dd, "q_streaming_dedup_mem", output_mode="append")
+    sq.stop()
+    return spark.table("q_streaming_dedup_mem").select("user_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- reference parity (SURVEY §2 ids in operator docstrings) ---
@@ -862,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_running_total": q_orders_running_total,
         "events_hourly": q_events_hourly,
         "streaming_hourly": q_streaming_hourly,  # Structured Streaming path
+        "streaming_dedup": q_streaming_dedup,  # streaming dropDuplicates state
         "sessionization": q_sessionization,
         "asof_attribution": q_asof_attribution,
         "coactivity": q_coactivity,
@@ -1655,6 +1682,10 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
   CAST(count(*) AS BIGINT) AS n_events,
   floor((sum(value)) * 100 + 0.5) / 100 AS total_value
 FROM events GROUP BY 1, 2
+""",
+
+        "streaming_dedup": """
+SELECT DISTINCT user_id, event_type FROM events
 """,
 
         "sessionization": """

@@ -74,6 +74,30 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def streaming_dedup_keys(events: DataFrame, keys: list[str],
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication: first-seen key set over the event stream.
+
+    The streaming twin of exact dedup (the LLM-pipeline op): state keeps
+    one entry per distinct key and drops every later arrival. Emitting
+    the KEY COLUMNS (not the surviving row) makes the result independent
+    of arrival order — it equals the batch ``SELECT DISTINCT`` over the
+    same data, which is the oracle.
+
+    State scale: plain ``dropDuplicates`` state grows with distinct keys
+    (fine when the key space is bounded — users × types here); for
+    unbounded keys at 100 TB switch to
+    ``dropDuplicatesWithinWatermark(keys)`` (Spark ≥3.5), which evicts
+    state older than the watermark horizon — the standard trade: exact
+    dedup within the horizon, at-most-one per horizon beyond it.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(keys)
+        .select(*keys)
+    )
+
+
 def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming aggregation to completion over static files
     (memory sink; ``processAllAvailable`` makes it synchronous for tests)."""

@@ -15,6 +15,28 @@ from hybrid_recommendation_system_using_vector_db_spark.streaming.events import 
 )
 
 
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    """Streaming dropDuplicates key emission over static files == batch
+    SELECT DISTINCT (arrival order cannot matter because only the key
+    columns are emitted)."""
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        streaming_dedup_keys)
+
+    stream = read_events_stream(spark, sf_dir)
+    dd = streaming_dedup_keys(stream, ["user_id", "event_type"])
+    q = run_stream_to_memory(dd, "dedup_stream", output_mode="append")
+    try:
+        got = {(r.user_id, r.event_type)
+               for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    finally:
+        q.stop()
+    want = {(r.user_id, r.event_type)
+            for r in load_table(spark, sf_dir, "events")
+            .select("user_id", "event_type").distinct().collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 def test_windowed_counts_match_batch(spark, sf_dir):
     """Streaming tumbling-window agg over static files == batch equivalent."""
     stream = read_events_stream(spark, sf_dir)
