@@ -366,6 +366,10 @@ def q_ann_recall(spark, sf_dir):
         ("ivf", similarity.ivf_topk(qs, emb, TOP_K, n_centroids=16, nprobe=4,
                                     centroids=_ivf_codebook(spark, sf_dir),
                                     lists=_ivf_lists(spark, sf_dir), dim=VEC_DIM)),
+        # the IVF recall/pruning dial, measured: double the probed lists
+        ("ivf_np8", similarity.ivf_topk(qs, emb, TOP_K, n_centroids=16, nprobe=8,
+                                        centroids=_ivf_codebook(spark, sf_dir),
+                                        lists=_ivf_lists(spark, sf_dir), dim=VEC_DIM)),
     ]:
         hits = (ann.select("qid", "cand").join(exact, ["qid", "cand"], "left_semi")
                 .groupBy("qid").agg(F.count(F.lit(1)).alias("h")))
@@ -1232,10 +1236,16 @@ ivf_s AS (SELECT p.qid, l.vid AS cand, {_cos('p.qv', 'l.v')} AS score
           FROM iprobes p JOIN ilists l USING (centroid_id) WHERE l.vid <> p.qid),
 ivf_r AS (SELECT qid, cand, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM ivf_s),
 ivf AS (SELECT qid, cand FROM ivf_r WHERE rnk <= {TOP_K}),
+iprobes8 AS (SELECT qid, qv, centroid_id FROM iqc_r WHERE cr <= 8),
+ivf8_s AS (SELECT p.qid, l.vid AS cand, {_cos('p.qv', 'l.v')} AS score
+           FROM iprobes8 p JOIN ilists l USING (centroid_id) WHERE l.vid <> p.qid),
+ivf8_r AS (SELECT qid, cand, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM ivf8_s),
+ivf8 AS (SELECT qid, cand FROM ivf8_r WHERE rnk <= {TOP_K}),
 nq AS (SELECT count(*) AS n FROM q),
 lh AS (SELECT count(*) AS th FROM lsh JOIN exact USING (qid, cand)),
 mh AS (SELECT count(*) AS th FROM lmp JOIN exact USING (qid, cand)),
-ih AS (SELECT count(*) AS th FROM ivf JOIN exact USING (qid, cand))
+ih AS (SELECT count(*) AS th FROM ivf JOIN exact USING (qid, cand)),
+ih8 AS (SELECT count(*) AS th FROM ivf8 JOIN exact USING (qid, cand))
 SELECT 'lsh' AS method, CAST({TOP_K} AS INT) AS k,
        floor((lh.th / (nq.n * {TOP_K}.0)) * 1000000 + 0.5) / 1000000 AS recall
 FROM lh, nq
@@ -1247,6 +1257,10 @@ UNION ALL
 SELECT 'ivf' AS method, CAST({TOP_K} AS INT) AS k,
        floor((ih.th / (nq.n * {TOP_K}.0)) * 1000000 + 0.5) / 1000000 AS recall
 FROM ih, nq
+UNION ALL
+SELECT 'ivf_np8' AS method, CAST({TOP_K} AS INT) AS k,
+       floor((ih8.th / (nq.n * {TOP_K}.0)) * 1000000 + 0.5) / 1000000 AS recall
+FROM ih8, nq
 """
 
 
