@@ -134,6 +134,19 @@ def _names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(F.col("p_partkey").alias("item_id"), F.col("p_name").alias("name"))
 
 
+def _reset_serving_caches() -> None:
+    """Drop every session-memoized serving index (testing hook).
+
+    A shared session that ran ``spark.catalog.clearCache()`` (some plan
+    tests do) unpersists the memoized DataFrames while these dicts still
+    hold them — later "warm" calls then silently recompute the full
+    lineage per call. Clearing the memos forces a clean rebuild+persist.
+    """
+    for d in (_EDGE_INDEX, _CF_INDEX, _QMAT_CACHE, _ANN_INDEXES,
+              _UNIVERSE_CACHE, _IVF_CODEBOOKS):
+        d.clear()
+
+
 _EDGE_INDEX: dict[tuple, DataFrame] = {}
 
 

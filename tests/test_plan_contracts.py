@@ -138,6 +138,9 @@ def test_serve_chain_job_count_bounded(spark):
     import __spark_entry__ as m
 
     sf = "/root/testdata/sf0.001"
+    # other tests in the shared session may have clearCache()'d the
+    # memoized indexes out from under the memo dicts — reset and rebuild
+    m._reset_serving_caches()
     m.queries()["hybrid_topk"](spark, sf).count()  # warm: builds indexes
     st = spark.sparkContext.statusTracker()
     j0 = max(st.getJobIdsForGroup() or [0])
