@@ -31,6 +31,7 @@ HEADLINE = [
     "content_topk",
     "content_topk_gemm",
     "lsh_topk",
+    "lsh_topk_mp",
     "ivf_topk",
     "hybrid_topk",
     "hybrid_topk_ann",
