@@ -116,3 +116,27 @@ def test_eval_report_sink(tmp_path):
 
     text = print_results(rows, runtimes, num_queries=40)
     assert "Precision@K" in text and "0.3000" in text and "Queries: 40" in text
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The on-disk IVF index must prune to the probed centroid partitions
+    at the FILE level (PartitionFilters on the scan) — nprobe is an I/O
+    dial at scale only if the unprobed lists are never read."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.pipeline import (
+        load_ivf_index, write_ivf_index)
+    from hybrid_recommendation_system_using_vector_db_spark.plans import formatted_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = write_ivf_index(spark, emb, str(tmp_path), n_centroids=8)
+    lists, cents_back = load_ivf_index(spark, str(tmp_path))
+    assert [c[0] for c in cents_back] == [c[0] for c in sorted(cents)]
+
+    probed = lists.filter(F.col("centroid_id").isin([0, 3]))
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan
+    # pruning is real: the probed scan reads strictly fewer rows
+    assert 0 < probed.count() < lists.count()
+    # round-trip: every vector landed in exactly one list
+    assert lists.count() == emb.count()
+    assert lists.select("vid").distinct().count() == emb.count()
