@@ -831,6 +831,34 @@ def q_streaming_hourly(spark, sf_dir):
     )
 
 
+def q_text_scrub(spark, sf_dir):
+    """URL/email scrubbing over documents (training-data cleaning op).
+
+    The synthetic corpus contains no URLs/emails, so the query injects
+    them deterministically (doc_id-keyed) before scrubbing — the oracle
+    applies the identical injection, so the regex removal, space
+    collapse, and per-doc counts are all value-checked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" see http://ex.com/p/"),
+                        F.col("doc_id").cast("string"), F.lit(" now")))
+        .when(F.col("doc_id") % 5 == 0,
+              F.concat(F.col("text"), F.lit(" mail user"),
+                       F.col("doc_id").cast("string"), F.lit("@ex.com ok")))
+        .otherwise(F.col("text")),
+    )
+    return textops.scrub_text(injected)
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: 100 most frequent tokens (explode → partial-agg
+    count → TakeOrdered top-n; tiebreak (count desc, token asc))."""
+    return textops.vocab_topk(load_table(spark, sf_dir, "documents"), 100)
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact-dedup twin (first-seen distinct keys over a stream).
 
@@ -893,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
         "doc_fingerprints": q_fingerprints,
+        "text_scrub": q_text_scrub,
+        "vocab_topk": q_vocab_topk,
         # --- embedding + multimodal plumbing (rows-only) ---
         "hash_embeddings": q_hash_embeddings,
         "multimodal_features": q_multimodal_features,
@@ -1648,6 +1678,36 @@ SELECT doc_id,
   md5(substr(lower(trim(text)), 1, 64)) AS head_digest,
   md5(reverse(substr(reverse(lower(trim(text))), 1, 64))) AS tail_digest
 FROM documents
+""",
+
+        "text_scrub": """
+WITH injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+           THEN text || ' see http://ex.com/p/' || CAST(doc_id AS VARCHAR) || ' now'
+         WHEN doc_id % 5 = 0
+           THEN text || ' mail user' || CAST(doc_id AS VARCHAR) || '@ex.com ok'
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(text, 'https?://[^ ]+', '', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '', 'g'),
+    '  +', ' ', 'g')) AS clean_text,
+  CAST(length(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+  CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_emails
+FROM injected
+""",
+
+        "vocab_topk": """
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 100
 """,
 
         "tpch_q1": """

@@ -115,3 +115,51 @@ def fingerprints(documents: DataFrame, id_col: str = "doc_id",
         F.md5(F.substring(norm, 1, 64)).alias("head_digest"),
         F.md5(F.reverse(F.substring(F.reverse(norm), 1, 64))).alias("tail_digest"),
     )
+
+
+# Portable regexes (explicit character classes — identical semantics in
+# Java regex (Spark) and RE2 (DuckDB); \w/\b dialect differences avoided).
+URL_RE = r"https?://[^ ]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+def scrub_text(documents: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Training-data text scrubbing: strip URLs and email addresses,
+    collapse the resulting space runs, and report per-doc removal counts.
+
+    Pure codegen'd SQL expressions — the shape is a map-only projection
+    (no shuffle), so it streams at scan speed at any corpus size. The
+    DuckDB oracle replays the same regexes with the 'g' flag (DuckDB
+    replaces first-match by default; Spark replaces all).
+    """
+    n_urls = F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0))
+    n_emails = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0))
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), URL_RE, ""),
+        EMAIL_RE, "")
+    cleaned = F.trim(F.regexp_replace(cleaned, r"  +", " "))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("clean_text"),
+        n_urls.alias("n_urls"),
+        n_emails.alias("n_emails"),
+    )
+
+
+def vocab_topk(documents: DataFrame, n: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: the n most frequent whitespace tokens.
+
+    Shape: explode → hash aggregate with map-side partial combine (one
+    shuffled row per distinct token per partition, not per occurrence) →
+    global top-n via TakeOrderedAndProject (no full sort). Deterministic
+    tiebreak (count desc, token asc).
+    """
+    return (
+        documents.select(F.explode(TT.tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(n)
+    )

@@ -91,3 +91,36 @@ def load_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
         "edges": spark.read.parquet(f"{out_dir}/edges"),
         "index": spark.read.parquet(f"{out_dir}/index"),
     }
+
+
+def write_ivf_index(spark: SparkSession, embeddings: DataFrame, out_dir: str,
+                    n_centroids: int = 16, n_iters: int = 2) -> list:
+    """Write the IVF vector index as partition-prunable parquet.
+
+    The inverted lists land partitioned by ``centroid_id`` — an IVF probe
+    of ``nprobe`` lists then scans exactly those directories and skips the
+    rest at the FILE level (PartitionFilters, pinned by
+    ``test_ivf_index_partition_pruning``), which is what makes nprobe a
+    genuine I/O dial at 100 TB, not just a compute dial. The KB-sized
+    codebook is written alongside for serve-time reload.
+    """
+    from .operators.similarity import ivf_build_lists, kmeans_centroids_local
+
+    cents = kmeans_centroids_local(embeddings, n_centroids, n_iters)
+    lists = ivf_build_lists(embeddings, cents)
+    lists.write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(f"{out_dir}/ivf_lists")
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in cents],
+        "centroid_id int, cent_vec array<double>")
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/ivf_codebook")
+    return cents
+
+
+def load_ivf_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, list]:
+    """(inverted lists, codebook) written by :func:`write_ivf_index`."""
+    lists = spark.read.parquet(f"{out_dir}/ivf_lists")
+    cents = [(r.centroid_id, list(r.cent_vec))
+             for r in spark.read.parquet(f"{out_dir}/ivf_codebook").collect()]
+    cents.sort(key=lambda t: t[0])
+    return lists, cents
