@@ -635,6 +635,27 @@ def q_asof_attribution(spark, sf_dir):
     return asof.purchase_attribution(load_table(spark, sf_dir, "events"))
 
 
+def q_cube_revenue(spark, sf_dir):
+    """CUBE over (returnflag, ship year): all four grouping combinations in
+    one pass — Spark expands grouping sets inside a single shuffle (the
+    Expand operator multiplies rows map-side; no per-set re-scan).
+    ``year()`` on the NTZ ship date is a wall-time field extraction,
+    identical in both engines with no timezone cast involved."""
+    li = load_table(spark, sf_dir, "lineitem") \
+        .withColumn("shipyear", F.year("l_shipdate"))
+    return (
+        li.cube("l_returnflag", "shipyear")
+        .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("shipyear").cast("string"), F.lit("ALL")).alias("shipyear"),
+            "revenue", "n_items",
+        )
+    )
+
+
 def q_rollup_revenue(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -943,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "user_type_setops": q_user_type_setops,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
         "parts_unindexed": q_parts_unindexed,
         "doc_length_stats": q_doc_length_stats,
     }
@@ -1952,6 +1974,15 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+
+        "cube_revenue": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(CAST(CAST(EXTRACT(year FROM l_shipdate) AS INT) AS VARCHAR), 'ALL') AS shipyear,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, EXTRACT(year FROM l_shipdate))
 """,
 
         "parts_unindexed": """
