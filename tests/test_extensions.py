@@ -433,3 +433,35 @@ def test_hnsw_topk_plumbing_with_fake_index(spark):
         assert [(r.qid, r.cand, r.rank) for r in got] == \
                [(r.qid, r.cand, r.rank) for r in want]
         assert all(abs(g.score - w.score) < 1e-9 for g, w in zip(got, want))
+
+
+def test_scrub_text_edge_cases(spark):
+    """Multiple URLs/emails per doc, adjacent-space collapse, and clean
+    docs pass through untouched (cases the synthetic corpus lacks)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import scrub_text
+
+    rows = [
+        (1, "a http://x.co/1 b https://y.io/2?q=3 c"),
+        (2, "mail me@ex.com or you.2@sub.ex.org now"),
+        (3, "plain text stays exactly as is"),
+        (4, "u@a.b http://c.d e"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_text(docs).collect()}
+    assert out[1].n_urls == 2 and out[1].clean_text == "a b c"
+    assert out[2].n_emails == 2 and out[2].clean_text == "mail or now"
+    assert out[3].n_urls == 0 and out[3].n_emails == 0
+    assert out[3].clean_text == "plain text stays exactly as is"
+    assert out[4].n_urls == 1 and out[4].n_emails == 1
+    assert out[4].clean_text == "e"
+
+
+def test_vocab_topk_tiebreak_and_limit(spark):
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "b a b"), (2, "a c  c")], "doc_id long, text string")
+    got = [(r.token, r.n_occurrences) for r in vocab_topk(docs, 2).collect()]
+    # a and b and c all appear twice ("  " yields no empty token);
+    # tiebreak is (count desc, token asc) -> a, b
+    assert got == [("a", 2), ("b", 2)]
