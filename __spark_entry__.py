@@ -488,6 +488,16 @@ def q_seeded_sample(spark, sf_dir):
                                   100, "doc_id", SEED)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Length-weighted document sample (A-ES, seeded): longer documents
+    are proportionally likelier — the importance-sampling shape of a
+    training-data mixer. Deterministic; full SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        100, "n_chars", "doc_id", SEED)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -919,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_resolution": q_query_resolution,       # C4+G4/G5
         "seeded_sample": q_seeded_sample,             # F2
         "stratified_sample": q_stratified_sample,     # F2 ext: per-stratum
+        "weighted_sample": q_weighted_sample,         # F2 ext: A-ES importance
         # --- similarity / ANN extensions ---
         "lsh_topk": q_lsh_topk,
         "lsh_topk_mp": q_lsh_topk_mp,
@@ -1965,6 +1976,24 @@ WITH r AS (
   FROM documents
 )
 SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 20
+""",
+
+        "weighted_sample": f"""
+WITH h AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5('{SEED}:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents WHERE n_chars > 0
+),
+u AS (
+  SELECT doc_id, lang, source, n_chars,
+         ({" + ".join(f"CAST({_nib(f'substr(k, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}" for i in range(8))}
+          + 1.0) / 4294967296.0 AS uu
+  FROM h
+)
+SELECT doc_id, lang, source, n_chars FROM u
+ORDER BY floor(pow(uu, 1.0 / n_chars) * 1000000000000 + 0.5) / 1000000000000 DESC,
+         doc_id ASC
+LIMIT 100
 """,
 
         "rollup_revenue": """

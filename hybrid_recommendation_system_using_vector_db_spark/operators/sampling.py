@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import seeded_key
+from ..functions.portable import fround
 
 
 def seeded_sample(df: DataFrame, n: int, key_col: str, seed: int = 42) -> DataFrame:
@@ -45,6 +46,33 @@ def stratified_sample(df: DataFrame, n_per_stratum: int, stratum_col: str,
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
+    )
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str, key_col: str,
+                    seed: int = 42) -> DataFrame:
+    """Deterministic weighted sampling without replacement (importance
+    sampling — e.g. weight training documents by length or quality).
+
+    Efraimidis–Spirakis A-ES: rank by ``u^(1/w)`` where ``u`` is a seeded
+    uniform derived from the md5 ordering key (first 8 hex chars as a
+    u32) — the classic one-pass distributed weighted reservoir. Top-n by
+    key runs as TakeOrderedAndProject (per-partition local top-n, driver
+    merge — no global sort). Non-positive weights are excluded. The key
+    is rounded at 1e-12 so the float ``pow`` agrees bit-for-bit with the
+    SQL oracle's; ties resolve by ``key_col`` ascending.
+    """
+    u32 = F.conv(F.substring(seeded_key(F.col(key_col), seed), 1, 8), 16, 10) \
+        .cast("bigint")
+    u = (u32 + F.lit(1.0)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    es_key = fround(F.pow(u, F.lit(1.0) / w), 12)
+    return (
+        df.filter(w > 0)
+        .withColumn("__wk", es_key)
+        .orderBy(F.col("__wk").desc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("__wk")
     )
 
 

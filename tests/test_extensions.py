@@ -465,3 +465,23 @@ def test_vocab_topk_tiebreak_and_limit(spark):
     # a and b and c all appear twice ("  " yields no empty token);
     # tiebreak is (count desc, token asc) -> a, b
     assert got == [("a", 2), ("b", 2)]
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """A-ES weighted sampling: stable under repartitioning (pure function
+    of seed+key) and it overrepresents heavy rows vs the uniform sample."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sampling import (
+        seeded_sample, weighted_sample)
+
+    rows = [(i, 1 if i < 900 else 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    s1 = sorted(r.id for r in weighted_sample(df, 50, "w", "id", 7).collect())
+    s2 = sorted(r.id for r in weighted_sample(df.repartition(13), 50, "w", "id", 7).collect())
+    assert s1 == s2 and len(s1) == 50
+    heavy_w = sum(1 for i in s1 if i >= 900)
+    heavy_u = sum(1 for r in seeded_sample(df, 50, "id", 7).collect() if r.id >= 900)
+    # 100 heavy rows at weight 100 ≈ 10% of rows but ~92% of total weight
+    assert heavy_w > 2 * max(heavy_u, 1)
+    # zero/negative weights are excluded entirely
+    dfz = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "id long, w long")
+    assert [r.id for r in weighted_sample(dfz, 3, "w", "id").collect()] == [3]
