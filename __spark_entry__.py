@@ -890,6 +890,20 @@ def q_vocab_topk(spark, sf_dir):
     return textops.vocab_topk(load_table(spark, sf_dir, "documents"), 100)
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test split over documents (map-only
+    CASE over seeded-md5 hex thresholds — no shuffle, no RNG state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.split_assign(
+        docs, {"train": 0.98, "val": 0.01, "test": 0.01}, seed=SEED)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-offset sequence sharding at a 2048-token budget (per-shard
+    window cumsum; see textops.pack_sequences for the exact semantics)."""
+    return textops.pack_sequences(load_table(spark, sf_dir, "documents"), 2048)
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact-dedup twin (first-seen distinct keys over a stream).
 
@@ -955,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_fingerprints,
         "text_scrub": q_text_scrub,
         "vocab_topk": q_vocab_topk,
+        "split_assign": q_split_assign,
+        "pack_sequences": q_pack_sequences,
         # --- embedding + multimodal plumbing (rows-only) ---
         "hash_embeddings": q_hash_embeddings,
         "multimodal_features": q_multimodal_features,
@@ -1806,6 +1822,34 @@ FROM events GROUP BY 1, 2
 
         "streaming_dedup": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+
+        "split_assign": f"""
+SELECT doc_id,
+  CASE WHEN substr(md5('{SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            < '{int(0.98 * 0xFFFFFFFF):08x}' THEN 'train'
+       WHEN substr(md5('{SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            < '{int(0.99 * 0xFFFFFFFF):08x}' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
+
+        "pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(len({_TOKS}) AS INT) AS n_tokens,
+    CAST((16 * {_nib("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")}
+          + {_nib("substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)")}) % 8 AS INT) AS shard
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+  FROM d
+)
+SELECT doc_id, shard, CAST(floor(start_tok / 2048.0) AS BIGINT) AS seq_id,
+       CAST(start_tok AS BIGINT) AS start_tok, n_tokens
+FROM c
 """,
 
         "sessionization": """

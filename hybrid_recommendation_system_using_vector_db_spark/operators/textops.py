@@ -163,3 +163,61 @@ def vocab_topk(documents: DataFrame, n: int = 100,
         .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(n)
     )
+
+
+def split_assign(documents: DataFrame, fractions: dict[str, float],
+                 id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic train/val/test split assignment.
+
+    The split label is a pure function of (seed, id): the seeded md5 key's
+    first 8 hex chars compare lexicographically like the u32 they encode,
+    so the assignment is a map-only CASE over precomputed hex thresholds —
+    no shuffle, no RNG state, stable across runs/partitionings/engines.
+    Fractions must sum to 1 (the last split absorbs rounding).
+    """
+    from ..functions.hashing import seeded_key
+
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    k = F.substring(seeded_key(F.col(id_col), seed), 1, 8)
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = f"{int(cum * 0xFFFFFFFF):08x}"
+        branch = F.when(k < F.lit(thr), F.lit(name))
+        expr = branch if expr is None else expr.when(k < F.lit(thr), F.lit(name))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return documents.select(F.col(id_col).alias("doc_id"), expr.alias("split"))
+
+
+def pack_sequences(documents: DataFrame, budget: int, n_shards: int = 8,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token-offset sequence sharding for training-data packing.
+
+    Documents are hashed into shards (md5 of the id — engine-portable),
+    ordered deterministically within each shard, and assigned to the
+    sequence containing their cumulative start offset:
+    ``seq_id = floor(start_tok / budget)``. One shuffle (the per-shard
+    window); shards pack independently, so parallelism is n_shards and no
+    global single-partition cumsum bottleneck exists. A document may
+    straddle a budget boundary — this is offset sharding (how a corpus is
+    cut into ~budget-sized chunks), not exact bin packing, and the
+    semantics are pinned by the SQL oracle.
+    """
+    nib = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10)
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(TT.tokens(F.col(text_col))).alias("n_tokens"),
+        (nib.cast("int") % n_shards).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    return (
+        d.withColumn("start_tok", start)
+        .withColumn("seq_id", F.floor(F.col("start_tok") / budget))
+        .select("doc_id", "shard", "seq_id", "start_tok", "n_tokens")
+    )

@@ -485,3 +485,40 @@ def test_weighted_sample_deterministic_and_biased(spark):
     # zero/negative weights are excluded entirely
     dfz = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "id long, w long")
     assert [r.id for r in weighted_sample(dfz, 3, "w", "id").collect()] == [3]
+
+
+def test_split_assign_fractions_and_determinism(spark):
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import split_assign
+
+    docs = spark.range(5000).select(F.col("id").alias("doc_id"))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = split_assign(docs, fr, id_col="doc_id", seed=7).collect()
+    counts = {}
+    for r in got:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert counts["train"] / 5000 == pytest.approx(0.8, abs=0.03)
+    assert counts["val"] / 5000 == pytest.approx(0.1, abs=0.02)
+    # pure function of (seed, id): repartitioning cannot move a document
+    again = {r.doc_id: r.split
+             for r in split_assign(docs.repartition(17), fr, "doc_id", 7).collect()}
+    assert all(again[r.doc_id] == r.split for r in got)
+    with pytest.raises(ValueError):
+        split_assign(docs, {"a": 0.5, "b": 0.1})
+
+
+def test_pack_sequences_offsets_contiguous(spark):
+    """Within each shard, start offsets are the exact running sum in
+    doc_id order, and every sequence's id matches its start offset."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(200)], "doc_id long, text string")
+    rows = sorted(pack_sequences(docs, budget=10).collect(),
+                  key=lambda r: (r.shard, r.doc_id))
+    by_shard = {}
+    for r in rows:
+        expect = by_shard.get(r.shard, 0)
+        assert r.start_tok == expect, (r, expect)
+        assert r.seq_id == r.start_tok // 10
+        by_shard[r.shard] = expect + r.n_tokens
+    assert len({r.shard for r in rows}) > 1  # hashing actually spreads
