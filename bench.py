@@ -51,6 +51,8 @@ HEADLINE = [
     "sessionization",
     "asof_attribution",
     "stratified_sample",
+    "weighted_sample",
+    "pack_sequences",
     "rollup_revenue",
     "parts_unindexed",
     "doc_length_stats",

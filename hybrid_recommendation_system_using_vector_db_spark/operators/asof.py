@@ -32,12 +32,23 @@ from hybrid_recommendation_system_using_vector_db_spark.functions.portable impor
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str = "ts", right_ts: str = "ts",
               left_id: str = "event_id", right_id: str = "event_id",
-              carry_cols: tuple[str, ...] = ()) -> DataFrame:
-    """For each left row, the most recent right row at-or-before it per key.
+              carry_cols: tuple[str, ...] = (),
+              direction: str = "backward",
+              tolerance_s: float | None = None) -> DataFrame:
+    """For each left row, the nearest right row per key: at-or-before
+    (``direction="backward"``, the default) or at-or-after (``"forward"``).
 
     Returns the left rows with ``match_id``/``match_ts`` (+ ``match_<c>``
-    for each carry col), null when no right row precedes.
+    for each carry col), null when no qualifying right row exists.
+    ``tolerance_s`` nulls out matches farther than that many seconds from
+    the left timestamp (pandas ``merge_asof(tolerance=...)`` semantics).
+    Determinism: equal-ts right rows count as a match in both directions;
+    among right-side ties, backward picks the largest (ts, id), forward
+    the smallest — both pinned total orders.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    asc = direction == "backward"
     l_tag = left.select(
         F.col(key).alias("__k"), F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"), F.col(left_id).alias("__id"),
@@ -52,7 +63,9 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__id").asc())
+        .orderBy(F.col("__ts").asc() if asc else F.col("__ts").desc(),
+                 F.col("__side").asc(),
+                 F.col("__id").asc() if asc else F.col("__id").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = (
@@ -65,6 +78,14 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     for c in carry_cols:
         merged = merged.withColumn(
             f"match_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    if tolerance_s is not None:
+        within = (
+            F.col("match_ts").isNotNull()
+            & (F.abs(epoch_seconds(F.col("__ts"))
+                     - epoch_seconds(F.col("match_ts"))) <= F.lit(float(tolerance_s)))
+        )
+        for c in ["match_id", "match_ts", *[f"match_{c}" for c in carry_cols]]:
+            merged = merged.withColumn(c, F.when(within, F.col(c)))
     return (
         merged.filter(F.col("__side") == 1)
         .select(

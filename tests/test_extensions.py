@@ -522,3 +522,33 @@ def test_pack_sequences_offsets_contiguous(spark):
         assert r.seq_id == r.start_tok // 10
         by_shard[r.shard] = expect + r.n_tokens
     assert len({r.shard for r in rows}) > 1  # hashing actually spreads
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from hybrid_recommendation_system_using_vector_db_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 101, 25), (2, 200, 5)],
+        "user_id long, event_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 900, 10), (1, 901, 20), (1, 902, 30), (2, 903, 1)],
+        "user_id long, event_id long, ts long")
+    fwd = {r.event_id: r for r in
+           asof_join(left, right, "user_id", direction="forward").collect()}
+    assert fwd[100].match_id == 900   # equal ts counts at-or-after
+    assert fwd[101].match_id == 902   # next at-or-after 25 is ts=30
+    assert fwd[200].match_id is None  # no right row at-or-after ts=5
+    # forward tie on right ts -> smallest id wins (pinned)
+    right2 = spark.createDataFrame(
+        [(1, 910, 30), (1, 909, 30)], "user_id long, event_id long, ts long")
+    [row] = asof_join(left.filter(F.col("event_id") == 101), right2,
+                      "user_id", direction="forward").collect()
+    assert row.match_id == 909
+    # tolerance nulls matches farther than the bound
+    tol = {r.event_id: r for r in
+           asof_join(left, right, "user_id", tolerance_s=4).collect()}
+    assert tol[100].match_id == 900   # gap 0 <= 4
+    assert tol[101].match_id is None  # nearest prior is ts=20, gap 5 > 4
+    assert tol[200].match_id == 903   # gap 4 <= 4
+    with pytest.raises(ValueError):
+        asof_join(left, right, "user_id", direction="sideways")
