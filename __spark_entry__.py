@@ -400,6 +400,15 @@ def q_ann_recall(spark, sf_dir):
     return out
 
 
+def q_cluster_centroids(spark, sf_dir):
+    """Grouped mean-vector aggregation (posexplode → partial-agg avg):
+    the IVF-codebook-maintenance shape, exercised on a deterministic
+    vec_id%8 clustering so the oracle needs no k-means CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select((F.col("vec_id") % 8).alias("cluster_id"), "embedding")
+    return similarity.cluster_centroids(assigned)
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(emb, NEARDUP_COS_THRESHOLD, n_bits=4,
@@ -949,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_mp": q_lsh_topk_mp,
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "cluster_centroids": q_cluster_centroids,
         "ann_recall": q_ann_recall,
         "content_topk_gemm": q_content_topk_gemm,     # rows-only (mapInPandas)
         # --- dedup extensions ---
@@ -1569,6 +1579,18 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """,
 
         "ann_recall": _ann_recall_sql(),
+
+        "cluster_centroids": """
+WITH a AS (SELECT vec_id % 8 AS cluster_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT cluster_id, p.pos, v[p.pos + 1] AS val
+      FROM a CROSS JOIN (SELECT unnest(range(64)) AS pos) p),
+c AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors FROM a GROUP BY 1)
+SELECT e.cluster_id, CAST(e.pos AS INT) AS pos,
+       floor(avg(e.val) * 1000000 + 0.5) / 1000000 AS val,
+       c.n_vectors
+FROM e JOIN c USING (cluster_id)
+GROUP BY e.cluster_id, e.pos, c.n_vectors
+""",
 
         "embedding_neardup": f"""
 WITH b AS (

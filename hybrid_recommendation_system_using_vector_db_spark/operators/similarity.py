@@ -771,3 +771,29 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
         .filter(F.col("score") >= threshold)
         .select("id1", "id2", "score")
     )
+
+
+def cluster_centroids(assigned: DataFrame, cluster_col: str = "cluster_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster mean vector (long format: cluster_id, pos, val, n_vectors).
+
+    The Spark-first vector aggregation: ``posexplode`` the arrays and hash-
+    aggregate on (cluster, pos) — partial aggregation combines map-side, so
+    the shuffle carries one partial sum per (cluster, pos) per partition,
+    never raw vectors. Long output keeps the result order-insensitively
+    hashable by the oracle (same convention as ``hash_embeddings``).
+    Pairs with IVF maintenance: recomputing codebook centroids from the
+    current inverted lists is exactly this aggregate.
+    """
+    exploded = assigned.select(
+        F.col(cluster_col).alias("cluster_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    counts = assigned.groupBy(F.col(cluster_col).alias("cluster_id")) \
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        exploded.groupBy("cluster_id", "pos")
+        .agg(fround(F.avg(F.col("val").cast("double")), ROUND_SCORE).alias("val"))
+        .join(F.broadcast(counts), "cluster_id")
+        .select("cluster_id", F.col("pos").cast("int").alias("pos"), "val", "n_vectors")
+    )
