@@ -899,6 +899,16 @@ def q_vocab_topk(spark, sf_dir):
     return textops.vocab_topk(load_table(spark, sf_dir, "documents"), 100)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-users-per-event-type sketch (k=32): deterministic
+    portable-hash estimator, so the approximate answer itself is
+    hash-checked against the oracle — see operators/sketches.py."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.kmv_distinct(ev, "event_type", "user_id", k=32)
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic 98/1/1 train/val/test split over documents (map-only
     CASE over seeded-md5 hex thresholds — no shuffle, no RNG state)."""
@@ -981,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "split_assign": q_split_assign,
         "pack_sequences": q_pack_sequences,
+        "kmv_distinct": q_kmv_distinct,
         # --- embedding + multimodal plumbing (rows-only) ---
         "hash_embeddings": q_hash_embeddings,
         "multimodal_features": q_multimodal_features,
@@ -1223,6 +1234,14 @@ def _nib(expr: str) -> str:
     """DuckDB: value 0-15 of a single lowercase hex char (ascii math)."""
     return (f"(CASE WHEN ascii({expr}) <= 57 THEN ascii({expr}) - 48 "
             f"ELSE ascii({expr}) - 87 END)")
+
+
+def _hex8_u32(expr: str) -> str:
+    """DuckDB: u32 value of the first 8 hex chars of ``expr`` (a hex
+    string) — the oracle twin of Spark's ``conv(substr(x,1,8),16,10)``."""
+    return "(" + " + ".join(
+        f"CAST({_nib(f'substr({expr}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)) + ")"
 
 
 def _kmeans_cent_ctes(n_centroids: int = 16, n_iters: int = 2,
@@ -1846,6 +1865,19 @@ FROM events GROUP BY 1, 2
 SELECT DISTINCT user_id, event_type FROM events
 """,
 
+        "kmv_distinct": f"""
+WITH d AS (
+  SELECT DISTINCT event_type AS grp,
+         ({_hex8_u32("md5(CAST(user_id AS VARCHAR))")} + 1.0) / 4294967296.0 AS u
+  FROM events
+),
+r AS (SELECT grp, u, row_number() OVER (PARTITION BY grp ORDER BY u) AS rn FROM d),
+p AS (SELECT grp, max(u) AS uk, count(*) AS m FROM r WHERE rn <= 32 GROUP BY grp)
+SELECT grp AS event_type,
+  CAST(CASE WHEN m < 32 THEN m ELSE floor(31.0 / uk + 0.5) END AS BIGINT) AS est_distinct
+FROM p
+""",
+
         "split_assign": f"""
 SELECT doc_id,
   CASE WHEN substr(md5('{SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)
@@ -2052,8 +2084,7 @@ WITH h AS (
 ),
 u AS (
   SELECT doc_id, lang, source, n_chars,
-         ({" + ".join(f"CAST({_nib(f'substr(k, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}" for i in range(8))}
-          + 1.0) / 4294967296.0 AS uu
+         ({_hex8_u32("k")} + 1.0) / 4294967296.0 AS uu
   FROM h
 )
 SELECT doc_id, lang, source, n_chars FROM u

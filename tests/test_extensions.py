@@ -552,3 +552,19 @@ def test_asof_join_forward_and_tolerance(spark):
     assert tol[200].match_id == 903   # gap 4 <= 4
     with pytest.raises(ValueError):
         asof_join(left, right, "user_id", direction="sideways")
+
+
+def test_kmv_distinct_exact_below_k_and_accurate_above(spark):
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sketches import kmv_distinct
+
+    rows = [("small", i) for i in range(20)] + \
+           [("big", i) for i in range(2000)] + \
+           [("big", i) for i in range(500)]  # duplicates must not inflate
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {r.grp: r.est_distinct for r in kmv_distinct(df, "grp", "v", k=64).collect()}
+    assert got["small"] == 20          # below k -> exact by construction
+    assert abs(got["big"] - 2000) / 2000 < 0.25   # KMV std err ~ 1/sqrt(k-2) ~ 13%
+    # deterministic: same estimate under repartitioning
+    again = {r.grp: r.est_distinct
+             for r in kmv_distinct(df.repartition(11), "grp", "v", k=64).collect()}
+    assert again == got
