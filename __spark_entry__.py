@@ -899,6 +899,12 @@ def q_vocab_topk(spark, sf_dir):
     return textops.vocab_topk(load_table(spark, sf_dir, "documents"), 100)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (two hash aggs + broadcast idf +
+    ranking window; ties pinned (score desc, term asc))."""
+    return textops.tfidf_top_terms(load_table(spark, sf_dir, "documents"), 3)
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-users-per-event-type sketch (k=32): deterministic
     portable-hash estimator, so the approximate answer itself is
@@ -992,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "pack_sequences": q_pack_sequences,
         "kmv_distinct": q_kmv_distinct,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # --- embedding + multimodal plumbing (rows-only) ---
         "hash_embeddings": q_hash_embeddings,
         "multimodal_features": q_multimodal_features,
@@ -1863,6 +1870,28 @@ FROM events GROUP BY 1, 2
 
         "streaming_dedup": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+
+        "tfidf_top_terms": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         floor((tf.tf * ln(nd.n * 1.0 / dfq.df)) * 1000000 + 0.5) / 1000000 AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM s
+)
+SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df, tfidf,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
 """,
 
         "kmv_distinct": f"""

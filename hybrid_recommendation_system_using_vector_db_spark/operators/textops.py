@@ -221,3 +221,40 @@ def pack_sequences(documents: DataFrame, budget: int, n_shards: int = 8,
         .withColumn("seq_id", F.floor(F.col("start_tok") / budget))
         .select("doc_id", "shard", "seq_id", "start_tok", "n_tokens")
     )
+
+
+def tfidf_top_terms(documents: DataFrame, top_n: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-n terms per document by smoothed TF-IDF.
+
+    tf = occurrences of the term in the document; idf = ln(N / df) with
+    df = number of documents containing the term. Two hash aggregates
+    (term counts per doc; document frequency per term) + a broadcast of
+    the term→idf side when it fits, then a per-doc ranking window with
+    pinned ties (score desc, term asc). At corpus scale the df table is
+    |vocabulary|-sized — orders smaller than the corpus — which is what
+    keeps the join broadcastable.
+    """
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TT.tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(id_col).distinct().count()  # driver scalar
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("tfidf",
+                    fround(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                           ROUND_SCORE))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "term",
+                F.col("tf").cast("int").alias("tf"),
+                F.col("df").cast("int").alias("df"),
+                "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
