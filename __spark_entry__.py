@@ -841,6 +841,31 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+def q_session_windows(spark, sf_dir):
+    """Native ``session_window`` gap-merge sessions (30 min) per user.
+
+    The built-in operator form of ``sessionization`` (which pins the
+    manual lag/island plan): merged [ts, ts+gap) intervals, so
+    session_end = last event + gap, and a gap of exactly the window does
+    NOT merge (strict overlap) — the oracle's island break is ``>= gap``
+    to match. Same state-bounded shape Structured Streaming uses for
+    streaming sessions.
+    """
+    _pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             fround(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
 def q_streaming_hourly(spark, sf_dir):
     """Structured Streaming twin of ``events_hourly`` (SURVEY §2.10).
 
@@ -1010,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_topn": q_customer_order_topn,
         "orders_running_total": q_orders_running_total,
         "events_hourly": q_events_hourly,
+        "session_windows": q_session_windows,  # native session_window form
         "streaming_hourly": q_streaming_hourly,  # Structured Streaming path
         "streaming_dedup": q_streaming_dedup,  # streaming dropDuplicates state
         "sessionization": q_sessionization,
@@ -1870,6 +1896,28 @@ FROM events GROUP BY 1, 2
 
         "streaming_dedup": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+
+        "session_windows": """
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM x
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM y GROUP BY user_id, sid
 """,
 
         "tfidf_top_terms": f"""
