@@ -45,6 +45,10 @@ HEADLINE = [
     "token_stats",
     "quality_scores",
     "doc_fingerprints",
+    "tfidf_top_terms",
+    "cluster_centroids",
+    "kmv_distinct",
+    "session_windows",
     "tpch_q1",
     "top_parts_by_revenue",
     "events_hourly",
