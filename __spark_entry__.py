@@ -141,9 +141,18 @@ def _reset_serving_caches() -> None:
     tests do) unpersists the memoized DataFrames while these dicts still
     hold them — later "warm" calls then silently recompute the full
     lineage per call. Clearing the memos forces a clean rebuild+persist.
+    Cached DataFrames are unpersisted first: dropping the only reference
+    while still registered in the CacheManager would orphan their storage
+    for the rest of the session (the shingle-leak class, VERDICT r2 #3).
     """
     for d in (_EDGE_INDEX, _CF_INDEX, _QMAT_CACHE, _ANN_INDEXES,
               _UNIVERSE_CACHE, _IVF_CODEBOOKS):
+        for v in d.values():
+            if hasattr(v, "unpersist"):
+                try:
+                    v.unpersist()
+                except Exception:
+                    pass  # session already stopped — nothing to release
         d.clear()
 
 
@@ -476,9 +485,13 @@ def q_precision_eval(spark, sf_dir):
                                       spark, sf_dir, max(CF_TOP_N, max_k))) \
         .select("qid", "cand", "rank")
     gt = redges.join(eligible.select(F.col("vec_id").alias("src")), "src", "left_semi")
+    # broadcast_gt: gt is restricted to the sampled eval queries'
+    # neighbors (bounded by eval design, ref :239-245) — the caller-side
+    # knowledge the generic operator must not assume
     return evaluate.precision_at_k(
         {"content": content, "hybrid": hyb}, gt,
         eligible.select(F.col("vec_id").alias("qid")),
+        broadcast_gt=True,
     )
 
 

@@ -27,6 +27,20 @@ def seeded_key(key: Column, seed: int = 42) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
 
 
+def hex8_u32(hexstr: Column) -> Column:
+    """u32 value of the first 8 chars of an md5-style hex string — the
+    single definition every uniform-hash consumer (weighted sampling,
+    fraction sampling, KMV) shares; the oracle twin is
+    ``__spark_entry__._hex8_u32``. Changing the mapping here (and there)
+    re-seeds all of them together instead of silently diverging."""
+    return F.conv(F.substring(hexstr, 1, 8), 16, 10).cast("bigint")
+
+
+def uniform01(key: Column, seed: int = 42) -> Column:
+    """Deterministic uniform (0, 1] hash of a key: (hex8_u32 + 1) / 2^32."""
+    return (hex8_u32(seeded_key(key, seed)) + F.lit(1.0)) / F.lit(4294967296.0)
+
+
 def minhash(toks: Column, i: int) -> Column:
     """i-th MinHash of a token array (hex-string min). Null if no tokens."""
     return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{i}:"), t))))

@@ -22,12 +22,19 @@ from .. import EVAL_KS, ROUND_SCORE
 
 
 def precision_at_k(ranked: dict[str, DataFrame], gt_edges: DataFrame,
-                   queries: DataFrame, ks: list[int] | None = None) -> DataFrame:
+                   queries: DataFrame, ks: list[int] | None = None,
+                   broadcast_gt: bool = False) -> DataFrame:
     """Mean Precision@K per (model, k).
 
     ranked:   model name → (qid, cand, rank) table, rank ≤ max(ks)
     gt_edges: (src, dst) ground-truth pairs (co-purchase graph)
     queries:  (qid) — the eligible evaluation query set
+    broadcast_gt: set True when the caller KNOWS gt_edges is bounded
+              (e.g. restricted to a sampled eval query set) — the
+              semi-join and hit counts then stay on the ranked tables'
+              partitioning with zero extra shuffles. Left off by default
+              so an unbounded ground-truth graph degrades to a shuffle
+              join instead of a driver-OOM broadcast.
     returns:  (model, k, precision)
     """
     ks = ks or EVAL_KS
@@ -35,25 +42,22 @@ def precision_at_k(ranked: dict[str, DataFrame], gt_edges: DataFrame,
     ks_df = spark.createDataFrame([(k,) for k in ks], "k int")
     gt = gt_edges.select(F.col("src").alias("qid"), F.col("dst").alias("cand"))
 
+    gt_side = F.broadcast(gt) if broadcast_gt else gt
     per_model = []
     for model, topk in ranked.items():
-        # gt is bounded by the eval design (ground-truth neighbors of the
-        # sampled eval queries — the reference evaluates 50 queries,
-        # :239-245), so broadcast it: the semi-join then preserves the
-        # ranked table's qid partitioning instead of shuffling both sides
-        # to (qid,cand), and the (qid,k) aggregate needs no exchange.
         hits = (
-            topk.join(F.broadcast(gt), ["qid", "cand"], "left_semi")  # D4
+            topk.join(gt_side, ["qid", "cand"], "left_semi")  # D4
             .crossJoin(F.broadcast(ks_df))
             .filter(F.col("rank") <= F.col("k"))
             .groupBy("qid", "k")
             .agg(F.count(F.lit(1)).alias("n_hits"))
         )
         grid = queries.select("qid").crossJoin(F.broadcast(ks_df))
+        hits_side = F.broadcast(hits) if broadcast_gt else hits
         per_q = (
-            # hits ≤ |eval queries| × |ks| rows — broadcast it so the
-            # tiny grid side never shuffles
-            grid.join(F.broadcast(hits), ["qid", "k"], "left")
+            # with a bounded gt, hits ≤ |eval queries| × |ks| rows —
+            # broadcast it so the tiny grid side never shuffles
+            grid.join(hits_side, ["qid", "k"], "left")
             .select(
                 "qid", "k",
                 (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k")).alias("p"),

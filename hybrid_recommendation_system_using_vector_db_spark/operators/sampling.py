@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import seeded_key
+from ..functions.hashing import hex8_u32, seeded_key, uniform01
 from ..functions.portable import fround
 
 
@@ -62,9 +62,7 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str, key_col: str,
     is rounded at 1e-12 so the float ``pow`` agrees bit-for-bit with the
     SQL oracle's; ties resolve by ``key_col`` ascending.
     """
-    u32 = F.conv(F.substring(seeded_key(F.col(key_col), seed), 1, 8), 16, 10) \
-        .cast("bigint")
-    u = (u32 + F.lit(1.0)) / F.lit(4294967296.0)
+    u = uniform01(F.col(key_col), seed)
     w = F.col(weight_col).cast("double")
     es_key = fround(F.pow(u, F.lit(1.0) / w), 12)
     return (
@@ -82,5 +80,5 @@ def seeded_fraction_sample(df: DataFrame, fraction: float, key_col: str,
     falls below the fraction threshold (first 8 hex chars as uniform u32).
     Unlike ``seeded_sample`` this needs no global sort — fully map-side,
     the 100 TB path."""
-    u32 = F.conv(F.substring(seeded_key(F.col(key_col), seed), 1, 8), 16, 10).cast("bigint")
+    u32 = hex8_u32(seeded_key(F.col(key_col), seed))
     return df.filter(u32 < F.lit(int(fraction * 0xFFFFFFFF)))

@@ -789,11 +789,12 @@ def cluster_centroids(assigned: DataFrame, cluster_col: str = "cluster_id",
         F.col(cluster_col).alias("cluster_id"),
         F.posexplode(F.col(vec_col)).alias("pos", "val"),
     )
-    counts = assigned.groupBy(F.col(cluster_col).alias("cluster_id")) \
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    # each vector contributes exactly one value per position (the same
+    # full-dim assumption avg makes), so count(1) inside the (cluster,
+    # pos) aggregate IS n_vectors — no second scan, no join
     return (
         exploded.groupBy("cluster_id", "pos")
-        .agg(fround(F.avg(F.col("val").cast("double")), ROUND_SCORE).alias("val"))
-        .join(F.broadcast(counts), "cluster_id")
+        .agg(fround(F.avg(F.col("val").cast("double")), ROUND_SCORE).alias("val"),
+             F.count(F.lit(1)).alias("n_vectors"))
         .select("cluster_id", F.col("pos").cast("int").alias("pos"), "val", "n_vectors")
     )

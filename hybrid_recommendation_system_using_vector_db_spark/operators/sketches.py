@@ -27,12 +27,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hex8_u32
+
 
 def _uniform_hash(col: F.Column) -> F.Column:
-    """Deterministic uniform (0,1] hash: first 8 md5 hex chars as u32."""
-    u32 = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10) \
-        .cast("bigint")
-    return (u32 + F.lit(1.0)) / F.lit(4294967296.0)
+    """Deterministic uniform (0,1] hash: first 8 md5 hex chars as u32.
+
+    Unseeded md5 of the raw value (not ``seeded_key``) — the sketch hash
+    is part of the estimator's identity, mirrored verbatim in the oracle.
+    """
+    return (hex8_u32(F.md5(col.cast("string"))) + F.lit(1.0)) / F.lit(4294967296.0)
 
 
 def kmv_distinct(df: DataFrame, group_col: str, value_col: str,

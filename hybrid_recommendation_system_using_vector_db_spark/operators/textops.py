@@ -241,11 +241,16 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3,
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = documents.select(id_col).distinct().count()  # driver scalar
+    # corpus size stays IN the plan (broadcast single-row cross join, the
+    # oracle's "nd" CTE shape) — an eager .count() here would add a full
+    # scan job per invocation and make plan construction non-lazy
+    nd = documents.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("__n_docs"))
     scored = (
         tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(nd))
         .withColumn("tfidf",
-                    fround(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                    fround(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")),
                            ROUND_SCORE))
     )
     w = Window.partitionBy("doc_id").orderBy(

@@ -43,6 +43,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the instant is unchanged).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Mirror datamodel.load_table: the NTZ wall times are UTC instants, so
+    # the cast below (and every event-time window downstream) must run
+    # under a UTC session even when the driver session didn't pin one.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = (
         spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     )
