@@ -510,6 +510,14 @@ def q_seeded_sample(spark, sf_dir):
                                   100, "doc_id", SEED)
 
 
+def q_fraction_sample(spark, sf_dir):
+    """Map-side seeded fraction sample (the 100 TB sampling default:
+    pure hash-threshold filter, no sort, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.seeded_fraction_sample(
+        docs.select("doc_id", "lang", "source", "n_chars"), 0.1, "doc_id", SEED)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Length-weighted document sample (A-ES, seeded): longer documents
     are proportionally likelier — the importance-sampling shape of a
@@ -1007,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_sample": q_seeded_sample,             # F2
         "stratified_sample": q_stratified_sample,     # F2 ext: per-stratum
         "weighted_sample": q_weighted_sample,         # F2 ext: A-ES importance
+        "fraction_sample": q_fraction_sample,         # F2 ext: map-side hash
         # --- similarity / ANN extensions ---
         "lsh_topk": q_lsh_topk,
         "lsh_topk_mp": q_lsh_topk_mp,
@@ -2164,6 +2173,12 @@ WITH r AS (
   FROM documents
 )
 SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 20
+""",
+
+        "fraction_sample": f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {_hex8_u32(f"md5('{SEED}:' || CAST(doc_id AS VARCHAR))")}
+      < {int(0.1 * 0xFFFFFFFF)}
 """,
 
         "weighted_sample": f"""
