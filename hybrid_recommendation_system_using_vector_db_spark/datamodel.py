@@ -45,6 +45,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     in Spark 4, which no numeric cast accepts). Normalize both to a plain
     session-tz TIMESTAMP here so every downstream query sees one type;
     the session tz is pinned UTC, so the instant is unchanged.
+
+    SIDE EFFECT (ADVICE r4): loading ``events`` sets
+    ``spark.sql.session.timeZone=UTC`` (and the nanos-as-long legacy flag)
+    for the whole session — any later wall-time query in a non-UTC
+    session sees UTC. This harness pins UTC everywhere so the flip is a
+    no-op here; library callers who need a different session tz should
+    restore it after the load or normalize ``ts`` themselves.
     """
     from pyspark.sql import functions as F
 

@@ -224,16 +224,28 @@ def pack_sequences(documents: DataFrame, budget: int, n_shards: int = 8,
 
 
 def tfidf_top_terms(documents: DataFrame, top_n: int = 3,
-                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    min_df: int = 1,
+                    broadcast_idf: bool = False) -> DataFrame:
     """Top-n terms per document by smoothed TF-IDF.
 
     tf = occurrences of the term in the document; idf = ln(N / df) with
     df = number of documents containing the term. Two hash aggregates
-    (term counts per doc; document frequency per term) + a broadcast of
-    the term→idf side when it fits, then a per-doc ranking window with
-    pinned ties (score desc, term asc). At corpus scale the df table is
-    |vocabulary|-sized — orders smaller than the corpus — which is what
-    keeps the join broadcastable.
+    (term counts per doc; document frequency per term) + a term→idf join,
+    then a per-doc ranking window with pinned ties (score desc, term asc).
+
+    Join-strategy guard (VERDICT r4 #5): the df table is |vocabulary|-
+    sized, and at web-corpus scale the raw vocabulary (typos, numbers,
+    code tokens) is easily tens of GB — an unconditional broadcast hint
+    is an executor/driver OOM. Default is therefore NO hard hint: the
+    join shuffles on ``term`` in the static plan, and AQE's runtime stats
+    convert it to a broadcast join exactly when the aggregated df side
+    actually fits under ``spark.sql.autoBroadcastJoinThreshold`` — a
+    measured decision instead of a guessed one. Set ``broadcast_idf=True``
+    only when the vocabulary is known-bounded (e.g. post-``min_df``
+    pruning of the long tail, which is also the statistically standard
+    cleanup: terms in fewer than ``min_df`` docs carry no ranking signal
+    and dominate vocabulary cardinality).
     """
     tok = documents.select(
         F.col(id_col).alias("doc_id"),
@@ -241,13 +253,16 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3,
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        df_ = df_.filter(F.col("df") >= min_df)
+    idf_side = F.broadcast(df_) if broadcast_idf else df_
     # corpus size stays IN the plan (broadcast single-row cross join, the
     # oracle's "nd" CTE shape) — an eager .count() here would add a full
     # scan job per invocation and make plan construction non-lazy
     nd = documents.select(
         F.countDistinct(F.col(id_col)).cast("double").alias("__n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(idf_side, "term")
         .crossJoin(F.broadcast(nd))
         .withColumn("tfidf",
                     fround(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")),

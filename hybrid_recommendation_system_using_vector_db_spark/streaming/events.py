@@ -79,7 +79,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
 
 
 def streaming_dedup_keys(events: DataFrame, keys: list[str],
-                         watermark: str = "2 hours") -> DataFrame:
+                         watermark: str | None = None) -> DataFrame:
     """Streaming deduplication: first-seen key set over the event stream.
 
     The streaming twin of exact dedup (the LLM-pipeline op): state keeps
@@ -88,18 +88,29 @@ def streaming_dedup_keys(events: DataFrame, keys: list[str],
     of arrival order — it equals the batch ``SELECT DISTINCT`` over the
     same data, which is the oracle.
 
-    State scale: plain ``dropDuplicates`` state grows with distinct keys
-    (fine when the key space is bounded — users × types here); for
-    unbounded keys at 100 TB switch to
-    ``dropDuplicatesWithinWatermark(keys)`` (Spark ≥3.5), which evicts
-    state older than the watermark horizon — the standard trade: exact
-    dedup within the horizon, at-most-one per horizon beyond it.
+    No watermark by default: when the event-time column is not among the
+    dedup ``keys``, a watermark does NOT bound ``dropDuplicates`` state —
+    it only filters rows older than the horizon before they reach the
+    dedup, so a first-seen key arriving late would be silently dropped,
+    breaking the batch-DISTINCT equivalence (ADVICE r4). The exact form
+    therefore assumes a bounded key space (users × types here) and keeps
+    state per distinct key with no eviction.
+
+    Pass ``watermark`` to opt into horizon-bounded state instead: the
+    event-time column must then ride in ``keys`` (enforced), and the
+    contract weakens to exact-dedup-within-horizon. For unbounded keys at
+    100 TB prefer ``dropDuplicatesWithinWatermark(keys)`` (Spark ≥3.5):
+    same horizon trade without needing the timestamp as a key.
     """
-    return (
-        events.withWatermark("ts", watermark)
-        .dropDuplicates(keys)
-        .select(*keys)
-    )
+    if watermark is not None:
+        if "ts" not in keys:
+            raise ValueError(
+                "watermarked streaming dedup requires the event-time column "
+                "in keys; without it state is unbounded AND late first-seen "
+                "keys are dropped — use the exact form (watermark=None) or "
+                "dropDuplicatesWithinWatermark")
+        events = events.withWatermark("ts", watermark)
+    return events.dropDuplicates(keys).select(*keys)
 
 
 def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete"):

@@ -14,6 +14,8 @@ from .oracle_util import compare, duckdb_con  # noqa: E402
 
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
+EXTRA_ORACLES = entrymod.extra_oracle_sql()
+EXTRA_QUERIES = entrymod.extra_queries()
 
 
 @pytest.fixture(scope="module")
@@ -29,6 +31,24 @@ def test_oracle_parity(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)
     problems = compare(df, con, ORACLES[name], name)
     assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_ORACLES.keys()))
+def test_extra_oracle_parity(name, spark, sf_dir, con):
+    """The pytest-only surface: entries trimmed from the driver's 50-slot
+    correctness budget stay oracle-verified here (VERDICT r4 #2)."""
+    assert name in EXTRA_QUERIES, f"extra oracle {name} has no extra_queries() entry"
+    df = EXTRA_QUERIES[name](spark, sf_dir)
+    problems = compare(df, con, EXTRA_ORACLES[name], name)
+    assert not problems, "\n".join(problems)
+
+
+def test_driver_surface_within_budget():
+    """The driver checks at most 50 queries() entries per round; more than
+    50 silently rotates entries out of the checked window (VERDICT r4)."""
+    assert len(QUERIES) <= 50
+    assert set(QUERIES) == set(ORACLES), "every driver entry needs a same-named oracle"
+    assert not (set(QUERIES) & set(EXTRA_QUERIES)), "a key must live in exactly one surface"
 
 
 def test_all_queries_run(spark, sf_dir):

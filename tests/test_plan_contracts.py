@@ -147,3 +147,57 @@ def test_serve_chain_job_count_bounded(spark):
     m.queries()["hybrid_topk"](spark, sf).count()
     jobs = max(st.getJobIdsForGroup() or [0]) - j0
     assert jobs <= 8, f"warm hybrid_topk used {jobs} jobs (expected <= 8)"
+
+
+def test_tfidf_idf_join_default_no_broadcast_hint(spark, sf_dir):
+    """VERDICT r4 #5: the term->idf join must NOT carry an unconditional
+    broadcast hint — at web-corpus scale the raw vocabulary is a
+    broadcast OOM. Default plan: shuffle join on term, with AQE free to
+    convert to broadcast at runtime from measured stats."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.tfidf_top_terms(docs, 3)
+    # inspect the pre-AQE logical plan: no ResolvedHint/broadcast on the
+    # df side (the single-row corpus-size crossJoin keeps its hint)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    joins = [ln for ln in logical.splitlines() if "Join" in ln]
+    term_joins = [ln for ln in joins if "term" in ln]
+    assert term_joins, logical
+    assert all("broadcast" not in ln.lower() for ln in term_joins), term_joins
+
+
+def test_tfidf_idf_join_optin_broadcast(spark, sf_dir):
+    """broadcast_idf=True (caller asserts bounded vocab, e.g. post-min_df
+    pruning) must plan the term join as a broadcast hash join."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.tfidf_top_terms(docs, 3, min_df=2, broadcast_idf=True)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tfidf_min_df_prunes_vocab(spark, sf_dir):
+    """min_df must drop sub-threshold terms from the ranking entirely."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.tfidf_top_terms(docs, 3, min_df=3)
+    assert out.filter(F.col("df") < 3).count() == 0
+
+
+def test_simhash_single_doc_shuffle_no_position_multiplication(spark, sf_dir):
+    """VERDICT r4 #6: simhash must compute all n_bits contributions per
+    token in ONE projection feeding ONE doc_id-keyed aggregate — the old
+    token x position crossJoin multiplied first-stage row volume x n_bits
+    and paid a second shuffle."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash_fingerprints(docs, n_bits=16)
+    plan = formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan  # the old crossJoin
+    assert "CartesianProduct" not in plan, plan
+    # one hash exchange total: the doc_id aggregate's
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
