@@ -201,3 +201,46 @@ def test_simhash_single_doc_shuffle_no_position_multiplication(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # one hash exchange total: the doc_id aggregate's
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_hybrid_serve_amortizes(spark):
+    """SCALE.md serve-chain amortization: warm serve cost is a fixed
+    per-job floor plus a tiny per-query term, so ~50x the query pool must
+    not cost more than ~3.5x wall time (a per-query-linear regression
+    would cost ~50x). Generous bound + absolute slack keep this stable
+    on a loaded host while still catching the regression class."""
+    import time
+
+    import __spark_entry__ as m
+    from hybrid_recommendation_system_using_vector_db_spark.operators import (
+        hybrid, similarity as sim)
+
+    sf = "/root/testdata/sf0.001"
+    m._reset_serving_caches()
+    universe = m._served_universe(spark, sf)
+    edges = m._served_edges(spark, sf)
+    names = m._names(spark, sf)
+    cf = m._served_cf(spark, sf)
+
+    def best_of(mod, tag):
+        qs = universe.filter(F.col("vec_id") % mod == 0)
+        qmat = m._query_matrix(spark, sf, tag, qs)
+
+        def run():
+            cands = sim.cosine_topk_gemm(qs, universe, m.CONTENT_TOP_N,
+                                         q_local=qmat)
+            return hybrid.hybrid_recommend(
+                qs, universe, edges, names, k=m.TOP_K,
+                content_candidates=cands, cf_candidates=cf)
+
+        run().count()  # warm the chain
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run().count()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_few = best_of(50, "amort_few")    # ~4 queries at sf0.001
+    t_many = best_of(1, "amort_many")   # the whole universe (~50x)
+    assert t_many <= 3.5 * t_few + 0.5, (t_few, t_many)
