@@ -989,6 +989,23 @@ def q_pack_sequences(spark, sf_dir):
     return textops.pack_sequences(load_table(spark, sf_dir, "documents"), 2048)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc duplicate n-gram fractions (n=2,3) —
+    map-only array expressions, zero exchanges (plan-pinned)."""
+    return textops.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing ≥1 distinct 5-gram
+    with the deterministic pseudo-benchmark set (doc_id % 25 == 0). Self
+    matches excluded — the interesting rows are cross-document leaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0) \
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    return (textops.decontaminate(docs, bench, ngram_n=5, min_overlap=1)
+            .filter(F.col("doc_id") != F.col("bench_id")))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact-dedup twin (first-seen distinct keys over a stream).
 
@@ -1105,6 +1122,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,           # lag/island twin of native session_windows
         "events_pivot": q_events_pivot,               # groupBy().pivot() built-in
         "user_type_setops": q_user_type_setops,       # intersect/except built-in (SURVEY §2.7)
+        # net-new ops beyond the driver budget — full oracles, pytest-pinned
+        "repetition_stats": q_repetition_stats,       # Gopher dup-ngram quality rule
+        "decontaminate": q_decontaminate,             # benchmark n-gram leak detection
     }
 
 
@@ -2256,6 +2276,38 @@ GROUP BY CUBE (l_returnflag, EXTRACT(year FROM l_shipdate))
 SELECT p_partkey AS partkey, p_name AS name
 FROM part
 WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = p_partkey)
+""",
+
+        "repetition_stats": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         i -> array_to_string(list_slice(toks, i, i + 1), ' ')) ELSE [] END AS ng2,
+    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' ')) ELSE [] END AS ng3
+  FROM tk
+)
+SELECT doc_id,
+  CASE WHEN len(ng2) > 0 THEN floor(((len(ng2) - len(list_distinct(ng2)))::DOUBLE / len(ng2)) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS dup_2gram_frac,
+  CASE WHEN len(ng3) > 0 THEN floor(((len(ng3) - len(list_distinct(ng3)))::DOUBLE / len(ng3)) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS dup_3gram_frac
+FROM g
+""",
+
+        "decontaminate": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ng AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+    THEN list_distinct(list_transform(range(1, len(toks) - 3),
+         i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+    ELSE [] END) AS ng
+  FROM tk
+),
+be AS (SELECT doc_id AS bench_id, ng FROM ng WHERE doc_id % 25 = 0)
+SELECT t.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM ng t JOIN be b ON t.ng = b.ng AND t.doc_id <> b.bench_id
+GROUP BY 1, 2
+HAVING count(*) >= 1
 """,
 
         "doc_length_stats": """

@@ -278,3 +278,67 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3,
                 F.col("df").cast("int").alias("df"),
                 "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def repetition_stats(documents: DataFrame, ns: tuple = (2, 3),
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals: duplicate n-gram fraction per doc.
+
+    The Gopher-class quality rule (Rae et al. 2021 §A1.1: "fraction of
+    duplicate n-grams") — heavily repeated phrases mark boilerplate/spam
+    and degrade LM training. For each n, dup_frac = (|ngrams| −
+    |distinct ngrams|) / |ngrams| (0 when the doc is shorter than n).
+
+    Scale shape: pure array expressions over the token array — map-only,
+    ZERO exchanges (plan-pinned), no explode; the n-gram arrays never
+    leave the projection. At 100 TB this runs at scan speed alongside
+    ``quality_scores`` in the same stage.
+    """
+    out = documents.select(F.col(id_col).alias("doc_id"),
+                           TT.tokens(F.col(text_col)).alias("toks"))
+    sel = [F.col("doc_id")]
+    for n in ns:
+        ng = TT.word_ngrams(F.col("toks"), n)
+        total = F.size(ng)
+        dup = total - F.size(F.array_distinct(ng))
+        sel.append(
+            F.when(total > 0, fround(dup / total, ROUND_SCORE))
+            .otherwise(F.lit(0.0)).alias(f"dup_{n}gram_frac"))
+    return out.select(*sel)
+
+
+def decontaminate(documents: DataFrame, benchmark: DataFrame,
+                  ngram_n: int = 5, min_overlap: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_id_col: str = "bench_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: training docs sharing n-grams with an
+    eval set.
+
+    The standard LLM-pipeline step (GPT-3 appx C / Llama style): flag a
+    training document when it shares ≥ ``min_overlap`` distinct
+    ``ngram_n``-grams with any benchmark document, so eval prompts leaking
+    into training data are caught before training. Returns
+    (doc_id, bench_id, n_shared) with n_shared = |shared distinct n-grams|.
+
+    Scale shape: the benchmark side is small by construction (thousands of
+    prompts vs a 100 TB corpus) — its distinct n-grams are broadcast
+    (plan-pinned), so the corpus side is ONE map-side pass (tokenize →
+    distinct n-grams → explode → broadcast-hash probe) plus one partial-agg
+    shuffle on the surviving (doc, bench) hits, which are rare. No
+    corpus-side self-join, no shuffle of the corpus text.
+    """
+    tr = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(
+            TT.word_ngrams(TT.tokens(F.col(text_col)), ngram_n))).alias("ng"))
+    be = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(
+            TT.word_ngrams(TT.tokens(F.col(bench_text_col)), ngram_n))).alias("ng"))
+    return (
+        tr.join(F.broadcast(be), "ng")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )

@@ -244,3 +244,27 @@ def test_hybrid_serve_amortizes(spark):
     t_few = best_of(50, "amort_few")    # ~4 queries at sf0.001
     t_many = best_of(1, "amort_many")   # the whole universe (~50x)
     assert t_many <= 3.5 * t_few + 0.5, (t_few, t_many)
+
+
+def test_repetition_stats_is_map_only(spark, sf_dir):
+    """Dup-ngram fractions are array expressions over the token array —
+    the plan must have ZERO exchanges (runs at scan speed at 100 TB)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(textops.repetition_stats(docs))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode either
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram side is small by construction — it must be
+    broadcast so the corpus side stays a single map pass + partial agg."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0) \
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    plan = formatted_plan(textops.decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
