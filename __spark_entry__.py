@@ -989,6 +989,23 @@ def q_pack_sequences(spark, sf_dir):
     return textops.pack_sequences(load_table(spark, sf_dir, "documents"), 2048)
 
 
+_SQ_PARAMS: dict[tuple, list] = {}
+
+
+def q_quantized_topk(spark, sf_dir):
+    """Asymmetric int8-quantized cosine top-k: full-precision queries vs
+    the scalar-quantized (256-level) reconstructed corpus — the 4×-smaller
+    serve-tier index. Codebook (per-dim min/max) trained once per dataset
+    (bounded dim-row collect, memoized like the IVF codebook)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, "sq")
+    if key not in _SQ_PARAMS:
+        _SQ_PARAMS[key] = similarity.quantization_params(emb, dim=VEC_DIM)
+    return similarity.quantized_topk(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
+        params=_SQ_PARAMS[key], dim=VEC_DIM)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc duplicate n-gram fractions (n=2,3) —
     map-only array expressions, zero exchanges (plan-pinned)."""
@@ -1125,6 +1142,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # net-new ops beyond the driver budget — full oracles, pytest-pinned
         "repetition_stats": q_repetition_stats,       # Gopher dup-ngram quality rule
         "decontaminate": q_decontaminate,             # benchmark n-gram leak detection
+        "quantized_topk": q_quantized_topk,           # int8 ADC search over SQ codes
     }
 
 
@@ -2276,6 +2294,28 @@ GROUP BY CUBE (l_returnflag, EXTRACT(year FROM l_shipdate))
 SELECT p_partkey AS partkey, p_name AS name
 FROM part
 WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = p_partkey)
+""",
+
+        "quantized_topk": f"""
+WITH pos AS (SELECT unnest(range({VEC_DIM})) AS p),
+px AS (SELECT e.vec_id, pos.p, e.embedding[pos.p + 1]::DOUBLE AS x
+       FROM embeddings e CROSS JOIN pos),
+stats AS (SELECT p, min(x) AS mn, max(x) AS mx FROM px GROUP BY p),
+deq AS (
+  SELECT vec_id, px.p,
+         CASE WHEN mx > mn
+              THEN mn + floor((x - mn) / (mx - mn) * 255 + 0.5) * (mx - mn) / 255.0
+              ELSE mn END AS xq
+  FROM px JOIN stats USING (p)
+),
+cvec AS (SELECT vec_id AS cand, list(xq ORDER BY p) AS cv FROM deq GROUP BY vec_id),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT qid, cand, {_cos('qv', 'cv')} AS score
+  FROM q CROSS JOIN cvec WHERE cand <> qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """,
 
         "repetition_stats": f"""

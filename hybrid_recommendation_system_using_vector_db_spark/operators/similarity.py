@@ -798,3 +798,93 @@ def cluster_centroids(assigned: DataFrame, cluster_col: str = "cluster_id",
              F.count(F.lit(1)).alias("n_vectors"))
         .select("cluster_id", F.col("pos").cast("int").alias("pos"), "val", "n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8 embedding compression + asymmetric search)
+# ---------------------------------------------------------------------------
+
+def quantization_params(corpus: DataFrame, vec_col: str = "embedding",
+                        dim: int | None = None) -> list:
+    """Per-dimension (pos, min, max) — the scalar-quantization codebook.
+
+    One posexplode + partial-agg pass over the corpus; the collect is
+    bounded at ``dim`` rows (the same driver-resident-codebook pattern as
+    ``kmeans_centroids_local`` — KBs, independent of corpus size). Train
+    once per corpus, reuse across quantize/search calls.
+    """
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    px = corpus.select(F.posexplode(V.as_double(F.col(vec_col))).alias("pos", "x"))
+    rows = px.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()
+    d = {r["pos"]: (float(r["mn"]), float(r["mx"])) for r in rows}
+    return [(i, d[i][0], d[i][1]) for i in range(dim)]
+
+
+def _param_arrays(params: list):
+    mn_arr = F.array(*[F.lit(mn) for _, mn, _ in params])
+    mx_arr = F.array(*[F.lit(mx) for _, _, mx in params])
+    return mn_arr, mx_arr
+
+
+def scalar_quantize(corpus: DataFrame, params: list, n_levels: int = 256,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Quantize vectors to integer codes (default 256 levels = int8 range).
+
+    code_i = floor((x_i − mn_i) / (mx_i − mn_i) · (L−1) + 0.5); degenerate
+    dimensions (mx == mn) code to 0. Map-only (zero exchanges): the
+    per-dimension codebook rides as two literal arrays inside a single
+    ``transform``. At 100 TB the win is the storage/serve layer — codes
+    are 4× smaller than float32 on disk and in shuffle/broadcast, the
+    standard vector-DB index-compression trade (reconstruction error
+    bounded by step/2 per dimension; recall floor pinned by test).
+    """
+    L = n_levels - 1
+    mn_arr, mx_arr = _param_arrays(params)
+    x = V.as_double(F.col(vec_col))
+    codes = F.transform(x, lambda v, i: F.when(
+        F.element_at(mx_arr, i + 1) > F.element_at(mn_arr, i + 1),
+        F.floor((v - F.element_at(mn_arr, i + 1))
+                / (F.element_at(mx_arr, i + 1) - F.element_at(mn_arr, i + 1))
+                * F.lit(L) + F.lit(0.5))
+    ).otherwise(F.lit(0)).cast("int"))
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def dequantize(codes_df: DataFrame, params: list, n_levels: int = 256,
+               id_col: str = "vec_id", codes_col: str = "codes",
+               out_col: str = "embedding") -> DataFrame:
+    """Reconstruct double vectors from codes: x̂_i = mn_i + c_i·(mx_i−mn_i)/(L−1).
+
+    Map-only; the exact expression association is mirrored in the DuckDB
+    oracle so reconstructed values are bit-identical across engines.
+    """
+    L = float(n_levels - 1)
+    mn_arr, mx_arr = _param_arrays(params)
+    deq = F.transform(F.col(codes_col), lambda c, i:
+                      F.element_at(mn_arr, i + 1)
+                      + c.cast("double")
+                      * (F.element_at(mx_arr, i + 1) - F.element_at(mn_arr, i + 1))
+                      / F.lit(L))
+    return codes_df.select(F.col(id_col), deq.alias(out_col))
+
+
+def quantized_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                   n_levels: int = 256, params: list | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """Asymmetric quantized cosine top-k (ADC-style): full-precision
+    queries scored against the int8-reconstructed corpus.
+
+    The serving shape when the float corpus doesn't fit the serving tier:
+    store/scan 4×-smaller codes, reconstruct in-plan (map-only transform,
+    fused into the scoring stage), rank exactly as ``cosine_topk`` with
+    the same pinned tiebreaks. Quantize+search here is one plan — at
+    scale, persist ``scalar_quantize`` output once and serve from it.
+    """
+    if params is None:
+        params = quantization_params(corpus, vec_col, dim)
+    codes = scalar_quantize(corpus, params, n_levels, id_col, vec_col)
+    recon = dequantize(codes, params, n_levels, id_col)
+    return cosine_topk(queries, recon, k, id_col, "embedding",
+                       dim=dim or len(params))

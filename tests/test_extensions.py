@@ -568,3 +568,39 @@ def test_kmv_distinct_exact_below_k_and_accurate_above(spark):
     again = {r.grp: r.est_distinct
              for r in kmv_distinct(df.repartition(11), "grp", "v", k=64).collect()}
     assert again == got
+
+
+def test_quantized_topk_recall_floor(spark, sf_dir):
+    """int8 scalar quantization must not materially degrade the ranking:
+    recall@10 of the ADC search vs the exact float ranking >= 0.9 (256
+    levels bound per-dim reconstruction error at step/2)."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.cosine_topk(qs, emb, 10, dim=64).select("qid", "cand")
+    quant = similarity.quantized_topk(qs, emb, 10, dim=64).select("qid", "cand")
+    total = exact.count()
+    hits = quant.join(exact, ["qid", "cand"], "left_semi").count()
+    assert total > 0 and hits / total >= 0.9, (hits, total)
+
+
+def test_scalar_quantize_roundtrip_error_bounded(spark, sf_dir):
+    """Reconstruction error per dimension must be <= step/2 = (mx-mn)/510."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+    from hybrid_recommendation_system_using_vector_db_spark.functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    params = similarity.quantization_params(emb, dim=64)
+    recon = similarity.dequantize(
+        similarity.scalar_quantize(emb, params), params)
+    joined = emb.select("vec_id", V.as_double(F.col("embedding")).alias("orig")) \
+        .join(recon.withColumnRenamed("embedding", "rec"), "vec_id")
+    err = joined.select(
+        F.max(F.expr(
+            "aggregate(zip_with(orig, rec, (a, b) -> abs(a - b)), 0D, (m, x) -> greatest(m, x))"
+        )).alias("max_err")).collect()[0]["max_err"]
+    max_step = max((mx - mn) / 510.0 for _, mn, mx in params)
+    assert err <= max_step + 1e-12, (err, max_step)
