@@ -1006,6 +1006,17 @@ def q_quantized_topk(spark, sf_dir):
         params=_SQ_PARAMS[key], dim=VEC_DIM)
 
 
+def q_domain_mix(spark, sf_dir):
+    """Resample documents to a 50/25/25 src0/src1/src2 mixture — largest
+    output meeting the targets without upsampling (T = min n_d/w_d,
+    k_d = floor(w_d·T)), members by the shared seeded-md5 ranking."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source", "n_chars")
+    return sampling.domain_mix_sample(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        domain_col="source", key_col="doc_id", seed=SEED)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc duplicate n-gram fractions (n=2,3) —
     map-only array expressions, zero exchanges (plan-pinned)."""
@@ -1143,6 +1154,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,       # Gopher dup-ngram quality rule
         "decontaminate": q_decontaminate,             # benchmark n-gram leak detection
         "quantized_topk": q_quantized_topk,           # int8 ADC search over SQ codes
+        "domain_mix": q_domain_mix,                   # target-mixture resampling
     }
 
 
@@ -2294,6 +2306,20 @@ GROUP BY CUBE (l_returnflag, EXTRACT(year FROM l_shipdate))
 SELECT p_partkey AS partkey, p_name AS name
 FROM part
 WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = p_partkey)
+""",
+
+        "domain_mix": f"""
+WITH t(source, w) AS (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.25::DOUBLE), ('src2', 0.25::DOUBLE)),
+n AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+s AS (SELECT min(n.n / t.w) AS ts FROM n JOIN t USING (source)),
+k AS (SELECT t.source, floor(t.w * s.ts) AS k FROM t CROSS JOIN s),
+r AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5('{SEED}:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+  FROM documents d JOIN t ON d.source = t.source
+)
+SELECT doc_id, lang, source, n_chars FROM r JOIN k USING (source) WHERE rn <= k.k
 """,
 
         "quantized_topk": f"""

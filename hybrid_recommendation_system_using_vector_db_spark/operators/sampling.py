@@ -82,3 +82,43 @@ def seeded_fraction_sample(df: DataFrame, fraction: float, key_col: str,
     the 100 TB path."""
     u32 = hex8_u32(seeded_key(F.col(key_col), seed))
     return df.filter(u32 < F.lit(int(fraction * 0xFFFFFFFF)))
+
+
+def domain_mix_sample(df: DataFrame, targets: dict, domain_col: str = "source",
+                      key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Resample to a target domain mixture (DoReMi-style static mixing).
+
+    ``targets`` maps domain value → target weight (need not sum to 1; they
+    are normalized by construction). Output is the LARGEST sample whose
+    domain proportions hit the targets without upsampling any domain:
+    T = min_d(n_d / w_d) rows total, k_d = floor(w_d · T) per domain,
+    members chosen by the seeded-md5 ranking (same uniform key as
+    ``stratified_sample``, ties by ``key_col``), so the result is a pure
+    function of (data, targets, seed).
+
+    Scale shape: one bounded driver agg (|domains| rows — the codebook
+    pattern) to size k_d, then ONE ranking-window shuffle keyed by the
+    domain column. Degenerate targets (a domain with weight > 0 but no
+    rows) yield an empty result, loudly correct: T = 0.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    doms = [d for d, w in targets.items() if w > 0]
+    counts = {r[0]: r[1] for r in (
+        df.filter(F.col(domain_col).isin(doms))
+        .groupBy(domain_col).count().collect())}
+    t_scale = min(counts.get(d, 0) / targets[d] for d in doms)
+    ks = {d: int(math.floor(targets[d] * t_scale)) for d in doms}
+    k_col = F.lit(None).cast("long")
+    for d in doms:
+        k_col = F.when(F.col(domain_col) == d, F.lit(ks[d])).otherwise(k_col)
+    w = Window.partitionBy(domain_col).orderBy(
+        seeded_key(F.col(key_col), seed), F.col(key_col).asc())
+    return (
+        df.filter(F.col(domain_col).isin(doms))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_col)
+        .drop("__rn")
+    )

@@ -604,3 +604,28 @@ def test_scalar_quantize_roundtrip_error_bounded(spark, sf_dir):
         )).alias("max_err")).collect()[0]["max_err"]
     max_step = max((mx - mn) / 510.0 for _, mn, mx in params)
     assert err <= max_step + 1e-12, (err, max_step)
+
+
+def test_domain_mix_hits_target_proportions(spark, sf_dir):
+    """domain_mix_sample output must match the target mixture to within
+    floor rounding, never upsample a domain, and be repartition-stable."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source")
+    targets = {"src0": 0.6, "src1": 0.2, "src2": 0.2}
+    out = sampling.domain_mix_sample(docs, targets, "source", "doc_id", 42)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r["source"]: r["n"] for r in
+             docs.filter(F.col("source").isin(list(targets)))
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    t_scale = min(avail[d] / w for d, w in targets.items())
+    for d, w in targets.items():
+        assert got.get(d, 0) == int(w * t_scale), (d, got, t_scale)
+        assert got.get(d, 0) <= avail[d]
+    # deterministic under a different partitioning
+    out2 = sampling.domain_mix_sample(docs.repartition(7), targets,
+                                      "source", "doc_id", 42)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
