@@ -70,6 +70,10 @@ HEADLINE = [
     "user_type_setops",
     "simhash_neardup",
     "cube_revenue",
+    "repetition_stats",
+    "decontaminate",
+    "quantized_topk",
+    "domain_mix",
 ]
 
 

@@ -124,3 +124,24 @@ def load_ivf_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, list]:
              for r in spark.read.parquet(f"{out_dir}/ivf_codebook").collect()]
     cents.sort(key=lambda t: t[0])
     return lists, cents
+
+
+def write_bucketed_edges(spark: SparkSession, edges: DataFrame,
+                         table: str = "edges_bucketed",
+                         n_buckets: int = 8) -> DataFrame:
+    """Persist the co-purchase edge table bucketed (and sorted) by ``src``.
+
+    Bucketing is the 100 TB co-location strategy for the serve-side joins
+    (SCALE.md): every downstream join or aggregation keyed by ``src`` —
+    CF ranking, per-source normalization, edge⋈edge composition — reads
+    the bucket layout from the table metadata and skips its shuffle
+    entirely (zero Exchange on the bucketed side; two tables bucketed the
+    same way join with NO shuffle at all, pinned by
+    ``test_bucketed_edges_join_has_no_exchange``). Spark bucketing
+    requires a catalog table (``saveAsTable``), not a bare parquet path —
+    the bucket spec lives in the metastore.
+    """
+    (edges.write.mode("overwrite")
+     .bucketBy(n_buckets, "src").sortBy("src")
+     .format("parquet").saveAsTable(table))
+    return spark.table(table)

@@ -269,3 +269,25 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     plan = formatted_plan(textops.decontaminate(docs, bench))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_edges_join_has_no_exchange(spark, sf_dir):
+    """Two reads of the src-bucketed edge table must sort-merge join on
+    src with ZERO exchanges — the bucket layout replaces the shuffle
+    (the 100 TB co-location strategy for every src-keyed serve join)."""
+    from hybrid_recommendation_system_using_vector_db_spark.pipeline import write_bucketed_edges
+
+    edges = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = write_bucketed_edges(spark, edges, table="edges_bucketed_test")
+        a = t.alias("a")
+        b = t.groupBy("src").agg(F.sum("weight").alias("total_w")).alias("b")
+        joined = a.join(b, "src")
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == t.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS edges_bucketed_test")

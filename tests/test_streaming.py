@@ -148,3 +148,46 @@ def test_merge_edge_batch_run_identity_resets_epoch(spark, tmp_path):
     merge_edge_batch(pairs, state, epoch_id=0, run_id="run-B")
     edges = {(r.src, r.dst): r.weight for r in read_edge_state(spark, state).collect()}
     assert edges == {(10, 11): 2}
+
+
+def test_dedup_within_watermark_evicts_but_keeps_horizon_exact(spark, tmp_path):
+    """dropDuplicatesWithinWatermark — the documented unbounded-key scale
+    path for streaming dedup: duplicates arriving within the watermark
+    horizon are dropped, and state for expired keys is evicted (so a
+    duplicate arriving AFTER the horizon may re-emit — the documented
+    at-most-one-per-horizon trade). Two microbatches drive eviction."""
+    import json
+    import os
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    chk = str(tmp_path / "chk")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # batch 1: key A twice within horizon (one survives), watermark moves to
+    # 12:00 via the max event; horizon = 12:00 - 10min = 11:50
+    write_batch("b1.json", [
+        {"k": "A", "ts": "2024-01-01 10:00:00"},
+        {"k": "A", "ts": "2024-01-01 10:00:05"},
+        {"k": "W", "ts": "2024-01-01 12:00:00"},
+    ])
+    stream = (spark.readStream.schema("k string, ts timestamp")
+              .json(str(src)))
+    dd = stream.withWatermark("ts", "10 minutes") \
+        .dropDuplicatesWithinWatermark(["k"])
+    q = (dd.writeStream.outputMode("append").format("memory")
+         .queryName("ddww").option("checkpointLocation", chk).start())
+    q.processAllAvailable()
+    # batch 2: key A again, far past the horizon — its old state was
+    # evicted, so it re-emits
+    write_batch("b2.json", [{"k": "A", "ts": "2024-01-01 13:00:00"}])
+    q.processAllAvailable()
+    q.stop()
+    rows = [(r.k, str(r.ts)) for r in spark.sql("SELECT * FROM ddww").collect()]
+    a_rows = [r for r in rows if r[0] == "A"]
+    assert len(a_rows) == 2, rows  # one per horizon, not one forever
+    assert len([r for r in rows if r[0] == "W"]) == 1
