@@ -328,8 +328,14 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
     shuffle on the surviving (doc, bench) hits, which are rare. No
     corpus-side self-join, no shuffle of the corpus text.
     """
-    tr = documents.select(
-        F.col(id_col).alias("doc_id"),
+    # _spread first: tokenize + n-gram + hash-probe is the map-side cost,
+    # and a single-file corpus would otherwise run it on one core (same
+    # rationale as minhash_signatures; a no-op on a many-file 100 TB scan)
+    from .similarity import _spread
+
+    tr = _spread(documents.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col).alias(text_col))).select(
+        "doc_id",
         F.explode(F.array_distinct(
             TT.word_ngrams(TT.tokens(F.col(text_col)), ngram_n))).alias("ng"))
     be = benchmark.select(
