@@ -1017,6 +1017,24 @@ def q_domain_mix(spark, sf_dir):
         domain_col="source", key_col="doc_id", seed=SEED)
 
 
+_PQ_BOOKS: dict[tuple, list] = {}
+
+
+def q_pq_topk(spark, sf_dir):
+    """Asymmetric product-quantized cosine top-k: 8 subspaces × 16
+    codewords (deterministic per-subspace spherical k-means, memoized
+    train-once codebooks), full-precision queries vs the PQ-reconstructed
+    corpus — the 32×-compressed serve-tier index path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS[key] = similarity.pq_train(emb, m=8, n_centroids=16,
+                                             dim=VEC_DIM)
+    return similarity.pq_topk(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
+        codebooks=_PQ_BOOKS[key], dim=VEC_DIM)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc duplicate n-gram fractions (n=2,3) —
     map-only array expressions, zero exchanges (plan-pinned)."""
@@ -1154,6 +1172,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,       # Gopher dup-ngram quality rule
         "decontaminate": q_decontaminate,             # benchmark n-gram leak detection
         "quantized_topk": q_quantized_topk,           # int8 ADC search over SQ codes
+        "pq_topk": q_pq_topk,                         # product-quantized ADC search
         "domain_mix": q_domain_mix,                   # target-mixture resampling
     }
 
@@ -1385,33 +1404,37 @@ def _hex8_u32(expr: str) -> str:
 
 
 def _kmeans_cent_ctes(n_centroids: int = 16, n_iters: int = 2,
-                      dim: int = 64) -> tuple[str, str]:
+                      dim: int = 64, prefix: str = "",
+                      u_name: str = "u") -> tuple[str, str]:
     """(CTE chain, final centroid CTE name) unrolling the deterministic
     spherical k-means of ``similarity.kmeans_centroids``: init = first-N
     ids, per iteration argmax-cosine assignment (ties → lower centroid id)
     then per-component mean rounded to 6; empty clusters keep the previous
-    centroid. Requires a ``u(id, v)`` CTE in scope."""
-    ctes = [f"cent0 AS (SELECT id AS centroid_id, v AS cv FROM u WHERE id < {n_centroids})"]
-    prev = "cent0"
+    centroid. Requires a ``{u_name}(id, v)`` CTE in scope. ``prefix``
+    namespaces the CTE chain so several trainings (one per PQ subspace)
+    coexist in one statement."""
+    p, u = prefix, u_name
+    ctes = [f"{p}cent0 AS (SELECT id AS centroid_id, v AS cv FROM {u} WHERE id < {n_centroids})"]
+    prev = f"{p}cent0"
     for it in range(1, n_iters + 1):
-        ctes.append(f"""asg{it} AS (
-  SELECT u.id AS vid, u.v, c.centroid_id, {_cos('u.v', 'c.cv')} AS csim
-  FROM u CROSS JOIN {prev} c
+        ctes.append(f"""{p}asg{it} AS (
+  SELECT {u}.id AS vid, {u}.v, c.centroid_id, {_cos(f'{u}.v', 'c.cv')} AS csim
+  FROM {u} CROSS JOIN {prev} c
 ),
-asg{it}r AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS cr FROM asg{it}),
-a{it} AS (SELECT vid, v, centroid_id FROM asg{it}r WHERE cr = 1),
-comp{it} AS (
+{p}asg{it}r AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS cr FROM {p}asg{it}),
+{p}a{it} AS (SELECT vid, v, centroid_id FROM {p}asg{it}r WHERE cr = 1),
+{p}comp{it} AS (
   SELECT centroid_id, p.pos, floor(avg(v[CAST(p.pos AS INT) + 1]) * 1000000 + 0.5) / 1000000 AS m
-  FROM a{it} CROSS JOIN (SELECT unnest(range({dim})) AS pos) p
+  FROM {p}a{it} CROSS JOIN (SELECT unnest(range({dim})) AS pos) p
   GROUP BY 1, 2
 ),
-cent{it} AS (
+{p}cent{it} AS (
   SELECT c.centroid_id, coalesce(n.cv, c.cv) AS cv
   FROM {prev} c LEFT JOIN (
-    SELECT centroid_id, list(m ORDER BY pos) AS cv FROM comp{it} GROUP BY 1
+    SELECT centroid_id, list(m ORDER BY pos) AS cv FROM {p}comp{it} GROUP BY 1
   ) n USING (centroid_id)
 )""")
-        prev = f"cent{it}"
+        prev = f"{p}cent{it}"
     return ",\n".join(ctes), prev
 
 
@@ -1548,6 +1571,29 @@ def _oracle_sql_all() -> dict[str, str]:
         "i -> array_to_string(list_slice(toks, i, i + 2), ' '))) "
         "ELSE [] END"
     )
+
+    # PQ: one prefixed k-means CTE chain per subspace over the sliced
+    # subvectors, then nearest-codeword (csim desc, centroid_id asc)
+    # reconstruction — mirrors similarity.pq_train/pq_reconstruct exactly.
+    pq_m = 8
+    pq_sub = VEC_DIM // pq_m
+    pq_chains, pq_picks = [], []
+    for s in range(pq_m):
+        ctes, final = _kmeans_cent_ctes(16, 2, pq_sub, prefix=f"s{s}",
+                                        u_name=f"u{s}")
+        pq_chains.append(
+            f"u{s} AS (SELECT id, list_slice(v, {s * pq_sub + 1}, "
+            f"{(s + 1) * pq_sub}) AS v FROM u),\n{ctes}")
+        pq_picks.append(f"""x{s} AS (
+  SELECT u{s}.id, c.cv, {_cos(f'u{s}.v', 'c.cv')} AS cs, c.centroid_id
+  FROM u{s} CROSS JOIN {final} c
+),
+w{s} AS (SELECT id, cv FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, centroid_id ASC) AS rn
+  FROM x{s}) WHERE rn = 1)""")
+    pq_chain_sql = ",\n".join(pq_chains + pq_picks)
+    pq_joins = " ".join(f"JOIN w{s} USING (id)" for s in range(1, pq_m))
+    pq_concat = " || ".join(f"w{s}.cv" for s in range(pq_m))
 
     sql = {
         "copurchase_edges": f"WITH {_EDGES_CTE.strip()} "
@@ -2339,6 +2385,19 @@ q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_
 scored AS (
   SELECT qid, cand, {_cos('qv', 'cv')} AS score
   FROM q CROSS JOIN cvec WHERE cand <> qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+""",
+
+        "pq_topk": f"""
+WITH u AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+{pq_chain_sql},
+recon AS (SELECT w0.id AS cand, {pq_concat} AS cv FROM w0 {pq_joins}),
+q AS (SELECT id AS qid, v AS qv FROM u WHERE id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT qid, cand, {_cos('qv', 'cv')} AS score
+  FROM q CROSS JOIN recon WHERE cand <> qid
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}

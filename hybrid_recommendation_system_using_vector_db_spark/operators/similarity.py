@@ -888,3 +888,81 @@ def quantized_topk(queries: DataFrame, corpus: DataFrame, k: int,
     recon = dequantize(codes, params, n_levels, id_col)
     return cosine_topk(queries, recon, k, id_col, "embedding",
                        dim=dim or len(params))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (per-subspace codebooks, ADC search)
+# ---------------------------------------------------------------------------
+
+def pq_train(corpus: DataFrame, m: int = 8, n_centroids: int = 16,
+             n_iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int | None = None) -> list:
+    """Train PQ codebooks: one spherical k-means per length-(dim/m) subspace.
+
+    Returns ``m`` codebooks, each ``kmeans_centroids_local`` output over
+    the sliced subvectors — driver-resident (m·k·(dim/m) doubles, KBs),
+    the same train-once/literal-serve split as the IVF codebook. At
+    100 TB: train on a sample, persist, reload into this literal form.
+    """
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    assert dim % m == 0, "dim must divide into m subspaces"
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(V.as_double(F.col(vec_col)), s * sub + 1, sub).alias(vec_col))
+        books.append(kmeans_centroids_local(sliced, n_centroids, n_iters,
+                                            id_col, vec_col))
+    return books
+
+
+def _argmax_centroid_cv_sql(cents: list, vec_col: str, norm_col: str) -> str:
+    """Map-side nearest-centroid VECTOR (max rounded csim, ties → lower
+    centroid id) — the decode half of PQ fused into the encode argmax."""
+    lit = _cents_literal_sql(cents)
+    cf = _cos_vs_c_sql(vec_col, norm_col)
+    return (f"(array_max(transform({lit}, "
+            f"c -> named_struct('s', {cf}, 'n', -c.cid, 'cv', c.cv)))).cv")
+
+
+def pq_reconstruct(corpus: DataFrame, codebooks: list,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """PQ encode+decode in one map-only projection: each subvector is
+    replaced by its nearest codeword (argmax rounded cosine, ties → lower
+    centroid id), codewords concatenated back to a full vector.
+
+    Zero shuffles; every codebook rides as a constant-folded literal
+    (the Janino-safe pattern of ``_cents_literal_sql``). Storage story:
+    persisting the m code ids instead of the floats is dim·4 / m bytes →
+    32× smaller at dim=64, m=8, k≤256; the reconstruct expression is the
+    serve-time decoder over that layout.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    df = corpus.select(F.col(id_col), V.as_double(F.col(vec_col)).alias("__v"))
+    parts = []
+    for s in range(m):
+        df = df.withColumn(f"__v{s}", F.slice(F.col("__v"), s * sub + 1, sub))
+        df = df.withColumn(f"__n{s}", F.expr(_vnorm_sql(f"__v{s}")))
+        parts.append(F.expr(_argmax_centroid_cv_sql(
+            codebooks[s], f"__v{s}", f"__n{s}")))
+    return df.select(F.col(id_col), F.concat(*parts).alias(vec_col))
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int,
+            codebooks: list | None = None, m: int = 8, n_centroids: int = 16,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            dim: int | None = None) -> DataFrame:
+    """Asymmetric PQ cosine top-k: full-precision queries scored against
+    the PQ-reconstructed corpus — exact ranking over the compressed
+    representation, same pinned tiebreaks as ``cosine_topk``."""
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(corpus, m, n_centroids, id_col=id_col,
+                             vec_col=vec_col, dim=dim)
+    recon = pq_reconstruct(corpus, codebooks, id_col, vec_col)
+    return cosine_topk(queries, recon, k, id_col, vec_col, dim=dim)

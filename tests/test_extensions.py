@@ -629,3 +629,26 @@ def test_domain_mix_hits_target_proportions(spark, sf_dir):
     out2 = sampling.domain_mix_sample(docs.repartition(7), targets,
                                       "source", "doc_id", 42)
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+
+
+def test_pq_topk_sane_and_deterministic(spark, sf_dir):
+    """PQ (m=8, k=16 => 32x compression) on the WORST-CASE uniform
+    synthetic vectors: recall is data-dependent and low by construction
+    (~0.2 measured; the dial is n_centroids — k=256/subspace is the
+    standard setting on real, clusterable embeddings). Pin a breakage
+    floor + exact determinism of the reconstruction ranking."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    books = similarity.pq_train(emb, m=8, n_centroids=16, dim=64)
+    pq = similarity.pq_topk(qs, emb, 10, codebooks=books, dim=64)
+    exact = similarity.cosine_topk(qs, emb, 10, dim=64).select("qid", "cand")
+    total = exact.count()
+    hits = pq.select("qid", "cand").join(exact, ["qid", "cand"], "left_semi").count()
+    assert total > 0 and hits / total >= 0.1, (hits, total)
+    # deterministic: same codebooks -> identical ranking, any partitioning
+    pq2 = similarity.pq_topk(qs.repartition(5), emb.repartition(7), 10,
+                             codebooks=books, dim=64)
+    assert {tuple(r) for r in pq.collect()} == {tuple(r) for r in pq2.collect()}
