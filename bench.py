@@ -73,6 +73,7 @@ HEADLINE = [
     "repetition_stats",
     "decontaminate",
     "quantized_topk",
+    "pq_topk",
     "domain_mix",
 ]
 
