@@ -652,3 +652,32 @@ def test_pq_topk_sane_and_deterministic(spark, sf_dir):
     pq2 = similarity.pq_topk(qs.repartition(5), emb.repartition(7), 10,
                              codebooks=books, dim=64)
     assert {tuple(r) for r in pq.collect()} == {tuple(r) for r in pq2.collect()}
+
+
+def test_text_and_dedup_ops_tolerate_null_and_empty_text(spark):
+    """Real corpora contain null/empty/whitespace-only documents; every
+    text/dedup operator must process them without crashing (null tokens
+    drop out of explodes; empty docs get empty-set semantics)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup, textops
+
+    docs = spark.createDataFrame(
+        [(1, "hello world foo bar baz qux quux corge", "src0", "en", 38),
+         (2, None, "src0", "en", 0),
+         (3, "", "src1", "en", 0),
+         (4, "   ", "src1", "en", 3)],
+        "doc_id long, text string, source string, lang string, n_chars long")
+    assert len(textops.token_stats(docs).collect()) == 4
+    assert len(textops.quality_scores(docs).collect()) == 4
+    assert len(textops.language_id(docs).collect()) == 4
+    assert len(textops.repetition_stats(docs).collect()) == 4
+    assert len(textops.scrub_text(docs).collect()) == 4
+    assert len(textops.split_assign(docs, {"train": 0.9, "val": 0.1}).collect()) == 4
+    # only doc 1 has tokens -> tfidf rows for it alone
+    assert {r.doc_id for r in textops.tfidf_top_terms(docs, 2).collect()} == {1}
+    # "" and "   " normalize to the same empty text -> one dup group of 2
+    groups = {r.canonical_id: r.n_dups for r in dedup.exact_dedup(docs).collect()}
+    assert groups[3] == 2
+    assert dedup.minhash_dup_pairs(docs).collect() == []
+    assert dedup.jaccard_neardup_pairs(docs, 0.1).collect() == []
+    # only the tokenful doc gets a fingerprint
+    assert {r.doc_id for r in dedup.simhash_fingerprints(docs).collect()} == {1}
