@@ -899,22 +899,58 @@ def pq_train(corpus: DataFrame, m: int = 8, n_centroids: int = 16,
              vec_col: str = "embedding", dim: int | None = None) -> list:
     """Train PQ codebooks: one spherical k-means per length-(dim/m) subspace.
 
-    Returns ``m`` codebooks, each ``kmeans_centroids_local`` output over
-    the sliced subvectors — driver-resident (m·k·(dim/m) doubles, KBs),
-    the same train-once/literal-serve split as the IVF codebook. At
-    100 TB: train on a sample, persist, reload into this literal form.
+    Returns ``m`` codebooks (each ``kmeans_centroids_local``-shaped:
+    sorted (cid, subvector) lists) — driver-resident (m·k·(dim/m)
+    doubles, KBs), the same train-once/literal-serve split as the IVF
+    codebook. At 100 TB: train on a sample, persist, reload.
+
+    FUSED training: the m subspace trainings are independent, so each
+    Lloyd round runs as ONE corpus pass — all m assignments as sibling
+    constant-folded argmax expressions, then a single
+    explode(m structs) → posexplode → partial-agg mean keyed by
+    (subspace, centroid, pos). Row volume into the aggregate is m·(dim/m)
+    = dim per vector, identical to ONE full-dim k-means round — the naive
+    per-subspace loop pays m× the corpus scans for the same math
+    (equivalence pinned by ``test_pq_train_fused_equals_per_subspace``).
     """
     if dim is None:
         dim = _vec_dim(corpus, vec_col)
     assert dim % m == 0, "dim must divide into m subspaces"
     sub = dim // m
-    books = []
-    for s in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(V.as_double(F.col(vec_col)), s * sub + 1, sub).alias(vec_col))
-        books.append(kmeans_centroids_local(sliced, n_centroids, n_iters,
-                                            id_col, vec_col))
+    init = (corpus.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).cast("long").alias("cid"),
+                    V.as_double(F.col(vec_col)).alias("cv"))
+            .collect())  # bounded: n_centroids rows
+    full = sorted((r.cid, list(r.cv)) for r in init)
+    if not full:
+        return []
+    books = [[(cid, cv[s * sub:(s + 1) * sub]) for cid, cv in full]
+             for s in range(m)]
+    vecs = corpus.select(V.as_double(F.col(vec_col)).alias("__v"))
+    for _ in range(n_iters):
+        df = vecs
+        for s in range(m):
+            df = df.withColumn(f"__v{s}", F.slice(F.col("__v"), s * sub + 1, sub))
+            df = df.withColumn(f"__n{s}", F.expr(_vnorm_sql(f"__v{s}")))
+            df = df.withColumn(f"__c{s}", F.expr(_argmax_centroid_sql(
+                books[s], f"__v{s}", f"__n{s}")))
+        exploded = df.select(F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"), F.col(f"__c{s}").alias("cid"),
+                     F.col(f"__v{s}").alias("sv"))
+            for s in range(m)])).alias("e")
+        ).select("e.s", "e.cid", F.posexplode("e.sv").alias("pos", "x"))
+        rows = (exploded.groupBy("s", "cid", "pos")
+                .agg(fround(F.avg("x"), ROUND_SCORE).alias("m"))
+                .collect())  # bounded: m × n_centroids × sub = dim·k rows
+        by_key: dict[tuple, dict[int, float]] = {}
+        for r in rows:
+            by_key.setdefault((r.s, r.cid), {})[r.pos] = r.m
+        books = [
+            [(cid, [by_key[(s, cid)][p] for p in range(sub)]
+              if (s, cid) in by_key else old)
+             for cid, old in books[s]]
+            for s in range(m)
+        ]
     return books
 
 

@@ -681,3 +681,22 @@ def test_text_and_dedup_ops_tolerate_null_and_empty_text(spark):
     assert dedup.jaccard_neardup_pairs(docs, 0.1).collect() == []
     # only the tokenful doc gets a fingerprint
     assert {r.doc_id for r in dedup.simhash_fingerprints(docs).collect()} == {1}
+
+
+def test_pq_train_fused_equals_per_subspace(spark, sf_dir):
+    """The fused one-pass-per-round PQ training must produce EXACTLY the
+    codebooks of the naive per-subspace kmeans loop (the math is
+    independent per subspace; fusing only changes scan count)."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.functions import vector as V
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = similarity.pq_train(emb, m=8, n_centroids=16, dim=64)
+    naive = []
+    for s in range(8):
+        sliced = emb.select(
+            F.col("vec_id"),
+            F.slice(V.as_double(F.col("embedding")), s * 8 + 1, 8).alias("embedding"))
+        naive.append(similarity.kmeans_centroids_local(sliced, 16, 2))
+    assert fused == naive
