@@ -1130,8 +1130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- embedding + multimodal plumbing ---
         "hash_embeddings": q_hash_embeddings,
         "multimodal_features": q_multimodal_features,
-        "media_resize": q_media_resize,
-        "media_frame_sample": q_media_frame_sample,
+        # --- compressed-index search (rotated into the driver 50 in r6:
+        # real math > fake-decoder plumbing, VERDICT r5 missing #4) ---
+        "quantized_topk": q_quantized_topk,           # int8 ADC search over SQ codes
+        "pq_topk": q_pq_topk,                         # product-quantized ADC search
         # --- generic relational + streaming operators ---
         "tpch_q1": q_tpch_q1,
         "orders_running_total": q_orders_running_total,
@@ -1171,9 +1173,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # net-new ops beyond the driver budget — full oracles, pytest-pinned
         "repetition_stats": q_repetition_stats,       # Gopher dup-ngram quality rule
         "decontaminate": q_decontaminate,             # benchmark n-gram leak detection
-        "quantized_topk": q_quantized_topk,           # int8 ADC search over SQ codes
-        "pq_topk": q_pq_topk,                         # product-quantized ADC search
         "domain_mix": q_domain_mix,                   # target-mixture resampling
+        # fake-decoder plumbing rotated out of the driver 50 in r6 (their
+        # value-check is a hex re-derivation; the Arrow/schema plumbing
+        # stays oracle-pinned here and in tests/test_extensions.py)
+        "media_resize": q_media_resize,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 
