@@ -126,6 +126,43 @@ def load_ivf_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, list]:
     return lists, cents
 
 
+def write_pq_index(spark: SparkSession, embeddings: DataFrame, out_dir: str,
+                   m: int = 8, n_centroids: int = 64,
+                   n_iters: int = 2) -> list:
+    """Write the product-quantization index: codes table + codebook table.
+
+    The codes table is the 32×-compressed serve artifact (m smallints per
+    vector instead of dim floats — the measured on-disk ratio is in
+    SCALE.md): at 100 TB of float32 embeddings the codes tier is ~3 TB,
+    small enough to live on the serving cluster while the float corpus
+    stays in cold storage. The KB-sized codebook lands alongside (same
+    split as ``write_ivf_index``); ``load_pq_index`` +
+    ``similarity.pq_topk_from_codes`` serve without ever re-reading the
+    float corpus.
+    """
+    from .operators.similarity import pq_encode, pq_train
+
+    books = pq_train(embeddings, m, n_centroids, n_iters)
+    codes = pq_encode(embeddings, books)
+    codes.write.mode("overwrite").parquet(f"{out_dir}/pq_codes")
+    rows = [(s, int(cid), [float(x) for x in cv])
+            for s, book in enumerate(books) for cid, cv in book]
+    spark.createDataFrame(
+        rows, "subspace int, cid int, codeword array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/pq_codebook")
+    return books
+
+
+def load_pq_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, list]:
+    """(codes table, codebooks) written by :func:`write_pq_index`."""
+    codes = spark.read.parquet(f"{out_dir}/pq_codes")
+    by_s: dict[int, list] = {}
+    for r in spark.read.parquet(f"{out_dir}/pq_codebook").collect():
+        by_s.setdefault(r.subspace, []).append((r.cid, list(r.codeword)))
+    books = [sorted(by_s[s]) for s in sorted(by_s)]
+    return codes, books
+
+
 def write_bucketed_edges(spark: SparkSession, edges: DataFrame,
                          table: str = "edges_bucketed",
                          n_buckets: int = 8) -> DataFrame:
