@@ -2437,7 +2437,10 @@ WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = p_partkey)
         "domain_mix": f"""
 WITH t(source, w) AS (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.25::DOUBLE), ('src2', 0.25::DOUBLE)),
 n AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
-s AS (SELECT min(n.n / t.w) AS ts FROM n JOIN t USING (source)),
+-- LEFT JOIN from targets: a targeted domain with zero rows contributes
+-- 0 to the min, so T = 0 and the result is empty - the Spark operator's
+-- documented degenerate-input semantics (ADVICE r5)
+s AS (SELECT min(coalesce(n.n, 0) / t.w) AS ts FROM t LEFT JOIN n USING (source)),
 k AS (SELECT t.source, floor(t.w * s.ts) AS k FROM t CROSS JOIN s),
 r AS (
   SELECT d.doc_id, d.lang, d.source, d.n_chars,

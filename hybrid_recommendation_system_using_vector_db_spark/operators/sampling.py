@@ -106,9 +106,15 @@ def domain_mix_sample(df: DataFrame, targets: dict, domain_col: str = "source",
     from pyspark.sql import Window
 
     doms = [d for d, w in targets.items() if w > 0]
+    if not doms:
+        raise ValueError(
+            "domain_mix_sample: no domain has a positive target weight "
+            f"(targets={targets!r})")
     counts = {r[0]: r[1] for r in (
         df.filter(F.col(domain_col).isin(doms))
         .groupBy(domain_col).count().collect())}
+    # absent domains count 0 → T = 0 → empty result, loudly correct (the
+    # oracle mirrors this with a LEFT JOIN from targets; ADVICE r5)
     t_scale = min(counts.get(d, 0) / targets[d] for d in doms)
     ks = {d: int(math.floor(targets[d] * t_scale)) for d in doms}
     k_col = F.lit(None).cast("long")

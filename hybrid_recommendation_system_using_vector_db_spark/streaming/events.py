@@ -79,7 +79,8 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
 
 
 def streaming_dedup_keys(events: DataFrame, keys: list[str],
-                         watermark: str | None = None) -> DataFrame:
+                         watermark: str | None = None,
+                         event_time_col: str = "ts") -> DataFrame:
     """Streaming deduplication: first-seen key set over the event stream.
 
     The streaming twin of exact dedup (the LLM-pipeline op): state keeps
@@ -97,19 +98,21 @@ def streaming_dedup_keys(events: DataFrame, keys: list[str],
     state per distinct key with no eviction.
 
     Pass ``watermark`` to opt into horizon-bounded state instead: the
-    event-time column must then ride in ``keys`` (enforced), and the
-    contract weakens to exact-dedup-within-horizon. For unbounded keys at
-    100 TB prefer ``dropDuplicatesWithinWatermark(keys)`` (Spark ≥3.5):
-    same horizon trade without needing the timestamp as a key.
+    event-time column (``event_time_col``, default ``ts`` — ADVICE r5
+    made it a parameter so differently-named streams can use this path)
+    must then ride in ``keys`` (enforced), and the contract weakens to
+    exact-dedup-within-horizon. For unbounded keys at 100 TB prefer
+    ``dropDuplicatesWithinWatermark(keys)`` (Spark ≥3.5): same horizon
+    trade without needing the timestamp as a key.
     """
     if watermark is not None:
-        if "ts" not in keys:
+        if event_time_col not in keys:
             raise ValueError(
-                "watermarked streaming dedup requires the event-time column "
-                "in keys; without it state is unbounded AND late first-seen "
-                "keys are dropped — use the exact form (watermark=None) or "
-                "dropDuplicatesWithinWatermark")
-        events = events.withWatermark("ts", watermark)
+                f"watermarked streaming dedup requires the event-time column "
+                f"({event_time_col!r}) in keys; without it state is unbounded "
+                "AND late first-seen keys are dropped — use the exact form "
+                "(watermark=None) or dropDuplicatesWithinWatermark")
+        events = events.withWatermark(event_time_col, watermark)
     return events.dropDuplicates(keys).select(*keys)
 
 

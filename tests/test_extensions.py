@@ -679,6 +679,23 @@ def test_domain_mix_hits_target_proportions(spark, sf_dir):
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
 
 
+def test_domain_mix_degenerate_inputs(spark, sf_dir):
+    """ADVICE r5: a targeted domain with zero rows gives T=0 → empty
+    result (documented, mirrored in the oracle's LEFT JOIN); all-zero
+    target weights raise a clear error, not an opaque min() ValueError."""
+    import pytest as _pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = sampling.domain_mix_sample(
+        docs, {"src0": 0.5, "no_such_domain": 0.5}, "source", "doc_id", 42)
+    assert out.count() == 0
+    with _pytest.raises(ValueError, match="positive target weight"):
+        sampling.domain_mix_sample(docs, {"src0": 0.0}, "source", "doc_id", 42)
+
+
 def test_pq_topk_sane_and_deterministic(spark, sf_dir):
     """PQ (m=8, k=16 => 32x compression) on the WORST-CASE uniform
     synthetic vectors: recall is data-dependent and low by construction

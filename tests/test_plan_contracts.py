@@ -206,10 +206,12 @@ def test_simhash_position_fanout_is_mapside_and_partially_aggregated(spark, sf_d
 
 def test_hybrid_serve_amortizes(spark):
     """SCALE.md serve-chain amortization: warm serve cost is a fixed
-    per-job floor plus a tiny per-query term, so ~50x the query pool must
-    not cost more than ~3.5x wall time (a per-query-linear regression
-    would cost ~50x). Generous bound + absolute slack keep this stable
-    on a loaded host while still catching the regression class."""
+    per-job floor plus a tiny per-query term. The GATE is the job-count
+    invariant — a per-query-linear regression (per-query probe/collect
+    sneaking back into the chain) adds jobs proportional to |Q|, so a
+    50x query pool must run the SAME number of warm jobs. Wall time is
+    measured and reported but only loosely asserted (ADVICE r5: the
+    fixed floor jitters on a loaded CI host)."""
     import time
 
     import __spark_entry__ as m
@@ -222,8 +224,9 @@ def test_hybrid_serve_amortizes(spark):
     edges = m._served_edges(spark, sf)
     names = m._names(spark, sf)
     cf = m._served_cf(spark, sf)
+    st = spark.sparkContext.statusTracker()
 
-    def best_of(mod, tag):
+    def measure(mod, tag):
         qs = universe.filter(F.col("vec_id") % mod == 0)
         qmat = m._query_matrix(spark, sf, tag, qs)
 
@@ -235,16 +238,22 @@ def test_hybrid_serve_amortizes(spark):
                 content_candidates=cands, cf_candidates=cf)
 
         run().count()  # warm the chain
+        j0 = max(st.getJobIdsForGroup() or [0])
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             run().count()
             times.append(time.perf_counter() - t0)
-        return min(times)
+        jobs = (max(st.getJobIdsForGroup() or [0]) - j0) / 3.0
+        return jobs, min(times)
 
-    t_few = best_of(50, "amort_few")    # ~4 queries at sf0.001
-    t_many = best_of(1, "amort_many")   # the whole universe (~50x)
-    assert t_many <= 3.5 * t_few + 0.5, (t_few, t_many)
+    jobs_few, t_few = measure(50, "amort_few")    # ~4 queries at sf0.001
+    jobs_many, t_many = measure(1, "amort_many")  # the whole universe (~50x)
+    # the invariant: 50x queries, identical warm job count
+    assert jobs_many <= jobs_few, (jobs_few, jobs_many)
+    # advisory wall-clock bound, deliberately loose (10x + 1s): catches
+    # only a gross per-query-linear cost, not scheduler jitter
+    assert t_many <= 10.0 * t_few + 1.0, (t_few, t_many)
 
 
 def test_simhash_neardup_fingerprints_computed_once(spark, sf_dir):
