@@ -975,6 +975,48 @@ def q_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(load_table(spark, sf_dir, "documents"), 3)
 
 
+BM25_POOL = 20   # per-ranker candidate pool fed into RRF (ref :23-24 shape)
+BM25_QTERMS = 8  # query = first 8 tokens of the query document
+
+
+def _bm25_query_set(docs):
+    """Deterministic lexical query set: the first BM25_QTERMS tokens of
+    every doc with doc_id % QUERY_MOD == 0 (same eval-id convention as the
+    dense content queries)."""
+    from hybrid_recommendation_system_using_vector_db_spark.functions import texttools as TT
+
+    return docs.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.slice(TT.tokens(F.col("text")), 1, BM25_QTERMS).alias("qterms"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-k over documents (posting table + analytic-window
+    df/dl stats + broadcast query terms; see operators/retrieval.py)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(_bm25_query_set(docs), docs, TOP_K,
+                               exclude_self=True)
+
+
+def q_rrf_hybrid_topk(spark, sf_dir):
+    """Hybrid search, production-shaped: BM25 lexical pool + dense cosine
+    pool (hashing-trick embeddings) fused by reciprocal rank (RRF k=60) —
+    the rank-based analogue of the reference's score-blend fusion
+    (Hybrid_Recom_vecdb.py:221-228)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = retrieval.bm25_topk(_bm25_query_set(docs), docs, BM25_POOL,
+                              exclude_self=True)
+    emb = hashing_embedder(docs)
+    dense = similarity.cosine_topk(
+        emb.filter(F.col("doc_id") % QUERY_MOD == 0), emb, BM25_POOL,
+        id_col="doc_id", dim=VEC_DIM)
+    return retrieval.rrf_fuse(lex, dense, TOP_K)
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-users-per-event-type sketch (k=32): deterministic
     portable-hash estimator, so the approximate answer itself is
@@ -1151,6 +1193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "kmv_distinct": q_kmv_distinct,
         "tfidf_top_terms": q_tfidf_top_terms,
+        # --- lexical + hybrid-search fusion (new in r6) ---
+        "bm25_topk": q_bm25_topk,                     # BM25 lexical ranker
+        "rrf_hybrid_topk": q_rrf_hybrid_topk,         # RRF(BM25, dense) fusion
         # --- embedding + multimodal plumbing ---
         "hash_embeddings": q_hash_embeddings,
         "multimodal_features": q_multimodal_features,
@@ -1168,8 +1213,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "coactivity": q_coactivity,
         "cube_revenue": q_cube_revenue,
-        "parts_unindexed": q_parts_unindexed,
-        "doc_length_stats": q_doc_length_stats,
     }
 
 
@@ -1203,6 +1246,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays oracle-pinned here and in tests/test_extensions.py)
         "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
+        # rotated out of the driver 50 in r6 to make room for the
+        # lexical/hybrid-search rankers; plain relational ops whose
+        # mechanics stay pinned by neighbouring driver entries
+        "parts_unindexed": q_parts_unindexed,         # broadcast anti-join
+        "doc_length_stats": q_doc_length_stats,       # groupBy + ntile stats
     }
 
 
@@ -1221,6 +1269,42 @@ def _cos(a: str, b: str) -> str:
 
 _TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 _DTOKS = f"list_distinct({_TOKS})"
+
+# BM25 chain (operators/retrieval.py::bm25_topk). Every quantity that the
+# Spark side computes in DOUBLE is CAST here too — DuckDB decimal literals
+# must not leak DECIMAL arithmetic into the score (different rounding).
+# avgdl is exact-integer-sum / count in both engines, so it is bit-equal.
+_BM25_CTES = f"""btok AS (SELECT doc_id AS cand, unnest({_TOKS}) AS term FROM documents),
+btf AS (SELECT cand, term, count(*) AS tf FROM btok GROUP BY 1, 2),
+bpost AS (
+  SELECT cand, term, CAST(tf AS DOUBLE) AS tf,
+         CAST(sum(tf) OVER (PARTITION BY cand) AS DOUBLE) AS dl,
+         CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+  FROM btf),
+bstats AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                  CAST(sum(len({_TOKS})) AS DOUBLE) / count(*) AS avgdl
+           FROM documents),
+bq AS (SELECT doc_id AS qid, unnest(list_distinct(({_TOKS})[1:{BM25_QTERMS}])) AS term
+       FROM documents WHERE doc_id % {QUERY_MOD} = 0),
+bscored AS (
+  SELECT bq.qid, p.cand,
+         floor(sum( ln(1.0 + (s.n_docs - p.df + 0.5) / (p.df + 0.5))
+               * (p.tf * CAST(2.2 AS DOUBLE))
+               / (p.tf + CAST(1.2 AS DOUBLE) * (0.25 + (CAST(0.75 AS DOUBLE) * p.dl) / s.avgdl)) )
+               * 1000000 + 0.5) / 1000000 AS score
+  FROM bpost p JOIN bq ON p.term = bq.term CROSS JOIN bstats s
+  WHERE p.cand <> bq.qid
+  GROUP BY 1, 2),
+bm25r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk
+  FROM bscored)"""
+
+
+def _bm25_sql(k: int) -> str:
+    return f"""
+WITH {_BM25_CTES}
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM bm25r WHERE rnk <= {k}
+"""
 
 _EDGES_CTE = """
 edges AS (
@@ -1430,6 +1514,39 @@ def _hex8_u32(expr: str) -> str:
     return "(" + " + ".join(
         f"CAST({_nib(f'substr({expr}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
         for i in range(8)) + ")"
+
+
+# Hashing-trick embedding vectors as DOUBLE[] lists (the internal,
+# UNROUNDED twin of the hash_embeddings oracle: components go through the
+# same float64-normalize → REAL round-trip as the Arrow path, but are NOT
+# rounded to 1e-6 — the dense RRF pool consumes them for cosine scoring
+# exactly as Spark consumes the float32 arrays)
+_HASHVEC_CTES = f"""htok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+hhb AS (
+  SELECT doc_id,
+         (16 * {_nib('substr(md5(tok), 7, 1)')} + {_nib('substr(md5(tok), 8, 1)')}) % 64 AS bucket,
+         CASE WHEN {_nib('substr(md5(tok), 9, 1)')} >= 8 THEN 1.0 ELSE -1.0 END AS sign
+  FROM htok
+),
+hsums AS (SELECT doc_id, bucket, sum(sign) AS s FROM hhb GROUP BY 1, 2),
+hgrid AS (
+  SELECT d.doc_id, p.pos FROM documents d
+  CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+),
+hvec AS (
+  SELECT g.doc_id, g.pos, coalesce(s.s, 0.0) AS s
+  FROM hgrid g LEFT JOIN hsums s ON g.doc_id = s.doc_id AND g.pos = s.bucket
+),
+hnrm AS (SELECT doc_id, sqrt(sum(s * s)) AS n FROM hvec GROUP BY doc_id),
+vecl AS (
+  SELECT v.doc_id,
+         list(CAST(CAST(CASE WHEN n.n > 0 THEN v.s / n.n ELSE 0.0 END AS REAL) AS DOUBLE)
+              ORDER BY v.pos) AS v
+  FROM hvec v JOIN hnrm n ON v.doc_id = n.doc_id
+  GROUP BY v.doc_id
+)"""
 
 
 def _kmeans_cent_ctes(n_centroids: int = 16, n_iters: int = 2,
@@ -2174,6 +2291,42 @@ r AS (
 SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df, tfidf,
        CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 3
+""",
+
+        # BM25 (Robertson idf, k1=1.2, b=0.75): posting table + window
+        # df/dl stats, broadcast-shaped query-term probe, pinned ties
+        "bm25_topk": _bm25_sql(TOP_K),
+
+        # RRF(BM25 pool, dense hashing-embedding cosine pool), rrf_k=60:
+        # rank-based hybrid fusion with full-outer coalesce semantics
+        "rrf_hybrid_topk": f"""
+WITH {_BM25_CTES},
+lexpool AS (
+  SELECT qid, cand, rnk FROM bm25r WHERE rnk <= {BM25_POOL}
+),
+{_HASHVEC_CTES},
+dq AS (SELECT doc_id AS qid, v AS qv FROM vecl WHERE doc_id % {QUERY_MOD} = 0),
+dscored AS (
+  SELECT dq.qid, c.doc_id AS cand, {_cos('dq.qv', 'c.v')} AS score
+  FROM dq CROSS JOIN vecl c WHERE c.doc_id <> dq.qid
+),
+densepool AS (
+  SELECT qid, cand, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk
+    FROM dscored) WHERE rnk <= {BM25_POOL}
+),
+fused AS (
+  SELECT coalesce(l.qid, d.qid) AS qid, coalesce(l.cand, d.cand) AS cand,
+         floor((coalesce(1.0 / (60 + l.rnk), 0.0)
+              + coalesce(1.0 / (60 + d.rnk), 0.0)) * 1000000 + 0.5) / 1000000 AS score
+  FROM lexpool l FULL OUTER JOIN densepool d
+    ON l.qid = d.qid AND l.cand = d.cand
+),
+fr AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk
+  FROM fused
+)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM fr WHERE rnk <= {TOP_K}
 """,
 
         "kmv_distinct": f"""

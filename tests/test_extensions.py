@@ -765,3 +765,76 @@ def test_pq_train_fused_equals_per_subspace(spark, sf_dir):
             F.slice(V.as_double(F.col("embedding")), s * 8 + 1, 8).alias("embedding"))
         naive.append(similarity.kmeans_centroids_local(sliced, 16, 2))
     assert fused == naive
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval + rank fusion (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+def test_bm25_ranks_by_term_overlap_and_excludes_self(spark):
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "apple banana date"),
+         (3, "apple fig grape"), (4, "kiwi lemon mango")],
+        ["doc_id", "text"])
+    qs = spark.createDataFrame([(1, ["apple", "banana", "cherry"])],
+                               ["qid", "qterms"])
+    out = retrieval.bm25_topk(qs, docs, 3, exclude_self=True).collect()
+    # doc 2 shares two query terms, doc 3 one, doc 4 none (absent from the
+    # result entirely), doc 1 is the query itself (excluded)
+    assert [r.cand for r in out] == [2, 3]
+    assert [r.rank for r in out] == [1, 2]
+    assert out[0].score > out[1].score > 0
+
+
+def test_bm25_favors_rare_terms(spark):
+    """idf must dominate: a doc matching one rare term outranks a doc
+    matching one ubiquitous term (same tf, same dl)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(i, "common filler words") for i in range(1, 9)]
+        + [(9, "common zebra words"), (10, "unique filler words")],
+        ["doc_id", "text"])
+    qs = spark.createDataFrame([(99, ["zebra", "common"])], ["qid", "qterms"])
+    out = retrieval.bm25_topk(qs, docs, 10).collect()
+    # doc 9 matches rare 'zebra' (df=1) AND 'common'; everyone else only
+    # matches 'common' (df=10 -> tiny idf)
+    assert out[0].cand == 9
+    assert out[0].score > 2 * out[1].score
+
+
+def test_bm25_duplicate_query_terms_collapse(spark):
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+
+    docs = spark.createDataFrame([(1, "apple pie"), (2, "apple apple pie")],
+                                 ["doc_id", "text"])
+    once = retrieval.bm25_topk(
+        spark.createDataFrame([(9, ["apple"])], ["qid", "qterms"]), docs, 5)
+    twice = retrieval.bm25_topk(
+        spark.createDataFrame([(9, ["apple", "apple"])], ["qid", "qterms"]), docs, 5)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_rrf_full_outer_coalesce_semantics(spark):
+    """A candidate present in both rankings sums both reciprocal terms; a
+    candidate in only one ranking keeps just its own term (C2-style
+    coalesce-to-zero on the missing side)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+
+    a = spark.createDataFrame([(1, 10, 0.9, 1), (1, 11, 0.8, 2)],
+                              ["qid", "cand", "score", "rank"])
+    b = spark.createDataFrame([(1, 11, 0.7, 1), (1, 12, 0.6, 2)],
+                              ["qid", "cand", "score", "rank"])
+    out = retrieval.rrf_fuse(a, b, 3).collect()
+    assert [r.cand for r in out] == [11, 10, 12]
+
+    def fr(x):
+        import math
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    got = {r.cand: r.score for r in out}
+    assert got[11] == fr(1.0 / 62 + 1.0 / 61)
+    assert got[10] == fr(1.0 / 61)
+    assert got[12] == fr(1.0 / 62)
