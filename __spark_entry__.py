@@ -1063,6 +1063,33 @@ def q_quantized_topk(spark, sf_dir):
         params=_sq_params(spark, sf_dir, emb), dim=VEC_DIM)
 
 
+_IVFPQ_BOOKS: dict[tuple, tuple] = {}
+
+
+def _ivfpq_books(spark, sf_dir, emb):
+    """Memoized train-once IVF-PQ codebooks (coarse 16-centroid k-means +
+    8×16 residual PQ — oracle-tractable sizes, same rationale as
+    ``_pq_books``)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfpq")
+    if key not in _IVFPQ_BOOKS:
+        _IVFPQ_BOOKS[key] = similarity.ivfpq_train(
+            emb, n_centroids=16, m=8, pq_centroids=16, kmeans_iters=2,
+            dim=VEC_DIM)
+    return _IVFPQ_BOOKS[key]
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ADC search (FAISS IndexIVFPQ layout): coarse nprobe pruning
+    over inverted lists whose vectors are coarse-centroid + PQ-decoded
+    residual reconstructions — the standard billion-scale ANN index,
+    composed from the ivf_topk serve tail."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = _ivfpq_books(spark, sf_dir, emb)
+    return similarity.ivfpq_topk(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
+        nprobe=4, cents=cents, books=books, dim=VEC_DIM)
+
+
 def q_domain_mix(spark, sf_dir):
     """Resample documents to a 50/25/25 src0/src1/src2 mixture — largest
     output meeting the targets without upsampling (T = min n_d/w_d,
@@ -1241,6 +1268,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,       # Gopher dup-ngram quality rule
         "decontaminate": q_decontaminate,             # benchmark n-gram leak detection
         "domain_mix": q_domain_mix,                   # target-mixture resampling
+        "ivfpq_topk": q_ivfpq_topk,                   # IVF-PQ two-level ADC search
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -1657,6 +1685,49 @@ w{s} AS (SELECT id, cv FROM (
     joins = " ".join(f"JOIN w{s} USING (id)" for s in range(1, pq_m))
     concat = " || ".join(f"w{s}.cv" for s in range(pq_m))
     return chain_sql, concat, joins
+
+
+def _ivfpq_sql(nprobe: int = 4) -> str:
+    """IVF-PQ oracle: coarse k-means (prefix-g chain over full vectors)
+    → per-id nearest-centroid pick → residuals (named ``u`` so the PQ
+    subspace chains of ``_pq_sql_parts`` apply verbatim) → two-level
+    reconstruction → the ivf_topk probe/score/topk tail."""
+    g_ctes, g_final = _kmeans_cent_ctes(16, 2, VEC_DIM, prefix="g",
+                                        u_name="uf")
+    pq_chain_sql, pq_concat, pq_joins = _pq_sql_parts()
+    return f"""
+WITH uf AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+{g_ctes},
+gcent AS (SELECT centroid_id, cv FROM {g_final}),
+gasg AS (
+  SELECT uf.id, uf.v, c.centroid_id, c.cv AS gcv, {_cos('uf.v', 'c.cv')} AS csim
+  FROM uf CROSS JOIN gcent c
+),
+gpick AS (SELECT id, v, centroid_id, gcv FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, centroid_id ASC) AS cr
+  FROM gasg) WHERE cr = 1),
+u AS (SELECT id, list_transform(range(1, {VEC_DIM + 1}), i -> v[i] - gcv[i]) AS v FROM gpick),
+{pq_chain_sql},
+rres AS (SELECT w0.id, {pq_concat} AS rv FROM w0 {pq_joins}),
+recon AS (
+  SELECT g.id AS vid, g.centroid_id,
+         list_transform(range(1, {VEC_DIM + 1}), i -> g.gcv[i] + r.rv[i]) AS cv
+  FROM gpick g JOIN rres r USING (id)),
+q AS (SELECT id AS qid, v AS qv FROM uf WHERE id % {QUERY_MOD} = 0),
+qc AS (
+  SELECT q.qid, q.qv, c.centroid_id, {_cos('q.qv', 'c.cv')} AS csim
+  FROM q CROSS JOIN gcent c
+),
+probes AS (SELECT qid, qv, centroid_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, centroid_id ASC) AS cr
+  FROM qc) WHERE cr <= {nprobe}),
+scored AS (
+  SELECT p.qid, l.vid AS cand, {_cos('p.qv', 'l.cv')} AS score
+  FROM probes p JOIN recon l USING (centroid_id) WHERE l.vid <> p.qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+"""
 
 
 def _sq_recon_ctes() -> str:
@@ -2638,6 +2709,8 @@ scored AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """,
+
+        "ivfpq_topk": _ivfpq_sql(nprobe=4),
 
         "repetition_stats": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

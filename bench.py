@@ -75,6 +75,8 @@ HEADLINE = [
     "quantized_topk",
     "pq_topk",
     "domain_mix",
+    "bm25_topk",
+    "rrf_hybrid_topk",
 ]
 
 

@@ -1086,3 +1086,115 @@ def pq_topk_from_codes(queries: DataFrame, codes_df: DataFrame,
     recon = pq_decode(codes_df, codebooks, id_col, codes_col, vec_col)
     return cosine_topk(queries, recon, k, id_col, vec_col,
                        dim=len(codebooks) * sub)
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (coarse quantizer + product-quantized residuals — the FAISS
+# IndexIVFPQ layout, the standard billion-scale ANN index)
+# ---------------------------------------------------------------------------
+
+def _argmax_centroid_pick_sql(cents: list, vec_col: str, norm_col: str) -> str:
+    """Map-side nearest-centroid pick returning BOTH the id and the
+    centroid vector in one constant-folded argmax (max rounded csim,
+    ties → lower centroid id — the shared codebook tiebreak)."""
+    lit = _cents_literal_sql(cents)
+    cf = _cos_vs_c_sql(vec_col, norm_col)
+    return (f"array_max(transform({lit}, "
+            f"c -> named_struct('s', {cf}, 'n', -c.cid, 'cv', c.cv)))")
+
+
+def ivf_residuals(corpus: DataFrame, cents: list,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Residual vectors v − nearest-coarse-centroid(v): one map-side pass
+    (literal-codebook argmax, zero shuffles). The residual distribution
+    is what PQ actually quantizes in an IVF-PQ index — residual energy is
+    a fraction of the full vectors', so the same codebook budget buys a
+    much finer quantization (Jégou et al., PAMI 2011)."""
+    df = (corpus.select(F.col(id_col), V.as_double(F.col(vec_col)).alias("__v"))
+          .withColumn("__n", F.expr(_vnorm_sql("__v")))
+          .withColumn("__pick", F.expr(_argmax_centroid_pick_sql(cents, "__v", "__n"))))
+    return df.select(
+        F.col(id_col),
+        F.zip_with(F.col("__v"), F.col("__pick.cv"), lambda x, y: x - y).alias(vec_col))
+
+
+def ivfpq_train(corpus: DataFrame, n_centroids: int = 16, m: int = 8,
+                pq_centroids: int = 16, kmeans_iters: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int | None = None) -> tuple[list, list]:
+    """(coarse centroids, residual PQ codebooks) — the two-level IVF-PQ
+    codebook. Coarse = the deterministic spherical k-means shared with
+    ``ivf_topk``; PQ = ``pq_train`` over the coarse residuals (one extra
+    map-side pass per Lloyd round, no new shuffle shapes). Both books are
+    driver-resident KBs; at 100 TB train on a sample and persist."""
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    cents = kmeans_centroids_local(corpus, n_centroids, kmeans_iters,
+                                   id_col, vec_col)
+    if not cents:
+        return [], []
+    resid = ivf_residuals(corpus, cents, id_col, vec_col)
+    books = pq_train(resid, m, pq_centroids, id_col=id_col, vec_col=vec_col,
+                     dim=dim)
+    return cents, books
+
+
+def ivfpq_build_lists(corpus: DataFrame, cents: list, books: list,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ inverted lists: (vid, c_vec, c_nrm, centroid_id) where
+    ``c_vec`` is the two-level reconstruction coarse_centroid +
+    decoded-residual — the EXACT table shape ``ivf_topk`` serves from, so
+    the probe/score/topk tail is shared verbatim.
+
+    One map-side pass, zero shuffles: coarse argmax pick (id + vector),
+    residual subtract, per-subspace nearest-codeword decode (the
+    ``pq_reconstruct`` argmax), element-wise add, hoisted norm. At 100 TB
+    persist partitioned by ``centroid_id`` (partition pruning = nprobe-
+    list scans) with the codes from ``pq_encode`` over the residuals as
+    the compact storage tier."""
+    m = len(books)
+    sub = len(books[0][0][1])
+    df = (_spread(corpus.select(F.col(id_col).alias("vid"),
+                                V.as_double(F.col(vec_col)).alias("__v")))
+          .withColumn("__n", F.expr(_vnorm_sql("__v")))
+          .withColumn("__pick", F.expr(_argmax_centroid_pick_sql(cents, "__v", "__n")))
+          .withColumn("centroid_id",
+                      (-F.col("__pick.n")).cast("long"))
+          .withColumn("__r", F.zip_with(F.col("__v"), F.col("__pick.cv"),
+                                        lambda x, y: x - y)))
+    parts = []
+    for s in range(m):
+        df = df.withColumn(f"__r{s}", F.slice(F.col("__r"), s * sub + 1, sub))
+        df = df.withColumn(f"__rn{s}", F.expr(_vnorm_sql(f"__r{s}")))
+        parts.append(F.expr(_argmax_centroid_cv_sql(books[s], f"__r{s}", f"__rn{s}")))
+    df = df.withColumn("c_vec", F.zip_with(F.col("__pick.cv"), F.concat(*parts),
+                                           lambda x, y: x + y))
+    return (df.withColumn("c_nrm", F.expr(_vnorm_sql("c_vec")))
+            .select("vid", "c_vec", "c_nrm", "centroid_id"))
+
+
+def ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int,
+               n_centroids: int = 16, m: int = 8, pq_centroids: int = 16,
+               nprobe: int = 4, kmeans_iters: int = 2,
+               cents: list | None = None, books: list | None = None,
+               lists: DataFrame | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int | None = None) -> DataFrame:
+    """IVF-PQ ADC search: full-precision queries vs the probed lists'
+    two-level reconstructions — coarse pruning (nprobe of n_centroids
+    lists scanned) AND ~32× compressed storage, composed from the
+    measured ``ivf_topk`` serve tail. Train-once callers pass
+    ``cents``/``books`` (and optionally a persisted ``lists``)."""
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    if cents is None or books is None:
+        cents, books = ivfpq_train(corpus, n_centroids, m, pq_centroids,
+                                   kmeans_iters, id_col, vec_col, dim)
+    if not cents:
+        return queries.sparkSession.createDataFrame(
+            [], "qid long, cand long, score double, rank int")
+    if lists is None:
+        lists = ivfpq_build_lists(corpus, cents, books, id_col, vec_col)
+    return ivf_topk(queries, corpus, k, nprobe=nprobe, centroids=cents,
+                    lists=lists, id_col=id_col, vec_col=vec_col, dim=dim)

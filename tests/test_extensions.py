@@ -838,3 +838,55 @@ def test_rrf_full_outer_coalesce_semantics(spark):
     assert got[11] == fr(1.0 / 62 + 1.0 / 61)
     assert got[10] == fr(1.0 / 61)
     assert got[12] == fr(1.0 / 62)
+
+
+def test_ivfpq_recall_floor_and_beats_plain_pq_clustered(spark):
+    """IVF-PQ on the clustered fixture: residual quantization must hold
+    the same >=0.7 recall@10 floor as plain PQ at HALF the PQ codebook
+    budget (16 vs 64 codewords/subspace) — the point of encoding
+    residuals is that their energy is a fraction of the full vectors',
+    so a smaller codebook buys an equal-or-finer quantization."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(32, 64))
+    pts = [(i, [float(x) for x in centers[i % 32] + 0.15 * rng.normal(size=64)])
+           for i in range(500)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>") \
+        .localCheckpoint(eager=True)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    k = 10
+    exact = similarity.cosine_topk(qs, emb, k, dim=64).select("qid", "cand") \
+        .localCheckpoint(eager=True)
+    nq = qs.count()
+    cents, books = similarity.ivfpq_train(emb, n_centroids=16, m=8,
+                                          pq_centroids=16, dim=64)
+    ann = similarity.ivfpq_topk(qs, emb, k, nprobe=4, cents=cents,
+                                books=books, dim=64)
+    hits = ann.select("qid", "cand").join(exact, ["qid", "cand"], "left_semi").count()
+    r = hits / (nq * k)
+    assert r >= 0.7, f"IVF-PQ recall@10 regressed: {r}"
+
+
+def test_ivfpq_build_lists_is_map_only(spark):
+    """The two-level encode/reconstruct pass must stay shuffle-free: one
+    repartition (the _spread) and NO aggregate/join exchanges — every
+    codebook rides as a constant-folded literal."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+    from hybrid_recommendation_system_using_vector_db_spark.plans import formatted_plan
+
+    pts = [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(64)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents, books = similarity.ivfpq_train(emb, n_centroids=4, m=2,
+                                          pq_centroids=4, dim=4)
+    lists = similarity.ivfpq_build_lists(emb, cents, books)
+    plan = formatted_plan(lists)
+    assert "BroadcastExchange" not in plan, plan
+    # the only exchange is the _spread round-robin repartition
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan, plan
+    got = {r.vid for r in lists.collect()}
+    assert got == set(range(64))
