@@ -1063,6 +1063,17 @@ def q_quantized_topk(spark, sf_dir):
         params=_sq_params(spark, sf_dir, emb), dim=VEC_DIM)
 
 
+def q_pagerank(spark, sf_dir):
+    """Weighted PageRank over the co-purchase graph (3 power-method
+    iterations, damping 0.85, dangling redistribution): one join + one
+    partial-agg shuffle per iteration, rank table checkpointed each round
+    — the multi-hop generalization of the reference's 1-hop CF weight."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    edges = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return graph.pagerank(edges, n_iters=3, damping=0.85)
+
+
 _IVFPQ_BOOKS: dict[tuple, tuple] = {}
 
 
@@ -1269,6 +1280,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,             # benchmark n-gram leak detection
         "domain_mix": q_domain_mix,                   # target-mixture resampling
         "ivfpq_topk": q_ivfpq_topk,                   # IVF-PQ two-level ADC search
+        "pagerank": q_pagerank,                       # iterative graph rank
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -1728,6 +1740,40 @@ scored AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """
+
+
+def _pagerank_sql(n_iters: int = 3, damping: float = 0.85) -> str:
+    """Weighted PageRank unrolled to ``n_iters`` CTE rounds over the
+    lineitem co-purchase edges — per round: dangling mass, in-contribution
+    aggregate, rounded rank update (every double literal via repr so no
+    DECIMAL arithmetic leaks in; matches operators/graph.py::pagerank
+    expression-for-expression)."""
+    d = f"CAST('{damping!r}' AS DOUBLE)"
+    omd = f"CAST('{(1.0 - damping)!r}' AS DOUBLE)"
+    z = "CAST(0.0 AS DOUBLE)"
+    parts = [f"""{_EDGES_CTE},
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+ow AS (SELECT src, CAST(sum(weight) AS DOUBLE) AS out_w FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn)"""]
+    for t in range(1, n_iters + 1):
+        parts.append(f"""dg{t} AS (
+  SELECT coalesce(sum(r.rank), {z}) AS dang
+  FROM r{t - 1} r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+c{t} AS (
+  SELECT e.dst AS node,
+         sum((r.rank * CAST(e.weight AS DOUBLE)) / ow.out_w) AS c
+  FROM edges e JOIN ow ON e.src = ow.src JOIN r{t - 1} r ON r.node = e.src
+  GROUP BY e.dst),
+r{t} AS (
+  SELECT n2.node,
+         floor(({omd} / nn.n + {d} * (coalesce(c.c, {z}) + dg.dang / nn.n))
+               * 1000000 + 0.5) / 1000000 AS rank
+  FROM nodes n2 LEFT JOIN c{t} c USING (node)
+  CROSS JOIN nn CROSS JOIN dg{t} dg)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank FROM r{n_iters}")
 
 
 def _sq_recon_ctes() -> str:
@@ -2711,6 +2757,8 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """,
 
         "ivfpq_topk": _ivfpq_sql(nprobe=4),
+
+        "pagerank": _pagerank_sql(n_iters=3, damping=0.85),
 
         "repetition_stats": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -890,3 +890,41 @@ def test_ivfpq_build_lists_is_map_only(spark):
     assert "Join" not in plan, plan
     got = {r.vid for r in lists.collect()}
     assert got == set(range(64))
+
+
+def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    # star: every spoke points at the hub, hub points at spoke 1
+    edges = spark.createDataFrame(
+        [(i, 0, 1) for i in range(1, 5)] + [(0, 1, 1)],
+        ["src", "dst", "weight"])
+    out = graph.pagerank(edges, n_iters=5).collect()
+    ranks = {r.node: r.rank for r in out}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4          # mass conserved
+    assert ranks[0] == max(ranks.values())                # hub wins
+    assert ranks[1] > ranks[2]                            # hub's target beats plain spokes
+    assert ranks[2] == ranks[3] == ranks[4]               # symmetric spokes tie
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """A sink node (no out-edges) must redistribute its rank uniformly,
+    keeping total mass at 1 — not leak it."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2, 1), (3, 2, 1)], ["src", "dst", "weight"])
+    out = graph.pagerank(edges, n_iters=4).collect()
+    ranks = {r.node: r.rank for r in out}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    assert ranks[2] == max(ranks.values())
+
+
+def test_pagerank_weight_proportionality(spark):
+    """With one source splitting rank 3:1 across two targets, the heavier
+    edge's target must receive proportionally more."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 1, 1), (3, 1, 1)], ["src", "dst", "weight"])
+    ranks = {r.node: r.rank for r in graph.pagerank(edges, n_iters=8).collect()}
+    assert ranks[2] > ranks[3]
