@@ -1063,6 +1063,28 @@ def q_quantized_topk(spark, sf_dir):
         params=_sq_params(spark, sf_dir, emb), dim=VEC_DIM)
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Structured Streaming session windows (native ``session_window``
+    state) — the streaming twin of the batch ``session_windows`` driver
+    entry, driven file-source → memory sink in complete mode so the final
+    table equals the batch session aggregation and shares its oracle."""
+    _pin_utc(spark)
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_window_counts,
+    )
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_sessions_mem":
+            q.stop()
+    agg = session_window_counts(read_events_stream(spark, sf_dir))
+    sq = run_stream_to_memory(agg, "q_streaming_sessions_mem",
+                              output_mode="complete")
+    sq.stop()
+    return spark.table("q_streaming_sessions_mem")
+
+
 def q_pagerank(spark, sf_dir):
     """Weighted PageRank over the co-purchase graph (3 power-method
     iterations, damping 0.85, dangling redistribution): one join + one
@@ -1281,6 +1303,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,                   # target-mixture resampling
         "ivfpq_topk": q_ivfpq_topk,                   # IVF-PQ two-level ADC search
         "pagerank": q_pagerank,                       # iterative graph rank
+        "streaming_sessions": q_streaming_sessions,   # native session_window state
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -2806,6 +2829,9 @@ FROM documents GROUP BY source
     # min-label CC and star CC over the SAME banded-chain candidates must
     # agree — shared oracle pins the equivalence
     sql["dedup_clusters"] = sql["dedup_clusters_chained"]
+    # the streaming session_window path in complete mode equals the batch
+    # session aggregation — shared oracle pins the equivalence
+    sql["streaming_sessions"] = sql["session_windows"]
     return sql
 
 

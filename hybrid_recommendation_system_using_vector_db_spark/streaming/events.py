@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.portable import fround
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table, normalized to a session-tz
     TIMESTAMP ``ts``.
@@ -74,6 +76,34 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming session windows: per-user gap-merged sessions over event
+    time (``F.session_window`` — Spark's native dynamic-gap session state,
+    the streaming twin of the batch ``session_windows`` driver query).
+
+    The watermark bounds session state in append mode: a session closes
+    (and its state is evicted) once the watermark passes its end + gap.
+    Driven in complete mode over static files the state is never evicted,
+    so the final table equals the batch session aggregation and the same
+    SQL oracle applies — the exact determinism argument of
+    ``windowed_event_counts``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            fround(F.col("total_value"), 2).alias("total_value"),
         )
     )
 

@@ -191,3 +191,34 @@ def test_dedup_within_watermark_evicts_but_keeps_horizon_exact(spark, tmp_path):
     a_rows = [r for r in rows if r[0] == "A"]
     assert len(a_rows) == 2, rows  # one per horizon, not one forever
     assert len([r for r in rows if r[0] == "W"]) == 1
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    """Streaming native session_window state over static files == the
+    batch session_window aggregation (complete mode never evicts)."""
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        session_window_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    q = run_stream_to_memory(session_window_counts(stream), "sessions_stream")
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM sessions_stream").collect()}
+    finally:
+        q.stop()
+    from hybrid_recommendation_system_using_vector_db_spark.functions.portable import fround
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select("user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+                "n_events", fround(F.col("total_value"), 2).alias("total_value"))
+        .collect()
+    )
+    want = {tuple(r) for r in batch}
+    assert got == want
+    assert len(got) > 0
