@@ -1063,6 +1063,17 @@ def q_quantized_topk(spark, sf_dir):
         params=_sq_params(spark, sf_dir, emb), dim=VEC_DIM)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-granular exact dedup (Lee et al. 2022 semantics): keep
+    each distinct paragraph only at its first global (doc_id, pos)
+    occurrence, reassemble survivors in order. The synthetic corpus has
+    no multi-paragraph texts (delimiter '. ' rarely fires), so here the
+    op degenerates toward doc-level exact dedup — the multi-paragraph
+    mechanics are pinned by tests/test_extensions.py fixtures."""
+    return dedup.paragraph_dedup(load_table(spark, sf_dir, "documents"),
+                                 delim=". ")
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Structured Streaming session windows (native ``session_window``
     state) — the streaming twin of the batch ``session_windows`` driver
@@ -1304,6 +1315,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,                   # IVF-PQ two-level ADC search
         "pagerank": q_pagerank,                       # iterative graph rank
         "streaming_sessions": q_streaming_sessions,   # native session_window state
+        "paragraph_dedup": q_paragraph_dedup,         # Lee-et-al span-granular dedup
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -2782,6 +2794,27 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
         "ivfpq_topk": _ivfpq_sql(nprobe=4),
 
         "pagerank": _pagerank_sql(n_iters=3, damping=0.85),
+
+        # paragraph split via zipped unnest (range + parts align
+        # positionally), keep-first via (doc_id, pos) window, ordered
+        # reassembly — mirrors dedup.paragraph_dedup
+        "paragraph_dedup": """
+WITH p AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+e AS (
+  SELECT doc_id, len(parts) AS n_paras,
+         unnest(range(0, len(parts))) AS pos,
+         unnest(parts) AS para
+  FROM p
+),
+k AS (SELECT *, md5(para) AS k FROM e),
+r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn FROM k),
+kept AS (SELECT doc_id, n_paras, pos, para FROM r WHERE rn = 1)
+SELECT doc_id,
+       array_to_string(list(para ORDER BY pos), '. ') AS text,
+       CAST(n_paras AS INT) AS n_paras,
+       CAST(count(*) AS INT) AS n_kept
+FROM kept GROUP BY doc_id, n_paras
+""",
 
         "repetition_stats": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -444,3 +444,52 @@ def jaccard_neardup_pairs(documents: DataFrame, threshold: float = 0.5,
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def paragraph_dedup(documents: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", delim: str = "\n\n") -> DataFrame:
+    """Paragraph-level exact dedup (Lee et al. 2022 "Deduplicating
+    Training Data" granularity): split every document on ``delim``, keep
+    each distinct paragraph ONLY at its first global occurrence (lowest
+    (doc_id, position) — pinned total order), drop later copies, and
+    reassemble the surviving paragraphs in original order.
+
+    Returns (doc_id, text, n_paras, n_kept) — documents whose every
+    paragraph was seen earlier (i.e. full duplicates, possibly assembled
+    from several earlier documents) drop out of the result entirely,
+    matching the paper's span-removal semantics at paragraph granularity.
+
+    Scale shape: paragraphs shuffle once on their md5 digest for the
+    keep-first aggregate (min-struct with map-side partial combine — a
+    boilerplate paragraph duplicated a billion times partial-aggregates
+    per mapper instead of funneling one partition, the same argument as
+    exact_dedup), one digest-keyed join back, one per-doc reassembly
+    aggregate. The full text never shuffles — only digests and surviving
+    paragraphs.
+    """
+    import re
+
+    parts = F.split(F.col(text_col), re.escape(delim), -1)
+    paras = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(parts).alias("n_paras"),
+        F.posexplode(parts).alias("pos", "para"),
+    ).withColumn("k", F.md5(F.col("para")))
+    firsts = paras.groupBy("k").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f"))
+    kept = (
+        paras.join(firsts, "k")
+        .filter((F.col("doc_id") == F.col("f.doc_id"))
+                & (F.col("pos") == F.col("f.pos")))
+    )
+    return (
+        kept.groupBy("doc_id", "n_paras")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.array_join(F.transform(F.col("ps"), lambda s: s["para"]), delim)
+             .alias("text"),
+            F.col("n_paras").cast("int").alias("n_paras"),
+            F.size("ps").cast("int").alias("n_kept"),
+        )
+    )

@@ -928,3 +928,31 @@ def test_pagerank_weight_proportionality(spark):
         [(1, 2, 3), (1, 3, 1), (2, 1, 1), (3, 1, 1)], ["src", "dst", "weight"])
     ranks = {r.node: r.rank for r in graph.pagerank(edges, n_iters=8).collect()}
     assert ranks[2] > ranks[3]
+
+
+def test_paragraph_dedup_keeps_first_occurrence_and_drops_full_dups(spark):
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\n\nbeta\n\ngamma"),
+         (2, "beta\n\ndelta"),          # 'beta' seen in doc 1 -> dropped here
+         (3, "alpha\n\ngamma"),         # fully assembled from doc 1 -> gone
+         (4, "epsilon")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(docs).collect()}
+    assert out[1].text == "alpha\n\nbeta\n\ngamma"
+    assert (out[1].n_paras, out[1].n_kept) == (3, 3)
+    assert out[2].text == "delta"
+    assert (out[2].n_paras, out[2].n_kept) == (2, 1)
+    assert 3 not in out                        # full duplicate dropped
+    assert out[4].text == "epsilon"
+
+
+def test_paragraph_dedup_within_doc_repeats_collapse(spark):
+    """Boilerplate repeated INSIDE one document keeps only the first copy."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    docs = spark.createDataFrame([(7, "x\n\ny\n\nx\n\nz")], ["doc_id", "text"])
+    row = dedup.paragraph_dedup(docs).collect()[0]
+    assert row.text == "x\n\ny\n\nz"
+    assert (row.n_paras, row.n_kept) == (4, 3)
