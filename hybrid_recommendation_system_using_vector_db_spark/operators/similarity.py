@@ -1174,7 +1174,7 @@ def ivfpq_build_lists(corpus: DataFrame, cents: list, books: list,
             .select("vid", "c_vec", "c_nrm", "centroid_id"))
 
 
-def ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int,
+def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None, k: int,
                n_centroids: int = 16, m: int = 8, pq_centroids: int = 16,
                nprobe: int = 4, kmeans_iters: int = 2,
                cents: list | None = None, books: list | None = None,
@@ -1185,16 +1185,66 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int,
     two-level reconstructions — coarse pruning (nprobe of n_centroids
     lists scanned) AND ~32× compressed storage, composed from the
     measured ``ivf_topk`` serve tail. Train-once callers pass
-    ``cents``/``books`` (and optionally a persisted ``lists``)."""
+    ``cents``/``books`` (and optionally a persisted ``lists``);
+    serve-from-index callers (``pipeline.load_ivfpq_index`` +
+    ``ivfpq_lists_from_codes``) may pass ``corpus=None`` — the float
+    corpus is only needed to train, build lists, or probe ``dim``."""
     if dim is None:
+        assert corpus is not None, "pass dim when serving without the corpus"
         dim = _vec_dim(corpus, vec_col)
     if cents is None or books is None:
+        assert corpus is not None, "pass cents+books when serving without the corpus"
         cents, books = ivfpq_train(corpus, n_centroids, m, pq_centroids,
                                    kmeans_iters, id_col, vec_col, dim)
     if not cents:
         return queries.sparkSession.createDataFrame(
             [], "qid long, cand long, score double, rank int")
     if lists is None:
+        assert corpus is not None, "pass lists when serving without the corpus"
         lists = ivfpq_build_lists(corpus, cents, books, id_col, vec_col)
     return ivf_topk(queries, corpus, k, nprobe=nprobe, centroids=cents,
                     lists=lists, id_col=id_col, vec_col=vec_col, dim=dim)
+
+
+def ivfpq_encode(corpus: DataFrame, cents: list, books: list,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Encode to the persisted IVF-PQ layout: (vid, centroid_id,
+    pq_codes array<smallint>) — the coarse list id plus one residual
+    codeword id per subspace. Map-only, zero shuffles (constant-folded
+    codebooks); the storage tier is m smallints + one list id per vector,
+    the same ~32× ratio as ``pq_encode`` with coarse pruning on top."""
+    m = len(books)
+    sub = len(books[0][0][1])
+    df = (corpus.select(F.col(id_col).alias("vid"),
+                        V.as_double(F.col(vec_col)).alias("__v"))
+          .withColumn("__n", F.expr(_vnorm_sql("__v")))
+          .withColumn("__pick", F.expr(_argmax_centroid_pick_sql(cents, "__v", "__n")))
+          .withColumn("centroid_id", (-F.col("__pick.n")).cast("long"))
+          .withColumn("__r", F.zip_with(F.col("__v"), F.col("__pick.cv"),
+                                        lambda x, y: x - y)))
+    codes = []
+    for s in range(m):
+        df = df.withColumn(f"__r{s}", F.slice(F.col("__r"), s * sub + 1, sub))
+        df = df.withColumn(f"__rn{s}", F.expr(_vnorm_sql(f"__r{s}")))
+        codes.append(F.expr(_argmax_centroid_sql(
+            books[s], f"__r{s}", f"__rn{s}")).cast("smallint"))
+    return df.select("vid", "centroid_id", F.array(*codes).alias("pq_codes"))
+
+
+def ivfpq_lists_from_codes(codes_df: DataFrame, cents: list, books: list,
+                           codes_col: str = "pq_codes") -> DataFrame:
+    """Serve-time decoder over the persisted IVF-PQ codes: coarse centroid
+    vector (literal-map lookup by list id) + per-subspace residual
+    codewords, concatenated and summed back to the reconstruction — the
+    (vid, c_vec, c_nrm, centroid_id) table ``ivf_topk`` serves from. The
+    float corpus is never touched. decode(encode(v)) ≡
+    ``ivfpq_build_lists(v)`` exactly (shared argmax tiebreaks) — pinned by
+    ``test_ivfpq_index_roundtrip_serves_identically``."""
+    gcv = F.expr(_codeword_map_sql(cents, "centroid_id"))
+    res = F.concat(*[
+        F.expr(_codeword_map_sql(books[s], f"element_at({codes_col}, {s + 1})"))
+        for s in range(len(books))])
+    df = codes_df.withColumn("c_vec", F.zip_with(gcv, res, lambda x, y: x + y))
+    return (df.withColumn("c_nrm", F.expr(_vnorm_sql("c_vec")))
+            .select("vid", "c_vec", "c_nrm", "centroid_id"))

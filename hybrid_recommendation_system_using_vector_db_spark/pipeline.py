@@ -163,6 +163,53 @@ def load_pq_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, list]:
     return codes, books
 
 
+def write_ivfpq_index(spark: SparkSession, embeddings: DataFrame,
+                      out_dir: str, n_centroids: int = 16, m: int = 8,
+                      pq_centroids: int = 16,
+                      n_iters: int = 2) -> tuple[list, list]:
+    """Write the IVF-PQ index: coarse-partitioned codes + both codebooks.
+
+    The codes table — (vid, pq_codes) partitioned by ``centroid_id`` —
+    combines both storage levers: partition pruning makes nprobe an I/O
+    dial (the ``write_ivf_index`` story) AND each vector is m smallints
+    instead of dim floats (the ``write_pq_index`` story). At 100 TB of
+    float32 embeddings the serving tier is ~3 TB of prunable codes; the
+    float corpus stays in cold storage and is never read at serve time.
+    """
+    from .operators.similarity import ivfpq_encode, ivfpq_train
+
+    cents, books = ivfpq_train(embeddings, n_centroids, m, pq_centroids,
+                               n_iters)
+    codes = ivfpq_encode(embeddings, cents, books)
+    codes.write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(f"{out_dir}/ivfpq_codes")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in cents],
+        "centroid_id int, cent_vec array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/ivfpq_coarse")
+    rows = [(s, int(cid), [float(x) for x in cv])
+            for s, book in enumerate(books) for cid, cv in book]
+    spark.createDataFrame(
+        rows, "subspace int, cid int, codeword array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/ivfpq_books")
+    return cents, books
+
+
+def load_ivfpq_index(spark: SparkSession,
+                     out_dir: str) -> tuple[DataFrame, list, list]:
+    """(codes table, coarse centroids, residual codebooks) written by
+    :func:`write_ivfpq_index`."""
+    codes = spark.read.parquet(f"{out_dir}/ivfpq_codes")
+    cents = [(r.centroid_id, list(r.cent_vec))
+             for r in spark.read.parquet(f"{out_dir}/ivfpq_coarse").collect()]
+    cents.sort(key=lambda t: t[0])
+    by_s: dict[int, list] = {}
+    for r in spark.read.parquet(f"{out_dir}/ivfpq_books").collect():
+        by_s.setdefault(r.subspace, []).append((r.cid, list(r.codeword)))
+    books = [sorted(by_s[s]) for s in sorted(by_s)]
+    return codes, cents, books
+
+
 def write_bucketed_edges(spark: SparkSession, edges: DataFrame,
                          table: str = "edges_bucketed",
                          n_buckets: int = 8) -> DataFrame:

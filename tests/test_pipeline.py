@@ -279,3 +279,43 @@ def test_pq_index_roundtrip_serves_identically(spark, sf_dir, tmp_path):
     emb_bytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
     code_bytes = du(f"{tmp_path}/pq_codes")
     assert code_bytes < emb_bytes / 4, (code_bytes, emb_bytes)
+
+
+def test_ivfpq_index_roundtrip_serves_identically(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ index (coarse-partitioned codes + both
+    codebooks) must serve — via ivfpq_lists_from_codes with corpus=None,
+    i.e. without ever reading the float embeddings — EXACTLY what the
+    inline build-at-serve-time path produces, and the codes tier must
+    realize the storage win on disk."""
+    import os
+
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+    from hybrid_recommendation_system_using_vector_db_spark.pipeline import (
+        load_ivfpq_index, write_ivfpq_index)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = write_ivfpq_index(spark, emb, str(tmp_path),
+                                     n_centroids=8, m=8, pq_centroids=16)
+    codes, cents_back, books_back = load_ivfpq_index(spark, str(tmp_path))
+    assert cents_back == sorted(cents)
+    assert books_back == [sorted(b) for b in books]
+    assert codes.count() == emb.count()
+
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    inline = similarity.ivfpq_topk(qs, emb, 10, nprobe=3, cents=cents,
+                                   books=books, dim=64)
+    lists = similarity.ivfpq_lists_from_codes(codes, cents_back, books_back)
+    served = similarity.ivfpq_topk(qs, None, 10, nprobe=3, cents=cents_back,
+                                   books=books_back, lists=lists, dim=64)
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    assert sorted(served.collect(), key=key) == sorted(inline.collect(), key=key)
+
+    def du(sub):
+        return sum(os.path.getsize(os.path.join(root, f))
+                   for root, _, files in os.walk(sub)
+                   for f in files if f.endswith(".parquet"))
+
+    emb_bytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+    code_bytes = du(f"{tmp_path}/ivfpq_codes")
+    assert code_bytes < emb_bytes / 4, (code_bytes, emb_bytes)
