@@ -210,6 +210,44 @@ def load_ivfpq_index(spark: SparkSession,
     return codes, cents, books
 
 
+def write_bm25_index(spark: SparkSession, documents: DataFrame,
+                     out_dir: str, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_term_partitions: int = 8) -> None:
+    """Write the BM25 lexical index: postings + df + corpus stats.
+
+    The postings land hash-partitioned AND sorted by ``term`` — Lucene's
+    term-sorted segment layout expressed as parquet: every row group's
+    min/max ``term`` statistics are tight, so a query-vocabulary probe
+    skips non-matching row groups at the reader level, and a downstream
+    repartition-by-term consumer gets clustered input. df (one row per
+    vocabulary term) and the single-row stats table land alongside, the
+    same KB-sized-sidecar split as ``write_ivf_index``.
+
+    At 100 TB the posting build is the one expensive corpus pass a
+    lexical engine makes; this artifact amortizes it over every query
+    batch (``bm25_topk(index=load_bm25_index(...))`` never re-tokenizes
+    the corpus).
+    """
+    from .operators.retrieval import bm25_build_index
+
+    postings, df_, stats = bm25_build_index(documents, id_col, text_col)
+    (postings.repartition(n_term_partitions, "term")
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(f"{out_dir}/bm25_postings"))
+    df_.write.mode("overwrite").parquet(f"{out_dir}/bm25_df")
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/bm25_stats")
+
+
+def load_bm25_index(spark: SparkSession, out_dir: str
+                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, df, stats) written by :func:`write_bm25_index` — pass
+    as ``bm25_topk(..., index=...)``."""
+    return (spark.read.parquet(f"{out_dir}/bm25_postings"),
+            spark.read.parquet(f"{out_dir}/bm25_df"),
+            spark.read.parquet(f"{out_dir}/bm25_stats"))
+
+
 def write_bucketed_edges(spark: SparkSession, edges: DataFrame,
                          table: str = "edges_bucketed",
                          n_buckets: int = 8) -> DataFrame:

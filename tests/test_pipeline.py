@@ -319,3 +319,34 @@ def test_ivfpq_index_roundtrip_serves_identically(spark, sf_dir, tmp_path):
     emb_bytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
     code_bytes = du(f"{tmp_path}/ivfpq_codes")
     assert code_bytes < emb_bytes / 4, (code_bytes, emb_bytes)
+
+
+def test_bm25_index_roundtrip_serves_identically(spark, sf_dir, tmp_path):
+    """The persisted BM25 index (postings + df + stats) must serve — via
+    bm25_topk(index=...), which never re-tokenizes the corpus — EXACTLY
+    what the inline build-at-query-time path produces: same rows, same
+    scores, same ranks. df per term is counted over the full vocabulary
+    in the index and over the query-pruned postings inline; the values
+    are identical by construction (term-pruning never drops a doc that
+    holds a surviving term), and this test pins that equivalence."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.functions import texttools as TT
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+    from hybrid_recommendation_system_using_vector_db_spark.pipeline import (
+        load_bm25_index, write_bm25_index)
+
+    docs = load_table(spark, sf_dir, "documents")
+    write_bm25_index(spark, docs, str(tmp_path))
+    index = load_bm25_index(spark, str(tmp_path))
+    postings, df_, stats = index
+    assert set(postings.columns) == {"cand", "term", "tf", "dl"}
+    assert set(df_.columns) == {"term", "df"}
+    assert stats.count() == 1
+
+    qs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.slice(TT.tokens(F.col("text")), 1, 8).alias("qterms"))
+    inline = retrieval.bm25_topk(qs, docs, 10, exclude_self=True)
+    served = retrieval.bm25_topk(qs, docs, 10, exclude_self=True, index=index)
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    assert sorted(served.collect(), key=key) == sorted(inline.collect(), key=key)

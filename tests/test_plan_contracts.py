@@ -343,3 +343,27 @@ def test_bm25_posting_build_materialized_once(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan  # both consumers read the checkpoint
     # final top-k must be a rank filter (WindowGroupLimit), not a global sort
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bm25_index_serve_never_retokenizes_corpus(spark, sf_dir, tmp_path):
+    """The index-served BM25 path must read the persisted posting table —
+    not re-run the tokenize→explode→aggregate build. With an explicit
+    (qid, qterms) query set, the serve plan contains no corpus
+    tokenization (the split(lower(...)) signature) and no text column
+    read: the only inputs are the index tables and the literal query
+    fan-out."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+    from hybrid_recommendation_system_using_vector_db_spark.pipeline import (
+        load_bm25_index, write_bm25_index)
+
+    docs = load_table(spark, sf_dir, "documents")
+    write_bm25_index(spark, docs, str(tmp_path))
+    index = load_bm25_index(spark, str(tmp_path))
+    qs = spark.createDataFrame(
+        [(1, ["the", "quick", "brown"]), (2, ["lazy", "dog"])],
+        ["qid", "qterms"])
+    out = retrieval.bm25_topk(qs, docs, 10, index=index)
+    plan = formatted_plan(out)
+    assert "split(lower(" not in plan, plan
+    assert "text#" not in plan, plan        # corpus text never scanned
+    assert "WindowGroupLimit" in plan, plan  # rank filter, not global sort
