@@ -34,7 +34,11 @@ from hybrid_recommendation_system_using_vector_db_spark.embeddings import hashin
 from hybrid_recommendation_system_using_vector_db_spark.functions.hashing import (
     hyperplane_sql_bits,
 )
-from hybrid_recommendation_system_using_vector_db_spark.functions.portable import epoch_seconds, fround
+from hybrid_recommendation_system_using_vector_db_spark.functions.portable import (
+    epoch_seconds,
+    fround,
+    fround_sql,
+)
 from hybrid_recommendation_system_using_vector_db_spark.functions.texttools import STOPWORDS
 from hybrid_recommendation_system_using_vector_db_spark.operators import (
     asof,
@@ -1063,6 +1067,34 @@ def q_rrf_hybrid_topk(spark, sf_dir):
     return retrieval.rrf_fuse(lex, dense, TOP_K)
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """CCNet-style line-frequency boilerplate removal. The synthetic
+    documents are single-line, so the query injects the structure the
+    operator exists for (same convention as ``text_scrub``'s email
+    injection): a corpus-wide cookie banner plus a per-source footer
+    around every document body. The banner (df = N) and the footers
+    (df = N/20 sources ≥ the 5 % threshold) must vanish from every doc;
+    every unique body line survives."""
+    docs = load_table(spark, sf_dir, "documents")
+    inj = docs.select(
+        "doc_id",
+        F.concat_ws("\n",
+                    F.lit("ACCEPT COOKIES TO CONTINUE"),
+                    F.col("text"),
+                    F.concat(F.lit("footer "), F.col("source"))).alias("text"))
+    return textops.boilerplate_removal(inj, min_doc_frac=0.05, min_docs=2)
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet perplexity filter: train the add-α char-bigram LM on the
+    corpus, score every document by negative log-likelihood (one query =
+    train + score; at 100 TB the train half runs on a seeded sample —
+    see operators/textops.py::char_bigram_lm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = textops.char_bigram_lm(docs)
+    return textops.lm_perplexity(docs, lm)
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-users-per-event-type sketch (k=32): deterministic
     portable-hash estimator, so the approximate answer itself is
@@ -1362,6 +1394,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,                       # iterative graph rank
         "streaming_sessions": q_streaming_sessions,   # native session_window state
         "paragraph_dedup": q_paragraph_dedup,         # Lee-et-al span-granular dedup
+        "boilerplate_removal": q_boilerplate_removal, # CCNet line-docfreq filter
+        "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -2892,6 +2926,62 @@ SELECT t.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM ng t JOIN be b ON t.ng = b.ng AND t.doc_id <> b.bench_id
 GROUP BY 1, 2
 HAVING count(*) >= 1
+""",
+
+        # injected banner/footer structure mirrors q_boilerplate_removal;
+        # two-level docfreq (DISTINCT (k, doc) then count) mirrors the
+        # Spark aggregate exactly
+        "boilerplate_removal": """
+WITH inj AS (
+  SELECT doc_id,
+         'ACCEPT COOKIES TO CONTINUE' || chr(10) || text || chr(10) || 'footer ' || source AS text
+  FROM documents
+),
+p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM inj),
+e AS (
+  SELECT doc_id, len(parts) AS n_lines,
+         unnest(range(0, len(parts))) AS pos,
+         unnest(parts) AS ln
+  FROM p
+),
+k AS (SELECT *, md5(ln) AS k FROM e),
+dfq AS (SELECT k, count(*) AS df
+        FROM (SELECT DISTINCT k, doc_id FROM k) GROUP BY 1),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+boiler AS (SELECT k FROM dfq, nd
+           WHERE df >= greatest(2.0, CAST(ceil(0.05 * n_docs) AS DOUBLE))),
+kept AS (SELECT * FROM k WHERE k NOT IN (SELECT k FROM boiler))
+SELECT doc_id,
+       array_to_string(list(ln ORDER BY pos), chr(10)) AS text,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(count(*) AS INT) AS n_kept
+FROM kept GROUP BY doc_id, n_lines
+""",
+
+        # train == score corpus, so every scored bigram is in the model
+        # (the backoff floors never fire) — the inner probe join is
+        # value-identical to Spark's left join + coalesce chain
+        "lm_perplexity": f"""
+WITH bg AS (
+  SELECT unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bigram
+  FROM documents WHERE length(text) >= 2
+),
+counts AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1),
+c AS (SELECT bigram, substr(bigram, 1, 1) AS c1, cnt FROM counts),
+tot AS (SELECT c1, sum(cnt) AS tot FROM c GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT substr(bigram, 2, 1)) AS DOUBLE) AS v FROM c),
+lm AS (
+  SELECT bigram, ln((cnt + 0.5) / (tot + 0.5 * v)) AS logp
+  FROM c JOIN tot USING (c1) CROSS JOIN v
+),
+dbg AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bigram
+  FROM documents WHERE length(text) >= 2
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+       {fround_sql('-avg(logp)')} AS nll
+FROM dbg JOIN lm USING (bigram)
+GROUP BY doc_id
 """,
 
         "doc_length_stats": """

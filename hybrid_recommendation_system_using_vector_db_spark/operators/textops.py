@@ -348,3 +348,151 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
     )
+
+
+def boilerplate_removal(documents: DataFrame, min_doc_frac: float = 0.05,
+                        min_docs: int = 2, delim: str = "\n",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Line-frequency boilerplate removal (CCNet / RefinedWeb style).
+
+    A line that recurs across ≥ max(``min_docs``, ``min_doc_frac``·N)
+    *distinct* documents is boilerplate (cookie banners, nav menus,
+    copyright footers) and is removed from EVERY document — unlike
+    :func:`...dedup.paragraph_dedup`, which keeps the first occurrence.
+    Returns (doc_id, text, n_lines, n_kept); documents made of nothing
+    but boilerplate drop out entirely.
+
+    Scale shape: lines shuffle once as md5 digests for the document-
+    frequency count — written as a two-level aggregate (distinct
+    (digest, doc) then count) so a line duplicated a billion times
+    partial-aggregates map-side instead of funneling one partition.
+    The boilerplate digest set is tiny by construction (lines crossing
+    the frequency threshold), so the removal join broadcasts under AQE;
+    the corpus text shuffles only once, for the per-doc reassembly.
+    The corpus-size constant stays IN the plan as a single-row broadcast
+    cross join (the lazy "nd CTE" shape of ``tfidf_top_terms``).
+    """
+    import re
+
+    parts = F.split(F.col(text_col), re.escape(delim), -1)
+    lines = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(parts).alias("n_lines"),
+        F.posexplode(parts).alias("pos", "ln"),
+    ).withColumn("k", F.md5(F.col("ln")))
+    # two-level docfreq: dedupe (digest, doc) pairs with a partial-agg
+    # hash aggregate, then count per digest — never count(DISTINCT) in
+    # one shot (its expand doubles the shuffle) and never a window
+    docfreq = (lines.select("k", "doc_id").distinct()
+               .groupBy("k").agg(F.count(F.lit(1)).alias("df")))
+    nd = documents.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("n_docs"))
+    boiler = (docfreq.crossJoin(F.broadcast(nd))
+              .filter(F.col("df") >= F.greatest(
+                  F.lit(float(min_docs)),
+                  F.ceil(F.lit(min_doc_frac) * F.col("n_docs")).cast("double")))
+              .select("k"))
+    kept = lines.join(boiler, "k", "left_anti")
+    return (
+        kept.groupBy("doc_id", "n_lines")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "ln"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.array_join(F.transform(F.col("ps"), lambda s: s["ln"]), delim)
+             .alias("text"),
+            F.col("n_lines").cast("int").alias("n_lines"),
+            F.size("ps").cast("int").alias("n_kept"),
+        )
+    )
+
+
+def _char_bigrams(text_col: str):
+    """Per-row array of character bigrams: substring windows over the raw
+    text — map-side, no explode until the caller asks for one."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(F.col(text_col)) - 1),
+        lambda i: F.col(text_col).substr(i, F.lit(2)))
+
+
+def char_bigram_lm(documents: DataFrame, alpha: float = 0.5,
+                   text_col: str = "text") -> DataFrame:
+    """Train an add-α-smoothed character-bigram language model.
+
+    The CCNet quality-filter recipe (Wenzek et al. 2020) scores documents
+    with a small LM trained on trusted text and buckets the corpus by
+    perplexity; this is the train half, as one corpus pass. Returns
+    (bigram, c1, logp, c1_floor) with
+
+        logp     = ln((count(c1c2)+α) / (count(c1·)+α·V))
+        c1_floor = ln(α / (count(c1·)+α·V))   — the smoothed-zero
+                   estimate scoring uses for unseen successors of c1
+
+    V = |distinct successor chars| — a proper conditional distribution
+    per ``c1`` over the observed successor vocabulary.
+
+    Scale shape: one explode over per-doc bigram arrays feeding a
+    partial-agg count keyed by bigram; the model itself is ≤ |charset|²
+    rows — broadcastable by construction. c1 totals derive from the
+    bigram counts (no second corpus pass); the V constant rides as a
+    single-row broadcast cross join. At 100 TB you train on a sample
+    (``seeded_sample`` upstream), exactly as CCNet trains on Wikipedia,
+    not the crawl.
+    """
+    bigrams = documents.filter(F.length(F.col(text_col)) >= 2).select(
+        F.explode(_char_bigrams(text_col)).alias("bigram"))
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt")) \
+        .withColumn("c1", F.substring(F.col("bigram"), 1, 1))
+    c1_tot = counts.groupBy("c1").agg(F.sum("cnt").alias("tot"))
+    vocab = counts.select(
+        F.countDistinct(F.substring(F.col("bigram"), 2, 1))
+         .cast("double").alias("v"))
+    denom = F.col("tot") + alpha * F.col("v")
+    return (
+        counts.join(F.broadcast(c1_tot), "c1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram", "c1",
+            F.log((F.col("cnt") + alpha) / denom).alias("logp"),
+            F.log(F.lit(alpha) / denom).alias("c1_floor"))
+    )
+
+
+def lm_perplexity(documents: DataFrame, lm: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Score documents by char-bigram LM negative log-likelihood (the
+    CCNet perplexity filter; perplexity = e^nll).
+
+    nll(doc) = −mean over its bigrams of logp(bigram). Unseen bigrams
+    back off to their ``c1`` row's trained smoothed-zero floor; bigrams
+    whose ``c1`` never occurred in training fall to the uniform
+    ln(1/V) over the successor vocabulary. Returns (doc_id, n_bigrams,
+    nll) rounded to the repo score scale; low nll ≈ in-distribution
+    text, high ≈ junk.
+
+    Scale shape: the LM is ≤ |charset|² rows → the bigram probe and the
+    c1-backoff probe both broadcast; scoring is one corpus map pass
+    (explode → broadcast probes) plus one partial-agg shuffle keyed by
+    doc for the mean. Nothing corpus-sized is ever on the build side.
+    """
+    from .similarity import _spread
+
+    toks = _spread(documents.filter(F.length(F.col(text_col)) >= 2).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))).select(
+        "doc_id", F.explode(_char_bigrams(text_col)).alias("bigram"))
+    scored = (
+        toks.join(F.broadcast(lm.select("bigram", "logp")), "bigram", "left")
+        .withColumn("c1", F.substring(F.col("bigram"), 1, 1))
+    )
+    floors = lm.groupBy("c1").agg(F.first("c1_floor").alias("c1_floor"))
+    uni = lm.select(
+        (-F.log(F.countDistinct(F.substring(F.col("bigram"), 2, 1))
+                .cast("double"))).alias("uni_floor"))
+    return (
+        scored.join(F.broadcast(floors), "c1", "left")
+        .crossJoin(F.broadcast(uni))
+        .withColumn("lp", F.coalesce("logp", "c1_floor", "uni_floor"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+             fround(-F.avg("lp"), ROUND_SCORE).alias("nll"))
+    )

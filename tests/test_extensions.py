@@ -956,3 +956,76 @@ def test_paragraph_dedup_within_doc_repeats_collapse(spark):
     row = dedup.paragraph_dedup(docs).collect()[0]
     assert row.text == "x\n\ny\n\nz"
     assert (row.n_paras, row.n_kept) == (4, 3)
+
+
+# ---------------------------------------------------------------------------
+# Line-frequency boilerplate removal + char-bigram LM (operators/textops.py)
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_removed_everywhere_not_keep_first(spark):
+    """A boilerplate line vanishes from EVERY document (unlike
+    paragraph_dedup's keep-first); a doc of nothing but boilerplate
+    drops out entirely; unique lines survive in original order."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "COOKIES\nalpha body\nCOOKIES"),
+         (2, "COOKIES\nbeta body"),
+         (3, "gamma body\nCOOKIES"),
+         (4, "COOKIES")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in textops.boilerplate_removal(
+        docs, min_doc_frac=0.0, min_docs=3).collect()}
+    assert set(out) == {1, 2, 3}          # doc 4 was pure boilerplate
+    assert out[1].text == "alpha body" and out[1].n_kept == 1
+    assert out[2].text == "beta body"
+    assert out[3].text == "gamma body"
+    assert out[1].n_lines == 3            # pre-removal line count kept
+
+
+def test_boilerplate_threshold_is_distinct_docs_not_occurrences(spark):
+    """df counts DISTINCT documents: a line repeated 5× inside one doc
+    stays below a min_docs=2 threshold."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "\n".join(["echo echo"] * 5)), (2, "other")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in textops.boilerplate_removal(
+        docs, min_doc_frac=0.0, min_docs=2).collect()}
+    assert out[1].n_kept == 5             # within-doc repeats survive
+
+
+def test_lm_perplexity_orders_junk_above_indistribution(spark, sf_dir):
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = textops.char_bigram_lm(docs)
+    probe = spark.createDataFrame(
+        [(1, "zzqx qjzx wvkx"), (2, "the table value row fast")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r.nll for r in textops.lm_perplexity(probe, lm).collect()}
+    assert out[1] > out[2] + 1.0          # junk ≫ in-distribution
+
+
+def test_lm_perplexity_backoff_chain(spark):
+    """Unseen bigram with a seen c1 → that c1's trained smoothed-zero
+    floor; bigram whose c1 never occurred → uniform ln(1/V). Both floors
+    must produce finite scores (no nulls, no -inf)."""
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    train = spark.createDataFrame([(1, "abab")], ["doc_id", "text"])
+    lm = textops.char_bigram_lm(train, alpha=0.5)
+    rows = {r.bigram: r for r in lm.collect()}
+    assert set(rows) == {"ab", "ba"}
+    # c1='a': tot=2, V=2 -> floor = ln(0.5/(2+1))
+    assert abs(rows["ab"].c1_floor - math.log(0.5 / 3.0)) < 1e-9
+    probe = spark.createDataFrame(
+        [(1, "aa"),    # c1 'a' seen, bigram unseen -> c1_floor
+         (2, "xy")],   # c1 'x' unseen -> uniform ln(1/V), V=2
+        ["doc_id", "text"])
+    out = {r.doc_id: r.nll for r in textops.lm_perplexity(probe, lm).collect()}
+    assert abs(out[1] - (-math.log(0.5 / 3.0))) < 1e-5
+    assert abs(out[2] - math.log(2.0)) < 1e-5
