@@ -371,6 +371,21 @@ def q_ivf_topk(spark, sf_dir):
                                lists=_ivf_lists(spark, sf_dir), dim=VEC_DIM)
 
 
+def q_mmr_topk(spark, sf_dir):
+    """MMR-diversified top-k (λ=0.7, pool 20): exact cosine pool →
+    per-query iterative re-rank via bounded-state applyInPandas; the
+    oracle is the same algorithm unrolled to k SQL rounds
+    (see _mmr_sql / operators/similarity.py::mmr_rerank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_topk(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
+        pool_k=MMR_POOL, lam=MMR_LAMBDA, dim=VEC_DIM)
+
+
+MMR_POOL = 20
+MMR_LAMBDA = 0.7
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@k gate for the sublinear ANN paths vs the exact ranking.
 
@@ -1396,6 +1411,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,         # Lee-et-al span-granular dedup
         "boilerplate_removal": q_boilerplate_removal, # CCNet line-docfreq filter
         "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
+        "mmr_topk": q_mmr_topk,                       # MMR diversified serving
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -1855,6 +1871,48 @@ scored AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """
+
+
+def _mmr_sql(k: int, pool_k: int, lam: float) -> str:
+    """MMR diversified top-k unrolled to ``k`` selection rounds (the
+    ``_pagerank_sql`` pattern: iterative algorithm → generated CTE
+    chain). Round t picks the per-qid argmax of the rounded objective
+    λ·rel − (1−λ)·maxsim (ties: cand asc), then folds the picked
+    candidate's rounded pair-similarity into every survivor's maxsim —
+    expression-for-expression the NumPy loop in
+    operators/similarity.py::mmr_rerank."""
+    L = f"CAST('{lam!r}' AS DOUBLE)"
+    OML = f"CAST('{(1.0 - lam)!r}' AS DOUBLE)"
+    obj = f"floor(({L} * rel - {OML} * maxsim) * 1000000 + 0.5) / 1000000"
+    parts = [f"""u AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT id AS qid, v AS qv FROM u WHERE id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT qid, cand, {_cos('qv', 'cv')} AS rel, cv
+  FROM q CROSS JOIN (SELECT id AS cand, v AS cv FROM u)
+  WHERE cand <> qid
+),
+s0 AS (
+  SELECT qid, cand, rel, cv, CAST(0.0 AS DOUBLE) AS maxsim
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cand ASC) AS rn
+        FROM scored)
+  WHERE rn <= {pool_k}
+)"""]
+    for t in range(1, k + 1):
+        parts.append(f"""sel{t} AS (
+  SELECT qid, cand AS scand, cv AS sv, obj FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY obj DESC, cand ASC) AS rn
+    FROM (SELECT *, {obj} AS obj FROM s{t - 1})
+  ) WHERE rn = 1
+),
+s{t} AS (
+  SELECT s.qid, s.cand, s.rel, s.cv,
+         greatest(s.maxsim, {_cos('s.cv', 'x.sv')}) AS maxsim
+  FROM s{t - 1} s JOIN sel{t} x ON s.qid = x.qid AND s.cand <> x.scand
+)""")
+    steps = "\nUNION ALL\n".join(
+        f"SELECT qid, scand AS cand, obj AS score, CAST({t} AS INT) AS rank FROM sel{t}"
+        for t in range(1, k + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + steps
 
 
 def _pagerank_sql(n_iters: int = 3, damping: float = 0.85) -> str:
@@ -2874,6 +2932,8 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
         "ivfpq_topk": _ivfpq_sql(nprobe=4),
 
         "pagerank": _pagerank_sql(n_iters=3, damping=0.85),
+
+        "mmr_topk": _mmr_sql(k=TOP_K, pool_k=MMR_POOL, lam=MMR_LAMBDA),
 
         # paragraph split via zipped unnest (range + parts align
         # positionally), keep-first via (doc_id, pos) window, ordered

@@ -1248,3 +1248,89 @@ def ivfpq_lists_from_codes(codes_df: DataFrame, cents: list, books: list,
     df = codes_df.withColumn("c_vec", F.zip_with(gcv, res, lambda x, y: x + y))
     return (df.withColumn("c_nrm", F.expr(_vnorm_sql("c_vec")))
             .select("vid", "c_vec", "c_nrm", "centroid_id"))
+
+
+def mmr_rerank(pool: DataFrame, k: int, lam: float = 0.7,
+               vec_col: str = "cvec") -> DataFrame:
+    """Maximal-marginal-relevance re-rank of a per-query candidate pool.
+
+    MMR (Carbonell & Goldstein 1998) trades relevance against redundancy:
+    step t selects argmax over unpicked candidates of
+
+        obj = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+
+    (step 1 has an empty selected set, so it is argmax rel). The standard
+    vector-DB serving feature for result diversification — near-duplicate
+    hits that would fill a plain top-k are pushed down by their high
+    similarity to an already-selected result.
+
+    ``pool``: (qid, cand, score, cvec) — relevance-scored candidates with
+    their vectors attached (build one with :func:`mmr_topk`). Returns
+    (qid, cand, score, rank) where score is the rounded MMR objective at
+    selection time and rank the selection step.
+
+    Determinism: rel comes in rounded (``fround`` 6dp); pair similarities
+    and the objective are rounded the same way before each argmax, and
+    ties break by candidate id ascending — so the selection sequence is
+    reproducible bit-for-bit against the unrolled-SQL DuckDB oracle.
+
+    Scale shape: selection is inherently sequential *within* a query but
+    embarrassingly parallel *across* queries — ``applyInPandas`` grouped
+    by qid over a bounded pool (|pool| ≤ pool_k rows per group, Arrow-
+    batched, vectorized NumPy inside). One shuffle keyed by qid; nothing
+    corpus-sized moves. This is the (b)-tier custom-operator pattern: the
+    iterative argmax has no relational form, so the per-group state is
+    bounded by construction instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = 10.0 ** ROUND_SCORE
+    out_schema = "qid long, cand long, score double, rank int"
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cand").reset_index(drop=True)  # tiebreak order
+        n = len(pdf)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0  # zero vector ⇒ all sims 0, matching _cos guard
+        rel = pdf["score"].to_numpy(dtype=np.float64)
+        qid = int(pdf["qid"].iloc[0])
+        cands = pdf["cand"].to_numpy(dtype=np.int64)
+        maxsim = np.zeros(n)
+        picked = np.zeros(n, dtype=bool)
+        rows = []
+        for step in range(1, min(k, n) + 1):
+            obj = np.floor((lam * rel - (1.0 - lam) * maxsim) * scale
+                           + 0.5) / scale
+            obj_masked = np.where(picked, -np.inf, obj)
+            i = int(np.argmax(obj_masked))  # first max = lowest cand (sorted)
+            picked[i] = True
+            rows.append((qid, int(cands[i]), float(obj[i]), step))
+            sims = np.floor((mat @ mat[i]) / (nrm * nrm[i]) * scale
+                            + 0.5) / scale
+            maxsim = np.maximum(maxsim, sims)
+        return pd.DataFrame(rows, columns=["qid", "cand", "score", "rank"])
+
+    return pool.groupBy("qid").applyInPandas(pick, schema=out_schema)
+
+
+def mmr_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             pool_k: int = 20, lam: float = 0.7,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
+    """Diversified top-k: exact cosine pool → MMR re-rank.
+
+    Pool generation is the existing ``cosine_topk`` plan (broadcast
+    queries, windowed top-pool_k); candidate vectors are re-attached with
+    a broadcast join of the |Q|·pool_k pool against the corpus scan (the
+    corpus side stays map-only). Swap the pool builder for ``lsh_topk``/
+    ``ivf_topk`` output joined the same way when the corpus outgrows
+    brute force — the re-rank stage is pool-shaped either way.
+    """
+    pool = cosine_topk(queries, corpus, pool_k, id_col, vec_col, dim)
+    pool_v = corpus.select(
+        F.col(id_col).alias("cand"),
+        V.as_double(F.col(vec_col)).alias("cvec"),
+    ).join(F.broadcast(pool), "cand")
+    return mmr_rerank(pool_v, k, lam)

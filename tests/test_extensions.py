@@ -1029,3 +1029,42 @@ def test_lm_perplexity_backoff_chain(spark):
     out = {r.doc_id: r.nll for r in textops.lm_perplexity(probe, lm).collect()}
     assert abs(out[1] - (-math.log(0.5 / 3.0))) < 1e-5
     assert abs(out[2] - math.log(2.0)) < 1e-5
+
+
+def test_mmr_pushes_down_redundant_near_duplicate(spark):
+    """Two near-identical high-relevance candidates: plain top-k ranks
+    them 1-2; MMR keeps one and promotes the diverse lower-relevance
+    candidate to rank 2."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),        # the query
+        (1, [0.99, 0.14, 0.0, 0.0]),        # top hit
+        (2, [0.99, 0.141, 0.0, 0.0]),       # near-duplicate of 1
+        (3, [0.7, 0.0, 0.71, 0.0]),         # diverse, lower relevance
+        (4, [0.0, 0.0, 0.0, 1.0]),          # irrelevant
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = emb.filter(F.col("vec_id") == 100)
+    plain = similarity.cosine_topk(qs, emb, 3, dim=4)
+    mmr = similarity.mmr_topk(qs, emb, 3, pool_k=4, lam=0.5, dim=4)
+    plain_order = [r.cand for r in plain.orderBy("rank").collect()]
+    mmr_order = [r.cand for r in mmr.orderBy("rank").collect()]
+    assert plain_order[:2] == [1, 2]        # redundancy wins on pure relevance
+    assert mmr_order[0] == 1
+    assert mmr_order[1] == 3, mmr_order     # diversity wins under MMR
+    # the near-duplicate's penalty (sim≈1 to the rank-1 pick) pushes it
+    # out of the diversified top-3 entirely at λ=0.5
+    assert 2 not in mmr_order
+
+
+def test_mmr_short_pool_returns_pool_size(spark):
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.1, 0.9])],
+        ["vec_id", "embedding"])
+    qs = emb.filter(F.col("vec_id") == 100)
+    out = similarity.mmr_topk(qs, emb, 10, pool_k=10, dim=2).collect()
+    assert len(out) == 2                    # only 2 candidates exist
+    assert sorted(r.rank for r in out) == [1, 2]
