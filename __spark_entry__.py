@@ -386,6 +386,18 @@ MMR_POOL = 20
 MMR_LAMBDA = 0.7
 
 
+def q_filtered_topk(spark, sf_dir):
+    """Metadata-filtered ANN: each query's top-k restricted to candidates
+    sharing its ``label`` (the vector-DB `where` filter / multi-tenant
+    case) — label rides the broadcast join as an equi-key, so
+    non-matching pairs never reach the cosine (operators/similarity.py::
+    label_filtered_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_filtered_topk(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
+        dim=VEC_DIM)
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@k gate for the sublinear ANN paths vs the exact ranking.
 
@@ -1412,6 +1424,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal, # CCNet line-docfreq filter
         "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
         "mmr_topk": q_mmr_topk,                       # MMR diversified serving
+        "filtered_topk": q_filtered_topk,             # metadata-filtered ANN
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -2934,6 +2947,18 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
         "pagerank": _pagerank_sql(n_iters=3, damping=0.85),
 
         "mmr_topk": _mmr_sql(k=TOP_K, pool_k=MMR_POOL, lam=MMR_LAMBDA),
+
+        "filtered_topk": f"""
+WITH q AS (SELECT vec_id AS qid, label, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand, label, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT qid, cand, q.label AS label, {_cos('qv', 'cv')} AS score
+  FROM q JOIN c USING (label) WHERE cand <> qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, label, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+""",
 
         # paragraph split via zipped unnest (range + parts align
         # positionally), keep-first via (doc_id, pos) window, ordered

@@ -1334,3 +1334,51 @@ def mmr_topk(queries: DataFrame, corpus: DataFrame, k: int,
         V.as_double(F.col(vec_col)).alias("cvec"),
     ).join(F.broadcast(pool), "cand")
     return mmr_rerank(pool_v, k, lam)
+
+
+def label_filtered_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                        label_col: str = "label",
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int | None = None) -> DataFrame:
+    """Metadata-filtered exact top-k: candidates must share the query's
+    label (the vector-DB ``where`` filter / multi-tenant isolation case;
+    the reference's ChromaDB collection stores ``group`` metadata per
+    vector for exactly this, ``Hybrid_Recom_vecdb.py:371``).
+
+    Pre-filter semantics: the top-k is computed over the matching
+    candidates only (never "top-k then discard", which under-fills the
+    result when the filter is selective).
+
+    Plan shape: the label rides the broadcast-hash join as an EQUI-join
+    key — unlike ``cosine_topk``'s query fan-out, non-matching pairs are
+    dropped by the hash probe BEFORE the cosine is evaluated, so the
+    scored pair count is Σ_label |Q_label|·|C_label|, not |Q|·|C|. A
+    constant filter (one tenant) additionally pushes into the parquet
+    scan (PushedFilters row-group skipping); at scale, partition or
+    bucket the corpus by the label so the probe prunes at the file level
+    — the same layout lever as ``write_ivf_index``.
+    """
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("lbl"),
+        V.as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("q_nrm", V.l2_norm(F.col("q_vec")))
+    c = _spread(corpus.select(
+        F.col(id_col).alias("cand"),
+        F.col(label_col).alias("lbl"),
+        V.as_double(F.col(vec_col)).alias("c_vec"),
+    )).withColumn("c_nrm", V.l2_norm(F.col("c_vec")))
+    pair_dot = V.dot_expr("q_vec", "c_vec", dim) if dim else \
+        V.dot(F.col("q_vec"), F.col("c_vec"))
+    denom = F.col("q_nrm") * F.col("c_nrm")
+    cos = F.when(denom > 0, pair_dot / denom).otherwise(F.lit(0.0))
+    scored = (
+        F.broadcast(q).join(c, "lbl")
+        .filter(F.col("cand") != F.col("qid"))
+        .withColumn("score", fround(cos, ROUND_SCORE))
+    )
+    return (topk_per_query(scored, k)
+            .select("qid", "cand", F.col("lbl").alias(label_col),
+                    "score", "rank"))

@@ -1068,3 +1068,22 @@ def test_mmr_short_pool_returns_pool_size(spark):
     out = similarity.mmr_topk(qs, emb, 10, pool_k=10, dim=2).collect()
     assert len(out) == 2                    # only 2 candidates exist
     assert sorted(r.rank for r in out) == [1, 2]
+
+
+def test_label_filtered_topk_prefilter_semantics(spark):
+    """Top-k is computed over matching-label candidates only: a selective
+    label still fills k from its own partition of the corpus, and no
+    cross-label candidate ever appears."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    rows = ([(i, [1.0, float(i) / 10.0], 1) for i in range(5)]
+            + [(10 + i, [0.0, 1.0 + i / 10.0], 2) for i in range(5)])
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    qs = emb.filter(F.col("vec_id").isin(0, 10))
+    out = similarity.label_filtered_topk(qs, emb, 3, dim=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q[0]) == 3 and all(r.label == 1 for r in by_q[0])
+    assert len(by_q[10]) == 3 and all(r.label == 2 for r in by_q[10])
+    assert all(r.cand != r.qid for r in out)

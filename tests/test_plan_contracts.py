@@ -367,3 +367,17 @@ def test_bm25_index_serve_never_retokenizes_corpus(spark, sf_dir, tmp_path):
     assert "split(lower(" not in plan, plan
     assert "text#" not in plan, plan        # corpus text never scanned
     assert "WindowGroupLimit" in plan, plan  # rank filter, not global sort
+
+
+def test_label_filtered_topk_is_equi_join_not_cross(spark, sf_dir):
+    """The label must ride the broadcast join as an equi-key: non-matching
+    pairs are dropped by the hash probe BEFORE the cosine is evaluated.
+    A cross-join + filter shape would score |Q|·|C| pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.label_filtered_topk(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, 10, dim=64)
+    plan = formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
