@@ -1294,6 +1294,15 @@ def q_decontaminate(spark, sf_dir):
             .filter(F.col("doc_id") != F.col("bench_id")))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log-likelihood ratio of a pseudo-target domain (doc_id % 7 == 0, the
+    decontaminate-style deterministic subset) vs the raw corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return sampling.dsir_weights(docs, target)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup (Abbas et al. 2023): k-means cluster the
     embeddings, then keep-lowest-id within each cluster's eps-similar
@@ -1440,6 +1449,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,                       # MMR diversified serving
         "filtered_topk": q_filtered_topk,             # metadata-filtered ANN
         "semdedup": q_semdedup,                       # cluster-then-dedup (SemDeDup)
+        "dsir_weights": q_dsir_weights,               # DSIR importance weights
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -1468,6 +1478,9 @@ def _cos(a: str, b: str) -> str:
 
 _TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 _DTOKS = f"list_distinct({_TOKS})"
+# the Spark side's own portable bucket-hash SQL text, reused verbatim —
+# ascii/substr/md5/CASE parse identically in DuckDB
+_DSIR_BUCKET = sampling.token_bucket_sql("tok")
 
 # BM25 chain (operators/retrieval.py::bm25_topk). Every quantity that the
 # Spark side computes in DOUBLE is CAST here too — DuckDB decimal literals
@@ -2925,6 +2938,32 @@ GROUP BY CUBE (l_returnflag, EXTRACT(year FROM l_shipdate))
 SELECT p_partkey AS partkey, p_name AS name
 FROM part
 WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = p_partkey)
+""",
+
+        # DSIR: same bucket hash text as the Spark side (portable
+        # ascii-math SQL from sampling.token_bucket_sql); Z totals are
+        # exact integer sums + 128.0 in both engines, and the per-token
+        # ln(...) expression text is identical — cross-engine drift is
+        # only the float sum order, absorbed by the 1e-6 rounding
+        "dsir_weights": f"""
+WITH dtt AS (SELECT unnest({_TOKS}) AS tok FROM documents WHERE doc_id % 7 = 0),
+dtb AS (SELECT {_DSIR_BUCKET} AS b, count(*) AS ct FROM dtt GROUP BY 1),
+drt AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+drb AS (SELECT {_DSIR_BUCKET} AS b, count(*) AS cr FROM drt GROUP BY 1),
+dz AS (SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM dtb) + 128.0 AS zt,
+              (SELECT CAST(sum(cr) AS DOUBLE) FROM drb) + 128.0 AS zr),
+dtok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+dbk AS (SELECT doc_id, {_DSIR_BUCKET} AS b FROM dtok),
+dcontrib AS (
+  SELECT d.doc_id,
+         ln(((CAST(coalesce(t.ct, 0) AS DOUBLE) + 0.5) * z.zr)
+            / ((CAST(coalesce(r.cr, 0) AS DOUBLE) + 0.5) * z.zt)) AS c
+  FROM dbk d LEFT JOIN dtb t USING (b) LEFT JOIN drb r USING (b) CROSS JOIN dz z
+),
+dw AS (SELECT doc_id, floor(sum(c) * 1000000 + 0.5) / 1000000 AS w
+       FROM dcontrib GROUP BY 1)
+SELECT d.doc_id, coalesce(dw.w, 0.0) AS dsir_weight
+FROM documents d LEFT JOIN dw USING (doc_id)
 """,
 
         "domain_mix": f"""

@@ -128,3 +128,88 @@ def domain_mix_sample(df: DataFrame, targets: dict, domain_col: str = "source",
         .filter(F.col("__rn") <= k_col)
         .drop("__rn")
     )
+
+
+def _nib_sql(expr: str) -> str:
+    """Value 0-15 of one lowercase hex char, as engine-portable SQL text
+    (ascii math — identical in Spark SQL and DuckDB, so the oracle embeds
+    the same expression)."""
+    return (f"(CASE WHEN ascii({expr}) <= 57 THEN ascii({expr}) - 48 "
+            f"ELSE ascii({expr}) - 87 END)")
+
+
+def token_bucket_sql(tok_expr: str, n_buckets: int = 256) -> str:
+    """Hashing-trick bucket of a token: two md5 hex nibbles → [0, 256),
+    then mod ``n_buckets``. The same nibble positions (7, 8) as the
+    ``hashing_embedder`` feature map, so the whole feature family shares
+    one portable hash definition."""
+    h = f"md5({tok_expr})"
+    raw = (f"(16 * {_nib_sql(f'substr({h}, 7, 1)')} "
+           f"+ {_nib_sql(f'substr({h}, 8, 1)')})")
+    return raw if n_buckets == 256 else f"({raw} % {n_buckets})"
+
+
+def dsir_weights(corpus: DataFrame, target: DataFrame,
+                 n_buckets: int = 256, alpha: float = 0.5,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169).
+
+    Data Selection via Importance Resampling: score every corpus document
+    by the log-likelihood ratio of its hashed-unigram features under the
+    target-domain distribution vs the raw-corpus distribution,
+
+        w(doc) = Σ_tok  ln( p_target(bucket(tok)) / p_raw(bucket(tok)) )
+
+    with add-``alpha`` smoothing over ``n_buckets`` hashed buckets.
+    Output: (``id_col``, dsir_weight) for every corpus row (docs with no
+    tokens get weight 0.0). Feed ``exp(dsir_weight)`` to
+    :func:`weighted_sample` (A-ES) to complete the paper's resampling
+    step — top-n by ``u^(1/w)`` with w = the likelihood ratio is
+    Gumbel-top-k sampling without replacement on the log weights.
+
+    Scale shape (100 TB): the two feature distributions are ``n_buckets``-
+    row aggregates (map-side combine collapses each partition to ≤
+    ``n_buckets`` partial rows before the shuffle), collected bounded
+    (256 rows — the driver-resident codebook pattern of
+    ``kmeans_centroids_local``) and re-embedded as ONE constant-folded
+    literal array each. Scoring is then a map-only pass — a per-row HOF
+    fold over the token array against the two literals, ZERO shuffles and
+    no join; at 100 TB the only distributed cost is the two counting
+    passes (train the target distribution on a sample once and persist
+    it, and it drops to one).
+    """
+    b_sql = token_bucket_sql("t", n_buckets)
+
+    def bucket_counts(df: DataFrame) -> dict[int, int]:
+        from ..functions import texttools as TT
+
+        rows = (df.select(F.explode(TT.tokens(F.col(text_col))).alias("tok"))
+                .select(F.expr(token_bucket_sql("tok", n_buckets)).alias("b"))
+                .groupBy("b").count().collect())  # bounded: n_buckets rows
+        return {r["b"]: r["count"] for r in rows}
+
+    cnt_t = bucket_counts(target)
+    cnt_r = bucket_counts(corpus)
+    # exact-integer totals; Z as repr'd double literals so both engines
+    # parse the identical correctly-rounded constant
+    z_t = float(sum(cnt_t.values())) + alpha * n_buckets
+    z_r = float(sum(cnt_r.values())) + alpha * n_buckets
+    arr_t = "array(" + ", ".join(
+        str(cnt_t.get(b, 0)) + "L" for b in range(n_buckets)) + ")"
+    arr_r = "array(" + ", ".join(
+        str(cnt_r.get(b, 0)) + "L" for b in range(n_buckets)) + ")"
+    # per-token contribution: the SAME expression text the oracle runs —
+    # ln(((ct+a)*Zr) / ((cr+a)*Zt)); alpha and Z embedded via repr
+    contrib = (
+        f"ln(((CAST(element_at({arr_t}, {b_sql} + 1) AS DOUBLE) + {alpha!r}D)"
+        f" * {z_r!r}D) / "
+        f"((CAST(element_at({arr_r}, {b_sql} + 1) AS DOUBLE) + {alpha!r}D)"
+        f" * {z_t!r}D))"
+    )
+    toks = f"filter(split(lower({text_col}), ' '), x -> x != '')"
+    w_expr = (f"coalesce(aggregate(transform({toks}, t -> {contrib}), "
+              f"CAST(0.0 AS DOUBLE), (acc, y) -> acc + y), CAST(0.0 AS DOUBLE))")
+    return corpus.select(
+        F.col(id_col),
+        fround(F.expr(w_expr), 6).alias("dsir_weight"),
+    )
