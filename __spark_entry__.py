@@ -1294,6 +1294,24 @@ def q_decontaminate(spark, sf_dir):
             .filter(F.col("doc_id") != F.col("bench_id")))
 
 
+def q_cross_dedup(spark, sf_dir):
+    """Document-granular decontamination: train docs near-duplicating a
+    pseudo-benchmark doc (doc_id % 25 == 0 — the decontaminate subset) by
+    banded-MinHash match + signature-overlap verify. Self matches
+    excluded: the interesting rows are cross-document leaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    hold = docs.filter(F.col("doc_id") % 25 == 0)
+    links = (dedup.cross_dedup_links(docs, hold, n_hashes=8, n_bands=4,
+                                     threshold=0.5)
+             .filter(F.col("doc_id") != F.col("holdout_id")))
+    # aggregate to the purge set (≤ |corpus| rows): per flagged train doc,
+    # how many holdout docs it collides with and its strongest estimate —
+    # the deliverable an actual decontamination pass anti-joins on
+    return links.groupBy("doc_id").agg(
+        F.countDistinct("holdout_id").alias("n_holdout"),
+        F.max("est_jaccard").alias("max_est_jaccard"))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): hashed-unigram
     log-likelihood ratio of a pseudo-target domain (doc_id % 7 == 0, the
@@ -1450,6 +1468,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": q_filtered_topk,             # metadata-filtered ANN
         "semdedup": q_semdedup,                       # cluster-then-dedup (SemDeDup)
         "dsir_weights": q_dsir_weights,               # DSIR importance weights
+        "cross_dedup": q_cross_dedup,                 # cross-corpus MinHash decontamination
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -2938,6 +2957,38 @@ GROUP BY CUBE (l_returnflag, EXTRACT(year FROM l_shipdate))
 SELECT p_partkey AS partkey, p_name AS name
 FROM part
 WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = p_partkey)
+""",
+
+        # cross-corpus banded-MinHash decontamination: signatures computed
+        # once (holdout ⊆ corpus here), banded r=2, any-band match, then
+        # the signature-overlap Jaccard estimator ≥ 0.5 (n_match ≥ 4 of 8)
+        "cross_dedup": f"""
+WITH xt AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
+xs AS (
+  SELECT doc_id, {', '.join(f"list_min(list_transform(toks, x -> md5('{i}:' || x))) AS mh{i}" for i in range(8))}
+  FROM xt
+),
+xb AS (
+  SELECT doc_id, bk.band,
+         CASE bk.band {' '.join(f"WHEN {i} THEN concat_ws('|', mh{2 * i}, mh{2 * i + 1})" for i in range(4))} END AS key,
+         [{', '.join(f'mh{i}' for i in range(8))}] AS sig
+  FROM xs CROSS JOIN (SELECT unnest(range(4)) AS band) bk
+),
+xh AS (SELECT doc_id AS holdout_id, band, key, sig AS sig_h FROM xb WHERE doc_id % 25 = 0),
+xm AS (
+  SELECT c.doc_id, h.holdout_id,
+         ({' + '.join(f'CASE WHEN c.sig[{i + 1}] = h.sig_h[{i + 1}] THEN 1 ELSE 0 END' for i in range(8))}) AS n_match
+  FROM xb c JOIN xh h ON c.band = h.band AND c.key = h.key
+  WHERE c.doc_id <> h.holdout_id
+),
+xl AS (
+  SELECT DISTINCT doc_id, holdout_id,
+         floor((CAST(n_match AS DOUBLE) / 8.0) * 1000000 + 0.5) / 1000000 AS est_jaccard
+  FROM xm WHERE CAST(n_match AS DOUBLE) / 8.0 >= 0.5
+)
+SELECT doc_id, CAST(count(DISTINCT holdout_id) AS BIGINT) AS n_holdout,
+       max(est_jaccard) AS max_est_jaccard
+FROM xl GROUP BY doc_id
 """,
 
         # DSIR: same bucket hash text as the Spark side (portable

@@ -493,3 +493,63 @@ def paragraph_dedup(documents: DataFrame, id_col: str = "doc_id",
             F.size("ps").cast("int").alias("n_kept"),
         )
     )
+
+
+def cross_dedup_links(corpus: DataFrame, holdout: DataFrame,
+                      n_hashes: int = 8, n_bands: int = 4,
+                      threshold: float = 0.5, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Cross-corpus near-dup links: training docs that near-duplicate a
+    held-out / benchmark document (document-granular decontamination —
+    the companion of ``textops.decontaminate``'s n-gram leak probe; the
+    GPT-3 appendix-C / Gopher contamination-removal step).
+
+    Both sides get ``n_hashes`` MinHash signatures; a (train, holdout)
+    pair is a candidate if ANY of the ``n_bands`` signature bands matches,
+    then the signature-overlap estimator verifies Jaccard ≥ ``threshold``.
+    Returns (doc_id, holdout_id, n_match, est_jaccard), one row per
+    flagged pair — anti-join the corpus against it to purge.
+
+    Scale shape (100 TB corpus, benchmark-sized holdout): the holdout's
+    banded signature table is |H|·n_bands rows — KB-to-MB — and is
+    BROADCAST, so the corpus side is one map-only pass (tokenize, minhash,
+    explode bands, hash-probe); no data-sized shuffle exists anywhere.
+    Verification is zero-join: both signatures ride the matched row (the
+    ``_minhash_band_chain`` trick applied across corpora). The final
+    distinct dedups multi-band matches — bounded by the flagged-pair
+    volume, not the corpus.
+    """
+    assert n_hashes % n_bands == 0, "n_hashes must divide into n_bands"
+    r = n_hashes // n_bands
+
+    def banded(df: DataFrame, out_id: str, sig_name: str) -> DataFrame:
+        sigs = minhash_signatures(df, n_hashes, id_col, text_col)
+        sig = F.array(*[F.col(f"mh{j}") for j in range(n_hashes)])
+        return sigs.select(
+            F.col("doc_id").alias(out_id),
+            sig.alias(sig_name),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws("|", *[F.col(f"mh{j}")
+                                       for j in range(i * r, (i + 1) * r)]).alias("key"),
+                ) for i in range(n_bands)
+            ])).alias("bk"),
+        ).select(out_id, sig_name, F.col("bk.band").alias("band"),
+                 F.col("bk.key").alias("key"))
+
+    c = banded(corpus, "doc_id", "sig_c")
+    h = banded(holdout, "holdout_id", "sig_h")
+    matched = c.join(F.broadcast(h), ["band", "key"])
+    n_match = sum(
+        F.when(F.col("sig_c")[i] == F.col("sig_h")[i], 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        matched.withColumn("n_match", n_match.cast("int"))
+        .withColumn("est_jaccard",
+                    fround(F.col("n_match") / F.lit(float(n_hashes)), ROUND_SCORE))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_id", "holdout_id", "n_match", "est_jaccard")
+        .distinct()
+    )
