@@ -1294,6 +1294,16 @@ def q_decontaminate(spark, sf_dir):
             .filter(F.col("doc_id") != F.col("bench_id")))
 
 
+def q_quality_band(spark, sf_dir):
+    """Corpus-quantile quality filter: docs inside the [p10, p99] band of
+    the blended quality score (exact percentile aggregate — bounded
+    count-map state because scores are 1e-6-discretized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textops.quality_scores(docs).select("doc_id", "quality_score")
+    return textops.quantile_band_filter(scored, "quality_score",
+                                        lo=0.1, hi=0.99)
+
+
 def q_cross_dedup(spark, sf_dir):
     """Document-granular decontamination: train docs near-duplicating a
     pseudo-benchmark doc (doc_id % 25 == 0 — the decontaminate subset) by
@@ -1469,6 +1479,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,                       # cluster-then-dedup (SemDeDup)
         "dsir_weights": q_dsir_weights,               # DSIR importance weights
         "cross_dedup": q_cross_dedup,                 # cross-corpus MinHash decontamination
+        "quality_band": q_quality_band,               # corpus-quantile quality filter
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -2957,6 +2968,33 @@ GROUP BY CUBE (l_returnflag, EXTRACT(year FROM l_shipdate))
 SELECT p_partkey AS partkey, p_name AS name
 FROM part
 WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = p_partkey)
+""",
+
+        # corpus-quantile band filter: DuckDB quantile_cont and Spark's
+        # exact percentile share the 1 + (N-1)q linear-interpolation
+        # definition; inputs are 1e-6-discretized so boundary comparisons
+        # are stable across engines
+        "quality_band": f"""
+WITH qc AS (
+  SELECT doc_id,
+    len({_TOKS}) AS n_tok,
+    len(list_filter({_TOKS}, t -> t IN {_stop_list_sql()})) AS n_stop,
+    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+    length(text) AS n_char
+  FROM documents
+),
+qsc AS (
+  SELECT doc_id,
+    floor((0.4 * least(1.0, n_char / 500.0)
+        + 0.3 * least(1.0, (CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END) * 5)
+        + 0.3 * (1.0 - least(1.0, (CASE WHEN n_char > 0 THEN n_punct::DOUBLE / n_char ELSE 0.0 END) * 10))) * 1000000 + 0.5) / 1000000 AS quality_score
+  FROM qc
+),
+qth AS (SELECT quantile_cont(quality_score, 0.1) AS lo,
+               quantile_cont(quality_score, 0.99) AS hi FROM qsc)
+SELECT q.doc_id, q.quality_score
+FROM qsc q CROSS JOIN qth
+WHERE q.quality_score >= qth.lo AND q.quality_score <= qth.hi
 """,
 
         # cross-corpus banded-MinHash decontamination: signatures computed

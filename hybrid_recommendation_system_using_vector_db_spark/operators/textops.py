@@ -496,3 +496,41 @@ def lm_perplexity(documents: DataFrame, lm: DataFrame,
         .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
              fround(-F.avg("lp"), ROUND_SCORE).alias("nll"))
     )
+
+
+def quantile_band_filter(scored: DataFrame, score_col: str = "quality_score",
+                         lo: float = 0.1, hi: float = 0.99,
+                         approx: bool = False,
+                         accuracy: int = 10000) -> DataFrame:
+    """Corpus-quantile band filter: keep rows whose score lies within the
+    [``lo``, ``hi``] corpus quantiles — the "drop the worst X% / clip the
+    outlier tail" step every quality-filtered training pipeline runs
+    (CCNet buckets by LM-perplexity quantiles; Gopher drops tail
+    fractions of its heuristics).
+
+    Thresholds come from ONE aggregate over the score column, then attach
+    to every row by a single-row broadcast cross join (the lazy "nd CTE"
+    shape of ``tfidf_top_terms``) — no second scan, no driver round-trip,
+    no global sort of the corpus.
+
+    Exactness at 100 TB: with ``approx=False`` this uses Spark's EXACT
+    ``percentile`` aggregate, which buffers a value→count map per
+    partition and merges maps. Normally that is unbounded state — but
+    every score this engine emits is ``fround``-ed to 1e-6 in [0, 1], so
+    the map is capped at ~1e6 entries REGARDLESS of corpus size:
+    discretization makes the exact quantile a bounded mergeable
+    aggregate. For un-discretized score columns set ``approx=True``
+    (``percentile_approx``, the single-pass GK sketch — mergeable,
+    bounded by ``accuracy``; its thresholds are engine-specific, so no
+    cross-engine oracle applies to that path).
+    """
+    fn = "percentile_approx" if approx else "percentile"
+    extra = f", {accuracy}" if approx else ""
+    th = scored.select(
+        F.expr(f"{fn}({score_col}, array({lo!r}D, {hi!r}D){extra})").alias("__th"))
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .filter((F.col(score_col) >= F.col("__th")[0])
+                & (F.col(score_col) <= F.col("__th")[1]))
+        .drop("__th")
+    )
