@@ -46,6 +46,7 @@ from hybrid_recommendation_system_using_vector_db_spark.operators import (
     dedup,
     evaluate,
     hybrid,
+    linalg,
     multimodal,
     rangejoin,
     resolve,
@@ -1239,6 +1240,17 @@ def q_ivfpq_topk(spark, sf_dir):
         nprobe=4, cents=cents, books=books, dim=VEC_DIM)
 
 
+def q_ivfpq_rerank(spark, sf_dir):
+    """Two-stage IVF-PQ serving: ADC shortlist of 3·TOP_K from the
+    compressed reconstructions, exact re-scoring of the shortlist against
+    the float corpus (FAISS IndexRefineFlat pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = _ivfpq_books(spark, sf_dir, emb)
+    return similarity.ivfpq_rerank_topk(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
+        nprobe=4, cents=cents, books=books, dim=VEC_DIM)
+
+
 def q_domain_mix(spark, sf_dir):
     """Resample documents to a 50/25/25 src0/src1/src2 mixture — largest
     output meeting the targets without upsampling (T = min n_d/w_d,
@@ -1292,6 +1304,15 @@ def q_decontaminate(spark, sf_dir):
         .select(F.col("doc_id").alias("bench_id"), "text")
     return (textops.decontaminate(docs, bench, ngram_n=5, min_overlap=1)
             .filter(F.col("doc_id") != F.col("bench_id")))
+
+
+def q_gram_matrix(spark, sf_dir):
+    """Distributed Gram matrix X^T X over the embedding corpus (Arrow
+    partial-GEMM per partition + one (i,j) hash aggregate) — the PCA /
+    whitening / covariance primitive. Output: upper triangle, 2080 rows
+    at dim=64 regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return linalg.gram_matrix(emb, dim=VEC_DIM)
 
 
 def q_quality_band(spark, sf_dir):
@@ -1469,6 +1490,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,             # benchmark n-gram leak detection
         "domain_mix": q_domain_mix,                   # target-mixture resampling
         "ivfpq_topk": q_ivfpq_topk,                   # IVF-PQ two-level ADC search
+        "ivfpq_rerank": q_ivfpq_rerank,               # ADC shortlist + exact refine
         "pagerank": q_pagerank,                       # iterative graph rank
         "streaming_sessions": q_streaming_sessions,   # native session_window state
         "paragraph_dedup": q_paragraph_dedup,         # Lee-et-al span-granular dedup
@@ -1480,6 +1502,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,               # DSIR importance weights
         "cross_dedup": q_cross_dedup,                 # cross-corpus MinHash decontamination
         "quality_band": q_quality_band,               # corpus-quantile quality filter
+        "gram_matrix": q_gram_matrix,                 # Arrow partial-GEMM X^T X
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -1901,11 +1924,14 @@ w{s} AS (SELECT id, cv FROM (
     return chain_sql, concat, joins
 
 
-def _ivfpq_sql(nprobe: int = 4) -> str:
+def _ivfpq_sql(nprobe: int = 4, rerank_pool: int | None = None) -> str:
     """IVF-PQ oracle: coarse k-means (prefix-g chain over full vectors)
     → per-id nearest-centroid pick → residuals (named ``u`` so the PQ
     subspace chains of ``_pq_sql_parts`` apply verbatim) → two-level
-    reconstruction → the ivf_topk probe/score/topk tail."""
+    reconstruction → the ivf_topk probe/score/topk tail. With
+    ``rerank_pool`` the ADC ranking becomes a pool_k shortlist that is
+    exactly re-scored against the float vectors (``uf``) and re-ranked
+    to TOP_K — the ``ivfpq_rerank_topk`` refine stage."""
     g_ctes, g_final = _kmeans_cent_ctes(16, 2, VEC_DIM, prefix="g",
                                         u_name="uf")
     pq_chain_sql, pq_concat, pq_joins = _pq_sql_parts()
@@ -1939,8 +1965,17 @@ scored AS (
   SELECT p.qid, l.vid AS cand, {_cos('p.qv', 'l.cv')} AS score
   FROM probes p JOIN recon l USING (centroid_id) WHERE l.vid <> p.qid
 ),
-r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
-SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored){'''
+'''if rerank_pool is None else f''',
+shortlist AS (SELECT qid, cand FROM r WHERE rnk <= {rerank_pool}),
+ex AS (
+  SELECT s.qid, s.cand, {_cos('q.qv', 'c.v')} AS score
+  FROM shortlist s JOIN q ON s.qid = q.qid JOIN uf c ON s.cand = c.id
+),
+rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM ex)
+'''}
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank
+FROM {'r' if rerank_pool is None else 'rr'} WHERE rnk <= {TOP_K}
 """
 
 
@@ -2970,6 +3005,19 @@ FROM part
 WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = p_partkey)
 """,
 
+        # Gram matrix: same products, any sum order — absorbed by the
+        # 1e-6 rounding + 1e-9 comparator tolerance (the BM25 precedent)
+        "gram_matrix": """
+WITH gu AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+gp AS (SELECT ii.i, jj.j
+       FROM (SELECT unnest(range(64)) AS i) ii
+       CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+       WHERE jj.j >= ii.i)
+SELECT CAST(gp.i AS INT) AS i, CAST(gp.j AS INT) AS j,
+       floor(sum(gu.v[CAST(gp.i AS INT) + 1] * gu.v[CAST(gp.j AS INT) + 1]) * 1000000 + 0.5) / 1000000 AS g
+FROM gu CROSS JOIN gp GROUP BY 1, 2
+""",
+
         # corpus-quantile band filter: DuckDB quantile_cont and Spark's
         # exact percentile share the 1 + (N-1)q linear-interpolation
         # definition; inputs are 1e-6-discretized so boundary comparisons
@@ -3108,6 +3156,7 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """,
 
         "ivfpq_topk": _ivfpq_sql(nprobe=4),
+        "ivfpq_rerank": _ivfpq_sql(nprobe=4, rerank_pool=3 * TOP_K),
 
         "pagerank": _pagerank_sql(n_iters=3, damping=0.85),
 

@@ -1206,6 +1206,58 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None, k: int,
                     lists=lists, id_col=id_col, vec_col=vec_col, dim=dim)
 
 
+def ivfpq_rerank_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                      pool_k: int | None = None, nprobe: int = 4,
+                      n_centroids: int = 16, m: int = 8,
+                      pq_centroids: int = 16,
+                      cents: list | None = None, books: list | None = None,
+                      lists: DataFrame | None = None,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int | None = None) -> DataFrame:
+    """Two-stage IVF-PQ serving with exact refinement (the FAISS
+    ``IndexRefineFlat`` pattern): stage 1 takes an ADC shortlist of
+    ``pool_k`` (default 3k) candidates per query from the compressed
+    reconstructions; stage 2 re-scores ONLY the shortlist against the
+    full-precision corpus and re-ranks to the final top-k. Recall
+    approaches exact search while the full-precision reads stay
+    O(|Q|·pool_k) — the standard way production ANN gets quantized
+    storage without quantized quality.
+
+    Scale shape: the shortlist (|Q|·pool_k (qid, cand) pairs) is
+    BROADCAST into a single join against the float corpus — the corpus
+    is scanned once, no shuffle of vectors; query vectors attach by a
+    second broadcast. One window over |Q|·pool_k rescored rows finishes.
+    At 100 TB the float tier is only touched for the shortlist rows
+    (storage-tiering: codes hot, floats cold).
+    """
+    if pool_k is None:
+        pool_k = 3 * k
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    pool = ivfpq_topk(queries, corpus, pool_k, n_centroids, m, pq_centroids,
+                      nprobe, cents=cents, books=books, lists=lists,
+                      id_col=id_col, vec_col=vec_col, dim=dim) \
+        .select("qid", "cand")
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        V.as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("q_nrm", V.l2_norm(F.col("q_vec")))
+    c = _spread(corpus.select(
+        F.col(id_col).alias("cand"),
+        V.as_double(F.col(vec_col)).alias("c_vec"),
+    )).withColumn("c_nrm", V.l2_norm(F.col("c_vec")))
+    pair_dot = V.dot_expr("q_vec", "c_vec", dim) if dim else \
+        V.dot(F.col("q_vec"), F.col("c_vec"))
+    denom = F.col("q_nrm") * F.col("c_nrm")
+    cos = F.when(denom > 0, pair_dot / denom).otherwise(F.lit(0.0))
+    scored = (
+        c.join(F.broadcast(pool), "cand")
+        .join(F.broadcast(q), "qid")
+        .withColumn("score", fround(cos, ROUND_SCORE))
+    )
+    return topk_per_query(scored, k).select("qid", "cand", "score", "rank")
+
+
 def ivfpq_encode(corpus: DataFrame, cents: list, books: list,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

@@ -1087,3 +1087,63 @@ def test_label_filtered_topk_prefilter_semantics(spark):
     assert len(by_q[0]) == 3 and all(r.label == 1 for r in by_q[0])
     assert len(by_q[10]) == 3 and all(r.label == 2 for r in by_q[10])
     assert all(r.cand != r.qid for r in out)
+
+
+def test_pca_components_recover_dominant_axis(spark):
+    """gram_matrix → pca_components → pca_project end-to-end: on data
+    generated along a known dominant axis, the top component aligns with
+    that axis and the projection is the literal-matrix dot (map-only)."""
+    import numpy as np
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import linalg
+
+    rng = np.random.RandomState(7)
+    axis = np.array([3.0, 1.0, 0.0, 0.0]) / np.sqrt(10.0)
+    pts = [(int(i), [round(float(x), 6) for x in (t * axis + 0.01 * rng.randn(4))])
+           for i, t in enumerate(rng.randn(200))]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    g = linalg.gram_matrix(df, dim=4)
+    rows = [(r.i, r.j, r.g) for r in g.collect()]
+    assert len(rows) == 10                      # 4*(4+1)/2 upper triangle
+    comps = linalg.pca_components(rows, n_components=2)
+    # top component parallel to the generating axis (sign-pinned positive)
+    assert abs(abs(np.dot(comps[0], axis)) - 1.0) < 1e-2
+    assert comps[0][0] > 0                      # sign pin: largest-|x| positive
+    # projection equals the literal dot, computed map-only
+    proj = linalg.pca_project(df, comps).collect()
+    by_id = {r.vec_id: r.pca for r in proj}
+    v0 = dict(pts)[0]
+    want = [round(float(np.dot(c, v0)), 6) for c in comps]
+    assert all(abs(a - b) < 1e-5 for a, b in zip(by_id[0], want))
+
+
+def test_pca_project_plan_is_map_only(spark, sf_dir):
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import linalg
+
+    from hybrid_recommendation_system_using_vector_db_spark.plans import formatted_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = linalg.gram_matrix(emb, dim=64)
+    comps = linalg.pca_components([(r.i, r.j, r.g) for r in g.collect()],
+                                  n_components=4)
+    plan = formatted_plan(linalg.pca_project(emb, comps))
+    assert "Exchange" not in plan, plan
+
+
+def test_semdedup_survivors_have_no_lower_similar_neighbor(spark):
+    """Within a cluster, every dropped vector has a kept lower-id
+    eps-neighbor and every kept vector has none (star-removal contract)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    # two tight clusters + one singleton
+    rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.998, 0.02]),
+            (10, [0.0, 1.0]), (11, [0.01, 0.999]),
+            (20, [0.7, 0.7])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r.vec_id: r.kept for r in
+           similarity.semdedup(df, cents, eps=0.99, dim=2).collect()}
+    assert out[0] and not out[1] and not out[2]   # keep-lowest-id in cluster 0
+    assert out[10] and not out[11]
+    assert out[20]                                 # singleton survives
