@@ -77,6 +77,22 @@ HEADLINE = [
     "domain_mix",
     "bm25_topk",
     "rrf_hybrid_topk",
+    # r6 additions: two-level/diversified/filtered ANN serving, graph
+    # rank, span dedup, CCNet filters, semantic dedup, importance
+    # weighting, cross-corpus decontamination, quantile filtering, linalg
+    "ivfpq_topk",
+    "ivfpq_rerank",
+    "mmr_topk",
+    "filtered_topk",
+    "pagerank",
+    "paragraph_dedup",
+    "boilerplate_removal",
+    "lm_perplexity",
+    "semdedup",
+    "dsir_weights",
+    "cross_dedup",
+    "quality_band",
+    "gram_matrix",
 ]
 
 
