@@ -1147,3 +1147,84 @@ def test_semdedup_survivors_have_no_lower_similar_neighbor(spark):
     assert out[0] and not out[1] and not out[2]   # keep-lowest-id in cluster 0
     assert out[10] and not out[11]
     assert out[20]                                 # singleton survives
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs drawn from the target-domain token distribution outscore
+    out-of-domain docs: the log-likelihood ratio is positive where target
+    mass concentrates and negative elsewhere."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sampling
+
+    target_rows = [(i, "alpha beta gamma delta") for i in range(20)]
+    noise_rows = [(100 + i, "zork quux blarg wibble") for i in range(20)]
+    docs = spark.createDataFrame(target_rows + noise_rows,
+                                 "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") < 20)
+    w = {r.doc_id: r.dsir_weight
+         for r in sampling.dsir_weights(docs, target).collect()}
+    t_avg = sum(w[i] for i in range(20)) / 20
+    n_avg = sum(w[100 + i] for i in range(20)) / 20
+    assert t_avg > 0 > n_avg, (t_avg, n_avg)
+
+
+def test_dsir_empty_text_scores_zero(spark):
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, ""), (2, None)], "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") == 0)
+    w = {r.doc_id: r.dsir_weight
+         for r in sampling.dsir_weights(docs, target).collect()}
+    assert w[1] == 0.0 and w[2] == 0.0
+
+
+def test_cross_dedup_flags_exact_holdout_copy(spark):
+    """A verbatim copy of a holdout doc is flagged at est_jaccard = 1.0;
+    an unrelated doc is not flagged at all."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),   # leak
+         (3, "completely different content about spark engines")],
+        "doc_id long, text string")
+    hold = docs.filter(F.col("doc_id") == 1)
+    links = dedup.cross_dedup_links(docs, hold).filter(
+        F.col("doc_id") != F.col("holdout_id")).collect()
+    flagged = {r.doc_id: r.est_jaccard for r in links}
+    assert flagged == {2: 1.0}, flagged
+
+
+def test_quantile_band_filter_exact_bounds(spark):
+    """On 0..99/100 scores, the [p10, p90] band keeps exactly the scores
+    within the interpolated thresholds (linear 1+(N-1)q definition)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    df = spark.createDataFrame([(i, i / 100.0) for i in range(100)],
+                               "doc_id long, s double")
+    kept = sorted(r.doc_id for r in
+                  textops.quantile_band_filter(df, "s", lo=0.1, hi=0.9).collect())
+    # thresholds: (N-1)q = 99*0.1 = 9.9 -> 0.099; 99*0.9 = 89.1 -> 0.891
+    assert kept == list(range(10, 90)), (kept[:5], kept[-5:], len(kept))
+
+
+def test_ivfpq_rerank_full_pool_equals_exact(spark):
+    """With pool_k = |corpus| the refine stage re-scores everything, so
+    the result must be hash-identical to exact cosine_topk (refine is a
+    pure re-ranking of its shortlist)."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    cents, books = similarity.ivfpq_train(emb, n_centroids=4, m=4,
+                                          pq_centroids=8, dim=64)
+    got = similarity.ivfpq_rerank_topk(
+        qs, emb, 5, pool_k=n, nprobe=4, cents=cents, books=books,
+        dim=64).collect()
+    want = similarity.cosine_topk(qs, emb, 5, dim=64).collect()
+    key = lambda r: (r.qid, r.rank)
+    assert sorted([(r.qid, r.rank, r.cand, r.score) for r in got]) == \
+           sorted([(r.qid, r.rank, r.cand, r.score) for r in want])
