@@ -1366,6 +1366,27 @@ def q_semdedup(spark, sf_dir):
                       F.col("kept").cast("int").alias("kept"))
 
 
+def q_streaming_neardup(spark, sf_dir):
+    """Streaming MinHash-grain near-dup dedup: first-seen distinct
+    4-hash signatures over a document file stream — equals the batch
+    DISTINCT over the same signatures regardless of arrival order (the
+    streaming_dedup argument lifted to a similarity-hash key)."""
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_neardup_signatures,
+    )
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_neardup_mem":
+            q.stop()
+    dd = streaming_neardup_signatures(read_documents_stream(spark, sf_dir))
+    sq = run_stream_to_memory(dd, "q_streaming_neardup_mem",
+                              output_mode="append")
+    sq.stop()
+    return spark.table("q_streaming_neardup_mem")
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact-dedup twin (first-seen distinct keys over a stream).
 
@@ -1503,6 +1524,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup": q_cross_dedup,                 # cross-corpus MinHash decontamination
         "quality_band": q_quality_band,               # corpus-quantile quality filter
         "gram_matrix": q_gram_matrix,                 # Arrow partial-GEMM X^T X
+        "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -3003,6 +3025,19 @@ GROUP BY CUBE (l_returnflag, EXTRACT(year FROM l_shipdate))
 SELECT p_partkey AS partkey, p_name AS name
 FROM part
 WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = p_partkey)
+""",
+
+        # streaming near-dup: first-seen signature set == batch DISTINCT
+        # over the same signatures (arrival-order independent by emission
+        # of the key columns — the streaming_dedup oracle argument)
+        "streaming_neardup": f"""
+WITH st AS (SELECT {_DTOKS} AS toks FROM documents)
+SELECT DISTINCT
+  list_min(list_transform(toks, x -> md5('0:' || x))) AS mh0,
+  list_min(list_transform(toks, x -> md5('1:' || x))) AS mh1,
+  list_min(list_transform(toks, x -> md5('2:' || x))) AS mh2,
+  list_min(list_transform(toks, x -> md5('3:' || x))) AS mh3
+FROM st
 """,
 
         # Gram matrix: same products, any sum order — absorbed by the

@@ -326,3 +326,48 @@ def incremental_copurchase(order_lines: DataFrame, state_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (schema probed from a
+    one-off batch footer read, like ``read_events_stream``)."""
+    batch = (
+        spark.read.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    )
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_neardup_signatures(docs: DataFrame, n_hashes: int = 4,
+                                 text_col: str = "text") -> DataFrame:
+    """Streaming NEAR-dup dedup at MinHash-signature grain: map-side
+    ``n_hashes`` MinHash columns, then first-seen ``dropDuplicates``
+    state keyed on the full signature — documents whose token sets
+    collide at signature resolution (near-identical shingle sets) are
+    dropped in-stream.
+
+    Emitting the SIGNATURE columns (not the surviving row) makes the
+    result independent of arrival order: it equals the batch
+    ``SELECT DISTINCT`` over the same signatures, which is the oracle —
+    the exact argument of ``streaming_dedup_keys``, lifted from raw keys
+    to a similarity-hash key.
+
+    State scale: one entry per distinct signature — the number of
+    near-dup CLASSES, which in dirty web corpora is far below the
+    document count (the signature is also ~40 bytes vs the document).
+    The key space is still corpus-growing, so at 100 TB/continuous
+    ingest use ``dropDuplicatesWithinWatermark`` on the same signature
+    columns with an ingest-time watermark — exact-dedup-within-horizon,
+    same trade documented for ``streaming_dedup_keys``.
+    """
+    from ..functions import texttools as TT
+    from ..functions.hashing import minhash
+
+    toks = TT.distinct_tokens(F.col(text_col))
+    sig_cols = [f"mh{i}" for i in range(n_hashes)]
+    sigs = docs.select(*[minhash(toks, i).alias(c)
+                         for i, c in enumerate(sig_cols)])
+    return sigs.dropDuplicates(sig_cols)
