@@ -126,6 +126,31 @@ def load_ivf_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, list]:
     return lists, cents
 
 
+def append_ivf_index(spark: SparkSession, new_embeddings: DataFrame,
+                     out_dir: str) -> None:
+    """Incremental IVF maintenance: assign ONLY the new batch with the
+    STORED codebook and append its list rows to the partitioned layout.
+
+    Replaces the reference's destroy-and-recreate (A4,
+    ``Hybrid_Recom_vecdb.py:28`` ALWAYS_FRESH_RUN) with partition-local
+    appends: dynamic-partition append writes files only under the
+    ``centroid_id=`` directories the batch actually touches, so index
+    growth costs O(batch), never O(corpus). Serving is unchanged —
+    ``load_ivf_index`` reads the union and probes prune at the file
+    level exactly as before. Because assignment is a pure function of
+    the stored codebook, an index built incrementally is ROW-IDENTICAL
+    to one built from the full corpus in one shot (pinned by
+    ``test_ivf_index_incremental_append_equals_bulk``). Re-train the
+    codebook (full rewrite) only when drift degrades recall — the
+    standard IVF maintenance trade.
+    """
+    from .operators.similarity import ivf_build_lists
+
+    _, cents = load_ivf_index(spark, out_dir)
+    ivf_build_lists(new_embeddings, cents).write.mode("append") \
+        .partitionBy("centroid_id").parquet(f"{out_dir}/ivf_lists")
+
+
 def write_pq_index(spark: SparkSession, embeddings: DataFrame, out_dir: str,
                    m: int = 8, n_centroids: int = 64,
                    n_iters: int = 2) -> list:

@@ -350,3 +350,38 @@ def test_bm25_index_roundtrip_serves_identically(spark, sf_dir, tmp_path):
     served = retrieval.bm25_topk(qs, docs, 10, exclude_self=True, index=index)
     key = lambda r: (r["qid"], r["rank"])  # noqa: E731
     assert sorted(served.collect(), key=key) == sorted(inline.collect(), key=key)
+
+
+def test_ivf_index_incremental_append_equals_bulk(spark, tmp_path):
+    """write_ivf_index(A) + append_ivf_index(B) == one-shot lists over
+    A ∪ B under the SAME (stored) codebook — row-identical layout and
+    hash-identical serving (assignment is a pure function of the
+    codebook, so incremental growth cannot drift)."""
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = str(tmp_path / "ivf")
+    cents = pipeline.write_ivf_index(spark, a, out, n_centroids=4, n_iters=1)
+    pipeline.append_ivf_index(spark, b, out)
+    lists, cents2 = pipeline.load_ivf_index(spark, out)
+    assert cents2 == [(int(i), [float(x) for x in v]) for i, v in cents]
+    bulk = sim.ivf_build_lists(emb, cents)
+    key = lambda r: r[0]
+    got = sorted([(r.vid, r.centroid_id, [round(x, 9) for x in r.c_vec])
+                  for r in lists.collect()], key=key)
+    want = sorted([(r.vid, r.centroid_id, [round(x, 9) for x in r.c_vec])
+                   for r in bulk.collect()], key=key)
+    assert got == want
+    # serving parity through the appended index
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    served = sim.ivf_topk(qs, emb, 5, nprobe=2, centroids=cents,
+                          lists=lists, dim=64).collect()
+    direct = sim.ivf_topk(qs, emb, 5, nprobe=2, centroids=cents,
+                          lists=bulk, dim=64).collect()
+    srt = lambda rows: sorted((r.qid, r.rank, r.cand, r.score) for r in rows)
+    assert srt(served) == srt(direct)
