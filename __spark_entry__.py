@@ -1306,6 +1306,14 @@ def q_decontaminate(spark, sf_dir):
             .filter(F.col("doc_id") != F.col("bench_id")))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window token chunking (64-token windows, 16 overlap) —
+    the long-doc vector-DB ingestion step; map-only, explode inside
+    scan partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def q_gram_matrix(spark, sf_dir):
     """Distributed Gram matrix X^T X over the embedding corpus (Arrow
     partial-GEMM per partition + one (i,j) hash aggregate) — the PCA /
@@ -1525,6 +1533,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_band": q_quality_band,               # corpus-quantile quality filter
         "gram_matrix": q_gram_matrix,                 # Arrow partial-GEMM X^T X
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
+        "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -3025,6 +3034,22 @@ GROUP BY CUBE (l_returnflag, EXTRACT(year FROM l_shipdate))
 SELECT p_partkey AS partkey, p_name AS name
 FROM part
 WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = p_partkey)
+""",
+
+        # chunking: Spark sequence(0,B,s) inclusive == DuckDB range(0,B+1,s)
+        # exclusive; chunk_id = start/stride exactly (starts are multiples)
+        "chunk_documents": f"""
+WITH cht AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+chs AS (
+  SELECT doc_id, coalesce(toks, []) AS t,
+         unnest(range(0, greatest(coalesce(len(toks), 0) - 16 - 1, 0) + 1, 48)) AS s
+  FROM cht
+)
+SELECT doc_id,
+       CAST(s // 48 AS INT) AS chunk_id,
+       array_to_string(t[CAST(s + 1 AS BIGINT):CAST(s + 64 AS BIGINT)], ' ') AS chunk_text,
+       CAST(least(greatest(len(t) - s, 0), 64) AS INT) AS n_tokens
+FROM chs
 """,
 
         # streaming near-dup: first-seen signature set == batch DISTINCT

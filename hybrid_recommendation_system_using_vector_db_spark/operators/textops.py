@@ -534,3 +534,55 @@ def quantile_band_filter(scored: DataFrame, score_col: str = "quality_score",
                 & (F.col(score_col) <= F.col("__th")[1]))
         .drop("__th")
     )
+
+
+def chunk_documents(documents: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window token chunking — the vector-DB ingestion step for
+    long documents (the reference embeds whole docs,
+    ``Hybrid_Recom_vecdb.py:374-379``; production RAG pipelines chunk to
+    the embedder's context window with overlap so boundary-straddling
+    facts survive in at least one chunk).
+
+    Windows start every ``chunk_tokens − overlap`` tokens; the last
+    window may be short, and a document shorter than one window yields
+    exactly one chunk (chunk_id 0). Empty/null texts yield one empty
+    chunk — every input doc appears in the output, so downstream joins
+    never silently drop rows. Output: (``id_col``, chunk_id, chunk_text,
+    n_tokens), deterministic by construction.
+
+    Scale shape: map-only — tokenization, window-start generation
+    (``sequence``), slicing and re-joining are all array expressions
+    inside one projection; the explode fans out INSIDE scan partitions
+    (no shuffle anywhere, same argument as the frame-sample explode).
+    Chunk volume is len/stride per doc — linear with bounded
+    constant — and the full text never moves except as its chunks.
+    """
+    assert 0 <= overlap < chunk_tokens, "need 0 <= overlap < chunk_tokens"
+    stride = chunk_tokens - overlap
+    toks = TT.tokens(F.col(text_col))
+    n = F.size(toks)
+    # window starts: 0, stride, 2·stride, … while start < max(n − overlap, 1)
+    # (the upper bound stops a trailing window that would be pure overlap;
+    # max(...,1) guarantees ≥1 chunk for empty docs)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n - overlap - 1, F.lit(0)),
+        F.lit(stride))
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(toks, F.array().cast("array<string>")).alias("__t"),
+            F.posexplode(starts).alias("chunk_id", "__s"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__t"), F.col("__s") + 1, chunk_tokens), " ")
+             .alias("chunk_text"),
+            F.least(F.greatest(F.size("__t") - F.col("__s"), F.lit(0)),
+                    F.lit(chunk_tokens)).cast("int").alias("n_tokens"),
+        )
+    )

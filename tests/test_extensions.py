@@ -1256,3 +1256,36 @@ def test_ivfpq_rerank_recall_dominates_adc(spark, sf_dir):
                                       cents=cents, books=books, dim=64))
     assert rr >= adc, (adc, rr)
     assert rr >= 0.45, rr        # measured floor on the uniform fixture
+
+
+def test_chunk_documents_window_edges(spark):
+    """Boundary semantics: empty/null docs yield one empty chunk, a doc
+    of exactly chunk_tokens yields one chunk, one-token-over spills a
+    second chunk that retains the overlap, and every chunk except the
+    last is full-width."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, words(5)), (3, words(8)), (4, words(9)),
+         (5, words(100))],
+        "doc_id long, text string")
+    out = textops.chunk_documents(docs, chunk_tokens=8, overlap=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in (0, 1):
+        assert len(by_doc[d]) == 1 and by_doc[d][0].n_tokens == 0
+        assert by_doc[d][0].chunk_text == ""
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 5
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 8   # exact fit
+    two = sorted(by_doc[4], key=lambda r: r.chunk_id)
+    assert [r.n_tokens for r in two] == [8, 3]                  # spill keeps overlap
+    assert two[1].chunk_text.split() == ["w6", "w7", "w8"]
+    big = sorted(by_doc[5], key=lambda r: r.chunk_id)
+    assert all(r.n_tokens == 8 for r in big[:-1])
+    # stride-6 coverage: every token appears in some chunk
+    seen = {t for r in big for t in r.chunk_text.split()}
+    assert len(seen) == 100
