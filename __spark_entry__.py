@@ -1306,6 +1306,14 @@ def q_decontaminate(spark, sf_dir):
             .filter(F.col("doc_id") != F.col("bench_id")))
 
 
+def q_centroid_outliers(spark, sf_dir):
+    """Bottom-decile prototypicality flags per k-means cluster (D4-style
+    curation); reuses the train-once IVF codebook."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_codebook(spark, sf_dir)
+    return similarity.centroid_outliers(emb, cents, frac=0.1)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding-window token chunking (64-token windows, 16 overlap) —
     the long-doc vector-DB ingestion step; map-only, explode inside
@@ -1534,6 +1542,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix": q_gram_matrix,                 # Arrow partial-GEMM X^T X
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
+        "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -2409,6 +2418,29 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """,
 
         "ann_recall": _ann_recall_sql(),
+
+        # centroid outliers: same k-means chain; cutoff = ceil(0.1·n) with
+        # the identical double product in both engines
+        "centroid_outliers": f"""
+WITH u AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+{_KMEANS_CTES},
+ocent AS (SELECT centroid_id, cv FROM {_KMEANS_FINAL}),
+oasg AS (
+  SELECT u.id, c.centroid_id, {_cos('u.v', 'c.cv')} AS csim
+  FROM u CROSS JOIN ocent c
+),
+oasg_r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, centroid_id ASC) AS cr FROM oasg),
+oa AS (SELECT id, centroid_id, csim FROM oasg_r WHERE cr = 1),
+ornk AS (
+  SELECT id, centroid_id, csim,
+         row_number() OVER (PARTITION BY centroid_id ORDER BY csim ASC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY centroid_id) AS cnt
+  FROM oa
+)
+SELECT id AS vec_id, centroid_id, csim,
+       CAST(CASE WHEN rn <= ceil(0.1 * cnt) THEN 1 ELSE 0 END AS INT) AS outlier
+FROM ornk
+""",
 
         # SemDeDup: same k-means chain as ivf_topk, then a within-cluster
         # lower-id dominance join (keep-lowest-id star removal)

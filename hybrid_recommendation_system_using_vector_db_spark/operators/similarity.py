@@ -1509,3 +1509,45 @@ def semdedup(corpus: DataFrame, cents: list, eps: float = 0.95,
         .select(F.col("vid").alias(id_col), "centroid_id",
                 F.coalesce(~F.col("_dom"), F.lit(True)).alias("kept"))
     )
+
+
+def centroid_outliers(corpus: DataFrame, cents: list, frac: float = 0.1,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Prototypicality / outlier flagging: the bottom ``frac`` of each
+    k-means cluster by similarity-to-centroid (the D4 / SSL-prototypes
+    curation step, Sorscher et al. 2022: least-prototypical examples are
+    the drop/inspect candidates; its dual — dropping the MOST prototypical
+    — is the same ranking read from the other end).
+
+    Output: (``id_col``, centroid_id, csim, outlier) for every row,
+    outlier ∈ {0,1}. Deterministic: rounded csim, ties by id ascending,
+    cutoff = ceil(frac · cluster_size) computed with the same double
+    product in both engines.
+
+    Scale shape: assignment is the zero-shuffle literal-codebook argmax
+    (shared with IVF/SemDeDup); the only exchange is ONE window shuffle
+    keyed by centroid_id — rank and cluster size come from the same
+    window spec, so Spark fuses them into a single Window op. No
+    all-pairs anything; at 100 TB this is assignment-scan + one shuffle
+    of (id, cid, csim) triples, never vectors.
+    """
+    b = (corpus.select(F.col(id_col).alias("vid"),
+                       V.as_double(F.col(vec_col)).alias("__v"))
+         .withColumn("__n", F.expr(_vnorm_sql("__v")))
+         .withColumn("__pick",
+                     F.expr(_argmax_centroid_pick_sql(cents, "__v", "__n")))
+         .select("vid",
+                 (-F.col("__pick.n")).cast("long").alias("centroid_id"),
+                 F.col("__pick.s").alias("csim")))
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("csim").asc(), F.col("vid").asc())
+    wc = Window.partitionBy("centroid_id")
+    return (
+        b.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+        .select(
+            F.col("vid").alias(id_col), "centroid_id", "csim",
+            (F.col("__rn") <= F.ceil(F.lit(frac) * F.col("__cnt")))
+            .cast("int").alias("outlier"))
+    )
