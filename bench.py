@@ -93,6 +93,8 @@ HEADLINE = [
     "cross_dedup",
     "quality_band",
     "gram_matrix",
+    "chunk_documents",
+    "centroid_outliers",
 ]
 
 
