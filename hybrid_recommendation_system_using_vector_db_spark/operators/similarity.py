@@ -1527,8 +1527,9 @@ def centroid_outliers(corpus: DataFrame, cents: list, frac: float = 0.1,
 
     Scale shape: assignment is the zero-shuffle literal-codebook argmax
     (shared with IVF/SemDeDup); the only exchange is ONE window shuffle
-    keyed by centroid_id — rank and cluster size come from the same
-    window spec, so Spark fuses them into a single Window op. No
+    keyed by centroid_id — the rank and the cluster-size windows share
+    the partition key, so the second Window op reuses the first's
+    partitioning (one Exchange in the plan, two Window nodes). No
     all-pairs anything; at 100 TB this is assignment-scan + one shuffle
     of (id, cid, csim) triples, never vectors.
     """
