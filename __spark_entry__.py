@@ -1228,16 +1228,30 @@ def _ivfpq_books(spark, sf_dir, emb):
     return _IVFPQ_BOOKS[key]
 
 
+def _ivfpq_lists(spark, sf_dir, emb):
+    """Build-once persisted IVF-PQ reconstruction lists (the two-level
+    index proper — the ``_ivf_lists`` ingest/serve split applied to the
+    compressed tier; pure function of corpus + codebooks)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfpq_lists")
+    if key not in _ANN_INDEXES:
+        cents, books = _ivfpq_books(spark, sf_dir, emb)
+        _ANN_INDEXES[key] = similarity.ivfpq_build_lists(
+            emb, cents, books).persist()
+    return _ANN_INDEXES[key]
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ ADC search (FAISS IndexIVFPQ layout): coarse nprobe pruning
     over inverted lists whose vectors are coarse-centroid + PQ-decoded
     residual reconstructions — the standard billion-scale ANN index,
-    composed from the ivf_topk serve tail."""
+    composed from the ivf_topk serve tail; served from the build-once
+    persisted lists (``_ivfpq_lists``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, books = _ivfpq_books(spark, sf_dir, emb)
     return similarity.ivfpq_topk(
         emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
-        nprobe=4, cents=cents, books=books, dim=VEC_DIM)
+        nprobe=4, cents=cents, books=books,
+        lists=_ivfpq_lists(spark, sf_dir, emb), dim=VEC_DIM)
 
 
 def q_ivfpq_rerank(spark, sf_dir):
@@ -1248,7 +1262,8 @@ def q_ivfpq_rerank(spark, sf_dir):
     cents, books = _ivfpq_books(spark, sf_dir, emb)
     return similarity.ivfpq_rerank_topk(
         emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
-        nprobe=4, cents=cents, books=books, dim=VEC_DIM)
+        nprobe=4, cents=cents, books=books,
+        lists=_ivfpq_lists(spark, sf_dir, emb), dim=VEC_DIM)
 
 
 def q_domain_mix(spark, sf_dir):
