@@ -42,43 +42,68 @@ def pagerank(edges: DataFrame, n_iters: int = 3, damping: float = 0.85,
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
                      F.col(weight_col).cast("double").alias("weight"))
+    out_w = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # the dangling set (nodes without out-edges) is STATIC — resolve it
+    # once into a flag carried through the iterations instead of paying a
+    # |V|-row left_anti join + shuffle every iteration.  Both static
+    # tables come out of their builds already hash-partitioned on the
+    # per-iteration join key (distinct → hash(node); join → hash(src)),
+    # and localCheckpoint preserves that partitioning, so no explicit
+    # repartition is needed (measured: an added repartition only inserts
+    # an extra build-time exchange; AQE partition-count coalescing decides
+    # whether the iteration joins can reuse the layout).
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct()
+             .join(out_w.select(F.col("src").alias("node"),
+                                F.lit(False).alias("is_dangling")),
+                   "node", "left")
+             .select("node", F.coalesce("is_dangling", F.lit(True))
+                     .alias("is_dangling"))
              .localCheckpoint(eager=True))
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    out_w = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
     # edge+out_w materialized once: every iteration reuses it (the shared-
     # table lifecycle of dedup's shingle checkpoint)
     ew = e.join(out_w, "src").localCheckpoint(eager=True)
     d = damping
     omd = 1.0 - damping
     ranks = (nodes.crossJoin(F.broadcast(nn))
-             .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+             .select("node", (F.lit(1.0) / F.col("n")).alias("rank"),
+                     "is_dangling")
              .localCheckpoint(eager=True))
     for _ in range(n_iters):
-        contrib = (
-            ew.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("weight") / F.col("out_w"))
-                 .alias("c"))
-        )
-        dangling = (
-            ranks.join(out_w.withColumnRenamed("src", "node"), "node",
-                       "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                fround(
-                    F.lit(omd) / F.col("n")
-                    + F.lit(d) * (F.coalesce(F.col("c"), F.lit(0.0))
-                                  + F.col("dang") / F.col("n")),
-                    ROUND_SCORE).alias("rank"))
+        ranks = _pagerank_iteration(nodes, ew, ranks, nn, d, omd)\
             .localCheckpoint(eager=True)
-        )
-    return ranks
+    return ranks.select("node", "rank")
+
+
+def _pagerank_iteration(nodes: DataFrame, ew: DataFrame, ranks: DataFrame,
+                        nn: DataFrame, d: float, omd: float) -> DataFrame:
+    """One power-method step (factored out so the plan-contract test can
+    explain an un-checkpointed iteration body: the dangling sum is a
+    filter + bounded aggregate over the rank table — no anti-join, no
+    per-iteration re-derivation of the dangling set — pinned by
+    ``test_pagerank_iteration_no_anti_join``)."""
+    contrib = (
+        ew.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("rank") * F.col("weight") / F.col("out_w"))
+             .alias("c"))
+    )
+    dangling = (
+        ranks.filter("is_dangling")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            fround(
+                F.lit(omd) / F.col("n")
+                + F.lit(d) * (F.coalesce(F.col("c"), F.lit(0.0))
+                              + F.col("dang") / F.col("n")),
+                ROUND_SCORE).alias("rank"),
+            "is_dangling")
+    )

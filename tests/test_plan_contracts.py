@@ -381,3 +381,34 @@ def test_label_filtered_topk_is_equi_join_not_cross(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_pagerank_iteration_no_anti_join(spark, sf_dir):
+    """The dangling-rank redistribution must not re-derive the dangling
+    set per iteration: the node table carries a static ``is_dangling``
+    flag resolved once at build, so the per-iteration dangling sum is a
+    filter + bounded aggregate over the rank table (no anti-join, no
+    extra |V|-row shuffle), and the only multi-partition exchanges left
+    in the body are the contribution aggregate + AQE-decided join
+    re-alignments."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    edges = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    e = edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    out_w = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node"))).distinct()
+             .join(out_w.select(F.col("src").alias("node"),
+                                F.lit(False).alias("is_dangling")), "node", "left")
+             .select("node", F.coalesce("is_dangling", F.lit(True)).alias("is_dangling"))
+             .localCheckpoint(eager=True))
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ew = e.join(out_w, "src").localCheckpoint(eager=True)
+    ranks = (nodes.crossJoin(F.broadcast(nn))
+             .select("node", (F.lit(1.0) / F.col("n")).alias("rank"), "is_dangling")
+             .localCheckpoint(eager=True))
+    body = graph._pagerank_iteration(nodes, ew, ranks, nn, 0.85, 0.15)
+    plan = formatted_plan(body)
+    assert "Anti" not in plan, plan
+    # dangling sum is a bounded single-partition aggregate, not a join
+    assert plan.count("Exchange SinglePartition") <= 2, plan
