@@ -412,3 +412,18 @@ def test_pagerank_iteration_no_anti_join(spark, sf_dir):
     assert "Anti" not in plan, plan
     # dangling sum is a bounded single-partition aggregate, not a join
     assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_lm_perplexity_trains_once(spark, sf_dir):
+    """char_bigram_lm's counts table and the supplied LM each feed three
+    plan branches; both are bounded (≤ |charset|² rows) and must be
+    materialized once so the corpus-wide bigram explode + count does not
+    re-execute per branch (was: 20 parquet scans / 68 HashAggregates,
+    zero ReusedExchange). Train + score must read the corpus exactly
+    twice: once to train, once to score."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.lm_perplexity(docs, textops.char_bigram_lm(docs))
+    plan = formatted_plan(out)
+    assert plan.count("Scan parquet") == 2, plan
