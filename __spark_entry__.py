@@ -387,6 +387,23 @@ MMR_POOL = 20
 MMR_LAMBDA = 0.7
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar candidates whose ``label`` differs from the
+    query's (positives = same-label pairs, excluded by an anti join
+    before ranking) — the highest-cosine wrong-class items are exactly
+    the informative negatives (operators/similarity.py::
+    hard_negative_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    positives = (q.select(F.col("vec_id").alias("qid"), "label")
+                 .join(emb.select(F.col("vec_id").alias("cand"), "label"),
+                       "label")
+                 .select("qid", "cand"))
+    return similarity.hard_negative_topk(q, emb, positives, TOP_K,
+                                         dim=VEC_DIM)
+
+
 def q_filtered_topk(spark, sf_dir):
     """Metadata-filtered ANN: each query's top-k restricted to candidates
     sharing its ``label`` (the vector-DB `where` filter / multi-tenant
@@ -1558,6 +1575,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
+        "hard_negatives": q_hard_negatives,           # contrastive-pair negative mining
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -3279,6 +3297,21 @@ scored AS (
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
 SELECT qid, cand, label, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+""",
+
+        # positives = same-label pairs, so the anti join reduces to a
+        # label-inequality predicate on the scored cross join — mirrors
+        # similarity.hard_negative_topk with q_hard_negatives' positive set
+        "hard_negatives": f"""
+WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand, label AS cl, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT qid, cand, {_cos('qv', 'cv')} AS score
+  FROM q CROSS JOIN c WHERE cand <> qid AND cl <> ql
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """,
 
         # paragraph split via zipped unnest (range + parts align

@@ -95,6 +95,7 @@ HEADLINE = [
     "gram_matrix",
     "chunk_documents",
     "centroid_outliers",
+    "hard_negatives",
 ]
 
 

@@ -1436,6 +1436,41 @@ def label_filtered_topk(queries: DataFrame, corpus: DataFrame, k: int,
                     "score", "rank"))
 
 
+def hard_negative_topk(queries: DataFrame, corpus: DataFrame,
+                       positives: DataFrame, k: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int | None = None,
+                       broadcast_positives: bool = True) -> DataFrame:
+    """Hard-negative mining: per query, the top-k most-similar candidates
+    that are NOT in the query's positive set — the standard training-pair
+    generator for contrastive embedding / reranker training (a negative
+    the current embedding ranks high is the informative one; random
+    negatives are trivially separable).
+
+    ``positives``: (qid, cand) pairs to exclude (known relevant items,
+    graph neighbors, same-class members — caller's notion of "positive").
+    Pre-filter semantics like :func:`label_filtered_topk`: the ranking is
+    computed over non-positives only, so the result never under-fills
+    because positives crowded the pool.
+
+    Plan shape: broadcast query fan-out + codegen'd cosine (the
+    ``cosine_topk`` scoring stage), then a LEFT ANTI join on (qid, cand)
+    drops positives before the ranking window.  The positive table is
+    query-batch-sized (|Q| · avg positives), so it broadcasts by default
+    — the anti probe is a map-side hash lookup, no extra shuffle; pass
+    ``broadcast_positives=False`` for a corpus-scale positive relation
+    (shuffled anti-join on the composite key).  At 100 TB the scoring
+    stage can be swapped for any pooled ANN variant (``lsh_topk`` with
+    k + max-positives headroom) feeding the same anti join + window tail.
+    """
+    scored = _scored_pairs(queries, corpus, id_col, vec_col, dim)
+    pos = positives.select(F.col("qid"), F.col("cand"))
+    if broadcast_positives:
+        pos = F.broadcast(pos)
+    neg = scored.join(pos, ["qid", "cand"], "left_anti")
+    return topk_per_query(neg, k).select("qid", "cand", "score", "rank")
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup (semantic deduplication: cluster, then dedup within clusters)
 # ---------------------------------------------------------------------------

@@ -1289,3 +1289,26 @@ def test_chunk_documents_window_edges(spark):
     # stride-6 coverage: every token appears in some chunk
     seen = {t for r in big for t in r.chunk_text.split()}
     assert len(seen) == 100
+
+
+def test_hard_negatives_exclude_positives_and_never_underfill(spark, sf_dir):
+    """Mining semantics: no returned negative may appear in the positive
+    set (here: share the query's label), ranks are contiguous 1..k, and
+    the ranking is computed over non-positives only (pre-filter, never
+    'top-k then discard') — so each query returns the full k whenever k
+    non-positives exist."""
+    import __spark_entry__ as m
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    out = m.extra_queries()["hard_negatives"](spark, sf_dir).toPandas()
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label").toPandas()
+    lbl = dict(zip(emb.vec_id, emb.label))
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        assert lbl[r["qid"]] != lbl[r["cand"]], (r["qid"], r["cand"])
+    per_q = out.groupby("qid")["rank"].agg(["min", "max", "count"])
+    n_by_label = emb.groupby("label").size()
+    for qid, row in per_q.iterrows():
+        avail = int((n_by_label.drop(lbl[qid], errors="ignore")).sum())
+        expect = min(m.TOP_K, avail)
+        assert (row["min"], row["max"], row["count"]) == (1, expect, expect), (qid, row)
