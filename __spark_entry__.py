@@ -1219,6 +1219,32 @@ def q_streaming_sessions(spark, sf_dir):
     return spark.table("q_streaming_sessions_mem")
 
 
+def q_streaming_attribution(spark, sf_dir):
+    """Watermarked stream-stream interval join: every purchase attributed
+    to each same-user click within the preceding hour (click → purchase
+    attribution, append mode). Inner stream-stream joins emit exactly the
+    batch range join's rows, which is the oracle."""
+    _pin_utc(spark)
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_stream_attribution,
+    )
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_attribution_mem":
+            q.stop()
+    ev = read_events_stream(spark, sf_dir)
+    joined = stream_stream_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour")
+    sq = run_stream_to_memory(joined, "q_streaming_attribution_mem",
+                              output_mode="append")
+    sq.stop()
+    return spark.table("q_streaming_attribution_mem")
+
+
 def q_pagerank(spark, sf_dir):
     """Weighted PageRank over the co-purchase graph (3 power-method
     iterations, damping 0.85, dangling redistribution): one join + one
@@ -1576,6 +1602,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
         "hard_negatives": q_hard_negatives,           # contrastive-pair negative mining
+        "streaming_attribution": q_streaming_attribution,  # stream-stream interval join
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -3440,6 +3467,20 @@ FROM documents GROUP BY source
     # the streaming session_window path in complete mode equals the batch
     # session aggregation — shared oracle pins the equivalence
     sql["streaming_sessions"] = sql["session_windows"]
+    # inner stream-stream interval join in append mode emits exactly the
+    # batch range join's rows — mirrors streaming.stream_stream_attribution
+    sql["streaming_attribution"] = """
+WITH t AS (SELECT user_id, event_id AS trigger_id, ts AS t_ts
+           FROM events WHERE event_type = 'click'),
+o AS (SELECT user_id, event_id AS outcome_id, ts AS o_ts, value
+      FROM events WHERE event_type = 'purchase')
+SELECT t.user_id, trigger_id, outcome_id,
+       CAST(floor(epoch(t_ts)) AS BIGINT) AS trigger_epoch,
+       CAST(floor(epoch(o_ts)) AS BIGINT) AS outcome_epoch,
+       floor(value * 100 + 0.5) / 100 AS value
+FROM t JOIN o ON o.user_id = t.user_id
+             AND o_ts >= t_ts AND o_ts <= t_ts + INTERVAL 1 HOUR
+"""
     return sql
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.portable import fround
+from ..functions.portable import epoch_seconds, fround
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table, normalized to a session-tz
@@ -144,6 +144,53 @@ def streaming_dedup_keys(events: DataFrame, keys: list[str],
                 "(watermark=None) or dropDuplicatesWithinWatermark")
         events = events.withWatermark(event_time_col, watermark)
     return events.dropDuplicates(keys).select(*keys)
+
+
+def stream_stream_attribution(triggers: DataFrame, outcomes: DataFrame,
+                              horizon: str = "1 hour",
+                              by: str = "user_id",
+                              event_time_col: str = "ts",
+                              state_watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream event-time interval join: attribute each outcome to
+    every trigger by the same ``by`` key within ``horizon`` after it —
+    the canonical watermarked two-stream join (click→purchase
+    attribution; the streaming twin of the batch as-of/range joins in
+    ``operators/asof.py`` / ``operators/rangejoin.py``).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so Spark can evict matched state: a buffered
+    trigger row is dropped once the outcome-side watermark passes
+    ``trigger.ts + horizon``, and vice versa — state is
+    O(rows-per-horizon), not O(stream). Inner stream-stream joins emit
+    exactly the batch join's rows in append mode (late rows beyond the
+    watermark excepted), so the batch range join over the same files is
+    the oracle.
+
+    Output: (``by``, trigger_id, outcome_id, trigger_ts, outcome_ts —
+    epoch seconds, portable) + the outcome's ``value``.
+    """
+    t = (triggers.withWatermark(event_time_col, state_watermark)
+         .select(F.col(by).alias("k"),
+                 F.col("event_id").alias("trigger_id"),
+                 F.col(event_time_col).alias("t_ts")))
+    o = (outcomes.withWatermark(event_time_col, state_watermark)
+         .select(F.col(by).alias("ok"),
+                 F.col("event_id").alias("outcome_id"),
+                 F.col(event_time_col).alias("o_ts"),
+                 F.col("value").alias("value")))
+    joined = t.join(
+        o,
+        (F.col("k") == F.col("ok"))
+        & (F.col("o_ts") >= F.col("t_ts"))
+        & (F.col("o_ts") <= F.col("t_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner")
+    return joined.select(
+        F.col("k").alias(by),
+        "trigger_id", "outcome_id",
+        epoch_seconds("t_ts").cast("bigint").alias("trigger_epoch"),
+        epoch_seconds("o_ts").cast("bigint").alias("outcome_epoch"),
+        fround(F.col("value"), 2).alias("value"),
+    )
 
 
 def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete"):

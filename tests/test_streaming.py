@@ -222,3 +222,45 @@ def test_streaming_session_windows_match_batch(spark, sf_dir):
     want = {tuple(r) for r in batch}
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_stream_attribution_matches_batch_range_join(spark, sf_dir):
+    """The watermarked inner stream-stream interval join must emit exactly
+    the batch range join's rows (append mode, static files), including the
+    inclusive [t_ts, t_ts + horizon] boundary."""
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_stream_attribution,
+    )
+    from hybrid_recommendation_system_using_vector_db_spark.functions.portable import (
+        epoch_seconds, fround)
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = stream_stream_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour")
+    q = run_stream_to_memory(joined, "attr_stream", output_mode="append")
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM attr_stream").collect()}
+    finally:
+        q.stop()
+
+    be = load_table(spark, sf_dir, "events")
+    t = be.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"), F.col("event_id").alias("trigger_id"),
+        F.col("ts").alias("t_ts"))
+    o = be.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("ok"), F.col("event_id").alias("outcome_id"),
+        F.col("ts").alias("o_ts"), "value")
+    batch = (t.join(o, (F.col("k") == F.col("ok"))
+                    & (F.col("o_ts") >= F.col("t_ts"))
+                    & (F.col("o_ts") <= F.col("t_ts") + F.expr("INTERVAL 1 hour")))
+             .select(F.col("k").alias("user_id"), "trigger_id", "outcome_id",
+                     epoch_seconds("t_ts").cast("bigint").alias("trigger_epoch"),
+                     epoch_seconds("o_ts").cast("bigint").alias("outcome_epoch"),
+                     fround(F.col("value"), 2).alias("value"))
+             .collect())
+    assert got == {tuple(r) for r in batch}
+    assert len(got) > 0
