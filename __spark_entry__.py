@@ -1219,6 +1219,18 @@ def q_streaming_sessions(spark, sf_dir):
     return spark.table("q_streaming_sessions_mem")
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch φ-heavy-hitters over event users (depth 4 ×
+    width 256, φ=0.01): deterministic md5 bucketing, so the approximate
+    answer itself is hash-checked against the oracle — the bounded-state
+    frequency twin of ``kmv_distinct`` (operators/sketches.py)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.cms_heavy_hitters(ev, "user_id", depth=4, width=256,
+                                      phi=0.01)
+
+
 def q_streaming_attribution(spark, sf_dir):
     """Watermarked stream-stream interval join: every purchase attributed
     to each same-user click within the preceding hour (click → purchase
@@ -1603,6 +1615,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
         "hard_negatives": q_hard_negatives,           # contrastive-pair negative mining
         "streaming_attribution": q_streaming_attribution,  # stream-stream interval join
+        "cms_heavy_hitters": q_cms_heavy_hitters,     # count-min frequency sketch
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -3467,6 +3480,23 @@ FROM documents GROUP BY source
     # the streaming session_window path in complete mode equals the batch
     # session aggregation — shared oracle pins the equivalence
     sql["streaming_sessions"] = sql["session_windows"]
+    # deterministic count-min sketch: same md5 row-hashes, same bucketing,
+    # same min-over-rows estimator — mirrors sketches.cms_heavy_hitters
+    sql["cms_heavy_hitters"] = f"""
+WITH v AS (SELECT user_id AS val, CAST(user_id AS VARCHAR) AS vs
+           FROM events WHERE user_id IS NOT NULL),
+e AS (
+  SELECT val, r,
+         {_hex8_u32("md5('cms' || CAST(r AS VARCHAR) || ':' || vs)")} % 256 AS b
+  FROM v CROSS JOIN (SELECT unnest(range(4)) AS r)
+),
+sk AS (SELECT r, b, count(*) AS cnt FROM e GROUP BY r, b),
+dv AS (SELECT DISTINCT val, r, b FROM e),
+est AS (SELECT val, min(cnt) AS est_count FROM dv JOIN sk USING (r, b) GROUP BY val),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)
+SELECT val AS user_id, est_count
+FROM est CROSS JOIN n WHERE est_count >= ceil(0.01 * n)
+"""
     # inner stream-stream interval join in append mode emits exactly the
     # batch range join's rows — mirrors streaming.stream_stream_attribution
     sql["streaming_attribution"] = """

@@ -57,3 +57,56 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
         F.col("grp").alias(group_col),
         est.cast("bigint").alias("est_distinct"),
     )
+
+
+def cms_heavy_hitters(df: DataFrame, value_col: str,
+                      depth: int = 4, width: int = 256,
+                      phi: float = 0.01) -> DataFrame:
+    """Count-min-sketch φ-heavy-hitters: (value, est_count) for every
+    value whose CMS point estimate reaches ``ceil(phi · N)``.
+
+    est(v) = min over the ``depth`` hash rows of the (row, bucket) counter
+    v lands in — the classic one-sided estimator (est ≥ true count, with
+    est ≤ true + 2N/width at ≥ 1 − (1/2)^depth per row pair).  Like KMV,
+    every hash is deterministic md5 arithmetic, so the whole sketch — and
+    therefore the approximate answer itself — is a pure function of the
+    input multiset that a DuckDB oracle reproduces bit-for-bit.
+
+    Scale shape: the build explodes each row into ``depth`` (row, bucket)
+    keys whose partial aggregation collapses to ≤ depth·width entries PER
+    PARTITION before the shuffle — the sketch table is bounded at
+    depth·width rows regardless of corpus size (the bounded-state claim
+    CMS exists for).  The probe joins the DISTINCT values (O(distinct),
+    the same honesty note as ``kmv_distinct``) against the broadcast
+    sketch; the production point-query form holds the depth·width table
+    driver-side and answers lookups without a job.  NULL values are
+    dropped (no meaningful count key).
+    """
+    v = (df.filter(F.col(value_col).isNotNull())
+         .select(F.col(value_col).alias("val"),
+                 F.col(value_col).cast("string").alias("vs")))
+    buckets = [
+        (hex8_u32(F.md5(F.concat(F.lit(f"cms{r}:"), F.col("vs"))))
+         % F.lit(width)).alias(f"b{r}")
+        for r in range(depth)
+    ]
+    keyed = v.select("val", *buckets)
+    expl = keyed.select(
+        "val",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"), F.col(f"b{r}").alias("b"))
+            for r in range(depth)])).alias("rb"),
+    ).select("val", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    sketch = expl.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    n = v.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    probe = expl.distinct()
+    est = (
+        probe.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("val")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.crossJoin(F.broadcast(n))
+        .filter(F.col("est_count") >= F.ceil(F.lit(phi) * F.col("n")))
+        .select(F.col("val").alias(value_col), "est_count")
+    )

@@ -1312,3 +1312,28 @@ def test_hard_negatives_exclude_positives_and_never_underfill(spark, sf_dir):
         avail = int((n_by_label.drop(lbl[qid], errors="ignore")).sum())
         expect = min(m.TOP_K, avail)
         assert (row["min"], row["max"], row["count"]) == (1, expect, expect), (qid, row)
+
+
+def test_cms_one_sided_error_and_no_false_negatives(spark, sf_dir):
+    """CMS guarantees: every estimate >= the true count (collisions only
+    inflate), and no true φ-heavy-hitter is missing from the output
+    (est >= true ensures the threshold can only ADD values)."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sketches.cms_heavy_hitters(ev, "user_id", depth=4, width=256,
+                                     phi=0.01).toPandas()
+    truth = (ev.filter(F.col("user_id").isNotNull())
+             .groupBy("user_id").count().toPandas())
+    true_counts = dict(zip(truth.user_id, truth["count"]))
+    n = int(truth["count"].sum())
+    import math
+    thresh = math.ceil(0.01 * n)
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        assert r["est_count"] >= true_counts[r["user_id"]], r.to_dict()
+    got_vals = set(out.user_id)
+    for val, cnt in true_counts.items():
+        if cnt >= thresh:
+            assert val in got_vals, (val, cnt, thresh)
