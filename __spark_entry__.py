@@ -1392,6 +1392,22 @@ def q_chunk_documents(spark, sf_dir):
     return textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
 
 
+def q_chunk_pooled_embeddings(spark, sf_dir):
+    """Chunk-then-pool document embeddings: 64/16 sliding windows →
+    hashing-trick chunk vectors (composite (doc_id, chunk_id) key through
+    the Arrow embedder) → element-wise mean pooled back to one vector per
+    doc in canonical long form (embeddings/__init__.py::
+    mean_pool_embeddings) — the RAG ingestion chain as one pipeline."""
+    from hybrid_recommendation_system_using_vector_db_spark.embeddings import (
+        hashing_embedder, mean_pool_embeddings)
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    chunk_emb = hashing_embedder(chunks, id_col=["doc_id", "chunk_id"],
+                                 text_col="chunk_text")
+    return mean_pool_embeddings(chunk_emb)
+
+
 def q_gram_matrix(spark, sf_dir):
     """Distributed Gram matrix X^T X over the embedding corpus (Arrow
     partial-GEMM per partition + one (i,j) hash aggregate) — the PCA /
@@ -1616,6 +1632,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,           # contrastive-pair negative mining
         "streaming_attribution": q_streaming_attribution,  # stream-stream interval join
         "cms_heavy_hitters": q_cms_heavy_hitters,     # count-min frequency sketch
+        "chunk_pooled_embeddings": q_chunk_pooled_embeddings,  # chunk→embed→mean-pool
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)
@@ -3480,6 +3497,47 @@ FROM documents GROUP BY source
     # the streaming session_window path in complete mode equals the batch
     # session aggregation — shared oracle pins the equivalence
     sql["streaming_sessions"] = sql["session_windows"]
+    # chunk → hash-embed → mean-pool chain: the chunk CTE is the
+    # chunk_documents oracle's, the embedder CTEs are hash_embeddings'
+    # applied per (doc_id, chunk_id); avg order absorbed by the 1e-6
+    # rounding (the gram_matrix argument)
+    sql["chunk_pooled_embeddings"] = f"""
+WITH cht AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+chs AS (
+  SELECT doc_id, coalesce(toks, []) AS t,
+         unnest(range(0, greatest(coalesce(len(toks), 0) - 16 - 1, 0) + 1, 48)) AS s
+  FROM cht
+),
+ch AS (SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
+       t[CAST(s + 1 AS BIGINT):CAST(s + 64 AS BIGINT)] AS ctoks FROM chs),
+tok AS (SELECT doc_id, chunk_id, unnest(ctoks) AS tok FROM ch),
+hb AS (
+  SELECT doc_id, chunk_id,
+         (16 * {_nib('substr(md5(tok), 7, 1)')} + {_nib('substr(md5(tok), 8, 1)')}) % 64 AS bucket,
+         CASE WHEN {_nib('substr(md5(tok), 9, 1)')} >= 8 THEN 1.0 ELSE -1.0 END AS sign
+  FROM tok WHERE tok <> ''
+),
+sums AS (SELECT doc_id, chunk_id, bucket, sum(sign) AS sv FROM hb GROUP BY 1, 2, 3),
+grid AS (
+  SELECT c.doc_id, c.chunk_id, p.pos FROM ch c
+  CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+),
+vec AS (
+  SELECT g.doc_id, g.chunk_id, g.pos, coalesce(s.sv, 0.0) AS sv
+  FROM grid g LEFT JOIN sums s
+    ON g.doc_id = s.doc_id AND g.chunk_id = s.chunk_id AND g.pos = s.bucket
+),
+nrm AS (SELECT doc_id, chunk_id, sqrt(sum(sv * sv)) AS n FROM vec GROUP BY 1, 2),
+comp AS (
+  SELECT v.doc_id, v.pos,
+         CAST(CAST(CASE WHEN n.n > 0 THEN v.sv / n.n ELSE 0.0 END AS REAL) AS DOUBLE) AS val
+  FROM vec v JOIN nrm n ON v.doc_id = n.doc_id AND v.chunk_id = n.chunk_id
+)
+SELECT doc_id, CAST(pos AS INT) AS pos,
+       floor(avg(val) * 1000000 + 0.5) / 1000000 AS val,
+       CAST(count(*) AS INT) AS n_chunks
+FROM comp GROUP BY doc_id, pos
+"""
     # deterministic count-min sketch: same md5 row-hashes, same bucketing,
     # same min-over-rows estimator — mirrors sketches.cms_heavy_hitters
     sql["cms_heavy_hitters"] = f"""

@@ -44,24 +44,33 @@ def _hash_embed_texts(texts, dim: int = EMBED_DIM):
     return out
 
 
-def hashing_embedder(documents: DataFrame, id_col: str = "doc_id",
+def hashing_embedder(documents: DataFrame, id_col: str | list[str] = "doc_id",
                      text_col: str = "text", dim: int = EMBED_DIM) -> DataFrame:
-    """Deterministic hashing-trick embeddings via Arrow-batched mapInPandas."""
+    """Deterministic hashing-trick embeddings via Arrow-batched mapInPandas.
+
+    ``id_col`` may be a list for composite keys (e.g. (doc_id, chunk_id)
+    when embedding :func:`...textops.chunk_documents` output); the key
+    columns pass through with their input names and types.
+    """
+    from pyspark.sql import types as T
+
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
+    key_fields = documents.select(*id_cols).schema.fields
+    out_schema = T.StructType(
+        list(key_fields)
+        + [T.StructField("embedding", T.ArrayType(T.FloatType()))])
 
     def encode(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = _hash_embed_texts(list(pdf[text_col]), dim)
-            yield pd.DataFrame({
-                "doc_id": pdf[id_col],
-                "embedding": [row.astype("float32").tolist() for row in mat],
-            })
+            out = pdf[id_cols].copy()
+            out["embedding"] = [row.astype("float32").tolist() for row in mat]
+            yield out
 
-    return documents.select(id_col, text_col).mapInPandas(
-        encode, schema="doc_id long, embedding array<float>"
+    return documents.select(*id_cols, text_col).mapInPandas(
+        encode, schema=out_schema
     )
 
 
@@ -165,3 +174,37 @@ def model_embedder_pbu(documents: DataFrame,
                             batch_size=batch_size)
     return documents.select(id_col, text_col).select(
         F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("embedding"))
+
+
+def mean_pool_embeddings(chunk_emb: DataFrame, id_col: str = "doc_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Mean-pool chunk embeddings back to one vector per parent id — the
+    chunk-then-pool step of a RAG/embedding ingestion pipeline (embed
+    :func:`...textops.chunk_documents` windows, pool to a document
+    vector; the late-chunking counterpart of whole-doc embedding).
+
+    Output is the canonical long form (``id_col``, pos, val, n_chunks):
+    val = round(mean over the id's chunks of component ``pos``, 6),
+    n_chunks = the pooled chunk count. The long form keeps the result
+    hash-checkable (array columns defeat the harness canonicalizer) and
+    the aggregation engine-portable (per-(id, pos) ``avg`` rather than an
+    order-sensitive array fold).
+
+    Scale shape: one posexplode (dim rows per chunk, map-side) feeding a
+    single partial-agg shuffle keyed by (id, pos) — no collect_list state,
+    no second shuffle; chunk vectors never move as whole arrays.
+    """
+    from pyspark.sql import functions as F
+
+    from .. import ROUND_SCORE
+    from ..functions.portable import fround
+
+    return (
+        chunk_emb.select(F.col(id_col),
+                         F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy(id_col, "pos")
+        .agg(fround(F.avg(F.col("v").cast("double")), ROUND_SCORE).alias("val"),
+             F.count(F.lit(1)).cast("int").alias("n_chunks"))
+        .select(id_col, F.col("pos").cast("int").alias("pos"), "val",
+                "n_chunks")
+    )

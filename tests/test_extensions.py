@@ -1337,3 +1337,32 @@ def test_cms_one_sided_error_and_no_false_negatives(spark, sf_dir):
     for val, cnt in true_counts.items():
         if cnt >= thresh:
             assert val in got_vals, (val, cnt, thresh)
+
+
+def test_chunk_pooled_equals_whole_doc_for_short_docs(spark):
+    """A doc that fits one window must pool to exactly its whole-doc
+    hashing embedding (n_chunks=1, identity mean); a long doc must pool
+    >1 chunks and still produce a 64-long well-formed vector."""
+    from hybrid_recommendation_system_using_vector_db_spark.embeddings import (
+        hashing_embedder, mean_pool_embeddings)
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+    from hybrid_recommendation_system_using_vector_db_spark.functions.portable import fround
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, " ".join(f"tok{i % 37}" for i in range(200)))],
+        "doc_id long, text string")
+    chunks = textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    pooled = mean_pool_embeddings(
+        hashing_embedder(chunks, id_col=["doc_id", "chunk_id"],
+                         text_col="chunk_text")).toPandas()
+    whole = hashing_embedder(docs).select(
+        "doc_id", F.posexplode("embedding").alias("pos", "v")).select(
+        "doc_id", "pos", fround(F.col("v").cast("double"), 6).alias("val")
+    ).toPandas()
+    p1 = pooled[pooled.doc_id == 1].sort_values("pos").reset_index(drop=True)
+    w1 = whole[whole.doc_id == 1].sort_values("pos").reset_index(drop=True)
+    assert (p1.n_chunks == 1).all()
+    assert (p1.val.values == w1.val.values).all()
+    p2 = pooled[pooled.doc_id == 2]
+    assert (p2.n_chunks > 1).all() and len(p2) == 64
