@@ -1219,6 +1219,19 @@ def q_streaming_sessions(spark, sf_dir):
     return spark.table("q_streaming_sessions_mem")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (8 merges) over the document corpus: one
+    corpus pass builds the word vocabulary, then every merge round is a
+    bounded pair-count aggregate + 1-row argmax + map-only re-segmentation
+    (operators/bpe.py). Rows-only driver check — the merge recursion is
+    not SQL-expressible; exactness is pinned in pytest against an
+    independent pure-Python BPE reference."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train(docs, n_merges=8)
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min-sketch φ-heavy-hitters over event users (depth 4 ×
     width 256, φ=0.01): deterministic md5 bucketing, so the approximate
@@ -1633,6 +1646,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution": q_streaming_attribution,  # stream-stream interval join
         "cms_heavy_hitters": q_cms_heavy_hitters,     # count-min frequency sketch
         "chunk_pooled_embeddings": q_chunk_pooled_embeddings,  # chunk→embed→mean-pool
+        "bpe_merges": q_bpe_merges,                   # BPE tokenizer training (rows-only:
+                                                      # merge recursion isn't SQL; python-
+                                                      # reference-pinned in pytest
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)

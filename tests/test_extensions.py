@@ -1366,3 +1366,71 @@ def test_chunk_pooled_equals_whole_doc_for_short_docs(spark):
     assert (p1.val.values == w1.val.values).all()
     p2 = pooled[pooled.doc_id == 2]
     assert (p2.n_chunks > 1).all() and len(p2) == 64
+
+
+def _python_bpe_reference(texts, n_merges, eow="</w>"):
+    """Independent reference implementation (Sennrich et al. 2016 fig. 1
+    shape): word-count vocab, greedy-left merges, ties broken on
+    (count desc, left asc, right asc)."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in str(t).lower().split(" "):
+            if w:
+                vocab[w] += 1
+    segs = {w: list(w) + [eow] for w in vocab}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, cnt in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        if not pairs:
+            break
+        (left, right), n = min(pairs.items(),
+                               key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, left, right, n))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed trainer must learn exactly the reference's merge
+    sequence (order, pairs, counts) on the real corpus — the correctness
+    pin for a rows-only driver entry (merge recursion isn't SQL)."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [tuple(r) for r in bpe.bpe_train(docs, n_merges=8).collect()]
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _python_bpe_reference(texts, 8)
+    assert got == want
+
+
+def test_bpe_greedy_left_merge_on_runs(spark):
+    """Greedy-left semantics on symbol runs: pair (a,a) over 'aaaa' must
+    segment to [aa, aa, </w>], over 'aaa' to [aa, a, </w>] — pinned via
+    the learned merge table on a run-only corpus."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaa")], "doc_id long, text string")
+    out = [tuple(r) for r in bpe.bpe_train(docs, n_merges=2).collect()]
+    # round 0: (a,a) appears 3+3+2 = 8 times (greedy pair counting counts
+    # overlaps per adjacency); after merging, 'aaaa'→[aa,aa], 'aaa'→[aa,a]
+    assert out[0] == (0, "a", "a", 8)
+    # round 1: (aa,aa) and (aa,</w>) tie at count 2 ('aaaa' cnt 2 yields
+    # one of each); the lexicographic tie-break picks right='</w>'
+    # ('<' < 'a'), pinning the deterministic ordering rule
+    assert out[1] == (1, "aa", "</w>", 2)
