@@ -1234,14 +1234,15 @@ def q_bpe_merges(spark, sf_dir):
 
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min-sketch φ-heavy-hitters over event users (depth 4 ×
-    width 256, φ=0.01): deterministic md5 bucketing, so the approximate
+    width 256, φ=0.006 — non-empty at every driver scale): deterministic
+    md5 bucketing, so the approximate
     answer itself is hash-checked against the oracle — the bounded-state
     frequency twin of ``kmv_distinct`` (operators/sketches.py)."""
     from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
 
     ev = load_table(spark, sf_dir, "events")
     return sketches.cms_heavy_hitters(ev, "user_id", depth=4, width=256,
-                                      phi=0.01)
+                                      phi=0.006)
 
 
 def q_streaming_attribution(spark, sf_dir):
@@ -3569,7 +3570,7 @@ dv AS (SELECT DISTINCT val, r, b FROM e),
 est AS (SELECT val, min(cnt) AS est_count FROM dv JOIN sk USING (r, b) GROUP BY val),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)
 SELECT val AS user_id, est_count
-FROM est CROSS JOIN n WHERE est_count >= ceil(0.01 * n)
+FROM est CROSS JOIN n WHERE est_count >= ceil(0.006 * n)
 """
     # inner stream-stream interval join in append mode emits exactly the
     # batch range join's rows — mirrors streaming.stream_stream_attribution

@@ -96,6 +96,9 @@ HEADLINE = [
     "chunk_documents",
     "centroid_outliers",
     "hard_negatives",
+    "cms_heavy_hitters",
+    "chunk_pooled_embeddings",
+    "bpe_merges",
 ]
 
 
