@@ -61,24 +61,29 @@ def pagerank(edges: DataFrame, n_iters: int = 3, damping: float = 0.85,
              .select("node", F.coalesce("is_dangling", F.lit(True))
                      .alias("is_dangling"))
              .localCheckpoint(eager=True))
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # |V| is a single scalar — collect it once (bounded driver state, one
+    # count over the checkpointed node table) instead of riding a
+    # broadcast single-row aggregate subtree through every iteration's
+    # plan (two exchanges + an aggregate per iteration, for a constant).
+    n = float(nodes.count())
     # edge+out_w materialized once: every iteration reuses it (the shared-
     # table lifecycle of dedup's shingle checkpoint)
     ew = e.join(out_w, "src").localCheckpoint(eager=True)
     d = damping
     omd = 1.0 - damping
-    ranks = (nodes.crossJoin(F.broadcast(nn))
-             .select("node", (F.lit(1.0) / F.col("n")).alias("rank"),
-                     "is_dangling")
-             .localCheckpoint(eager=True))
+    # initial ranks: a map-only projection over the checkpointed node
+    # table — no materialization needed, iteration 1 reads it straight
+    # off the checkpoint blocks
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"),
+                         "is_dangling")
     for _ in range(n_iters):
-        ranks = _pagerank_iteration(nodes, ew, ranks, nn, d, omd)\
+        ranks = _pagerank_iteration(nodes, ew, ranks, n, d, omd)\
             .localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 
 def _pagerank_iteration(nodes: DataFrame, ew: DataFrame, ranks: DataFrame,
-                        nn: DataFrame, d: float, omd: float) -> DataFrame:
+                        n: float, d: float, omd: float) -> DataFrame:
     """One power-method step (factored out so the plan-contract test can
     explain an un-checkpointed iteration body: the dangling sum is a
     filter + bounded aggregate over the rank table — no anti-join, no
@@ -96,14 +101,13 @@ def _pagerank_iteration(nodes: DataFrame, ew: DataFrame, ranks: DataFrame,
     )
     return (
         nodes.join(contrib, "node", "left")
-        .crossJoin(F.broadcast(nn))
         .crossJoin(F.broadcast(dangling))
         .select(
             "node",
             fround(
-                F.lit(omd) / F.col("n")
+                F.lit(omd) / F.lit(n)
                 + F.lit(d) * (F.coalesce(F.col("c"), F.lit(0.0))
-                              + F.col("dang") / F.col("n")),
+                              + F.col("dang") / F.lit(n)),
                 ROUND_SCORE).alias("rank"),
             "is_dangling")
     )

@@ -402,12 +402,11 @@ def test_pagerank_iteration_no_anti_join(spark, sf_dir):
                                 F.lit(False).alias("is_dangling")), "node", "left")
              .select("node", F.coalesce("is_dangling", F.lit(True)).alias("is_dangling"))
              .localCheckpoint(eager=True))
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n = float(nodes.count())
     ew = e.join(out_w, "src").localCheckpoint(eager=True)
-    ranks = (nodes.crossJoin(F.broadcast(nn))
-             .select("node", (F.lit(1.0) / F.col("n")).alias("rank"), "is_dangling")
+    ranks = (nodes.select("node", F.lit(1.0 / n).alias("rank"), "is_dangling")
              .localCheckpoint(eager=True))
-    body = graph._pagerank_iteration(nodes, ew, ranks, nn, 0.85, 0.15)
+    body = graph._pagerank_iteration(nodes, ew, ranks, n, 0.85, 0.15)
     plan = formatted_plan(body)
     assert "Anti" not in plan, plan
     # dangling sum is a bounded single-partition aggregate, not a join
