@@ -1105,10 +1105,14 @@ def q_rrf_hybrid_topk(spark, sf_dir):
     lex = retrieval.bm25_topk(_bm25_query_set(docs), docs, BM25_POOL,
                               exclude_self=True,
                               index=_bm25_index(spark, sf_dir))
-    emb = _doc_embeddings(spark, sf_dir)
-    dense = similarity.cosine_topk(
-        emb.filter(F.col("doc_id") % QUERY_MOD == 0), emb, BM25_POOL,
-        id_col="doc_id", dim=VEC_DIM)
+    emb = _doc_embeddings(spark, sf_dir).withColumnRenamed("doc_id", "vec_id")
+    dq = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    # dense pool via the GEMM scorer (collect-once query matrix) — pinned
+    # bit-equal to the declarative cosine_topk by content_topk_gemm's own
+    # oracle (same rounding/tiebreaks; see _hybrid_topk's note)
+    dense = similarity.cosine_topk_gemm(
+        dq, emb, BM25_POOL,
+        q_local=_query_matrix(spark, sf_dir, "doc_qs", dq))
     return retrieval.rrf_fuse(lex, dense, TOP_K)
 
 
