@@ -1426,6 +1426,22 @@ def q_chunk_pooled_embeddings(spark, sf_dir):
     return mean_pool_embeddings(chunk_emb)
 
 
+def q_maxsim_topk(spark, sf_dir):
+    """Late-interaction (ColBERT MaxSim) retrieval: per query term, best
+    chunk wins — served from the un-pooled chunk-embedding multi-vector
+    index (the chunk_pooled_embeddings chain WITHOUT the pooling step).
+    Queries = the bm25 query set (first 8 tokens of every doc_id %
+    QUERY_MOD == 0 doc); self-matches excluded like every ``*_topk``."""
+    from hybrid_recommendation_system_using_vector_db_spark.embeddings import hashing_embedder
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    cvecs = hashing_embedder(chunks, id_col=["doc_id", "chunk_id"],
+                             text_col="chunk_text")
+    return retrieval.maxsim_topk(_bm25_query_set(docs), cvecs, TOP_K)
+
+
 def q_gram_matrix(spark, sf_dir):
     """Distributed Gram matrix X^T X over the embedding corpus (Arrow
     partial-GEMM per partition + one (i,j) hash aggregate) — the PCA /
@@ -1644,6 +1660,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup": q_cross_dedup,                 # cross-corpus MinHash decontamination
         "quality_band": q_quality_band,               # corpus-quantile quality filter
         "gram_matrix": q_gram_matrix,                 # Arrow partial-GEMM X^T X
+        "maxsim_topk": q_maxsim_topk,                 # ColBERT late-interaction MaxSim
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -3558,6 +3575,63 @@ SELECT doc_id, CAST(pos AS INT) AS pos,
        floor(avg(val) * 1000000 + 0.5) / 1000000 AS val,
        CAST(count(*) AS INT) AS n_chunks
 FROM comp GROUP BY doc_id, pos
+"""
+    # late-interaction MaxSim: chunk CTEs = chunk_pooled_embeddings', kept
+    # un-pooled (chunk_id survives into comp); a query term embeds to a
+    # one-hot signed basis vector so <E(t), v> = sign * v[bucket]. Sum of
+    # ≤ BM25_QTERMS float32-valued doubles is exact (53-bit mantissa ≫
+    # 24-bit addends), so the 1e-6 rounding can't straddle engines.
+    sql["maxsim_topk"] = f"""
+WITH cht AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+chs AS (
+  SELECT doc_id, coalesce(toks, []) AS t,
+         unnest(range(0, greatest(coalesce(len(toks), 0) - 16 - 1, 0) + 1, 48)) AS s
+  FROM cht
+),
+ch AS (SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
+       t[CAST(s + 1 AS BIGINT):CAST(s + 64 AS BIGINT)] AS ctoks FROM chs),
+tok AS (SELECT doc_id, chunk_id, unnest(ctoks) AS tok FROM ch),
+hb AS (
+  SELECT doc_id, chunk_id,
+         (16 * {_nib('substr(md5(tok), 7, 1)')} + {_nib('substr(md5(tok), 8, 1)')}) % 64 AS bucket,
+         CASE WHEN {_nib('substr(md5(tok), 9, 1)')} >= 8 THEN 1.0 ELSE -1.0 END AS sign
+  FROM tok WHERE tok <> ''
+),
+sums AS (SELECT doc_id, chunk_id, bucket, sum(sign) AS sv FROM hb GROUP BY 1, 2, 3),
+grid AS (
+  SELECT c.doc_id, c.chunk_id, p.pos FROM ch c
+  CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+),
+vec AS (
+  SELECT g.doc_id, g.chunk_id, g.pos, coalesce(s.sv, 0.0) AS sv
+  FROM grid g LEFT JOIN sums s
+    ON g.doc_id = s.doc_id AND g.chunk_id = s.chunk_id AND g.pos = s.bucket
+),
+nrm AS (SELECT doc_id, chunk_id, sqrt(sum(sv * sv)) AS n FROM vec GROUP BY 1, 2),
+comp AS (
+  SELECT v.doc_id, v.chunk_id, v.pos,
+         CAST(CAST(CASE WHEN n.n > 0 THEN v.sv / n.n ELSE 0.0 END AS REAL) AS DOUBLE) AS val
+  FROM vec v JOIN nrm n ON v.doc_id = n.doc_id AND v.chunk_id = n.chunk_id
+),
+qts AS (SELECT doc_id AS qid, unnest(list_distinct((toks)[1:{BM25_QTERMS}])) AS term
+        FROM cht WHERE doc_id % {QUERY_MOD} = 0),
+qh AS (
+  SELECT qid, term,
+         (16 * {_nib('substr(md5(term), 7, 1)')} + {_nib('substr(md5(term), 8, 1)')}) % 64 AS bucket,
+         CASE WHEN {_nib('substr(md5(term), 9, 1)')} >= 8 THEN 1.0 ELSE -1.0 END AS sign
+  FROM qts
+),
+ctr AS (
+  SELECT q.qid, q.term, c.doc_id AS cand, q.sign * c.val AS c
+  FROM comp c JOIN qh q ON c.pos = q.bucket
+),
+pt AS (SELECT qid, term, cand, max(c) AS ms FROM ctr GROUP BY 1, 2, 3),
+sc AS (SELECT qid, cand,
+              floor(sum(ms) * 1000000 + 0.5) / 1000000 AS score
+       FROM pt WHERE cand <> qid GROUP BY 1, 2),
+mxr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk
+        FROM sc)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM mxr WHERE rnk <= {TOP_K}
 """
     # deterministic count-min sketch: same md5 row-hashes, same bucketing,
     # same min-over-rows estimator — mirrors sketches.cms_heavy_hitters

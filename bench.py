@@ -99,6 +99,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "chunk_pooled_embeddings",
     "bpe_merges",
+    "maxsim_topk",
 ]
 
 

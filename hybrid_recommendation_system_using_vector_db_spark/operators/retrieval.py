@@ -166,3 +166,62 @@ def rrf_fuse(rank_a: DataFrame, rank_b: DataFrame, k: int,
                 fround(contrib_a + contrib_b, ROUND_SCORE).alias("score"))
     )
     return topk_per_query(fused, k).select("qid", "cand", "score", "rank")
+
+
+def maxsim_topk(queries: DataFrame, chunk_vectors: DataFrame, k: int,
+                dim: int = 64, exclude_self: bool = True,
+                qid_col: str = "qid", qterms_col: str = "qterms"
+                ) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval over a
+    multi-vector chunk index (Khattab & Zaharia 2020).
+
+    score(q, d) = Σ_{t ∈ distinct terms of q} max_{c ∈ chunks(d)}
+    ⟨E(t), v_{d,c}⟩ — each query term independently finds its best
+    chunk, so a long document matches if *some* chunk covers each term
+    (the property mean-pooling destroys; the reference embeds whole docs
+    at ``Hybrid_Recom_vecdb.py:374-379``).
+
+    ``chunk_vectors``: (doc_id, chunk_id, embedding array<float>) — the
+    un-pooled chunk index from ``chunk_documents`` → ``hashing_embedder``
+    (the multi-vector analogue of the pooled RAG chain in
+    ``chunk_pooled_embeddings``). Under the hashing encoder a single
+    query term embeds to a one-hot signed basis vector (bucket b, sign
+    s), so ⟨E(t), v⟩ collapses to ``s · v[b]`` — the scorer reads ONE
+    component per (term, chunk) instead of a dim-wide dot product.
+
+    Plan shape (100 TB): the query-term table (|Q|·terms rows, with
+    bucket/sign precomputed) broadcasts against the posexploded chunk
+    index pruned to the query buckets — the component join is the
+    posting-list-pruned scan shape of ``bm25_topk``, never a full
+    crossJoin. Both aggregations (max over chunks, sum over terms) are
+    composite-keyed hash aggregates with map-side partial agg. At real
+    scale the chunk index is the persisted artifact (store long-form,
+    partitioned by pos: the bucket prune becomes partition pruning).
+    """
+    from ..functions.hashing import hex8_u32, hex_nibble_value
+
+    qt = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(F.col(qterms_col))).alias("term"))
+    h = F.md5(F.col("term"))
+    qh = qt.select(
+        "qid", "term",
+        (hex8_u32(h) % dim).cast("int").alias("bucket"),
+        F.when(hex_nibble_value(F.substring(h, 9, 1)) >= 8, F.lit(1.0))
+         .otherwise(F.lit(-1.0)).alias("sign"))
+    comp = chunk_vectors.select(
+        F.col("doc_id").alias("cand"), "chunk_id",
+        F.posexplode("embedding").alias("pos", "val"))
+    # inner equi-join on the component index: prunes the chunk index to
+    # the ≤ |distinct query terms| buckets actually probed
+    contrib = (
+        comp.join(F.broadcast(qh), comp["pos"] == qh["bucket"])
+        .select("qid", "term", "cand",
+                (F.col("sign") * F.col("val").cast("double")).alias("c"))
+    )
+    per_term = contrib.groupBy("qid", "term", "cand").agg(F.max("c").alias("ms"))
+    scored = per_term.groupBy("qid", "cand").agg(
+        fround(F.sum("ms"), ROUND_SCORE).alias("score"))
+    if exclude_self:
+        scored = scored.filter(F.col("cand") != F.col("qid"))
+    return topk_per_query(scored, k).select("qid", "cand", "score", "rank")

@@ -1434,3 +1434,50 @@ def test_bpe_greedy_left_merge_on_runs(spark):
     # one of each); the lexicographic tie-break picks right='</w>'
     # ('<' < 'a'), pinning the deterministic ordering rule
     assert out[1] == (1, "aa", "</w>", 2)
+
+
+def test_maxsim_each_term_finds_its_own_chunk(spark):
+    """Late-interaction property: a multi-term query scores a doc as the
+    SUM over terms of each term's best-chunk dot product — terms living
+    in different chunks both contribute fully (the property mean-pooling
+    destroys), and the score decomposes additively over terms."""
+    import hashlib
+
+    from hybrid_recommendation_system_using_vector_db_spark.embeddings import hashing_embedder
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval, textops
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64
+
+    pool = ["apple", "bridge", "castle", "dragon", "ember", "falcon"]
+    a, b = next((x, y) for x in pool for y in pool
+                if x != y and bucket(x) != bucket(y))
+    filler = next(t for t in ["zulu", "yarrow", "willow", "quartz"]
+                  if bucket(t) not in (bucket(a), bucket(b)))
+    # doc 1: term a only in the first window, term b only past the first
+    # window boundary (64/16 chunking → b lands in a later chunk)
+    text1 = " ".join([a] + [filler] * 80 + [b] + [filler] * 40)
+    text2 = " ".join([filler] * 120)
+    docs = spark.createDataFrame([(1, text1), (2, text2)],
+                                 "doc_id long, text string")
+    chunks = textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    cv = hashing_embedder(chunks, id_col=["doc_id", "chunk_id"],
+                          text_col="chunk_text")
+
+    def score(terms):
+        qs = spark.createDataFrame([(99, terms)],
+                                   "qid long, qterms array<string>")
+        return {r.cand: r.score
+                for r in retrieval.maxsim_topk(qs, cv, 5).collect()}
+
+    both = score([a, b])
+    only_a = score([a])
+    only_b = score([b])
+    # the doc holding both terms outranks the filler doc, each term
+    # contributes positively from its own chunk, and the joint score is
+    # exactly the sum of the single-term scores (per-term max decomposes)
+    assert both[1] > both[2]
+    assert only_a[1] > 0 and only_b[1] > 0
+    assert abs(both[1] - (only_a[1] + only_b[1])) <= 2e-6
+    # the filler doc contains neither term: zero contribution per term
+    assert only_a[2] == 0.0 and only_b[2] == 0.0
