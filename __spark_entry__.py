@@ -1172,6 +1172,18 @@ def q_kmv_distinct(spark, sf_dir):
     return sketches.kmv_distinct(ev, "event_type", "user_id", k=32)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-users-per-event-type (p=8, m=256 registers):
+    the bounded-state complement of kmv_distinct — duplicates collapse
+    map-side into the register max, so the shuffle is ≤ groups·m rows.
+    Portable md5 register/rank derivation → the approximate answer
+    itself is hash-checked against the oracle."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.hll_distinct(ev, "event_type", "user_id", p=8)
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic 98/1/1 train/val/test split over documents (map-only
     CASE over seeded-md5 hex thresholds — no shuffle, no RNG state)."""
@@ -1678,6 +1690,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_band": q_quality_band,               # corpus-quantile quality filter
         "gram_matrix": q_gram_matrix,                 # Arrow partial-GEMM X^T X
         "maxsim_topk": q_maxsim_topk,                 # ColBERT late-interaction MaxSim
+        "hll_distinct": q_hll_distinct,               # portable HyperLogLog sketch
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -3649,6 +3662,30 @@ sc AS (SELECT qid, cand,
 mxr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk
         FROM sc)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM mxr WHERE rnk <= {TOP_K}
+"""
+    # portable HyperLogLog: same md5 register/rank derivation, same
+    # estimator + small-range correction — mirrors sketches.hll_distinct
+    # (m=256, p=8; α_m·m² embedded as the identical double literal)
+    _hll_am2 = repr((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256)
+    sql["hll_distinct"] = f"""
+WITH v AS (SELECT event_type AS grp, md5(CAST(user_id AS VARCHAR)) AS h
+           FROM events WHERE user_id IS NOT NULL),
+k AS (SELECT grp, {_hex8_u32('h')} % 256 AS reg,
+             {_hex8_u32("substr(h, 9, 8)")} AS u2
+      FROM v),
+rr AS (SELECT grp, reg,
+              CASE WHEN u2 = 0 THEN 33 ELSE 33 - length(bin(u2)) END AS rho
+       FROM k),
+regs AS (SELECT grp, reg, max(rho) AS mr FROM rr GROUP BY 1, 2),
+per AS (SELECT grp, sum(power(2.0, -mr)) AS s_used, count(*) AS used
+        FROM regs GROUP BY 1)
+SELECT grp AS event_type,
+  CAST(floor(CASE WHEN ({_hll_am2} / (s_used + (256 - used))) <= 640.0
+                   AND used < 256
+       THEN 256.0 * ln(256.0 / CAST(256 - used AS DOUBLE))
+       ELSE {_hll_am2} / (s_used + (256 - used)) END + 0.5) AS BIGINT)
+    AS est_distinct
+FROM per
 """
     # deterministic count-min sketch: same md5 row-hashes, same bucketing,
     # same min-over-rows estimator — mirrors sketches.cms_heavy_hitters

@@ -100,6 +100,7 @@ HEADLINE = [
     "chunk_pooled_embeddings",
     "bpe_merges",
     "maxsim_topk",
+    "hll_distinct",
 ]
 
 

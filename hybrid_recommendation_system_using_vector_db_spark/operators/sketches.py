@@ -110,3 +110,58 @@ def cms_heavy_hitters(df: DataFrame, value_col: str,
         .filter(F.col("est_count") >= F.ceil(F.lit(phi) * F.col("n")))
         .select(F.col("val").alias(value_col), "est_count")
     )
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str,
+                 p: int = 8) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (Flajolet et al.
+    2007), portable-hash edition: (group_col, est_distinct).
+
+    Spark's ``approx_count_distinct`` IS an HLL++ — but its register
+    layout is engine-private, so its estimate can never be value-checked
+    against another engine. This sketch derives both coordinates from
+    md5 arithmetic (register = first-8-hex-chars u32 mod m; rank ρ = one
+    plus the number of leading zeros of the NEXT 8 hex chars as a u32),
+    making the estimate a pure function of the input SET that the DuckDB
+    oracle reproduces bit-for-bit — the same honesty contract as
+    ``kmv_distinct`` / ``cms_heavy_hitters``.
+
+    Estimator: raw = α_m·m²/(Σ_used 2^(−M_j) + (m − used)); small-range
+    correction (raw ≤ 2.5m and empty registers exist) → m·ln(m/zeros).
+    Every term is engine-deterministic: 2^(−M_j) are exact binary
+    fractions (their sum is exact in a 53-bit double), the α_m literal is
+    embedded identically in both engines, and the single ``ln`` sits
+    under a half-up floor to an integer — the bm25 idf argument.
+
+    Scale shape: duplicates of a value hash to the SAME (register, ρ),
+    so the ``max`` aggregate absorbs them map-side — no DISTINCT
+    pre-pass, unlike the relational KMV. State is ≤ m rows per group
+    after the first partial aggregate: this is the form whose shuffle is
+    bounded by groups·m regardless of corpus size (the production UDAF
+    holds the m-byte register array per group; same estimator).
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard bias constant, m ≥ 128
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.md5(F.col(value_col).cast("string")).alias("h"))
+    u2 = F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint")
+    # ρ = 33 − bit_length(u2): leading zeros of the 32-bit window + 1;
+    # u2 = 0 (all zeros) pins ρ = 33. bit_length via base-2 conv — exact
+    # integer string math, no float log in the hot path.
+    rho = F.when(u2 == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(u2.cast("string"), 10, 2)))
+    keyed = src.select(
+        "grp", (hex8_u32(F.col("h")) % m).alias("reg"), rho.alias("rho"))
+    regs = keyed.groupBy("grp", "reg").agg(F.max("rho").alias("mr"))
+    per = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s_used"),
+        F.count(F.lit(1)).alias("used"))
+    raw = F.lit(alpha * m * m) / (F.col("s_used") + (F.lit(m) - F.col("used")))
+    zeros = (F.lit(m) - F.col("used")).cast("double")
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                 ).otherwise(raw)
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.floor(est + F.lit(0.5)).cast("bigint").alias("est_distinct"))

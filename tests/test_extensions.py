@@ -618,6 +618,27 @@ def test_kmv_distinct_exact_below_k_and_accurate_above(spark):
     assert again == got
 
 
+def test_hll_distinct_accuracy_and_set_semantics(spark):
+    """HLL estimate within ~3σ (σ ≈ 1.04/√256 = 6.5%) of the true
+    cardinality, duplicate-insensitive (a pure function of the SET), and
+    partition-order invariant."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sketches import hll_distinct
+
+    rows = [("small", i) for i in range(40)] + \
+           [("big", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {r.grp: r.est_distinct for r in hll_distinct(df, "grp", "v").collect()}
+    assert abs(got["big"] - 5000) / 5000 < 0.20
+    assert abs(got["small"] - 40) <= 10   # small-range ln correction regime
+    # duplicating every row must not move the estimate by even 1
+    doubled = {r.grp: r.est_distinct
+               for r in hll_distinct(df.unionAll(df), "grp", "v").collect()}
+    assert doubled == got
+    again = {r.grp: r.est_distinct
+             for r in hll_distinct(df.repartition(13), "grp", "v").collect()}
+    assert again == got
+
+
 def test_quantized_topk_recall_floor(spark, sf_dir):
     """int8 scalar quantization must not materially degrade the ranking:
     recall@10 of the ADC search vs the exact float ranking >= 0.9 (256
