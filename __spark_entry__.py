@@ -864,6 +864,57 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) adapted to the synthetic schema
+    (o_orderpriority stands in for o_shippriority): segment-filtered
+    customers semi-join orders, join lineitem, top-10 open orders by
+    revenue. Plan shape: the segment filter prunes at the customer scan
+    and the semi-join side broadcasts (AQE-decided at real scale); the
+    only data-sized shuffle is the (l_orderkey, ...) revenue aggregate.
+    Ties pinned by (revenue desc, date asc, orderkey asc)."""
+    _pin_utc(spark)
+    cust = load_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < "1998-03-15") \
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > "1998-03-15") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders.join(F.broadcast(cust),
+                            orders["o_custkey"] == cust["c_custkey"],
+                            "left_semi"),
+                li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+                "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_date").asc(),
+                 F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): a pure scan-side query —
+    every predicate is a pushable range filter and the result is one
+    partial-agg row per partition; the plan must show PushedFilters at
+    the parquet scan and no shuffle beyond the single-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01")
+                  & F.col("l_discount").between(0.02, 0.04)
+                  & (F.col("l_quantity") < 25))
+        .agg(fround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def q_top_parts_by_revenue(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -1691,6 +1742,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix": q_gram_matrix,                 # Arrow partial-GEMM X^T X
         "maxsim_topk": q_maxsim_topk,                 # ColBERT late-interaction MaxSim
         "hll_distinct": q_hll_distinct,               # portable HyperLogLog sketch
+        "tpch_q3": q_tpch_q3,                         # 3-table join + top-10 (broadcast semi)
+        "tpch_q6": q_tpch_q6,                         # pure pushdown scan aggregate
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -2836,6 +2889,32 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+""",
+
+        "tpch_q3": """
+SELECT l_orderkey,
+  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_date ASC, l_orderkey ASC
+LIMIT 10
+""",
+
+        "tpch_q6": """
+SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 25
 """,
 
         "top_parts_by_revenue": """

@@ -101,6 +101,8 @@ HEADLINE = [
     "bpe_merges",
     "maxsim_topk",
     "hll_distinct",
+    "tpch_q3",
+    "tpch_q6",
 ]
 
 

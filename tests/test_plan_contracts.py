@@ -432,3 +432,40 @@ def test_lm_perplexity_trains_once(spark, sf_dir):
     out = textops.lm_perplexity(docs, textops.char_bigram_lm(docs))
     plan = formatted_plan(out)
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_tpch_q6_filters_push_to_scan_no_join(spark, sf_dir):
+    """Q6 is a pure scan query: all four range predicates must reach the
+    parquet scan as PushedFilters and the plan must contain no join."""
+    import __spark_entry__ as m
+
+    df = m.q_tpch_q6(spark, sf_dir)
+    lines = pushed_filters(df)
+    joined = "\n".join(lines)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in joined, (col, lines)
+    assert_plan(df, not_contains=("Join",))
+
+
+def test_tpch_q3_broadcasts_segment_customers(spark, sf_dir):
+    """Q3's segment-filtered customer side must broadcast (semi-join) and
+    the segment predicate must prune at the customer scan."""
+    import __spark_entry__ as m
+
+    df = m.q_tpch_q3(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "c_mktsegment" in "\n".join(pushed_filters(df)), pushed_filters(df)
+
+
+def test_maxsim_component_join_is_broadcast_equi(spark, sf_dir):
+    """MaxSim's scorer must be a broadcast equi-join on the component
+    index (pos = bucket) — never a cross join — and stay JVM-side after
+    the chunk-embedding stage (aggregations are codegen'd hash aggs)."""
+    import __spark_entry__ as m
+
+    df = m.q_maxsim_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final for max and sum
