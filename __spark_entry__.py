@@ -1317,6 +1317,25 @@ def q_bpe_merges(spark, sf_dir):
     return bpe.bpe_train(docs, n_merges=8)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the trained BPE merges (8 merges, memoized
+    per session like the ANN indexes): segmentation computed once per
+    DISTINCT word, joined back to occurrences — the document text is
+    never re-scanned per merge. Rows-only driver check like bpe_merges
+    (same non-SQL recursion); encode exactness is pinned in pytest
+    against the pure-Python reference segmenter."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, "bpe_merges")
+    if key not in _ANN_INDEXES:
+        _ANN_INDEXES[key] = [
+            (r["left"], r["right"])
+            for r in bpe.bpe_train(docs, n_merges=8).orderBy("merge_rank").collect()]
+    return (bpe.bpe_encode(docs, _ANN_INDEXES[key])
+            .select("doc_id", "n_words", "n_tokens"))
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min-sketch φ-heavy-hitters over event users (depth 4 ×
     width 256, φ=0.006 — non-empty at every driver scale): deterministic
@@ -1754,6 +1773,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,                   # BPE tokenizer training (rows-only:
                                                       # merge recursion isn't SQL; python-
                                                       # reference-pinned in pytest
+        "bpe_encode": q_bpe_encode,                   # apply trained merges (rows-only,
+                                                      # same recursion; python-ref-pinned)
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)

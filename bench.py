@@ -103,6 +103,7 @@ HEADLINE = [
     "hll_distinct",
     "tpch_q3",
     "tpch_q6",
+    "bpe_encode",
 ]
 
 

@@ -108,3 +108,47 @@ def bpe_train(documents: DataFrame, n_merges: int = 8,
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long")
+
+
+def bpe_encode(documents: DataFrame, merges, id_col: str = "doc_id",
+               text_col: str = "text",
+               end_of_word: str = "</w>") -> DataFrame:
+    """Apply a trained merge table: (id_col, n_words, n_tokens, tokens).
+
+    ``merges``: the ``bpe_train`` output DataFrame (or a list of
+    (left, right) pairs in rank order). The merge table is driver-side
+    by construction — it is the tokenizer artifact, n_merges rows.
+
+    Scale design: segmentation is computed once per DISTINCT word (the
+    dictionary-encode trick — the word vocabulary is corpus-size-bounded,
+    occurrences are not), as one map-only projection folding the merges
+    in rank order over the character array (each fold is the same
+    greedy-left ``aggregate`` HOF the trainer uses, so train and encode
+    cannot diverge). Occurrences then join the segmented vocabulary on
+    the word key — AQE picks broadcast when the vocab fits, hash join
+    otherwise — and re-aggregate per document. The document text is
+    never re-scanned per merge.
+    """
+    if isinstance(merges, DataFrame):
+        merges = [(r["left"], r["right"])
+                  for r in merges.orderBy("merge_rank").collect()]
+    words = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(TT.tokens(F.col(text_col))).alias("pos", "w"))
+    vocab = words.select("w").distinct()
+    syms = F.concat(F.split(F.col("w"), ""), F.array(F.lit(end_of_word)))
+    for left, right in merges:
+        syms = _merge_pair_expr(syms, left, right)
+    seg = vocab.select("w", syms.alias("syms"))
+    # collect_list is partition-order-nondeterministic — sort the (pos,
+    # syms) structs before flattening so the token sequence is stable
+    return (
+        words.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.sum(F.size("syms")).alias("n_tokens"),
+             F.flatten(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                 lambda s: s["syms"])).alias("tokens"))
+        .select(F.col("doc_id").alias(id_col), "n_words", "n_tokens", "tokens")
+    )

@@ -1502,3 +1502,42 @@ def test_maxsim_each_term_finds_its_own_chunk(spark):
     assert abs(both[1] - (only_a[1] + only_b[1])) <= 2e-6
     # the filler doc contains neither term: zero contribution per term
     assert only_a[2] == 0.0 and only_b[2] == 0.0
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """Encoding with the trained merges must reproduce the reference
+    segmenter exactly: per-doc token counts AND the ordered token
+    sequence (the correctness pin for the rows-only bpe_encode entry)."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [(l, r) for _, l, r, _ in
+              [tuple(r) for r in bpe.bpe_train(docs, n_merges=8).collect()]]
+
+    def ref_seg(word):
+        s = list(word) + ["</w>"]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    got = {r.doc_id: r for r in bpe.bpe_encode(docs, merges).collect()}
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == sum(1 for r in rows
+                           if [w for w in str(r.text).lower().split(" ") if w])
+    for r in rows[:50]:
+        words = [w for w in str(r.text).lower().split(" ") if w]
+        if not words:
+            continue
+        want = [t for w in words for t in ref_seg(w)]
+        assert got[r.doc_id].n_words == len(words)
+        assert got[r.doc_id].n_tokens == len(want)
+        assert list(got[r.doc_id].tokens) == want, r.doc_id
