@@ -1386,6 +1386,18 @@ def q_pagerank(spark, sf_dir):
     return graph.pagerank(edges, n_iters=3, damping=0.85)
 
 
+def q_link_prediction(spark, sf_dir):
+    """Adamic–Adar link prediction over the strong co-purchase graph
+    (weight ≥ 2 edges): per-node top-k NEW links by inverse-log-degree
+    common-neighbor mass, hub witnesses capped at degree 32 (the skew
+    guard that bounds the pair fanout at cap·|E|)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    edges = (copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+             .filter(F.col("weight") >= 2))
+    return graph.adamic_adar_links(edges, k=TOP_K, max_hub_degree=32)
+
+
 _IVFPQ_BOOKS: dict[tuple, tuple] = {}
 
 
@@ -1763,6 +1775,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,               # portable HyperLogLog sketch
         "tpch_q3": q_tpch_q3,                         # 3-table join + top-10 (broadcast semi)
         "tpch_q6": q_tpch_q6,                         # pure pushdown scan aggregate
+        "link_prediction": q_link_prediction,         # Adamic-Adar common-neighbor ranking
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -3762,6 +3775,32 @@ sc AS (SELECT qid, cand,
 mxr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk
         FROM sc)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM mxr WHERE rnk <= {TOP_K}
+"""
+    # Adamic-Adar link prediction: same strong-edge graph, same hub cap,
+    # same witness self-join + anti-join — mirrors graph.adamic_adar_links
+    sql["link_prediction"] = f"""
+WITH {_EDGES_CTE.strip()},
+se AS (SELECT src, dst FROM edges WHERE weight >= 2),
+deg AS (SELECT src AS w, count(*) AS d FROM se GROUP BY 1),
+wit AS (SELECT w, 1.0 / ln(CAST(d AS DOUBLE)) AS inv
+        FROM deg WHERE d >= 2 AND d <= 32),
+nb AS (SELECT se.dst AS w, se.src AS n, wit.inv
+       FROM se JOIN wit ON se.dst = wit.w),
+sc AS (
+  SELECT a.n AS u, b.n AS v,
+         {fround_sql('sum(a.inv)')} AS score,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM nb a JOIN nb b ON a.w = b.w AND a.n < b.n
+  GROUP BY 1, 2
+),
+newl AS (
+  SELECT sc.* FROM sc
+  ANTI JOIN se ON sc.u = se.src AND sc.v = se.dst
+),
+lpr AS (SELECT *, row_number() OVER (PARTITION BY u ORDER BY score DESC, v ASC) AS rnk
+        FROM newl)
+SELECT u, v, score, n_common, CAST(rnk AS INT) AS rank
+FROM lpr WHERE rnk <= {TOP_K}
 """
     # portable HyperLogLog: same md5 register/rank derivation, same
     # estimator + small-range correction — mirrors sketches.hll_distinct

@@ -104,6 +104,7 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q6",
     "bpe_encode",
+    "link_prediction",
 ]
 
 

@@ -111,3 +111,55 @@ def _pagerank_iteration(nodes: DataFrame, ew: DataFrame, ranks: DataFrame,
                 ROUND_SCORE).alias("rank"),
             "is_dangling")
     )
+
+
+def adamic_adar_links(edges: DataFrame, k: int = 10,
+                      max_hub_degree: int = 32,
+                      src_col: str = "src", dst_col: str = "dst"
+                      ) -> DataFrame:
+    """Adamic–Adar link prediction over a symmetric edge table: for each
+    node, the top-k NEW links ranked by Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w))
+    (Adamic & Adar 2003) — common neighbors weighted inversely by how
+    promiscuous they are. The multi-hop sibling of the reference's 1-hop
+    CF ranker (``Hybrid_Recom_vecdb.py:189-198``): CF scores links that
+    exist, this scores links that DON'T exist yet.
+
+    Output: (u, v, score, n_common, rank ≤ k per u), u < v, pairs already
+    directly linked excluded (that's what makes it link *prediction*).
+
+    Scale shape: the common-neighbor generation is a self-join of the
+    neighbor list keyed by the shared node w — fanout Σ_w deg(w)², which
+    a hub explodes quadratically. ``max_hub_degree`` caps it: hubs are
+    excluded as WITNESSES (their 1/ln(deg) contribution is the smallest
+    anyway — the standard mitigation in link-prediction practice), making
+    the fanout ≤ cap·|E| — linear in the edge table. deg(w) ≥ 2 holds for
+    every true common neighbor (w touches both u and v), so ln(deg) never
+    hits zero. The anti-join against existing edges runs AFTER the pair
+    aggregation (candidate pairs, not raw witness rows). All floats go
+    through ``fround`` so the DuckDB oracle is bit-equal.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy(F.col("src").alias("w")).agg(F.count(F.lit(1)).alias("d"))
+    witness = (deg.filter((F.col("d") >= 2) & (F.col("d") <= max_hub_degree))
+               .select("w", (F.lit(1.0) / F.log(F.col("d").cast("double")))
+                       .alias("inv")))
+    nb = (e.select(F.col("dst").alias("w"), F.col("src").alias("n"))
+          .join(witness, "w"))
+    a = nb.select("w", F.col("n").alias("u"), "inv")
+    b = nb.select("w", F.col("n").alias("v"))
+    scored = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(fround(F.sum("inv"), ROUND_SCORE).alias("score"),
+             F.count(F.lit(1)).alias("n_common"))
+    )
+    new_links = scored.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"], "left_anti")
+    from pyspark.sql import Window
+    w_rank = Window.partitionBy("u").orderBy(
+        F.col("score").desc(), F.col("v").asc())
+    return (new_links.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
+            .select("u", "v", "score", "n_common", "rank"))

@@ -1541,3 +1541,32 @@ def test_bpe_encode_matches_python_reference(spark, sf_dir):
         assert got[r.doc_id].n_words == len(words)
         assert got[r.doc_id].n_tokens == len(want)
         assert list(got[r.doc_id].tokens) == want, r.doc_id
+
+
+def test_adamic_adar_square_and_hub_cap(spark):
+    """Known-graph check: in the 4-cycle 1-2-3-4 the two diagonals are
+    the only predicted links, each scored 2/ln(2) through two degree-2
+    witnesses; a 40-leaf star hub is excluded as a witness at the default
+    cap (no quadratic leaf fanout) and re-included when the cap is
+    raised."""
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    def sym(pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+            "src long, dst long")
+
+    square = sym([(1, 2), (2, 3), (3, 4), (4, 1)])
+    got = {(r.u, r.v): (r.score, r.n_common)
+           for r in graph.adamic_adar_links(square, k=5).collect()}
+    want_score = math.floor(2.0 / math.log(2.0) * 1e6 + 0.5) / 1e6
+    assert got == {(1, 3): (want_score, 2), (2, 4): (want_score, 2)}
+
+    star = sym([(100, i) for i in range(1, 41)])
+    assert graph.adamic_adar_links(star, k=5).count() == 0
+    capped_out = graph.adamic_adar_links(star, k=5, max_hub_degree=64)
+    # hub admitted: every leaf pair is a candidate, 39 per leaf > k=5
+    assert capped_out.groupBy("u").count().agg(
+        {"count": "max"}).collect()[0][0] == 5
