@@ -1386,6 +1386,39 @@ def q_pagerank(spark, sf_dir):
     return graph.pagerank(edges, n_iters=3, damping=0.85)
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over the event stream: users grouped by
+    first-activity week, then for each (cohort, week-offset) the distinct
+    users still active and the retention fraction. Two partial-agg
+    shuffles (first-seen per user, distinct (user, week)) + a broadcast
+    of the bounded cohort-size table — the standard product-analytics
+    self-alignment query."""
+    _pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w"))
+    act = (ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+           .distinct())
+    sizes = first.groupBy("cohort_w").agg(
+        F.countDistinct("user_id").alias("n_users"))
+    ret = (
+        act.join(first, "user_id")
+        .groupBy("cohort_w",
+                 (F.datediff(F.col("w"), F.col("cohort_w")) / 7)
+                 .cast("int").alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_w")
+        .select(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset", "n_active", "n_users",
+            fround(F.col("n_active") / F.col("n_users"), 6)
+             .alias("retention"),
+        )
+    )
+
+
 def q_link_prediction(spark, sf_dir):
     """Adamic–Adar link prediction over the strong co-purchase graph
     (weight ≥ 2 edges): per-node top-k NEW links by inverse-log-degree
@@ -1776,6 +1809,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,                         # 3-table join + top-10 (broadcast semi)
         "tpch_q6": q_tpch_q6,                         # pure pushdown scan aggregate
         "link_prediction": q_link_prediction,         # Adamic-Adar common-neighbor ranking
+        "cohort_retention": q_cohort_retention,       # weekly first-activity cohorts
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -3775,6 +3809,28 @@ sc AS (SELECT qid, cand,
 mxr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk
         FROM sc)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM mxr WHERE rnk <= {TOP_K}
+"""
+    # weekly cohort retention: Monday-truncated weeks in both engines;
+    # offsets are exact multiples of 7 days so the int division is exact
+    sql["cohort_retention"] = f"""
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+  FROM events GROUP BY 1
+),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+sizes AS (SELECT cohort_w, count(DISTINCT user_id) AS n_users
+          FROM first GROUP BY 1),
+ret AS (
+  SELECT f.cohort_w,
+         CAST(date_diff('day', f.cohort_w, a.w) / 7 AS INT) AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(r.cohort_w, '%Y-%m-%d') AS cohort_week,
+       r.week_offset, r.n_active, s.n_users,
+       {fround_sql('CAST(r.n_active AS DOUBLE) / s.n_users')} AS retention
+FROM ret r JOIN sizes s USING (cohort_w)
 """
     # Adamic-Adar link prediction: same strong-edge graph, same hub cap,
     # same witness self-join + anti-join — mirrors graph.adamic_adar_links

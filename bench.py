@@ -105,6 +105,7 @@ HEADLINE = [
     "tpch_q6",
     "bpe_encode",
     "link_prediction",
+    "cohort_retention",
 ]
 
 
