@@ -1125,6 +1125,22 @@ def _chunk_index(spark, sf_dir):
     return _ANN_INDEXES[key]
 
 
+def _maxsim_components(spark, sf_dir):
+    """Build-once persisted per-(doc, pos) component extrema
+    (``retrieval.maxsim_component_index`` over ``_chunk_index``) — the
+    query-independent half of hashing-encoder MaxSim, folded into the
+    ingest phase so serve cost never scales with chunk count.  Exactly
+    |docs|·dim rows; at real scale this is the artifact partitioned by
+    ``pos`` so the bucket probe prunes partitions."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+
+    key = (spark.sparkContext.applicationId, sf_dir, "maxsim_comp")
+    if key not in _ANN_INDEXES:
+        _ANN_INDEXES[key] = retrieval.maxsim_component_index(
+            _chunk_index(spark, sf_dir)).persist()
+    return _ANN_INDEXES[key]
+
+
 def _bm25_index(spark, sf_dir):
     """Build-once persisted BM25 lexical index (postings, df, stats).
 
@@ -1577,13 +1593,15 @@ def q_maxsim_topk(spark, sf_dir):
     index (the chunk_pooled_embeddings chain WITHOUT the pooling step).
     Queries = the bm25 query set (first 8 tokens of every doc_id %
     QUERY_MOD == 0 doc); self-matches excluded like every ``*_topk``.
-    Serves from the build-once persisted chunk index (``_chunk_index``) —
-    the ingest/serve split every multi-vector engine makes."""
+    Serves from the build-once persisted component-extrema summary
+    (``_maxsim_components``) — the ingest/serve split every multi-vector
+    engine makes, with the per-chunk max already folded at ingest."""
     from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
 
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.maxsim_topk(_bm25_query_set(docs),
-                                 _chunk_index(spark, sf_dir), TOP_K)
+                                 _chunk_index(spark, sf_dir), TOP_K,
+                                 components=_maxsim_components(spark, sf_dir))
 
 
 def q_gram_matrix(spark, sf_dir):

@@ -168,10 +168,31 @@ def rrf_fuse(rank_a: DataFrame, rank_b: DataFrame, k: int,
     return topk_per_query(fused, k).select("qid", "cand", "score", "rank")
 
 
+def maxsim_component_index(chunk_vectors: DataFrame) -> DataFrame:
+    """Per-(doc, pos) component extrema — the precomputable half of
+    hashing-encoder MaxSim.
+
+    Under the one-hot signed query encoding, ``max over chunks of
+    s·v[pos]`` depends on the document only through ``max(v[pos])`` (for
+    s=+1) and ``min(v[pos])`` (for s=-1), NEVER on which query term
+    probed it.  So the whole per-term/per-chunk max aggregation —
+    |chunks|·dim rows fanned out by the query-term count — collapses into
+    this query-independent summary: (doc_id, pos, vmax, vmin), exactly
+    |docs|·dim rows regardless of chunk count.  Build it once at ingest
+    (one posexplode + one hash aggregate, the same pass that would write
+    the chunk index) and MaxSim serve never touches chunk granularity.
+    """
+    return (chunk_vectors
+            .select(F.col("doc_id").alias("cand"),
+                    F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cand", "pos")
+            .agg(F.max("val").alias("vmax"), F.min("val").alias("vmin")))
+
+
 def maxsim_topk(queries: DataFrame, chunk_vectors: DataFrame, k: int,
                 dim: int = 64, exclude_self: bool = True,
-                qid_col: str = "qid", qterms_col: str = "qterms"
-                ) -> DataFrame:
+                qid_col: str = "qid", qterms_col: str = "qterms",
+                components: DataFrame | None = None) -> DataFrame:
     """Late-interaction (ColBERT-style MaxSim) retrieval over a
     multi-vector chunk index (Khattab & Zaharia 2020).
 
@@ -186,17 +207,23 @@ def maxsim_topk(queries: DataFrame, chunk_vectors: DataFrame, k: int,
     (the multi-vector analogue of the pooled RAG chain in
     ``chunk_pooled_embeddings``). Under the hashing encoder a single
     query term embeds to a one-hot signed basis vector (bucket b, sign
-    s), so ⟨E(t), v⟩ collapses to ``s · v[b]`` — the scorer reads ONE
-    component per (term, chunk) instead of a dim-wide dot product.
+    s), so ⟨E(t), v⟩ collapses to ``s · v[b]`` — and the per-term max
+    over chunks collapses further to ``s>0 ? vmax[b] : -vmin[b]`` over
+    the per-(doc, pos) extrema (``maxsim_component_index``).  Terms of
+    one query hashing to the same (bucket, sign) contribute identical
+    maxima, so they fold into an integer weight; ``weight · ms`` is
+    exact in double (≤28-bit mantissa product) and the summands are the
+    same float32-valued quantities the unfolded sum adds, so the rewrite
+    is bit-identical to per-term summation after the 1e-6 round —
+    pinned against the unfolded DuckDB oracle.
 
-    Plan shape (100 TB): the query-term table (|Q|·terms rows, with
-    bucket/sign precomputed) broadcasts against the posexploded chunk
-    index pruned to the query buckets — the component join is the
-    posting-list-pruned scan shape of ``bm25_topk``, never a full
-    crossJoin. Both aggregations (max over chunks, sum over terms) are
-    composite-keyed hash aggregates with map-side partial agg. At real
-    scale the chunk index is the persisted artifact (store long-form,
-    partitioned by pos: the bucket prune becomes partition pruning).
+    Plan shape (100 TB): the weighted query-bucket table (≤ |Q|·terms
+    rows) broadcasts against the |docs|·dim component summary — serve
+    cost no longer scales with chunk count, and the only data-sized
+    aggregation left is the final (qid, cand) score sum.  Pass
+    ``components=`` (persisted at ingest, partitioned by pos so the
+    bucket probe becomes partition pruning) to skip the in-plan summary
+    build entirely.
     """
     from ..functions.hashing import hex8_u32, hex_nibble_value
 
@@ -205,23 +232,26 @@ def maxsim_topk(queries: DataFrame, chunk_vectors: DataFrame, k: int,
         F.explode(F.array_distinct(F.col(qterms_col))).alias("term"))
     h = F.md5(F.col("term"))
     qh = qt.select(
-        "qid", "term",
+        "qid",
         (hex8_u32(h) % dim).cast("int").alias("bucket"),
         F.when(hex_nibble_value(F.substring(h, 9, 1)) >= 8, F.lit(1.0))
          .otherwise(F.lit(-1.0)).alias("sign"))
-    comp = chunk_vectors.select(
-        F.col("doc_id").alias("cand"), "chunk_id",
-        F.posexplode("embedding").alias("pos", "val"))
-    # inner equi-join on the component index: prunes the chunk index to
-    # the ≤ |distinct query terms| buckets actually probed
+    # terms are distinct per query (array_distinct above), so count(*) is
+    # the number of distinct terms folding into this (bucket, sign) cell
+    qw = qh.groupBy("qid", "bucket", "sign").agg(
+        F.count(F.lit(1)).cast("double").alias("w"))
+    comp = (maxsim_component_index(chunk_vectors)
+            if components is None else components)
     contrib = (
-        comp.join(F.broadcast(qh), comp["pos"] == qh["bucket"])
-        .select("qid", "term", "cand",
-                (F.col("sign") * F.col("val").cast("double")).alias("c"))
+        comp.join(F.broadcast(qw), comp["pos"] == qw["bucket"])
+        .select("qid", "cand",
+                (F.col("w") * F.when(F.col("sign") > 0,
+                                     F.col("vmax").cast("double"))
+                               .otherwise(-F.col("vmin").cast("double")))
+                .alias("c"))
     )
-    per_term = contrib.groupBy("qid", "term", "cand").agg(F.max("c").alias("ms"))
-    scored = per_term.groupBy("qid", "cand").agg(
-        fround(F.sum("ms"), ROUND_SCORE).alias("score"))
+    scored = contrib.groupBy("qid", "cand").agg(
+        fround(F.sum("c"), ROUND_SCORE).alias("score"))
     if exclude_self:
         scored = scored.filter(F.col("cand") != F.col("qid"))
     return topk_per_query(scored, k).select("qid", "cand", "score", "rank")

@@ -1504,6 +1504,29 @@ def test_maxsim_each_term_finds_its_own_chunk(spark):
     assert only_a[2] == 0.0 and only_b[2] == 0.0
 
 
+def test_maxsim_component_index_path_identical(spark, sf_dir):
+    """Serving MaxSim from the precomputed per-(doc, pos) extrema summary
+    must be row-for-row identical to the in-plan build — same fold, just
+    materialized at ingest (the artifact the driver entry rides)."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.embeddings import hashing_embedder
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval, textops
+
+    import __spark_entry__ as m
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = m._bm25_query_set(docs)
+    chunks = textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    cv = hashing_embedder(chunks, id_col=["doc_id", "chunk_id"],
+                          text_col="chunk_text")
+    comps = retrieval.maxsim_component_index(cv)
+    inline = retrieval.maxsim_topk(qs, cv, 10).collect()
+    served = retrieval.maxsim_topk(qs, cv, 10, components=comps).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, served))
+    # the summary is dense and doc-granular: exactly |docs|·dim rows
+    assert comps.count() == docs.count() * 64
+
+
 def test_bpe_encode_matches_python_reference(spark, sf_dir):
     """Encoding with the trained merges must reproduce the reference
     segmenter exactly: per-doc token counts AND the ordered token
