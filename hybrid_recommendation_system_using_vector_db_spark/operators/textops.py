@@ -489,8 +489,11 @@ def lm_perplexity(documents: DataFrame, lm: DataFrame,
     # the LM feeds three probe branches (bigram logp, c1 floors, uniform
     # vocab floor); materialize it once so a caller-supplied lazily-built
     # model (e.g. char_bigram_lm over this same corpus) is not re-trained
-    # per branch. Bounded at |charset|² rows — KB-scale.
-    lm = lm.localCheckpoint(eager=True)
+    # per branch. Bounded at |charset|² rows — KB-scale. A caller who
+    # already persisted the trained table (the build-once serve path)
+    # skips the re-checkpoint.
+    if not lm.storageLevel.useMemory and not lm.storageLevel.useDisk:
+        lm = lm.localCheckpoint(eager=True)
     toks = _spread(documents.filter(F.length(F.col(text_col)) >= 2).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))).select(
         "doc_id", F.explode(_char_bigrams(text_col)).alias("bigram"))
