@@ -510,7 +510,10 @@ def q_hybrid_topk_ann(spark, sf_dir):
                                    cf_candidates=_served_cf(spark, sf_dir))
 
 
-def q_precision_eval(spark, sf_dir):
+def _eval_rank_tables(spark, sf_dir):
+    """Shared EP3 eval chain: (ranked model tables, ground truth,
+    eligible query set) — consumed by both the Precision@K grid
+    (``q_precision_eval``) and the NDCG/MRR grid (``q_ranking_eval``)."""
     universe = _served_universe(spark, sf_dir)
     edges_all = _served_edges(spark, sf_dir)
     redges = copurchase.restrict_to_universe(edges_all, universe)
@@ -544,14 +547,24 @@ def q_precision_eval(spark, sf_dir):
                                       spark, sf_dir, max(CF_TOP_N, max_k))) \
         .select("qid", "cand", "rank")
     gt = redges.join(eligible.select(F.col("vec_id").alias("src")), "src", "left_semi")
+    return ({"content": content, "hybrid": hyb}, gt,
+            eligible.select(F.col("vec_id").alias("qid")))
+
+
+def q_precision_eval(spark, sf_dir):
+    ranked, gt, queries = _eval_rank_tables(spark, sf_dir)
     # broadcast_gt: gt is restricted to the sampled eval queries'
     # neighbors (bounded by eval design, ref :239-245) — the caller-side
     # knowledge the generic operator must not assume
-    return evaluate.precision_at_k(
-        {"content": content, "hybrid": hyb}, gt,
-        eligible.select(F.col("vec_id").alias("qid")),
-        broadcast_gt=True,
-    )
+    return evaluate.precision_at_k(ranked, gt, queries, broadcast_gt=True)
+
+
+def q_ranking_eval(spark, sf_dir):
+    """NDCG@K + MRR@K over the same content/hybrid eval grid as
+    ``precision_eval`` — rank-position-aware metrics (binary relevance,
+    literal-injected DCG discounts shared bit-for-bit with the oracle)."""
+    ranked, gt, queries = _eval_rank_tables(spark, sf_dir)
+    return evaluate.ranking_metrics(ranked, gt, queries, broadcast_gt=True)
 
 
 def q_part_doc_projection(spark, sf_dir):
@@ -1840,6 +1853,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,                         # pure pushdown scan aggregate
         "link_prediction": q_link_prediction,         # Adamic-Adar common-neighbor ranking
         "cohort_retention": q_cohort_retention,       # weekly first-activity cohorts
+        "ranking_eval": q_ranking_eval,               # NDCG@K + MRR@K eval grid
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -2036,7 +2050,10 @@ cont AS (
 )"""
 
 
-def _precision_eval_sql() -> str:
+def _eval_rank_cte() -> str:
+    """Shared EP3 oracle chain (CTEs through ``ranked``/``gt``/``ks``) —
+    the DuckDB twin of ``_eval_rank_tables``, consumed by both the
+    precision and the NDCG/MRR oracle tails."""
     return f"""
 WITH {_EDGES_CTE.strip()}, {_UNIVERSE_CTE.strip()}, {_REDGES_CTE.strip()},
 eligible AS (
@@ -2091,7 +2108,11 @@ ranked AS (
   UNION ALL
   SELECT 'hybrid' AS model, qid, cand, rnk FROM hyb WHERE rnk <= 50
 ),
-ks AS (SELECT unnest([10, 20, 30, 40, 50]) AS k),
+ks AS (SELECT unnest([10, 20, 30, 40, 50]) AS k)"""
+
+
+def _precision_eval_sql() -> str:
+    return f"""{_eval_rank_cte()},
 hits AS (
   SELECT r.model, r.qid, k.k, count(*) AS n_hits
   FROM ranked r JOIN gt g ON r.qid = g.qid AND r.cand = g.cand
@@ -2109,6 +2130,53 @@ SELECT g.model, g.k,
 FROM grid g
 LEFT JOIN hits h ON g.model = h.model AND g.qid = h.qid AND g.k = h.k
 GROUP BY 1, 2
+"""
+
+
+def _ranking_eval_sql() -> str:
+    # DCG discounts + ideal-DCG prefix sums as exact 1e-9-scaled integer
+    # literals, identical to the Spark plan's constant-folded arrays
+    # (evaluate.dcg_discounts) — log2 never executes in either engine,
+    # integer sums are order-independent, and every float op downstream
+    # is an IEEE-deterministic division of exact operands.
+    from hybrid_recommendation_system_using_vector_db_spark.operators.evaluate import dcg_discounts
+
+    disc, cum = dcg_discounts(50)
+    disc_lit = "[" + ", ".join(str(x) for x in disc) + "]"
+    cum_lit = "[" + ", ".join(str(x) for x in cum) + "]"
+    return f"""{_eval_rank_cte()},
+hitrows AS (
+  SELECT r.model, r.qid, k.k,
+         {disc_lit}[r.rnk] AS disc, r.rnk
+  FROM ranked r JOIN gt g ON r.qid = g.qid AND r.cand = g.cand
+  CROSS JOIN ks k
+  WHERE r.rnk <= k.k
+),
+hits AS (
+  SELECT model, qid, k, sum(disc) AS dcg_i, min(rnk) AS fr
+  FROM hitrows GROUP BY 1, 2, 3
+),
+ngt AS (SELECT qid, count(*) AS n_gt FROM gt GROUP BY 1),
+grid AS (
+  SELECT m.model, e.id AS qid, k.k
+  FROM (SELECT 'content' AS model UNION ALL SELECT 'hybrid') m
+  CROSS JOIN eligible e CROSS JOIN ks k
+),
+perq AS (
+  SELECT g.model, g.qid, g.k,
+         floor((CASE WHEN h.dcg_i IS NOT NULL AND coalesce(n.n_gt, 0) > 0
+                THEN h.dcg_i::DOUBLE / ({cum_lit}[least(n.n_gt, g.k)])::DOUBLE
+                ELSE 0.0 END) * 1000000 + 0.5) AS ndcg_i,
+         floor((CASE WHEN h.fr IS NOT NULL THEN 1.0 / h.fr ELSE 0.0 END)
+               * 1000000 + 0.5) AS rr_i
+  FROM grid g
+  LEFT JOIN hits h ON g.model = h.model AND g.qid = h.qid AND g.k = h.k
+  LEFT JOIN ngt n ON g.qid = n.qid
+)
+SELECT model, k,
+       floor((sum(ndcg_i)::DOUBLE / count(*) / 1000000.0) * 1000000 + 0.5) / 1000000 AS ndcg,
+       floor((sum(rr_i)::DOUBLE / count(*) / 1000000.0) * 1000000 + 0.5) / 1000000 AS mrr
+FROM perq GROUP BY 1, 2
 """
 
 
@@ -3943,6 +4011,7 @@ SELECT t.user_id, trigger_id, outcome_id,
 FROM t JOIN o ON o.user_id = t.user_id
              AND o_ts >= t_ts AND o_ts <= t_ts + INTERVAL 1 HOUR
 """
+    sql["ranking_eval"] = _ranking_eval_sql()
     return sql
 
 

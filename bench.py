@@ -106,6 +106,7 @@ HEADLINE = [
     "bpe_encode",
     "link_prediction",
     "cohort_retention",
+    "ranking_eval",
 ]
 
 

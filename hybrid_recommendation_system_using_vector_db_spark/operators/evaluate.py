@@ -71,3 +71,114 @@ def precision_at_k(ranked: dict[str, DataFrame], gt_edges: DataFrame,
     for m in per_model[1:]:
         out = out.unionByName(m)
     return out
+
+
+def dcg_discounts(max_k: int) -> tuple[list[int], list[int]]:
+    """Driver-side DCG discount table in exact 1e-9 integer units:
+    ``disc[i-1] = round(1e9 / log2(i+1))`` and its prefix sums (the
+    ideal-DCG numerators for 1..max_k relevant items).
+
+    Two deterministic-parity properties motivate the integer scaling:
+    log2 comes from the platform libm (NOT ulp-identical across
+    engines), so the discounts are computed ONCE in Python and injected
+    as identical integer literals into both the Spark plan and the
+    DuckDB oracle; and integer sums are EXACT and order-independent, so
+    the per-query DCG aggregate can never drift by summation order the
+    way a float sum can (a 1-ulp drift on a score that lands on the
+    1e-6 rounding boundary flips the hash). Everything downstream of
+    the integer sums is IEEE-deterministic given identical operands.
+    The 1e-9 grain keeps max DCG (≈12.9e9) far under 2^53. max_k is
+    tiny (≤ the eval grid's 50), so the literals constant-fold.
+    """
+    import math
+
+    disc, cum, c = [], [], 0
+    for i in range(1, max_k + 1):
+        d = round(1e9 / math.log2(i + 1))
+        disc.append(d)
+        c += d
+        cum.append(c)
+    return disc, cum
+
+
+def ranking_metrics(ranked: dict[str, DataFrame], gt_edges: DataFrame,
+                    queries: DataFrame, ks: list[int] | None = None,
+                    broadcast_gt: bool = False) -> DataFrame:
+    """Mean NDCG@K (binary relevance) and MRR@K per (model, k).
+
+    NDCG@k(q) = Σ_{hits at rank r ≤ k} disc[r] / IDCG(min(|gt(q)|, k)),
+    MRR@k(q) = 1/first-hit-rank (0 if no hit in the top k).  Queries
+    with no ground truth score 0 (they still count in the mean,
+    matching ``precision_at_k``'s left-join semantics).
+
+    Determinism: DCG is an EXACT integer sum of 1e-9-scaled literal
+    discounts (``dcg_discounts``), per-query scores snap to 1e-6
+    integers, and the final mean divides one exact integer sum — no
+    step depends on float summation order, so the result is
+    bit-reproducible across engines and partitionings.
+
+    Same scale shape as ``precision_at_k``: hits are a semi-join of the
+    already-top-k-pruned rank tables against the ground-truth edges
+    (|Q|·max_k rows max), the k-grid rides a broadcast cross join, and
+    the only aggregations are partial-agg hash aggregates keyed by
+    (qid, k) then (k).  The discount/IDCG tables are constant-folded
+    literal arrays — no joins, no libm at execution time.
+    """
+    ks = ks or EVAL_KS
+    max_k = max(ks)
+    disc, cum = dcg_discounts(max_k)
+    disc_arr = F.array(*[F.lit(x).cast("long") for x in disc])
+    cum_arr = F.array(*[F.lit(x).cast("long") for x in cum])
+    spark = gt_edges.sparkSession
+    ks_df = spark.createDataFrame([(k,) for k in ks], "k int")
+    gt = gt_edges.select(F.col("src").alias("qid"), F.col("dst").alias("cand"))
+    gt_side = F.broadcast(gt) if broadcast_gt else gt
+    n_gt = gt.groupBy("qid").agg(F.count(F.lit(1)).alias("n_gt"))
+    n_gt_side = F.broadcast(n_gt) if broadcast_gt else n_gt
+    scale = float(10 ** ROUND_SCORE)
+
+    per_model = []
+    for model, topk in ranked.items():
+        hits = (
+            topk.join(gt_side, ["qid", "cand"], "left_semi")
+            .crossJoin(F.broadcast(ks_df))
+            .filter(F.col("rank") <= F.col("k"))
+            .groupBy("qid", "k")
+            .agg(F.sum(F.element_at(disc_arr, F.col("rank"))).alias("dcg_i"),
+                 F.min("rank").alias("fr"))
+        )
+        grid = queries.select("qid").crossJoin(F.broadcast(ks_df))
+        hits_side = F.broadcast(hits) if broadcast_gt else hits
+        # per-query scores as exact 1e-6 integers (floor(q·1e6 + 0.5) on
+        # IEEE-deterministic divisions of exact integers)
+        per_q = (
+            grid.join(hits_side, ["qid", "k"], "left")
+            .join(n_gt_side, "qid", "left")
+            .select(
+                "qid", "k",
+                F.floor(
+                    F.when(
+                        F.col("dcg_i").isNotNull() & (F.coalesce("n_gt", F.lit(0)) > 0),
+                        F.col("dcg_i").cast("double") / F.element_at(
+                            cum_arr,
+                            F.least(F.col("n_gt"), F.col("k")).cast("int")
+                        ).cast("double")
+                    ).otherwise(F.lit(0.0)) * scale + 0.5).alias("ndcg_i"),
+                F.floor(
+                    F.when(F.col("fr").isNotNull(),
+                           F.lit(1.0) / F.col("fr")).otherwise(F.lit(0.0))
+                    * scale + 0.5).alias("rr_i"),
+            )
+        )
+        per_model.append(
+            per_q.groupBy("k").agg(
+                fround(F.sum("ndcg_i").cast("double")
+                       / F.count(F.lit(1)) / scale, ROUND_SCORE).alias("ndcg"),
+                fround(F.sum("rr_i").cast("double")
+                       / F.count(F.lit(1)) / scale, ROUND_SCORE).alias("mrr"))
+            .select(F.lit(model).alias("model"), "k", "ndcg", "mrr")
+        )
+    out = per_model[0]
+    for m in per_model[1:]:
+        out = out.unionByName(m)
+    return out

@@ -30,6 +30,54 @@ def test_hybrid_beats_content_precision(spark, sf_dir):
         assert p[("hybrid", k)] >= p[("content", k)]
 
 
+def test_ranking_metrics_hand_computed(spark):
+    """NDCG@k / MRR@k on a fixture small enough to replay by hand: one
+    query, hits at ranks 2 and 3 of a 3-deep ranking, |gt| = 3."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import evaluate
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "qid long, cand long, rank int")
+    gt = spark.createDataFrame(
+        [(1, 20), (1, 30), (1, 40)], "src long, dst long")
+    queries = spark.createDataFrame([(1,)], "qid long")
+    out = {(r.model, r.k): (r.ndcg, r.mrr)
+           for r in evaluate.ranking_metrics(
+               {"m": ranked}, gt, queries, ks=[2, 3]).collect()}
+    disc, cum = evaluate.dcg_discounts(3)
+
+    import math
+
+    def snap(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def perq(dcg, idcg):  # the per-query 1e-6 integer snap, then the mean
+        return math.floor(dcg / idcg * 1e6 + 0.5) / 1e6
+
+    # k=2: one hit at rank 2; ideal = 2 of the 3 gt items fit the cutoff
+    assert out[("m", 2)] == (snap(perq(disc[1], cum[1])), snap(1 / 2))
+    # k=3: hits at ranks 2+3; ideal = all 3 cutoff slots filled
+    assert out[("m", 3)] == (snap(perq(disc[1] + disc[2], cum[2])), snap(1 / 2))
+    # a query with zero ground truth scores 0 but stays in the mean
+    queries2 = spark.createDataFrame([(1,), (2,)], "qid long")
+    out2 = {(r.model, r.k): (r.ndcg, r.mrr)
+            for r in evaluate.ranking_metrics(
+                {"m": ranked}, gt, queries2, ks=[2]).collect()}
+    n1, _ = out[("m", 2)]
+    assert out2[("m", 2)] == (snap(n1 / 2), snap(0.5 / 2))
+
+
+def test_ranking_eval_grid_sane(spark, sf_dir):
+    """Driver-shaped grid: hybrid dominates content on NDCG (same ground
+    truth as the precision grid), all metrics in [0, 1]."""
+    rows = entrymod.q_ranking_eval(spark, sf_dir).collect()
+    assert len(rows) == 10
+    g = {(r.model, r.k): r for r in rows}
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0 and 0.0 <= r.mrr <= 1.0
+    for k in (10, 20, 30, 40, 50):
+        assert g[("hybrid", k)].ndcg >= g[("content", k)].ndcg
+
+
 def test_hybrid_scores_clamped_and_self_excluded(spark, sf_dir):
     rows = entrymod.q_hybrid_topk(spark, sf_dir).collect()
     assert rows
