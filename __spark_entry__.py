@@ -45,6 +45,7 @@ from hybrid_recommendation_system_using_vector_db_spark.operators import (
     copurchase,
     dedup,
     evaluate,
+    funnels,
     hybrid,
     linalg,
     multimodal,
@@ -1460,6 +1461,19 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup → view → click → purchase within
+    a 3-day window of funnel entry: each step's earliest at-or-after
+    time per user chains off the previous step's frontier
+    (operators/funnels.py; every shuffle user-keyed, the conversion
+    denominator a bounded |steps|-row window). _pin_utc: the window
+    guard compares epoch seconds through the NTZ→timestamp hop."""
+    _pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return funnels.funnel_steps(ev, ["signup", "view", "click", "purchase"],
+                                within_seconds=259200.0)
+
+
 def q_link_prediction(spark, sf_dir):
     """Adamic–Adar link prediction over the strong co-purchase graph
     (weight ≥ 2 edges): per-node top-k NEW links by inverse-log-degree
@@ -1854,6 +1868,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,         # Adamic-Adar common-neighbor ranking
         "cohort_retention": q_cohort_retention,       # weekly first-activity cohorts
         "ranking_eval": q_ranking_eval,               # NDCG@K + MRR@K eval grid
+        "funnel": q_funnel,                           # ordered conversion funnel
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -4012,6 +4027,35 @@ FROM t JOIN o ON o.user_id = t.user_id
              AND o_ts >= t_ts AND o_ts <= t_ts + INTERVAL 1 HOUR
 """
     sql["ranking_eval"] = _ranking_eval_sql()
+    # ordered funnel: step-i frontier = min at-or-after time chained off
+    # step i-1, gated to a 3-day window of the step-1 anchor; conv_rate
+    # an exact integer ratio (engine-portable round)
+    sql["funnel"] = """
+WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t, any_value(epoch(s1.t)) AS t0e
+       FROM events e JOIN s1 ON e.user_id = s1.u
+       WHERE e.event_type = 'view' AND e.ts >= s1.t
+         AND epoch(e.ts) <= epoch(s1.t) + 259200.0 GROUP BY 1),
+s3 AS (SELECT e.user_id AS u, min(e.ts) AS t, any_value(s2.t0e) AS t0e
+       FROM events e JOIN s2 ON e.user_id = s2.u
+       WHERE e.event_type = 'click' AND e.ts >= s2.t
+         AND epoch(e.ts) <= s2.t0e + 259200.0 GROUP BY 1),
+s4 AS (SELECT e.user_id AS u, min(e.ts) AS t
+       FROM events e JOIN s3 ON e.user_id = s3.u
+       WHERE e.event_type = 'purchase' AND e.ts >= s3.t
+         AND epoch(e.ts) <= s3.t0e + 259200.0 GROUP BY 1),
+u AS (
+  SELECT 1 AS step, 'signup' AS event_type, count(*) AS users FROM s1
+  UNION ALL SELECT 2, 'view', count(*) FROM s2
+  UNION ALL SELECT 3, 'click', count(*) FROM s3
+  UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+)
+SELECT step, event_type, users,
+       floor((CASE WHEN e1 > 0 THEN users::DOUBLE / e1 ELSE 0.0 END)
+             * 1000000 + 0.5) / 1000000 AS conv_rate
+FROM (SELECT *, max(CASE WHEN step = 1 THEN users END) OVER () AS e1 FROM u)
+"""
     return sql
 
 

@@ -107,6 +107,7 @@ HEADLINE = [
     "link_prediction",
     "cohort_retention",
     "ranking_eval",
+    "funnel",
 ]
 
 

@@ -1593,3 +1593,45 @@ def test_adamic_adar_square_and_hub_cap(spark):
     # hub admitted: every leaf pair is a candidate, 39 per leaf > k=5
     assert capped_out.groupBy("u").count().agg(
         {"count": "max"}).collect()[0][0] == 5
+
+
+def test_funnel_order_and_window_semantics(spark):
+    """Funnel correctness pins: out-of-order events don't count (purchase
+    before view is no conversion), at-or-after ties DO count, and the
+    conversion window is anchored at funnel entry, not the prior step."""
+    from datetime import datetime as dt
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import funnels
+
+    rows = [
+        # u1: clean ordered funnel within the window
+        (1, "signup", dt(2024, 1, 1, 0, 0, 0)),
+        (1, "view", dt(2024, 1, 1, 1, 0, 0)),
+        (1, "purchase", dt(2024, 1, 1, 2, 0, 0)),
+        # u2: purchase BEFORE view — reaches view, not purchase
+        (2, "signup", dt(2024, 1, 1, 0, 0, 0)),
+        (2, "purchase", dt(2024, 1, 1, 0, 30, 0)),
+        (2, "view", dt(2024, 1, 1, 1, 0, 0)),
+        # u3: view at the exact signup instant (tie counts), purchase
+        # past the window anchored at signup
+        (3, "signup", dt(2024, 1, 1, 0, 0, 0)),
+        (3, "view", dt(2024, 1, 1, 0, 0, 0)),
+        (3, "purchase", dt(2024, 1, 3, 0, 0, 0)),
+        # u4: never signed up — not in the funnel at all
+        (4, "view", dt(2024, 1, 1, 0, 0, 0)),
+        (4, "purchase", dt(2024, 1, 1, 1, 0, 0)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    out = {r.step: (r.users, r.conv_rate)
+           for r in funnels.funnel_steps(
+               ev, ["signup", "view", "purchase"],
+               within_seconds=86400.0).collect()}
+    assert out[1] == (3, 1.0)
+    assert out[2] == (3, 1.0)          # u1, u2, u3 all reach view
+    assert out[3] == (1, 0.333333)     # only u1 purchases in order+window
+    # without a window, u3's late purchase converts too
+    out_nw = {r.step: r.users
+              for r in funnels.funnel_steps(
+                  ev, ["signup", "view", "purchase"]).collect()}
+    assert out_nw[3] == 2
