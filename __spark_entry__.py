@@ -1486,6 +1486,18 @@ def q_link_prediction(spark, sf_dir):
     return graph.adamic_adar_links(edges, k=TOP_K, max_hub_degree=32)
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts over the strong co-purchase graph
+    (weight ≥ 2), degree-ordered orientation so each triangle
+    materializes once and hub wedge fanout is √|E|-bounded
+    (operators/graph.py::triangle_count)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    edges = (copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+             .filter(F.col("weight") >= 2))
+    return graph.triangle_count(edges)
+
+
 _IVFPQ_BOOKS: dict[tuple, tuple] = {}
 
 
@@ -1869,6 +1881,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,       # weekly first-activity cohorts
         "ranking_eval": q_ranking_eval,               # NDCG@K + MRR@K eval grid
         "funnel": q_funnel,                           # ordered conversion funnel
+        "triangles": q_triangles,                     # degree-oriented triangle counts
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -4055,6 +4068,38 @@ SELECT step, event_type, users,
        floor((CASE WHEN e1 > 0 THEN users::DOUBLE / e1 ELSE 0.0 END)
              * 1000000 + 0.5) / 1000000 AS conv_rate
 FROM (SELECT *, max(CASE WHEN step = 1 THEN users END) OVER () AS e1 FROM u)
+"""
+    # degree-oriented triangle counting: wedges generated at the
+    # (deg, node)-minimum vertex only, closed by a semi-join on the
+    # identically-oriented edge set — each triangle found exactly once
+    sql["triangles"] = f"""
+WITH {_EDGES_CTE.strip()},
+se AS (SELECT src, dst FROM edges WHERE weight >= 2),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM se WHERE src <> dst),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY 1
+),
+oe AS (
+  SELECT CASE WHEN (a.d, u) < (b.d, v) THEN u ELSE v END AS src,
+         CASE WHEN (a.d, u) < (b.d, v) THEN v ELSE u END AS dst,
+         CASE WHEN (a.d, u) < (b.d, v) THEN b.d ELSE a.d END AS ddst
+  FROM und JOIN deg a ON und.u = a.node JOIN deg b ON und.v = b.node
+),
+tris AS (
+  SELECT w.t1, w.t2, w.t3 FROM (
+    SELECT a.src AS t1, a.dst AS t2, b.dst AS t3
+    FROM oe a JOIN oe b ON a.src = b.src
+    WHERE (a.ddst, a.dst) < (b.ddst, b.dst)
+  ) w SEMI JOIN oe c ON w.t2 = c.src AND w.t3 = c.dst
+)
+SELECT node, count(*) AS n_triangles FROM (
+  SELECT t1 AS node FROM tris
+  UNION ALL SELECT t2 FROM tris
+  UNION ALL SELECT t3 FROM tris
+) GROUP BY 1
 """
     return sql
 

@@ -1635,3 +1635,19 @@ def test_funnel_order_and_window_semantics(spark):
               for r in funnels.funnel_steps(
                   ev, ["signup", "view", "purchase"]).collect()}
     assert out_nw[3] == 2
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles (each vertex in 3); a star has none; a hub
+    bridging two leaves with a closing edge yields exactly one."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    def tri(pairs):
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        return {r.node: r.n_triangles for r in graph.triangle_count(e).collect()}
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert tri(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    star = [(0, i) for i in range(1, 6)]  # one-sided input works too
+    assert tri(star) == {}
+    assert tri(star + [(1, 2)]) == {0: 1, 1: 1, 2: 1}
