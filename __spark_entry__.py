@@ -1486,6 +1486,27 @@ def q_link_prediction(spark, sf_dir):
     return graph.adamic_adar_links(edges, k=TOP_K, max_hub_degree=32)
 
 
+def q_key_skew(spark, sf_dir):
+    """Heavy-key profile of lineitem's l_partkey — the co-purchase join
+    key — the measurement that precedes every salting/AQE-skew decision
+    (operators/profiling.py; one partial-agg count + bounded window)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    return profiling.key_skew_profile(
+        load_table(spark, sf_dir, "lineitem"), "l_partkey", top_n=20)
+
+
+def q_activity_anomalies(spark, sf_dir):
+    """Per-user daily-activity bursts (z ≥ 2.5 over each user's own
+    daily-count distribution) — exact-integer moments, deterministic
+    across engines (operators/profiling.py)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    _pin_utc(spark)
+    return profiling.activity_anomalies(
+        load_table(spark, sf_dir, "events"), z_thresh=2.5)
+
+
 def q_triangles(spark, sf_dir):
     """Per-node triangle counts over the strong co-purchase graph
     (weight ≥ 2), degree-ordered orientation so each triangle
@@ -1882,6 +1903,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_eval": q_ranking_eval,               # NDCG@K + MRR@K eval grid
         "funnel": q_funnel,                           # ordered conversion funnel
         "triangles": q_triangles,                     # degree-oriented triangle counts
+        "key_skew": q_key_skew,                       # heavy-key shuffle profile
+        "activity_anomalies": q_activity_anomalies,   # per-user daily burst flags
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -4100,6 +4123,40 @@ SELECT node, count(*) AS n_triangles FROM (
   UNION ALL SELECT t2 FROM tris
   UNION ALL SELECT t3 FROM tris
 ) GROUP BY 1
+"""
+    # heavy-key profile: one count aggregate + totals + top-n window —
+    # share/cum_share/skew are exact-integer ratios
+    sql["key_skew"] = """
+WITH c AS (SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS cnt
+           FROM lineitem GROUP BY 1),
+t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c),
+r AS (SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk,
+             sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_cnt
+      FROM c)
+SELECT CAST(rnk AS INT) AS rank, key, cnt,
+       floor(cnt::DOUBLE / total * 1000000 + 0.5) / 1000000 AS share,
+       floor(cum_cnt::DOUBLE / total * 1000000 + 0.5) / 1000000 AS cum_share,
+       floor(cnt::DOUBLE * n_keys / total * 1000000 + 0.5) / 1000000 AS skew
+FROM r CROSS JOIN t WHERE rnk <= 20
+"""
+    # daily-burst anomalies: exact integer moments (Σn, Σn²) per user →
+    # deterministic mean/variance/z across engines
+    sql["activity_anomalies"] = """
+WITH d AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS "day", count(*) AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT user_id, count(*) AS nd, sum(n) AS s1, sum(n * n) AS s2
+      FROM d GROUP BY 1)
+SELECT user_id, "day", n AS n_events,
+       floor((n - s1::DOUBLE / nd)
+             / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / nd) / (nd - 1))
+             * 1000000 + 0.5) / 1000000 AS z
+FROM d JOIN s USING (user_id)
+WHERE nd >= 5 AND (s2::DOUBLE - s1::DOUBLE * s1 / nd) / (nd - 1) > 0
+  AND floor((n - s1::DOUBLE / nd)
+            / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / nd) / (nd - 1))
+            * 1000000 + 0.5) / 1000000 >= 2.5
 """
     return sql
 

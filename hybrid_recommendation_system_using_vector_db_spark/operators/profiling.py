@@ -1,0 +1,95 @@
+"""Data-distribution profiling: key-skew diagnosis + activity anomalies.
+
+Operational companions to the engine's scale machinery: ``key_skew_profile``
+is the measurement you run BEFORE choosing a salting factor or an AQE skew
+threshold (every join/groupBy in SCALE.md that says "skewed keys → salt"
+starts from exactly this table), and ``activity_anomalies`` is the
+burst-detection query a 100 TB event pipeline runs per ingest window.
+
+Both are pure relational plans (partial-agg hash aggregates + bounded
+windows) with exact-integer statistics, so their DuckDB oracles are
+bit-equal by construction — no float summation order anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import ROUND_SCORE
+from ..functions.portable import fround
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Heavy-key profile of a prospective shuffle key: the ``top_n``
+    hottest keys with share, cumulative share, and their multiple of the
+    mean key load (``skew`` = cnt / (rows / distinct keys) — the factor a
+    salting scheme must flatten).
+
+    Output: (rank, key, cnt, share, cum_share, skew), rank ≤ top_n by
+    (cnt desc, key asc).
+
+    Scale shape: ONE partial-agg count keyed by the profiled column (the
+    same shuffle the production job would do — this is a dry run of its
+    key distribution), then totals as a single-row broadcast and a
+    top-n window over the already-aggregated key table.  The window
+    ranks |distinct keys| rows, not data rows; for ultra-high-cardinality
+    keys, pre-filter with a frequency sketch (``cms_heavy_hitters``) and
+    profile only the sketch's candidates.
+    """
+    counts = (df.select(F.col(key_col).cast("string").alias("key"))
+              .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
+    totals = counts.agg(F.sum("cnt").alias("total"),
+                        F.count(F.lit(1)).alias("n_keys"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    ranked = (counts.withColumn("rank", F.row_number().over(w))
+              .withColumn("cum_cnt", F.sum("cnt").over(
+                  w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+              .filter(F.col("rank") <= top_n))
+    return (ranked.crossJoin(F.broadcast(totals))
+            .select(
+                "rank", "key", "cnt",
+                fround(F.col("cnt").cast("double") / F.col("total"),
+                       ROUND_SCORE).alias("share"),
+                fround(F.col("cum_cnt").cast("double") / F.col("total"),
+                       ROUND_SCORE).alias("cum_share"),
+                fround(F.col("cnt").cast("double") * F.col("n_keys")
+                       / F.col("total"), ROUND_SCORE).alias("skew")))
+
+
+def activity_anomalies(events: DataFrame, z_thresh: float = 3.0,
+                       min_days: int = 5, user_col: str = "user_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """Per-user daily-activity bursts: days whose event count is ≥
+    ``z_thresh`` sample standard deviations above the user's own mean
+    daily count (over their active days).
+
+    Output: (user_id, day 'yyyy-MM-dd', n_events, z) for flagged days,
+    users with ≥ ``min_days`` active days (sample variance needs n ≥ 2;
+    the default 5 keeps the baseline meaningful).
+
+    Determinism: daily counts are integers, so the per-user moments are
+    EXACT integer sums (Σn, Σn²) — mean and sample variance are IEEE
+    divisions of exact operands, never order-dependent float sums; z is
+    rounded at the repo score scale.  Plan: two partial-agg hash
+    aggregates (user×day, then user) + one user-keyed join — the second
+    aggregate and the join reuse the first shuffle's partitioning.
+    """
+    daily = (events.select(F.col(user_col).alias("user_id"),
+                           F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"))
+             .groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n")))
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"))
+    mean = F.col("s1").cast("double") / F.col("nd")
+    # sample variance from exact integer sums: (Σn² − (Σn)²/nd)/(nd−1)
+    var = (F.col("s2").cast("double")
+           - F.col("s1").cast("double") * F.col("s1") / F.col("nd")) \
+        / (F.col("nd") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (daily.join(stats.filter(F.col("nd") >= min_days), "user_id")
+            .filter(var > 0)
+            .select("user_id", "day", F.col("n").alias("n_events"),
+                    fround(z, ROUND_SCORE).alias("z"))
+            .filter(F.col("z") >= z_thresh))

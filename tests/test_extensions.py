@@ -1651,3 +1651,45 @@ def test_triangle_count_known_graphs(spark):
     star = [(0, i) for i in range(1, 6)]  # one-sided input works too
     assert tri(star) == {}
     assert tri(star + [(1, 2)]) == {0: 1, 1: 1, 2: 1}
+
+
+def test_key_skew_profile_identities(spark):
+    """share sums ≤ 1, cum_share is the running share sum, and skew is
+    cnt over the mean key load — pinned on a hand skewed fixture."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.key: r for r in profiling.key_skew_profile(df, "k", top_n=2).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"].rank == 1 and out["a"].cnt == 6
+    assert out["a"].share == 0.6 and out["a"].cum_share == 0.6
+    assert out["b"].cum_share == 0.9
+    # mean load = 10/3 keys; skew(a) = 6/(10/3) = 1.8
+    assert out["a"].skew == 1.8
+
+
+def test_activity_anomalies_flags_burst_day(spark):
+    """A user with a flat baseline and one 10× day gets exactly that day
+    flagged; a user with uniform activity gets nothing; users under
+    min_days are exempt."""
+    from datetime import datetime as dt
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    rows = []
+    # u1: 1 event/day for 9 days, 10 events on day 10
+    for d in range(1, 10):
+        rows.append((1, dt(2024, 1, d, 12, 0, 0)))
+    rows += [(1, dt(2024, 1, 10, h, 0, 0)) for h in range(10)]
+    # u2: perfectly uniform (variance 0 → no flags, no div-by-zero)
+    for d in range(1, 11):
+        rows += [(2, dt(2024, 1, d, 12, 0, 0))]
+    # u3: bursty but only 2 active days (< min_days)
+    rows += [(3, dt(2024, 1, 1, 12, 0, 0))] + \
+            [(3, dt(2024, 1, 2, h, 0, 0)) for h in range(20)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = profiling.activity_anomalies(ev, z_thresh=2.0, min_days=5).collect()
+    assert [(r.user_id, r.day, r.n_events) for r in out] == \
+        [(1, "2024-01-10", 10)]
+    assert out[0].z > 2.0
