@@ -1800,6 +1800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": q_hybrid_topk,                 # C2+C3+G8 (EP2)
         "hybrid_topk_ann": q_hybrid_topk_ann,         # EP2 on the LSH path
         "precision_eval": q_precision_eval,           # D3+D4+F3 (EP3)
+        # rank-aware eval metrics (r6: rotated in for simhash_fingerprints,
+        # which stays fully exercised inside simhash_neardup's chain and
+        # oracle-pinned in extra_queries())
+        "ranking_eval": q_ranking_eval,
         "part_doc_projection": q_part_doc_projection, # B2+G6+G12
         "query_resolution": q_query_resolution,       # C4+G4/G5
         "seeded_sample": q_seeded_sample,             # F2
@@ -1817,7 +1821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "minhash_jaccard_neardup": q_minhash_jaccard_neardup,
-        "simhash_fingerprints": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_chained": q_dedup_clusters_chained,
@@ -1900,8 +1903,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,                         # pure pushdown scan aggregate
         "link_prediction": q_link_prediction,         # Adamic-Adar common-neighbor ranking
         "cohort_retention": q_cohort_retention,       # weekly first-activity cohorts
-        "ranking_eval": q_ranking_eval,               # NDCG@K + MRR@K eval grid
         "funnel": q_funnel,                           # ordered conversion funnel
+        # rotated out of the driver 50 in r6 for ranking_eval: the
+        # fingerprint stage is fully embedded in simhash_neardup's
+        # driver-checked chain; the standalone table stays oracle-pinned here
+        "simhash_fingerprints": q_simhash,
         "triangles": q_triangles,                     # degree-oriented triangle counts
         "key_skew": q_key_skew,                       # heavy-key shuffle profile
         "activity_anomalies": q_activity_anomalies,   # per-user daily burst flags

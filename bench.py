@@ -108,6 +108,9 @@ HEADLINE = [
     "cohort_retention",
     "ranking_eval",
     "funnel",
+    "triangles",
+    "key_skew",
+    "activity_anomalies",
 ]
 
 
