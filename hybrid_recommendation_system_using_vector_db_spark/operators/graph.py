@@ -132,10 +132,17 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     3-way union count — all shuffles keyed by node/edge columns.
     """
     raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    # canonical undirected edge set (works for symmetric AND one-sided inputs)
+    # canonical undirected edge set (works for symmetric AND one-sided
+    # inputs). Materialized once: it feeds THREE plan branches (both
+    # degree-count scans + the orientation join) and an upstream edge
+    # build (e.g. the co-purchase aggregation) would otherwise re-execute
+    # per branch — the simhash_neardup defect class (VERDICT r5 #1).
+    # localCheckpoint-not-persist: the shared-table lifecycle of
+    # dedup.py's shingle checkpoint.
     und = (raw.filter(F.col("a") != F.col("b"))
            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
-           .distinct())
+           .distinct()
+           .localCheckpoint(eager=True))
     deg = (und.select(F.col("u").alias("node"))
            .unionByName(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -143,10 +150,13 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
           .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"))
     lower_first = (F.col("du") < F.col("dv")) | \
         ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    # the oriented edge table feeds three branches too (both wedge sides
+    # + the closure semi-join) — same materialize-once lifecycle
     oe = e2.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"))
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"))\
+        .localCheckpoint(eager=True)
     a = oe.select("src", F.col("dst").alias("x"), F.col("ddst").alias("dx"))
     b = oe.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
     wedges = (a.join(b, "src")
