@@ -198,13 +198,22 @@ def adamic_adar_links(edges: DataFrame, k: int = 10,
     aggregation (candidate pairs, not raw witness rows). All floats go
     through ``fround`` so the DuckDB oracle is bit-equal.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # the edge table feeds three plan branches (degree count, neighbor
+    # list, final anti-join) and typically arrives as an unmaterialized
+    # aggregation (the co-purchase build) — checkpoint it once so the
+    # upstream chain never re-executes per branch (the simhash_neardup
+    # defect class, VERDICT r5 #1; same lifecycle as triangle_count)
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))\
+        .localCheckpoint(eager=True)
     deg = e.groupBy(F.col("src").alias("w")).agg(F.count(F.lit(1)).alias("d"))
     witness = (deg.filter((F.col("d") >= 2) & (F.col("d") <= max_hub_degree))
                .select("w", (F.lit(1.0) / F.log(F.col("d").cast("double")))
                        .alias("inv")))
+    # the witness-pruned neighbor list is BOTH self-join sides — one
+    # materialization instead of two witness-join executions
     nb = (e.select(F.col("dst").alias("w"), F.col("src").alias("n"))
-          .join(witness, "w"))
+          .join(witness, "w")
+          .localCheckpoint(eager=True))
     a = nb.select("w", F.col("n").alias("u"), "inv")
     b = nb.select("w", F.col("n").alias("v"))
     scored = (

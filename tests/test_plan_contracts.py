@@ -469,3 +469,17 @@ def test_maxsim_component_join_is_broadcast_equi(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final for max and sum
+
+
+def test_triangle_and_adamic_shared_tables_computed_once(spark, sf_dir):
+    """The multi-branch shared tables (triangles: canonical edges + the
+    oriented edge set; Adamic-Adar: edges + the witness-pruned neighbor
+    list) must read their checkpoints — no parquet scan above them means
+    the upstream co-purchase aggregation executes once, not per branch
+    (the simhash_neardup defect class, VERDICT r5 #1)."""
+    import __spark_entry__ as m
+
+    for q in (m.q_triangles, m.q_link_prediction):
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "Scan parquet" not in plan, (q.__name__, plan)
+        assert "Scan ExistingRDD" in plan, (q.__name__, plan)
