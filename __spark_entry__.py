@@ -1486,6 +1486,35 @@ def q_link_prediction(spark, sf_dir):
     return graph.adamic_adar_links(edges, k=TOP_K, max_hub_degree=32)
 
 
+def q_fuzzy_names(spark, sf_dir):
+    """Entity-resolution candidate pairs over the distinct part-name
+    catalog (one representative id per name, blocked by head noun,
+    Levenshtein ≤ 2) — the typo-class dedup the exact-ASIN lookup can't
+    do (operators/resolve.py::fuzzy_match_pairs)."""
+    parts = load_table(spark, sf_dir, "part")
+    names = (parts.groupBy(F.lower(F.col("p_name")).alias("name"))
+             .agg(F.min("p_partkey").alias("id")))
+    return resolve.fuzzy_match_pairs(names, max_dist=2)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot diff: two deterministic corpus versions derived
+    from the documents table (old drops doc_id % 97 == 0, new drops
+    doc_id % 89 == 0 and edits the text of doc_id % 13 == 0) — output is
+    O(churn): (doc_id, status ∈ added/removed/changed)
+    (operators/snapshot.py)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import snapshot
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 97 != 0)
+    new = (docs.filter(F.col("doc_id") % 89 != 0)
+           .withColumn("text", F.when(F.col("doc_id") % 13 == 0,
+                                      F.concat(F.lit("v2 "), F.col("text")))
+                       .otherwise(F.col("text"))))
+    return snapshot.snapshot_diff(old, new, ["doc_id"],
+                                  ["text", "lang", "source", "n_chars"])
+
+
 def q_key_skew(spark, sf_dir):
     """Heavy-key profile of lineitem's l_partkey — the co-purchase join
     key — the measurement that precedes every salting/AQE-skew decision
@@ -1911,6 +1940,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,                     # degree-oriented triangle counts
         "key_skew": q_key_skew,                       # heavy-key shuffle profile
         "activity_anomalies": q_activity_anomalies,   # per-user daily burst flags
+        "fuzzy_names": q_fuzzy_names,                 # blocked Levenshtein entity match
+        "snapshot_diff": q_snapshot_diff,             # CDC added/removed/changed diff
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -4163,6 +4194,48 @@ WHERE nd >= 5 AND (s2::DOUBLE - s1::DOUBLE * s1 / nd) / (nd - 1) > 0
   AND floor((n - s1::DOUBLE / nd)
             / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / nd) / (nd - 1))
             * 1000000 + 0.5) / 1000000 >= 2.5
+"""
+    # blocked Levenshtein entity match over the distinct part-name
+    # catalog — integer edit distance, no float surface
+    sql["fuzzy_names"] = """
+WITH n AS (SELECT lower(p_name) AS name, min(p_partkey) AS id
+           FROM part GROUP BY 1),
+k AS (SELECT id, trim(name) AS nm,
+             split_part(trim(name), ' ', -1) AS blk FROM n)
+SELECT a.id AS id1, b.id AS id2, a.nm AS name1, b.nm AS name2,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+FROM k a JOIN k b ON a.blk = b.blk AND a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 2
+"""
+    # CDC snapshot diff: md5 content digest with \\x1f field separator and
+    # \\x1e NULL sentinel (operators/snapshot.py), unchanged rows dropped
+    sql["snapshot_diff"] = """
+WITH digs AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+             coalesce(text, chr(30)), coalesce(lang, chr(30)),
+             coalesce(source, chr(30)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(30)))) AS d
+  FROM documents
+),
+old AS (SELECT doc_id, d FROM digs WHERE doc_id % 97 <> 0),
+new AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+             coalesce(CASE WHEN doc_id % 13 = 0 THEN 'v2 ' || text
+                           ELSE text END, chr(30)),
+             coalesce(lang, chr(30)), coalesce(source, chr(30)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(30)))) AS d
+  FROM documents WHERE doc_id % 89 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.d IS NULL THEN 'added'
+            WHEN n.d IS NULL THEN 'removed'
+            WHEN o.d <> n.d THEN 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE (CASE WHEN o.d IS NULL THEN 'added'
+            WHEN n.d IS NULL THEN 'removed'
+            WHEN o.d <> n.d THEN 'changed' END) IS NOT NULL
 """
     return sql
 

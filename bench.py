@@ -111,6 +111,8 @@ HEADLINE = [
     "triangles",
     "key_skew",
     "activity_anomalies",
+    "fuzzy_names",
+    "snapshot_diff",
 ]
 
 

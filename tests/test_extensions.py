@@ -1693,3 +1693,38 @@ def test_activity_anomalies_flags_burst_day(spark):
     assert [(r.user_id, r.day, r.n_events) for r in out] == \
         [(1, "2024-01-10", 10)]
     assert out[0].z > 2.0
+
+
+def test_fuzzy_match_pairs_semantics(spark):
+    """Typo-class pairs within a block match; cross-block pairs are
+    (by design) not candidates; identical names are exact-dedup
+    territory and excluded."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import resolve
+
+    names = spark.createDataFrame(
+        [(1, "red widget"), (2, "rad widget"), (3, "red widgot"),
+         (4, "red gadget"), (5, "red widget")],
+        "id long, name string")
+    out = {(r.id1, r.id2): r.dist
+           for r in resolve.fuzzy_match_pairs(names, max_dist=2).collect()}
+    # 'rad widget' ~ 'red widget' (dist 1); ids 1 and 5 share the name so
+    # the identical pair is excluded but each matches the typo variant;
+    # 'red widgot' / 'red gadget' live in other BLOCKS (last token) — the
+    # documented blocking tradeoff keeps them out of the candidate set
+    assert out == {(2, 1): 1, (2, 5): 1}
+
+
+def test_snapshot_diff_statuses_and_null_sentinel(spark):
+    """added/removed/changed classified; unchanged dropped; NULL vs empty
+    string digests differently (the sentinel pin)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import snapshot
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "same")],
+        "k long, v string")
+    new = spark.createDataFrame(
+        [(2, "B"), (3, ""), (4, "same"), (5, "new")],
+        "k long, v string")
+    out = {r.k: r.status
+           for r in snapshot.snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "removed", 2: "changed", 3: "changed", 5: "added"}
