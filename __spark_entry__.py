@@ -1478,11 +1478,12 @@ def q_link_prediction(spark, sf_dir):
     """Adamic–Adar link prediction over the strong co-purchase graph
     (weight ≥ 2 edges): per-node top-k NEW links by inverse-log-degree
     common-neighbor mass, hub witnesses capped at degree 32 (the skew
-    guard that bounds the pair fanout at cap·|E|)."""
+    guard that bounds the pair fanout at cap·|E|). Serves from the
+    build-once persisted edge index (``_served_edges``) like every other
+    edge consumer; the build cost is measured by ``copurchase_edges``."""
     from hybrid_recommendation_system_using_vector_db_spark.operators import graph
 
-    edges = (copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
-             .filter(F.col("weight") >= 2))
+    edges = _served_edges(spark, sf_dir).filter(F.col("weight") >= 2)
     return graph.adamic_adar_links(edges, k=TOP_K, max_hub_degree=32)
 
 
@@ -1540,11 +1541,11 @@ def q_triangles(spark, sf_dir):
     """Per-node triangle counts over the strong co-purchase graph
     (weight ≥ 2), degree-ordered orientation so each triangle
     materializes once and hub wedge fanout is √|E|-bounded
-    (operators/graph.py::triangle_count)."""
+    (operators/graph.py::triangle_count). Serves from the build-once
+    persisted edge index (``_served_edges``)."""
     from hybrid_recommendation_system_using_vector_db_spark.operators import graph
 
-    edges = (copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
-             .filter(F.col("weight") >= 2))
+    edges = _served_edges(spark, sf_dir).filter(F.col("weight") >= 2)
     return graph.triangle_count(edges)
 
 
