@@ -1487,6 +1487,23 @@ def q_link_prediction(spark, sf_dir):
     return graph.adamic_adar_links(edges, k=TOP_K, max_hub_degree=32)
 
 
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter runtime prune: build a 4096-bit / 3-hash filter over
+    the p_size = 1 part keys, probe lineitem map-side BEFORE any join
+    shuffle — the manual runtime-filter/DPP analogue. Deterministic md5
+    positions, so the pruned row set (true members + the filter's false
+    positives) is itself hash-checkable (the sketch-family honesty
+    contract; operators/sketches.py::bloom_build/bloom_probe)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+
+    dim = (load_table(spark, sf_dir, "part")
+           .filter(F.col("p_size") == 1).select("p_partkey"))
+    bits = sketches.bloom_build(dim, "p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey")
+    return sketches.bloom_probe(li, "l_partkey", bits)
+
+
 def q_fuzzy_names(spark, sf_dir):
     """Entity-resolution candidate pairs over the distinct part-name
     catalog (one representative id per name, blocked by head noun,
@@ -1943,6 +1960,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_anomalies": q_activity_anomalies,   # per-user daily burst flags
         "fuzzy_names": q_fuzzy_names,                 # blocked Levenshtein entity match
         "snapshot_diff": q_snapshot_diff,             # CDC added/removed/changed diff
+        "bloom_prune": q_bloom_prune,                 # Bloom runtime-filter pre-join prune
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -4237,6 +4255,29 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 WHERE (CASE WHEN o.d IS NULL THEN 'added'
             WHEN n.d IS NULL THEN 'removed'
             WHEN o.d <> n.d THEN 'changed' END) IS NOT NULL
+"""
+    # Bloom runtime prune: deterministic md5 positions — the pruned set
+    # (members + the filter's own false positives) hash-checks exactly
+    def _bpos(i: str, vs: str) -> str:
+        h = f"md5('bloom{i}:' || {vs})"
+        return f"({_hex8_u32(h)}) % 4096"
+
+    sql["bloom_prune"] = f"""
+WITH mem AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS vs
+             FROM part WHERE p_size = 1),
+bits AS (
+  SELECT DISTINCT {_bpos('0', 'vs')} AS pos FROM mem
+  UNION SELECT {_bpos('1', 'vs')} FROM mem
+  UNION SELECT {_bpos('2', 'vs')} FROM mem
+)
+SELECT l_orderkey, l_linenumber, l_partkey FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         CAST(l_partkey AS VARCHAR) AS lv
+  FROM lineitem WHERE l_partkey IS NOT NULL
+)
+WHERE {_bpos('0', 'lv')} IN (SELECT pos FROM bits)
+  AND {_bpos('1', 'lv')} IN (SELECT pos FROM bits)
+  AND {_bpos('2', 'lv')} IN (SELECT pos FROM bits)
 """
     return sql
 

@@ -113,6 +113,7 @@ HEADLINE = [
     "activity_anomalies",
     "fuzzy_names",
     "snapshot_diff",
+    "bloom_prune",
 ]
 
 

@@ -165,3 +165,72 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
     return per.select(
         F.col("grp").alias(group_col),
         F.floor(est + F.lit(0.5)).cast("bigint").alias("est_distinct"))
+
+
+def bloom_build(df: DataFrame, value_col: str, m: int = 4096,
+                k: int = 3) -> DataFrame:
+    """Portable Bloom filter build: the DISTINCT set bit positions of a
+    column's values — (pos int), ≤ m rows regardless of corpus size.
+
+    Each value sets ``k`` positions derived from independent md5 windows
+    (seeded by hash index, the ``cms_heavy_hitters`` convention), so the
+    filter — and every downstream membership verdict including its false
+    positives — is a pure deterministic function of the input SET that
+    the DuckDB oracle reproduces bit-for-bit (the sketch-family honesty
+    contract).
+
+    Scale shape: one explode(k) + distinct over positions; the partial
+    aggregate collapses to ≤ m entries per partition before the shuffle,
+    so the build is bounded-state like the CMS. The production point
+    form packs the positions into an m-bit array driver-side (m/8 bytes;
+    4096 bits = 512 B) — this relational long form is what makes the
+    filter plan-transparent and joinable.
+    """
+    v = (df.filter(F.col(value_col).isNotNull())
+         .select(F.col(value_col).cast("string").alias("vs")))
+    pos = [
+        (hex8_u32(F.md5(F.concat(F.lit(f"bloom{i}:"), F.col("vs"))))
+         % F.lit(m)).cast("int").alias("pos")
+        for i in range(k)
+    ]
+    out = None
+    for p in pos:
+        sel = v.select(p)
+        out = sel if out is None else out.unionByName(sel)
+    return out.distinct()
+
+
+def bloom_probe(df: DataFrame, value_col: str, bits: DataFrame,
+                m: int = 4096, k: int = 3) -> DataFrame:
+    """Bloom membership pre-filter: rows of ``df`` whose value has ALL
+    ``k`` positions set in ``bits`` (a ``bloom_build`` table with the
+    same m/k) — the manual runtime-filter: build the filter on the small
+    side of a join, probe the fact side to prune it BEFORE the shuffle.
+
+    One-sided error: never drops a true member (no false negatives —
+    test-pinned); false positives pass at rate ≈ (1 − e^(−kn/m))^k and
+    are eliminated by the real join afterwards.
+
+    The positions table is collected once (bounded ≤ m rows — the
+    codebook-collect pattern of ``kmeans_centroids_local``) into an
+    m-char '0'/'1' mask that rides the plan as ONE literal, so the probe
+    is a pure map-side filter: zero joins, zero shuffles, duplicate fact
+    rows preserved, whole-stage codegen end to end — exactly what a
+    pre-shuffle prune must be.
+    """
+    mask = bytearray(b"0") * m
+    for r in bits.collect():  # bounded: ≤ m rows by construction
+        mask[int(r.pos)] = ord("1")
+    mask_lit = F.lit(mask.decode("ascii"))
+    checks = [
+        F.substring(
+            mask_lit,
+            (hex8_u32(F.md5(F.concat(F.lit(f"bloom{i}:"),
+                                     F.col(value_col).cast("string"))))
+             % F.lit(m)).cast("int") + 1, 1) == "1"
+        for i in range(k)
+    ]
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    return df.filter(F.col(value_col).isNotNull()).filter(cond)

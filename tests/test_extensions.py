@@ -1728,3 +1728,25 @@ def test_snapshot_diff_statuses_and_null_sentinel(spark):
     out = {r.k: r.status
            for r in snapshot.snapshot_diff(old, new, ["k"]).collect()}
     assert out == {1: "removed", 2: "changed", 3: "changed", 5: "added"}
+
+
+def test_bloom_filter_one_sided_and_mapside(spark):
+    """No false negatives ever; false positives exist at small m (and are
+    deterministic); the probe plan is map-only — zero joins/exchanges on
+    the fact side (the pre-shuffle prune contract)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+    from hybrid_recommendation_system_using_vector_db_spark.plans import formatted_plan
+
+    members = spark.range(0, 50).select(F.col("id").alias("v"))
+    facts = spark.range(0, 5000).select((F.col("id") % 500).alias("v"))
+    bits = sketches.bloom_build(members, "v", m=128, k=3)
+    kept = sketches.bloom_probe(facts, "v", bits, m=128, k=3)
+    kept_vals = {r.v for r in kept.collect()}
+    assert set(range(50)) <= kept_vals            # no false negatives
+    assert len(kept_vals) > 50                    # tiny m forces some FPs
+    assert kept_vals == {r.v for r in sketches.bloom_probe(
+        facts, "v", bits, m=128, k=3).collect()}  # deterministic verdicts
+    # duplicates preserved: each surviving value appears 10x in facts
+    assert kept.count() == len(kept_vals) * 10
+    plan = formatted_plan(kept)
+    assert "Join" not in plan and "Exchange" not in plan, plan
