@@ -1487,6 +1487,14 @@ def q_link_prediction(spark, sf_dir):
     return graph.adamic_adar_links(edges, k=TOP_K, max_hub_degree=32)
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-100 word collocations by adjacency PMI (Church & Hanks 1990):
+    map-side bigram window → two partial-agg counts → integer-exact
+    probability ratios inside one ln; no self-join anywhere
+    (operators/textops.py::pmi_collocations)."""
+    return textops.pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
 def q_bloom_prune(spark, sf_dir):
     """Bloom-filter runtime prune: build a 4096-bit / 3-hash filter over
     the p_size = 1 part keys, probe lineitem map-side BEFORE any join
@@ -1961,6 +1969,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_names": q_fuzzy_names,                 # blocked Levenshtein entity match
         "snapshot_diff": q_snapshot_diff,             # CDC added/removed/changed diff
         "bloom_prune": q_bloom_prune,                 # Bloom runtime-filter pre-join prune
+        "pmi_collocations": q_pmi_collocations,       # PMI word-association mining
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -4278,6 +4287,32 @@ SELECT l_orderkey, l_linenumber, l_partkey FROM (
 WHERE {_bpos('0', 'lv')} IN (SELECT pos FROM bits)
   AND {_bpos('1', 'lv')} IN (SELECT pos FROM bits)
   AND {_bpos('2', 'lv')} IN (SELECT pos FROM bits)
+"""
+    # adjacency-PMI collocations: map-side bigram window, two count
+    # aggregates, integer-exact probability ratio inside one ln
+    sql["pmi_collocations"] = f"""
+WITH tk AS (SELECT {_TOKS} AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS t FROM tk),
+unic AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+bg AS (
+  SELECT ts[i] AS t1, ts[i + 1] AS t2
+  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM tk)
+),
+bic AS (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY 1, 2
+        HAVING count(*) >= 3),
+nu AS (SELECT sum(c)::DOUBLE AS nu FROM unic),
+nb AS (SELECT count(*)::DOUBLE AS nb FROM bg),
+psc AS (
+  SELECT t1, t2, c12,
+         floor(ln((c12::DOUBLE * nu.nu * nu.nu) / (nb.nb * a.c * b.c))
+               * 1000000 + 0.5) / 1000000 AS pmi
+  FROM bic JOIN unic a ON bic.t1 = a.t JOIN unic b ON bic.t2 = b.t
+  CROSS JOIN nu CROSS JOIN nb
+),
+prk AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC)
+               AS rnk FROM psc)
+SELECT t1, t2, c12, pmi, CAST(rnk AS INT) AS rank
+FROM prk WHERE rnk <= 100
 """
     return sql
 

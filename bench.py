@@ -114,6 +114,7 @@ HEADLINE = [
     "fuzzy_names",
     "snapshot_diff",
     "bloom_prune",
+    "pmi_collocations",
 ]
 
 

@@ -603,3 +603,60 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 64,
                     F.lit(chunk_tokens)).cast("int").alias("n_tokens"),
         )
     )
+
+
+def pmi_collocations(documents: DataFrame, k: int = 100,
+                     min_pair: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """Top-k word collocations by adjacency PMI (Church & Hanks 1990):
+    ordered bigrams whose observed rate beats the independence baseline.
+
+    PMI(w1, w2) = ln( P(w1w2) / (P(w1)·P(w2)) ) with P over token /
+    bigram positions — every probability is an exact integer ratio
+    (unigram counts, bigram counts, two corpus totals), so the only
+    float op is the final ln.  Output: (t1, t2, c12, pmi, rank) ranked
+    by (pmi desc, t1, t2); pairs below ``min_pair`` occurrences are
+    noise and dropped.
+
+    Scale shape: NO self-join anywhere — bigrams come from a map-side
+    sliding window (``word_ngrams``), then two partial-agg hash
+    aggregates (unigram counts, bigram counts), two single-row totals
+    riding broadcast cross joins, and two broadcast joins of the
+    (bounded, ≤ |vocabulary|) unigram table onto the bigram table.  A
+    stopword-class hub token cannot explode anything: its bigrams are
+    linear in its occurrences, and its high marginal probability pushes
+    its PMI DOWN — the estimator itself is the hub guard.
+    """
+    toks = TT.tokens(F.col(text_col))
+    uni = (documents.select(F.explode(toks).alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    # ONE bigram pass over the corpus: the aggregated pair table (bounded
+    # by distinct-bigram vocabulary, ≪ corpus) feeds both the pair list
+    # and the total — checkpointed so the corpus explode never re-runs
+    # per branch (the shared-table lifecycle of triangle_count)
+    bi_all = (documents.select(
+        F.explode(TT.word_ngrams(toks, 2)).alias("bg"))
+        .select(F.split(F.col("bg"), " ").alias("p"))
+        .select(F.element_at("p", 1).alias("t1"),
+                F.element_at("p", 2).alias("t2"))
+        .groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True))
+    bi = bi_all.filter(F.col("c12") >= min_pair)
+    n_uni = uni.agg(F.sum("c").cast("double").alias("nu"))
+    n_bi = bi_all.agg(F.sum("c12").cast("double").alias("nb"))
+    scored = (
+        bi.join(F.broadcast(uni.select(F.col("t").alias("t1"),
+                                       F.col("c").alias("c1"))), "t1")
+        .join(F.broadcast(uni.select(F.col("t").alias("t2"),
+                                     F.col("c").alias("c2"))), "t2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("t1", "t2", "c12",
+                fround(F.log((F.col("c12").cast("double") * F.col("nu")
+                              * F.col("nu"))
+                             / (F.col("nb") * F.col("c1") * F.col("c2"))),
+                       ROUND_SCORE).alias("pmi")))
+    w = Window.orderBy(F.col("pmi").desc(), F.col("t1").asc(),
+                       F.col("t2").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1750,3 +1750,27 @@ def test_bloom_filter_one_sided_and_mapside(spark):
     assert kept.count() == len(kept_vals) * 10
     plan = formatted_plan(kept)
     assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI on a corpus small enough to replay: 'a b' always adjacent
+    (positive PMI, top-ranked), 'x y' never adjacent (absent)."""
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, "a b x") for i in range(4)] + [(9, "y x a b")],
+        "doc_id long, text string")
+    out = {(r.t1, r.t2): (r.c12, r.pmi, r.rank)
+           for r in textops.pmi_collocations(docs, min_pair=2).collect()}
+    # corpus: 4x 'a b x' + 1x 'y x a b' -> n_uni = 16, n_bi = 11
+    # 'a b' occurs 5x; c(a) = 5, c(b) = 5
+    assert ("a", "b") in out
+    c12, pmi, rank = out[("a", "b")]
+    assert c12 == 5 and rank == 1
+    exp = math.log((5 * 16.0 * 16.0) / (11.0 * 5 * 5))
+    assert abs(pmi - exp) < 2e-6
+    assert ("x", "y") not in out and ("y", "x") not in out
+    # 'b x' occurs 4x but b,x marginals equal a,b's -> lower pmi
+    assert out[("b", "x")][1] < pmi
