@@ -1487,6 +1487,16 @@ def q_link_prediction(spark, sf_dir):
     return graph.adamic_adar_links(edges, k=TOP_K, max_hub_degree=32)
 
 
+def q_mutual_knn(spark, sf_dir):
+    """Reciprocal nearest-neighbor pairs over the embedding corpus
+    (mutual top-10 by exact cosine via the GEMM scorer) — the
+    high-precision matching signal; at 100 TB the same mutuality join
+    runs over an ANN ranker's output
+    (operators/similarity.py::mutual_topk_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mutual_topk_pairs(emb, k=10)
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Top-100 word collocations by adjacency PMI (Church & Hanks 1990):
     map-side bigram window → two partial-agg counts → integer-exact
@@ -1970,6 +1980,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,             # CDC added/removed/changed diff
         "bloom_prune": q_bloom_prune,                 # Bloom runtime-filter pre-join prune
         "pmi_collocations": q_pmi_collocations,       # PMI word-association mining
+        "mutual_knn": q_mutual_knn,                   # reciprocal nearest-neighbor pairs
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -4313,6 +4324,23 @@ prk AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC)
                AS rnk FROM psc)
 SELECT t1, t2, c12, pmi, CAST(rnk AS INT) AS rank
 FROM prk WHERE rnk <= 100
+"""
+    # reciprocal nearest neighbors: exact cosine rank table both ways,
+    # mutuality as a self-join on the pruned (u, v) pair key
+    sql["mutual_knn"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cand, {_cos('a.v', 'b.v')} AS score
+  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, cand ASC) AS rnk
+       FROM scored),
+topk AS (SELECT qid, cand, score, rnk FROM rk WHERE rnk <= 10)
+SELECT a.qid AS u, a.cand AS v,
+       CAST(a.rnk AS INT) AS r_uv, CAST(b.rnk AS INT) AS r_vu, a.score
+FROM topk a JOIN topk b ON a.qid = b.cand AND a.cand = b.qid
+WHERE a.qid < a.cand
 """
     return sql
 

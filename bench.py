@@ -115,6 +115,7 @@ HEADLINE = [
     "snapshot_diff",
     "bloom_prune",
     "pmi_collocations",
+    "mutual_knn",
 ]
 
 

@@ -1587,3 +1587,36 @@ def centroid_outliers(corpus: DataFrame, cents: list, frac: float = 0.1,
             (F.col("__rn") <= F.ceil(F.lit(frac) * F.col("__cnt")))
             .cast("int").alias("outlier"))
     )
+
+
+def mutual_topk_pairs(corpus: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      ranked: DataFrame | None = None) -> DataFrame:
+    """Reciprocal nearest-neighbor (mutual-kNN) pairs: (u, v) where each
+    is in the other's top-k — the high-precision matching signal entity
+    alignment and RNN-clustering build on (a one-sided neighbor is often
+    a hub artifact; a MUTUAL one almost never is).
+
+    Output: (u, v, r_uv, r_vu, score), u < v; r_uv = v's rank in u's
+    list.  ``ranked`` lets the caller supply ANY (qid, cand, score,
+    rank ≤ k) table — the exact ranker here, or an ANN ranker
+    (``lsh_topk``/``ivf_topk``) at scale, where all-pairs exact ranking
+    is off the table.  Default ranks with the GEMM scorer (all-corpus
+    query side; driver-bounded to ~10⁵ queries like
+    ``cosine_topk_gemm``).
+
+    Scale shape: the rank table is |corpus|·k rows; the mutuality check
+    is ONE self-equi-join on the (u, v) pair key of that pruned table —
+    never on raw vectors. Checkpointed once so the ranking never
+    executes per join side (the shared-table lifecycle)."""
+    if ranked is None:
+        ranked = cosine_topk_gemm(corpus, corpus, k, id_col, vec_col)
+    ranked = ranked.select("qid", "cand", "score", "rank")\
+        .localCheckpoint(eager=True)
+    a = ranked.select(F.col("qid").alias("u"), F.col("cand").alias("v"),
+                      F.col("rank").alias("r_uv"), "score")
+    b = ranked.select(F.col("qid").alias("bv"), F.col("cand").alias("bu"),
+                      F.col("rank").alias("r_vu"))
+    return (a.join(b, (a["u"] == b["bu"]) & (a["v"] == b["bv"]))
+            .filter(F.col("u") < F.col("v"))
+            .select("u", "v", "r_uv", "r_vu", "score"))

@@ -1774,3 +1774,23 @@ def test_pmi_collocations_hand_computed(spark):
     assert ("x", "y") not in out and ("y", "x") not in out
     # 'b x' occurs 4x but b,x marginals equal a,b's -> lower pmi
     assert out[("b", "x")][1] < pmi
+
+
+def test_mutual_knn_is_symmetric_subset(spark, sf_dir):
+    """Every mutual pair appears in BOTH directions of the underlying
+    top-k, ranks cross-consistent; supplying a precomputed rank table
+    gives identical output (the ANN-pluggable contract)."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranked = similarity.cosine_topk(
+        emb, emb, 10).select("qid", "cand", "score", "rank")
+    out = similarity.mutual_topk_pairs(emb, k=10).collect()
+    assert out
+    rk = {(r.qid, r.cand): r.rank for r in ranked.collect()}
+    for r in out:
+        assert r.u < r.v
+        assert rk[(r.u, r.v)] == r.r_uv and rk[(r.v, r.u)] == r.r_vu
+    via_ranked = similarity.mutual_topk_pairs(emb, ranked=ranked).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, via_ranked))
