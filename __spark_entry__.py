@@ -1487,6 +1487,22 @@ def q_link_prediction(spark, sf_dir):
     return graph.adamic_adar_links(edges, k=TOP_K, max_hub_degree=32)
 
 
+def q_rnn_clusters(spark, sf_dir):
+    """RNN clustering: connected components over the reciprocal-kNN
+    graph (mutual top-2 pairs → min-label propagation) — the
+    face-clustering / entity-grouping recipe: mutuality prunes hub
+    edges, CC groups what survives. k = 2 here because uniform synthetic
+    vectors percolate into one giant component by k ≈ 3 (on clustered
+    real embeddings the usual k = 5-10 stays sub-critical). Composition
+    of ``mutual_topk_pairs`` + ``dedup.connected_components``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.mutual_topk_pairs(emb, k=2).select(
+        F.col("u").alias("id1"), F.col("v").alias("id2"))
+    return (dedup.connected_components(
+        pairs, emb.select(F.col("vec_id")), id_col="vec_id")
+        .select(F.col("vec_id"), "cluster_id"))
+
+
 def q_mutual_knn(spark, sf_dir):
     """Reciprocal nearest-neighbor pairs over the embedding corpus
     (mutual top-10 by exact cosine via the GEMM scorer) — the
@@ -1981,6 +1997,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,                 # Bloom runtime-filter pre-join prune
         "pmi_collocations": q_pmi_collocations,       # PMI word-association mining
         "mutual_knn": q_mutual_knn,                   # reciprocal nearest-neighbor pairs
+        "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -4341,6 +4358,28 @@ SELECT a.qid AS u, a.cand AS v,
        CAST(a.rnk AS INT) AS r_uv, CAST(b.rnk AS INT) AS r_vu, a.score
 FROM topk a JOIN topk b ON a.qid = b.cand AND a.cand = b.qid
 WHERE a.qid < a.cand
+"""
+    # RNN clustering: CC (recursive reach, min label) over mutual pairs
+    sql["rnn_clusters"] = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cand, {_cos('a.v', 'b.v')} AS score
+  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, cand ASC) AS rnk
+       FROM scored),
+topk AS (SELECT qid, cand FROM rk WHERE rnk <= 2),
+mu AS (SELECT a.qid AS id1, a.cand AS id2
+       FROM topk a JOIN topk b ON a.qid = b.cand AND a.cand = b.qid
+       WHERE a.qid < a.cand),
+und AS (SELECT id1 AS a, id2 AS b FROM mu UNION ALL SELECT id2, id1 FROM mu),
+reach(id, l) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT u.b, r.l FROM reach r JOIN und u ON u.a = r.id
+)
+SELECT id AS vec_id, min(l) AS cluster_id FROM reach GROUP BY id
 """
     return sql
 

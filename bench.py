@@ -116,6 +116,7 @@ HEADLINE = [
     "bloom_prune",
     "pmi_collocations",
     "mutual_knn",
+    "rnn_clusters",
 ]
 
 
