@@ -51,3 +51,39 @@ def test_topk_invariant_under_partitioning(spark):
     r1 = sorted(map(tuple, cosine_topk(q, emb1, 5).collect()))
     r17 = sorted(map(tuple, cosine_topk(q.repartition(3), emb17, 5).collect()))
     assert r1 == r17
+
+
+def test_snapshot_diff_identity_and_inverse(spark, sf_dir):
+    """diff(x, x) is empty; swapping old/new swaps added<->removed and
+    preserves the changed set — algebraic invariants on real data."""
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import snapshot
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert snapshot.snapshot_diff(docs, docs, ["doc_id"]).count() == 0
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    fwd = {(r.doc_id, r.status)
+           for r in snapshot.snapshot_diff(old, new, ["doc_id"]).collect()}
+    rev = {(r.doc_id, r.status)
+           for r in snapshot.snapshot_diff(new, old, ["doc_id"]).collect()}
+    flip = {"added": "removed", "removed": "added", "changed": "changed"}
+    assert rev == {(d, flip[s]) for d, s in fwd}
+
+
+def test_funnel_counts_monotone_nonincreasing(spark, sf_dir):
+    """An ordered funnel can only lose users step over step, with or
+    without a conversion window; conv_rate starts at 1."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import funnels
+
+    ev = load_table(spark, sf_dir, "events")
+    for within in (None, 259200.0):
+        rows = sorted(funnels.funnel_steps(
+            ev, ["signup", "view", "click", "purchase"],
+            within_seconds=within).collect(), key=lambda r: r.step)
+        assert rows[0].conv_rate == 1.0
+        for a, b in zip(rows, rows[1:]):
+            assert b.users <= a.users
