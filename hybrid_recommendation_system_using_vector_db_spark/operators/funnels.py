@@ -50,7 +50,13 @@ def funnel_steps(events: DataFrame, steps: list[str],
                 .agg(F.min(ts_col).alias("t")))
     if within_seconds is not None:
         frontier = frontier.withColumn("t0e", epoch_seconds("t"))
-    tiers = [frontier]
+    # each tier feeds TWO plan branches (the next step's join and its own
+    # count) — without materialization tier i's whole upstream chain
+    # re-executes once per downstream consumer, so the step-1 scan runs
+    # |steps| times (verified: 52 corpus scans in the un-checkpointed
+    # 4-step plan). Tiers are per-user bounded rows; same
+    # localCheckpoint lifecycle as triangle_count's shared tables.
+    tiers = [frontier.localCheckpoint(eager=True)]
     for s in steps[1:]:
         nxt = events.filter(F.col(type_col) == s).select(
             F.col(user_col).alias("u"), F.col(ts_col).alias("ts"))
@@ -66,7 +72,7 @@ def funnel_steps(events: DataFrame, steps: list[str],
             # re-attach the step-1 anchor (bounded: one row per surviving
             # user, same user-keyed partitioning as every other shuffle)
             stepped = stepped.join(prev.select("u", "t0e"), "u")
-        tiers.append(stepped)
+        tiers.append(stepped.localCheckpoint(eager=True))
     counts = None
     for i, (name, tier) in enumerate(zip(steps, tiers), start=1):
         c = tier.agg(F.count(F.lit(1)).alias("users")).select(
