@@ -1437,8 +1437,11 @@ def q_cohort_retention(spark, sf_dir):
     self-alignment query."""
     _pin_utc(spark)
     ev = load_table(spark, sf_dir, "events")
+    # per-user first-activity table feeds both the cohort sizes and the
+    # retention join — materialize once (bounded: one row per user)
     first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_w"))
+        F.date_trunc("week", F.min("ts")).alias("cohort_w"))\
+        .localCheckpoint(eager=True)
     act = (ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
            .distinct())
     sizes = first.groupBy("cohort_w").agg(

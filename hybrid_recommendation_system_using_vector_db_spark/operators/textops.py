@@ -628,8 +628,12 @@ def pmi_collocations(documents: DataFrame, k: int = 100,
     its PMI DOWN — the estimator itself is the hub guard.
     """
     toks = TT.tokens(F.col(text_col))
+    # the unigram count table feeds THREE branches (both broadcast joins
+    # + the corpus total) — checkpoint it like the bigram table below so
+    # the corpus token explode runs once, not three times
     uni = (documents.select(F.explode(toks).alias("t"))
-           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=True))
     # ONE bigram pass over the corpus: the aggregated pair table (bounded
     # by distinct-bigram vocabulary, ≪ corpus) feeds both the pair list
     # and the total — checkpointed so the corpus explode never re-runs
