@@ -912,6 +912,43 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): six-table join — region/nation/
+    supplier prune to broadcast dims feeding the lineitem⋈orders fact
+    join; the customer join adds the c_nationkey = s_nationkey locality
+    constraint. Only the fact tables ever shuffle; the dim chain is
+    broadcast end-to-end (plan-pinned)."""
+    _pin_utc(spark)
+    reg = (load_table(spark, sf_dir, "region")
+           .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nat = (load_table(spark, sf_dir, "nation")
+           .join(F.broadcast(reg),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_nationkey", "n_name"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-01-01") &
+                      (F.col("o_orderdate") < "1997-01-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, (F.col("o_custkey") == cust["c_custkey"]) &
+                    (cust["c_nationkey"] == supp["s_nationkey"]))
+        .groupBy("n_name")
+        .agg(fround(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 (forecasting revenue change): a pure scan-side query —
     every predicate is a pushable range filter and the result is one
@@ -1984,6 +2021,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": q_maxsim_topk,                 # ColBERT late-interaction MaxSim
         "hll_distinct": q_hll_distinct,               # portable HyperLogLog sketch
         "tpch_q3": q_tpch_q3,                         # 3-table join + top-10 (broadcast semi)
+        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,                         # pure pushdown scan aggregate
         "link_prediction": q_link_prediction,         # Adamic-Adar common-neighbor ranking
         "cohort_retention": q_cohort_retention,       # weekly first-activity cohorts
@@ -3218,6 +3256,22 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_date ASC, l_orderkey ASC
 LIMIT 10
+""",
+
+        "tpch_q5": """
+SELECT n_name,
+  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
 """,
 
         "tpch_q6": """

@@ -102,6 +102,7 @@ HEADLINE = [
     "maxsim_topk",
     "hll_distinct",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
     "bpe_encode",
     "link_prediction",

@@ -483,3 +483,16 @@ def test_triangle_and_adamic_shared_tables_computed_once(spark, sf_dir):
         plan = formatted_plan(q(spark, sf_dir))
         assert "Scan parquet" not in plan, (q.__name__, plan)
         assert "Scan ExistingRDD" in plan, (q.__name__, plan)
+
+
+def test_tpch_q5_dim_chain_broadcasts_and_prunes(spark, sf_dir):
+    """Q5's region→nation→supplier dim chain must broadcast (no shuffle
+    join on any dim) and the region/date filters must reach the scans."""
+    import __spark_entry__ as m
+
+    df = m.q_tpch_q5(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    pf = "\n".join(pushed_filters(df))
+    assert "r_name" in pf and "o_orderdate" in pf, pf
