@@ -4352,26 +4352,31 @@ WHERE (CASE WHEN o.d IS NULL THEN 'added'
 """
     # Bloom runtime prune: deterministic md5 positions — the pruned set
     # (members + the filter's own false positives) hash-checks exactly
-    def _bpos(i: str, vs: str) -> str:
-        h = f"md5('bloom{i}:' || {vs})"
-        return f"({_hex8_u32(h)}) % 4096"
+    def _bpos(i: int, vs: str) -> str:
+        # 12-bit slice i of ONE 48-bit md5 window (the first 12 hex chars
+        # as a bigint) — sketches._bloom_word's hash identity
+        h = f"md5('bloom:' || {vs})"
+        w = "(" + " + ".join(
+            f"CAST({_nib(f'substr({h}, {j + 1}, 1)')} AS BIGINT) * {16 ** (11 - j)}"
+            for j in range(12)) + ")"
+        return f"(({w} >> {12 * i}) % 4096)"
 
     sql["bloom_prune"] = f"""
 WITH mem AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS vs
              FROM part WHERE p_size = 1),
 bits AS (
-  SELECT DISTINCT {_bpos('0', 'vs')} AS pos FROM mem
-  UNION SELECT {_bpos('1', 'vs')} FROM mem
-  UNION SELECT {_bpos('2', 'vs')} FROM mem
+  SELECT DISTINCT {_bpos(0, 'vs')} AS pos FROM mem
+  UNION SELECT {_bpos(1, 'vs')} FROM mem
+  UNION SELECT {_bpos(2, 'vs')} FROM mem
 )
 SELECT l_orderkey, l_linenumber, l_partkey FROM (
   SELECT l_orderkey, l_linenumber, l_partkey,
          CAST(l_partkey AS VARCHAR) AS lv
   FROM lineitem WHERE l_partkey IS NOT NULL
 )
-WHERE {_bpos('0', 'lv')} IN (SELECT pos FROM bits)
-  AND {_bpos('1', 'lv')} IN (SELECT pos FROM bits)
-  AND {_bpos('2', 'lv')} IN (SELECT pos FROM bits)
+WHERE {_bpos(0, 'lv')} IN (SELECT pos FROM bits)
+  AND {_bpos(1, 'lv')} IN (SELECT pos FROM bits)
+  AND {_bpos(2, 'lv')} IN (SELECT pos FROM bits)
 """
     # adjacency-PMI collocations: map-side bigram window, two count
     # aggregates, integer-exact probability ratio inside one ln

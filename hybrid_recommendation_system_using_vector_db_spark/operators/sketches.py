@@ -167,17 +167,28 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
         F.floor(est + F.lit(0.5)).cast("bigint").alias("est_distinct"))
 
 
+def _bloom_word(col: F.Column) -> F.Column:
+    """48-bit uniform word: first 12 md5 hex chars of the salted value —
+    ONE digest + ONE ``conv`` per row, sliced into 12-bit positions by
+    integer shifts (pure codegen arithmetic). Mirrored verbatim in the
+    oracle's ``_bpos``."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit("bloom:"), col.cast("string"))), 1, 12),
+        16, 10).cast("bigint")
+
+
 def bloom_build(df: DataFrame, value_col: str, m: int = 4096,
                 k: int = 3) -> DataFrame:
     """Portable Bloom filter build: the DISTINCT set bit positions of a
     column's values — (pos int), ≤ m rows regardless of corpus size.
 
-    Each value sets ``k`` positions derived from independent md5 windows
-    (seeded by hash index, the ``cms_heavy_hitters`` convention), so the
-    filter — and every downstream membership verdict including its false
-    positives — is a pure deterministic function of the input SET that
-    the DuckDB oracle reproduces bit-for-bit (the sketch-family honesty
-    contract).
+    Each value sets ``k`` positions derived from disjoint 12-bit slices
+    of ONE 48-bit md5 window (one md5 + one hex→int conversion per row —
+    the conversion, not the digest, dominates the per-row cost, so the
+    slicing matters; hence k ≤ 4 and m ≤ 4096), making the filter — and
+    every downstream membership verdict including its false positives —
+    a pure deterministic function of the input SET that the DuckDB
+    oracle reproduces bit-for-bit (the sketch-family honesty contract).
 
     Scale shape: one explode(k) + distinct over positions; the partial
     aggregate collapses to ≤ m entries per partition before the shuffle,
@@ -186,18 +197,13 @@ def bloom_build(df: DataFrame, value_col: str, m: int = 4096,
     4096 bits = 512 B) — this relational long form is what makes the
     filter plan-transparent and joinable.
     """
+    assert 1 <= k <= 4 and 2 <= m <= 4096, "k·12 bits from one 48-bit window"
     v = (df.filter(F.col(value_col).isNotNull())
-         .select(F.col(value_col).cast("string").alias("vs")))
-    pos = [
-        (hex8_u32(F.md5(F.concat(F.lit(f"bloom{i}:"), F.col("vs"))))
-         % F.lit(m)).cast("int").alias("pos")
-        for i in range(k)
-    ]
-    out = None
-    for p in pos:
-        sel = v.select(p)
-        out = sel if out is None else out.unionByName(sel)
-    return out.distinct()
+         .select(_bloom_word(F.col(value_col)).alias("w")))
+    return (v.select(F.explode(F.array(*[
+        (F.shiftright(F.col("w"), 12 * i) % F.lit(m)).cast("int")
+        for i in range(k)])).alias("pos"))
+        .distinct())
 
 
 def bloom_probe(df: DataFrame, value_col: str, bits: DataFrame,
@@ -213,24 +219,38 @@ def bloom_probe(df: DataFrame, value_col: str, bits: DataFrame,
 
     The positions table is collected once (bounded ≤ m rows — the
     codebook-collect pattern of ``kmeans_centroids_local``) into an
-    m-char '0'/'1' mask that rides the plan as ONE literal, so the probe
-    is a pure map-side filter: zero joins, zero shuffles, duplicate fact
-    rows preserved, whole-stage codegen end to end — exactly what a
-    pre-shuffle prune must be.
+    m-BIT mask packed into ⌈m/64⌉ longs riding the plan as ONE array
+    literal, so the probe is a pure map-side filter — zero joins, zero
+    shuffles, duplicate fact rows preserved, whole-stage codegen end to
+    end — and each bit test is O(1): ``element_at`` on the packed words
+    + shift/mask.  (A char-mask ``substring(mask, pos, 1)`` prototype
+    measured 30× slower: Substring on a long UTF8String literal walks
+    the string per row — the bit-packing is load-bearing, not cosmetic.)
     """
-    mask = bytearray(b"0") * m
+    from .similarity import _spread
+
+    assert 1 <= k <= 4 and 2 <= m <= 4096, "k·12 bits from one 48-bit window"
+    words = [0] * ((m + 63) // 64)
     for r in bits.collect():  # bounded: ≤ m rows by construction
-        mask[int(r.pos)] = ord("1")
-    mask_lit = F.lit(mask.decode("ascii"))
-    checks = [
-        F.substring(
-            mask_lit,
-            (hex8_u32(F.md5(F.concat(F.lit(f"bloom{i}:"),
-                                     F.col(value_col).cast("string"))))
-             % F.lit(m)).cast("int") + 1, 1) == "1"
-        for i in range(k)
-    ]
-    cond = checks[0]
-    for c in checks[1:]:
-        cond = cond & c
-    return df.filter(F.col(value_col).isNotNull()).filter(cond)
+        p = int(r.pos)
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed int64 (Spark LongType); (w >> s) & 1
+    # still extracts bit s under the arithmetic shift. The whole check is
+    # one SQL expression so the variable shift amounts stay legal
+    # (F.shiftright only takes literal offsets) — the constant-folded
+    # one-Literal pattern of similarity._cents_literal_sql.
+    words_sql = "array(" + ", ".join(
+        f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words) + ")"
+    wv = (f"CAST(conv(substring(md5(concat('bloom:', "
+          f"CAST(`{value_col}` AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+    checks = []
+    for i in range(k):
+        pos = f"CAST((shiftright({wv}, {12 * i}) % {m}) AS INT)"
+        checks.append(
+            f"((shiftright(element_at({words_sql}, "
+            f"CAST((({pos}) div 64) + 1 AS INT)), "
+            f"({pos}) % 64) & 1L) = 1L)")
+    cond = F.expr(" AND ".join(checks))
+    # _spread: per-row md5 work needs parallelism even from few input
+    # files (a local-mode artifact — a no-op on a many-partition corpus)
+    return _spread(df.filter(F.col(value_col).isNotNull())).filter(cond)
