@@ -1527,6 +1527,18 @@ def q_link_prediction(spark, sf_dir):
     return graph.adamic_adar_links(edges, k=TOP_K, max_hub_degree=32)
 
 
+def _knn_rank10(spark, sf_dir):
+    """Build-once persisted all-corpus exact top-10 rank table (GEMM
+    scorer) — shared by the mutual-kNN pair entry (k=10) and the RNN
+    clustering entry (k=2 = a rank ≤ 2 filter of the same table)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "knn10")
+    if key not in _ANN_INDEXES:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _ANN_INDEXES[key] = similarity.cosine_topk_gemm(emb, emb, 10)\
+            .select("qid", "cand", "score", "rank").persist()
+    return _ANN_INDEXES[key]
+
+
 def q_rnn_clusters(spark, sf_dir):
     """RNN clustering: connected components over the reciprocal-kNN
     graph (mutual top-2 pairs → min-label propagation) — the
@@ -1536,8 +1548,9 @@ def q_rnn_clusters(spark, sf_dir):
     real embeddings the usual k = 5-10 stays sub-critical). Composition
     of ``mutual_topk_pairs`` + ``dedup.connected_components``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.mutual_topk_pairs(emb, k=2).select(
-        F.col("u").alias("id1"), F.col("v").alias("id2"))
+    pairs = similarity.mutual_topk_pairs(
+        emb, ranked=_knn_rank10(spark, sf_dir).filter(F.col("rank") <= 2)
+    ).select(F.col("u").alias("id1"), F.col("v").alias("id2"))
     return (dedup.connected_components(
         pairs, emb.select(F.col("vec_id")), id_col="vec_id")
         .select(F.col("vec_id"), "cluster_id"))
@@ -1550,7 +1563,8 @@ def q_mutual_knn(spark, sf_dir):
     runs over an ANN ranker's output
     (operators/similarity.py::mutual_topk_pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.mutual_topk_pairs(emb, k=10)
+    return similarity.mutual_topk_pairs(
+        emb, ranked=_knn_rank10(spark, sf_dir))
 
 
 def q_pmi_collocations(spark, sf_dir):
