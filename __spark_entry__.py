@@ -1621,6 +1621,17 @@ def q_snapshot_diff(spark, sf_dir):
                                   ["text", "lang", "source", "n_chars"])
 
 
+def q_value_histogram(spark, sf_dir):
+    """Equal-width 20-bin histogram of event values per event type
+    (shared global edges for cross-group comparability) — two partial-agg
+    passes, map-side binning (operators/profiling.py::value_histogram)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    return profiling.value_histogram(
+        load_table(spark, sf_dir, "events"), "value", n_bins=20,
+        group_col="event_type")
+
+
 def q_key_skew(spark, sf_dir):
     """Heavy-key profile of lineitem's l_partkey — the co-purchase join
     key — the measurement that precedes every salting/AQE-skew decision
@@ -2053,6 +2064,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,       # PMI word-association mining
         "mutual_knn": q_mutual_knn,                   # reciprocal nearest-neighbor pairs
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
+        "value_histogram": q_value_histogram,         # equal-width numeric profile
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -4456,6 +4468,25 @@ reach(id, l) AS (
   SELECT u.b, r.l FROM reach r JOIN und u ON u.a = r.id
 )
 SELECT id AS vec_id, min(l) AS cluster_id FROM reach GROUP BY id
+"""
+    # equal-width histogram: one min/max aggregate broadcast onto a
+    # map-side binning expression; same op order as the Spark plan
+    sql["value_histogram"] = """
+WITH v AS (SELECT event_type, value::DOUBLE AS v FROM events
+           WHERE value IS NOT NULL),
+ext AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+b AS (
+  SELECT event_type,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(least(floor((v - mn) / ((mx - mn) / 20)), 19) AS INT)
+         END AS bin, mn, mx
+  FROM v CROSS JOIN ext
+)
+SELECT event_type, bin,
+       floor((mn + bin * (mx - mn) / 20) * 1000000 + 0.5) / 1000000 AS lo,
+       floor((mn + (bin + 1) * (mx - mn) / 20) * 1000000 + 0.5) / 1000000 AS hi,
+       count(*) AS cnt
+FROM b GROUP BY event_type, bin, mn, mx
 """
     return sql
 

@@ -118,6 +118,7 @@ HEADLINE = [
     "pmi_collocations",
     "mutual_knn",
     "rnn_clusters",
+    "value_histogram",
 ]
 
 

@@ -93,3 +93,40 @@ def activity_anomalies(events: DataFrame, z_thresh: float = 3.0,
             .select("user_id", "day", F.col("n").alias("n_events"),
                     fround(z, ROUND_SCORE).alias("z"))
             .filter(F.col("z") >= z_thresh))
+
+
+def value_histogram(df: DataFrame, value_col: str, n_bins: int = 20,
+                    group_col: str | None = None) -> DataFrame:
+    """Equal-width histogram of a numeric column, optionally per group —
+    the numeric companion of ``key_skew_profile`` (distribution shape
+    before choosing bucketing/clamping/binning for a 100 TB column).
+
+    Output: (group?, bin, lo, hi, cnt), bin ∈ [0, n_bins), empty bins
+    omitted; the max value folds into the last bin (right-closed tail).
+    Bin edges come from ONE min/max aggregate attached by a single-row
+    broadcast cross join; binning is a map-side expression and the only
+    data-sized aggregation is the (group, bin) count — two partial-agg
+    passes total, no sort, no driver round-trip.  Edges are IEEE
+    divisions of the two aggregated extremes, so verdicts are
+    engine-deterministic; a constant column degenerates to one bin.
+    """
+    gcols = [group_col] if group_col else []
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols, F.col(value_col).cast("double").alias("__v"))
+    ext = v.agg(F.min("__v").alias("__mn"), F.max("__v").alias("__mx"))
+    width = (F.col("__mx") - F.col("__mn")) / n_bins
+    raw_bin = F.floor((F.col("__v") - F.col("__mn")) / width)
+    bin_ = (F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+            .otherwise(F.least(raw_bin, F.lit(n_bins - 1)))).cast("int")
+    return (v.crossJoin(F.broadcast(ext))
+            .select(*gcols, bin_.alias("bin"), "__mn", "__mx")
+            .groupBy(*gcols, "bin", "__mn", "__mx")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(*gcols, "bin",
+                    fround(F.col("__mn") + F.col("bin")
+                           * (F.col("__mx") - F.col("__mn")) / n_bins,
+                           ROUND_SCORE).alias("lo"),
+                    fround(F.col("__mn") + (F.col("bin") + 1)
+                           * (F.col("__mx") - F.col("__mn")) / n_bins,
+                           ROUND_SCORE).alias("hi"),
+                    "cnt"))

@@ -1794,3 +1794,19 @@ def test_mutual_knn_is_symmetric_subset(spark, sf_dir):
         assert rk[(r.u, r.v)] == r.r_uv and rk[(r.v, r.u)] == r.r_vu
     via_ranked = similarity.mutual_topk_pairs(emb, ranked=ranked).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, via_ranked))
+
+
+def test_value_histogram_semantics(spark):
+    """Bin edges partition [min, max], counts sum to non-null rows, max
+    folds into the last bin, constant column degenerates to one bin."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    df = spark.createDataFrame([(float(x),) for x in range(101)], "v double")
+    out = sorted(profiling.value_histogram(df, "v", n_bins=10).collect(),
+                 key=lambda r: r.bin)
+    assert sum(r.cnt for r in out) == 101
+    assert out[0].lo == 0.0 and out[-1].hi == 100.0
+    assert out[-1].cnt == 11  # 90..99 plus the folded max 100
+    const = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    cout = profiling.value_histogram(const, "v", n_bins=10).collect()
+    assert len(cout) == 1 and cout[0].cnt == 2 and cout[0].bin == 0
