@@ -273,6 +273,39 @@ def load_bm25_index(spark: SparkSession, out_dir: str
             spark.read.parquet(f"{out_dir}/bm25_stats"))
 
 
+def write_maxsim_index(spark: SparkSession, documents: DataFrame,
+                       out_dir: str, chunk_tokens: int = 64,
+                       overlap: int = 16) -> None:
+    """Write the MaxSim component-extrema index: chunk → hash-embed →
+    per-(doc, pos) max/min summary (``maxsim_component_index``),
+    PARTITIONED BY pos.
+
+    This is the artifact that makes ``maxsim_topk`` serve
+    chunk-count-independent: the per-term chunk max is folded at ingest,
+    and storing long-form partitioned by ``pos`` turns the query-bucket
+    probe into partition pruning — a term batch touches exactly the
+    ``pos=`` directories its buckets name, never the full summary.
+    |docs|·dim rows regardless of chunk count.
+    """
+    from .embeddings import hashing_embedder
+    from .operators.retrieval import maxsim_component_index
+    from .operators.textops import chunk_documents
+
+    chunks = chunk_documents(documents, chunk_tokens=chunk_tokens,
+                             overlap=overlap)
+    cv = hashing_embedder(chunks, id_col=["doc_id", "chunk_id"],
+                          text_col="chunk_text")
+    (maxsim_component_index(cv)
+     .write.mode("overwrite").partitionBy("pos")
+     .parquet(f"{out_dir}/maxsim_components"))
+
+
+def load_maxsim_index(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The component summary written by :func:`write_maxsim_index` —
+    pass as ``maxsim_topk(..., components=...)``."""
+    return spark.read.parquet(f"{out_dir}/maxsim_components")
+
+
 def write_bucketed_edges(spark: SparkSession, edges: DataFrame,
                          table: str = "edges_bucketed",
                          n_buckets: int = 8) -> DataFrame:

@@ -385,3 +385,34 @@ def test_ivf_index_incremental_append_equals_bulk(spark, tmp_path):
                           lists=bulk, dim=64).collect()
     srt = lambda rows: sorted((r.qid, r.rank, r.cand, r.score) for r in rows)
     assert srt(served) == srt(direct)
+
+
+def test_maxsim_index_roundtrip_serves_identically(spark, sf_dir, tmp_path):
+    """write → load → serve must equal the in-plan component build
+    row-for-row, and the artifact must be pos-partitioned so a bucket
+    probe prunes partitions (PartitionFilters on pos)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as m
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = m._bm25_query_set(docs)
+    out = str(tmp_path / "msx")
+    pipeline.write_maxsim_index(spark, docs, out)
+    comps = pipeline.load_maxsim_index(spark, out)
+    served = retrieval.maxsim_topk(qs, None, 10, components=comps).collect()
+    from hybrid_recommendation_system_using_vector_db_spark.embeddings import hashing_embedder
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    chunks = textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    cv = hashing_embedder(chunks, id_col=["doc_id", "chunk_id"],
+                          text_col="chunk_text")
+    inline = retrieval.maxsim_topk(qs, cv, 10).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, inline))
+    # pos is a partition column: an equality probe prunes directories
+    from hybrid_recommendation_system_using_vector_db_spark.plans import formatted_plan
+    fp = formatted_plan(comps.filter(F.col("pos") == 7))
+    assert "PartitionFilters" in fp and "pos" in fp, fp
