@@ -1023,6 +1023,28 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | event_type) from lead() pairs ordered by
+    (ts, event_id) — the sequence-analytics primitive behind next-event
+    prediction and journey mining. One user-keyed window shuffle + one
+    bounded (type, type) count aggregate; probabilities are exact
+    integer ratios."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("next_type", F.lead("event_type").over(w))
+             .filter(F.col("next_type").isNotNull())
+             .groupBy("event_type", "next_type")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    totals = pairs.groupBy("event_type").agg(F.sum("cnt").alias("tot"))
+    return (pairs.join(F.broadcast(totals), "event_type")
+            .select("event_type", "next_type", "cnt",
+                    fround(F.col("cnt").cast("double") / F.col("tot"))
+                    .alias("prob")))
+
+
 def q_sessionization(spark, sf_dir):
     from pyspark.sql import Window
     ev = load_table(spark, sf_dir, "events")
@@ -2069,6 +2091,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_knn": q_mutual_knn,                   # reciprocal nearest-neighbor pairs
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
         "value_histogram": q_value_histogram,         # equal-width numeric profile
+        "event_transitions": q_event_transitions,     # Markov next-event matrix
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -4491,6 +4514,22 @@ SELECT event_type, bin,
        floor((mn + (bin + 1) * (mx - mn) / 20) * 1000000 + 0.5) / 1000000 AS hi,
        count(*) AS cnt
 FROM b GROUP BY event_type, bin, mn, mx
+"""
+    # first-order Markov transitions: lead() over the same (ts, event_id)
+    # order; probabilities exact integer ratios
+    sql["event_transitions"] = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pc AS (SELECT event_type, next_type, count(*) AS cnt FROM seq
+       WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tt AS (SELECT event_type, sum(cnt) AS tot FROM pc GROUP BY 1)
+SELECT pc.event_type, pc.next_type, pc.cnt,
+       floor((pc.cnt::DOUBLE / tt.tot) * 1000000 + 0.5) / 1000000 AS prob
+FROM pc JOIN tt ON pc.event_type = tt.event_type
 """
     return sql
 

@@ -119,6 +119,7 @@ HEADLINE = [
     "mutual_knn",
     "rnn_clusters",
     "value_histogram",
+    "event_transitions",
 ]
 
 

