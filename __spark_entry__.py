@@ -1582,6 +1582,19 @@ def q_rnn_clusters(spark, sf_dir):
         .select(F.col("vec_id"), "cluster_id"))
 
 
+def q_rp_topk(spark, sf_dir):
+    """Cosine top-k in a Johnson–Lindenstrauss random projection of the
+    corpus (64 → 16 dims via the shared seeded hyperplane constants,
+    linalg.rp_components → pca_project): the train-free dimensionality
+    reduction an ANN tier uses when even one corpus pass for PCA is too
+    expensive. 4× smaller vectors; the projection is map-only and the
+    serve plan is cosine_topk's unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = linalg.pca_project(emb, linalg.rp_components(16), out_col="rp")
+    q = proj.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.cosine_topk(q, proj, TOP_K, vec_col="rp", dim=16)
+
+
 def q_mutual_knn(spark, sf_dir):
     """Reciprocal nearest-neighbor pairs over the embedding corpus
     (mutual top-10 by exact cosine via the GEMM scorer) — the
@@ -2092,6 +2105,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
         "value_histogram": q_value_histogram,         # equal-width numeric profile
         "event_transitions": q_event_transitions,     # Markov next-event matrix
+        "rp_topk": q_rp_topk,                         # JL random-projection ANN tier
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
@@ -4530,6 +4544,27 @@ tt AS (SELECT event_type, sum(cnt) AS tot FROM pc GROUP BY 1)
 SELECT pc.event_type, pc.next_type, pc.cnt,
        floor((pc.cnt::DOUBLE / tt.tot) * 1000000 + 0.5) / 1000000 AS prob
 FROM pc JOIN tt ON pc.event_type = tt.event_type
+"""
+    # JL random projection: the same scaled hyperplane literals, rounded
+    # per component, then the standard cosine/rank tail
+    from hybrid_recommendation_system_using_vector_db_spark.operators.linalg import rp_components
+    comps = rp_components(16)
+    projs = ", ".join(
+        "floor((list_inner_product(["
+        + ", ".join(repr(x) for x in comp)
+        + "]::DOUBLE[], v)) * 1000000 + 0.5) / 1000000"
+        for comp in comps)
+    sql["rp_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (SELECT vec_id, [{projs}]::DOUBLE[] AS rp FROM e),
+q AS (SELECT vec_id AS qid, rp AS qv FROM proj WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand, rp AS cv FROM proj),
+scored AS (
+  SELECT qid, cand, {_cos('qv', 'cv')} AS score
+  FROM q CROSS JOIN c WHERE cand <> qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 """
     return sql
 

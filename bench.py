@@ -120,6 +120,7 @@ HEADLINE = [
     "rnn_clusters",
     "value_histogram",
     "event_transitions",
+    "rp_topk",
 ]
 
 

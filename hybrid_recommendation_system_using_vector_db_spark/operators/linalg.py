@@ -121,3 +121,24 @@ def pca_project(corpus: DataFrame, components: list[list[float]],
     expr = "array(" + ", ".join(
         f"floor(({dt}) * 1000000 + 0.5) / 1000000" for dt in dots) + ")"
     return corpus.select(F.col(id_col), F.expr(expr).alias(out_col))
+
+
+def rp_components(out_dim: int = 16) -> list[list[float]]:
+    """Johnson–Lindenstrauss random-projection matrix: the first
+    ``out_dim`` shared seeded Gaussian hyperplanes
+    (``functions.hashing.HYPERPLANES`` — the same fixed-seed constants
+    the LSH family embeds in both engines), scaled by 1/√out_dim so
+    expected squared norms are preserved.
+
+    With out_dim a power of 4 the scale is a power of two and the scaled
+    literals stay exactly representable — both engines parse identical
+    decimal strings. This is the data-independent sibling of
+    :func:`pca_components` (no training pass at all — the FAISS
+    ``PCAMatrix`` slot when you can't afford even one corpus scan);
+    apply with :func:`pca_project`.
+    """
+    from ..functions.hashing import HYPERPLANES
+
+    assert out_dim <= len(HYPERPLANES)
+    s = 1.0 / (out_dim ** 0.5)
+    return [[x * s for x in plane] for plane in HYPERPLANES[:out_dim]]

@@ -1824,3 +1824,33 @@ def test_event_transitions_hand_sequence(spark, sf_dir):
     for src, lst in by_src.items():
         assert abs(sum(r.prob for r in lst) - 1.0) < 1e-4
         assert sum(r.cnt for r in lst) > 0
+
+
+def test_random_projection_jl_distortion(spark, sf_dir):
+    """The JL guarantee is about DISTANCES, not top-k: squared-distance
+    ratios concentrate around 1 with std ~ sqrt(2/k). Pin the mean and
+    spread on real vectors (data-independent property — holds even on
+    the uniform worst case where top-k recall is poor)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import linalg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = linalg.pca_project(emb, linalg.rp_components(16), out_col="rp")
+    both = emb.join(proj, "vec_id").select("vec_id", "embedding", "rp")
+    rows = both.limit(40).collect()
+    ratios = []
+    for i in range(0, len(rows) - 1, 2):
+        a, b = rows[i], rows[i + 1]
+        d_full = sum((float(x) - float(y)) ** 2
+                     for x, y in zip(a.embedding, b.embedding))
+        d_proj = sum((x - y) ** 2 for x, y in zip(a.rp, b.rp))
+        if d_full > 0:
+            ratios.append(d_proj / d_full)
+    mean = sum(ratios) / len(ratios)
+    std = math.sqrt(sum((r - mean) ** 2 for r in ratios) / len(ratios))
+    assert 0.7 <= mean <= 1.3, mean          # unbiased up to sampling noise
+    assert std <= 3 * math.sqrt(2 / 16), std  # JL concentration at k=16
