@@ -1034,10 +1034,13 @@ def q_event_transitions(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the bounded |types|² pair table feeds both the totals and the
+    # final join — materialize once so the corpus window never re-runs
     pairs = (ev.withColumn("next_type", F.lead("event_type").over(w))
              .filter(F.col("next_type").isNotNull())
              .groupBy("event_type", "next_type")
-             .agg(F.count(F.lit(1)).alias("cnt")))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .localCheckpoint(eager=True))
     totals = pairs.groupBy("event_type").agg(F.sum("cnt").alias("tot"))
     return (pairs.join(F.broadcast(totals), "event_type")
             .select("event_type", "next_type", "cnt",

@@ -84,7 +84,9 @@ def fuzzy_match_pairs(names: DataFrame, max_dist: int = 2,
     base = names.select(F.col(id_col).alias("id"), nm.alias("nm"))
     blk = (F.element_at(F.split(F.col("nm"), " "), -1) if block is None
            else block).alias("blk")
-    k = base.select("id", "nm", blk)
+    # both self-join sides derive from this table — materialize once so
+    # an upstream aggregation (e.g. the distinct-name build) runs once
+    k = base.select("id", "nm", blk).localCheckpoint(eager=True)
     a = k.select(F.col("id").alias("id1"), F.col("nm").alias("name1"), "blk")
     b = k.select(F.col("id").alias("id2"), F.col("nm").alias("name2"), "blk")
     return (
