@@ -58,6 +58,16 @@ def main(argv: list[str] | None = None) -> int:
 
     e = sub.add_parser("eval", help="EP3: Precision@K harness on the test tables")
     e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    pr = sub.add_parser(
+        "profile", help="data profiling: key-skew, histogram, anomalies")
+    pr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pr.add_argument("--table", default="lineitem")
+    pr.add_argument("--key", default="l_partkey",
+                    help="column for the heavy-key shuffle profile")
+    pr.add_argument("--value", default=None,
+                    help="numeric column for an equal-width histogram")
+    pr.add_argument("--top-n", type=int, default=20)
     e.add_argument("--out", default=None,
                    help="write precision_k.csv (+ PNGs when matplotlib is "
                         "available) here, mirroring the reference's plot "
@@ -78,6 +88,18 @@ def main(argv: list[str] | None = None) -> int:
                     if not q or q.lower() in {"quit", "exit"}:
                         break
                     _recommend(spark, args.index, q, args.k).show(args.k, truncate=60)
+        elif args.cmd == "profile":
+            from .datamodel import load_table  # noqa: PLC0415
+            from .operators import profiling  # noqa: PLC0415
+
+            df = load_table(spark, args.sf_dir, args.table)
+            print(f"# key skew: {args.table}.{args.key}")
+            profiling.key_skew_profile(df, args.key, top_n=args.top_n)\
+                .show(args.top_n, truncate=False)
+            if args.value:
+                print(f"# histogram: {args.table}.{args.value}")
+                profiling.value_histogram(df, args.value)\
+                    .orderBy("bin").show(25, truncate=False)
         elif args.cmd == "eval":
             import time  # noqa: PLC0415
 
