@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--value", default=None,
                     help="numeric column for an equal-width histogram")
     pr.add_argument("--top-n", type=int, default=20)
+
+    x = sub.add_parser(
+        "explain", help="print the formatted physical plan of a query")
+    x.add_argument("name", help="a queries()/extra_queries() entry name")
+    x.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     e.add_argument("--out", default=None,
                    help="write precision_k.csv (+ PNGs when matplotlib is "
                         "available) here, mirroring the reference's plot "
@@ -88,6 +93,25 @@ def main(argv: list[str] | None = None) -> int:
                     if not q or q.lower() in {"quit", "exit"}:
                         break
                     _recommend(spark, args.index, q, args.k).show(args.k, truncate=60)
+        elif args.cmd == "explain":
+            import __spark_entry__ as entry  # noqa: PLC0415
+
+            from .plans import formatted_plan, pushed_filters  # noqa: PLC0415
+
+            qmap = {**entry.extra_queries(), **entry.queries()}
+            if args.name not in qmap:
+                print(f"unknown query {args.name!r}; known: "
+                      f"{', '.join(sorted(qmap))}", file=sys.stderr)
+                return 2
+            df = qmap[args.name](spark, args.sf_dir)
+            plan = formatted_plan(df)
+            print(plan)
+            pf = pushed_filters(df)
+            if pf:
+                print("# PushedFilters:", "; ".join(pf))
+            print(f"# scans={plan.count('Scan parquet')} "
+                  f"exchanges={plan.count('Exchange')} "
+                  f"aggregates={plan.count('HashAggregate')}")
         elif args.cmd == "profile":
             from .datamodel import load_table  # noqa: PLC0415
             from .operators import profiling  # noqa: PLC0415
