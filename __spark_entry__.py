@@ -742,6 +742,35 @@ def q_dedup_clusters_chained(spark, sf_dir):
     return dedup.connected_components_star(pairs, docs.select("doc_id"))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonicalization: within each near-dup cluster keep
+    the HIGHEST-quality member, not the lowest id — the survivor policy
+    production dedup actually ships (keep-first loses the best copy
+    whenever ids don't correlate with quality). Same linear banded chain
+    as the flagship clustering, joined with the blended quality score,
+    one ranking window per cluster (ties: quality desc, doc_id asc).
+    Output: survivors (cluster_id, doc_id, quality_score, cluster_size)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=8)
+    cand = dedup.minhash_band_links(sigs, n_hashes=8, n_bands=4)
+    pairs = dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD,
+                                        candidates=cand)
+    clusters = dedup.connected_components_star(pairs, docs.select("doc_id"))
+    q = textops.quality_scores(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc())
+    return (clusters.join(q, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("cluster_size",
+                        F.count(F.lit(1)).over(
+                            Window.partitionBy("cluster_id")))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", "doc_id", "quality_score",
+                    F.col("cluster_size").cast("bigint").alias("cluster_size")))
+
+
 def q_simhash_neardup(spark, sf_dir):
     # 32-bit fingerprints (md5 yields one portable bit per hex nibble, 32
     # max): a 16-bit space holds 65k distinct values and saturates on any
@@ -2108,6 +2137,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
         "value_histogram": q_value_histogram,         # equal-width numeric profile
         "event_transitions": q_event_transitions,     # Markov next-event matrix
+        "dedup_keep_best": q_dedup_keep_best,         # quality-aware survivor policy
         "rp_topk": q_rp_topk,                         # JL random-projection ANN tier
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
@@ -4281,6 +4311,51 @@ SELECT t.user_id, trigger_id, outcome_id,
        floor(value * 100 + 0.5) / 100 AS value
 FROM t JOIN o ON o.user_id = t.user_id
              AND o_ts >= t_ts AND o_ts <= t_ts + INTERVAL 1 HOUR
+"""
+    # quality-aware dedup canonicalization: the chained cluster CTEs +
+    # the blended quality score + one per-cluster keep-best window
+    sql["dedup_keep_best"] = f"""
+WITH RECURSIVE {_minhash_cand_cte()},
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+shg AS (SELECT doc_id, {shingles} AS sh FROM tk),
+jpairs AS (
+  SELECT c.id1, c.id2
+  FROM cand c JOIN shg a ON c.id1 = a.doc_id JOIN shg b ON c.id2 = b.doc_id
+  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+    AND floor((len(list_intersect(a.sh, b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 >= {JACCARD_THRESHOLD}
+),
+und AS (SELECT id1 AS a, id2 AS b FROM jpairs UNION ALL SELECT id2, id1 FROM jpairs),
+reach(id, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.b, r.l FROM reach r JOIN und u ON u.a = r.id
+),
+cl AS (SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id),
+qc AS (
+  SELECT doc_id,
+    len({_TOKS}) AS n_tok,
+    len(list_filter({_TOKS}, t -> t IN {_stop_list_sql()})) AS n_stop,
+    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+    length(text) AS n_char
+  FROM documents
+),
+qsc AS (
+  SELECT doc_id,
+    floor((0.4 * least(1.0, n_char / 500.0)
+        + 0.3 * least(1.0, (CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END) * 5)
+        + 0.3 * (1.0 - least(1.0, (CASE WHEN n_char > 0 THEN n_punct::DOUBLE / n_char ELSE 0.0 END) * 10))) * 1000000 + 0.5) / 1000000 AS quality_score
+  FROM qc
+),
+jn AS (SELECT cl.cluster_id, cl.doc_id, qsc.quality_score
+       FROM cl JOIN qsc USING (doc_id)),
+rk2 AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                ORDER BY quality_score DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM jn)
+SELECT cluster_id, doc_id, quality_score,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM rk2 WHERE rn = 1
 """
     sql["ranking_eval"] = _ranking_eval_sql()
     # ordered funnel: step-i frontier = min at-or-after time chained off

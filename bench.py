@@ -121,6 +121,7 @@ HEADLINE = [
     "value_histogram",
     "event_transitions",
     "rp_topk",
+    "dedup_keep_best",
 ]
 
 
