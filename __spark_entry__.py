@@ -452,6 +452,13 @@ def q_ann_recall(spark, sf_dir):
         ("pq", similarity.pq_topk(qs, emb, TOP_K,
                                   codebooks=_pq_books(spark, sf_dir, emb),
                                   dim=VEC_DIM)),
+        # JL random projection (r6): train-free 64→16 tier — uniform
+        # vectors are its worst case exactly as for PQ; gated so the
+        # honest number can't silently drift
+        ("rp", (lambda proj: similarity.cosine_topk(
+            proj.filter(F.col("vec_id") % QUERY_MOD == 0), proj, TOP_K,
+            vec_col="rp", dim=16))(
+            linalg.pca_project(emb, linalg.rp_components(16), out_col="rp"))),
     ]:
         hits = (ann.select("qid", "cand").join(exact, ["qid", "cand"], "left_semi")
                 .groupBy("qid").agg(F.count(F.lit(1)).alias("h")))
@@ -2784,6 +2791,12 @@ def _ann_recall_sql() -> str:
     lshmp_or = " OR ".join(_hamming1_sql(f"lq.b{t}", f"lc.b{t}") for t in range(8))
     qcols = ", ".join(f"b{t}" for t in range(8))
     pq_chain_sql, pq_concat, pq_joins = _pq_sql_parts()
+    from hybrid_recommendation_system_using_vector_db_spark.operators.linalg import rp_components
+    rp_projs = ", ".join(
+        "floor((list_inner_product(["
+        + ", ".join(repr(x) for x in comp)
+        + "]::DOUBLE[], v)) * 1000000 + 0.5) / 1000000"
+        for comp in rp_components(16))
     return f"""
 WITH u AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT id AS qid, v AS qv FROM u WHERE id % {QUERY_MOD} = 0),
@@ -2835,7 +2848,14 @@ mh AS (SELECT count(*) AS th FROM lmp JOIN exact USING (qid, cand)),
 ih AS (SELECT count(*) AS th FROM ivf JOIN exact USING (qid, cand)),
 ih8 AS (SELECT count(*) AS th FROM ivf8 JOIN exact USING (qid, cand)),
 sh AS (SELECT count(*) AS th FROM sqk JOIN exact USING (qid, cand)),
-ph AS (SELECT count(*) AS th FROM pqk JOIN exact USING (qid, cand))
+ph AS (SELECT count(*) AS th FROM pqk JOIN exact USING (qid, cand)),
+rproj AS (SELECT id, [{rp_projs}]::DOUBLE[] AS rp FROM u),
+rq AS (SELECT id AS qid, rp AS qv FROM rproj WHERE id % {QUERY_MOD} = 0),
+rs AS (SELECT rq.qid, c.id AS cand, {_cos('rq.qv', 'c.rp')} AS score
+       FROM rq CROSS JOIN rproj c WHERE c.id <> rq.qid),
+rr AS (SELECT qid, cand, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM rs),
+rpk AS (SELECT qid, cand FROM rr WHERE rnk <= {TOP_K}),
+rh AS (SELECT count(*) AS th FROM rpk JOIN exact USING (qid, cand))
 SELECT 'lsh' AS method, CAST({TOP_K} AS INT) AS k,
        floor((lh.th / (nq.n * {TOP_K}.0)) * 1000000 + 0.5) / 1000000 AS recall
 FROM lh, nq
@@ -2859,6 +2879,10 @@ UNION ALL
 SELECT 'pq' AS method, CAST({TOP_K} AS INT) AS k,
        floor((ph.th / (nq.n * {TOP_K}.0)) * 1000000 + 0.5) / 1000000 AS recall
 FROM ph, nq
+UNION ALL
+SELECT 'rp' AS method, CAST({TOP_K} AS INT) AS k,
+       floor((rh.th / (nq.n * {TOP_K}.0)) * 1000000 + 0.5) / 1000000 AS recall
+FROM rh, nq
 """
 
 
