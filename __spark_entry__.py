@@ -749,6 +749,27 @@ def q_dedup_clusters_chained(spark, sf_dir):
     return dedup.connected_components_star(pairs, docs.select("doc_id"))
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Confusion matrix of the language-ID heuristic against the labeled
+    lang column: (lang, lang_guess, n, frac-of-label) — the
+    label-grounded eval every classifier-ish operator needs. Bounded
+    |langs|² output; one doc-keyed join + one partial-agg count.
+    (On this synthetic corpus the matrix honestly exposes that the text
+    is English-ish tech tokens regardless of the lang LABEL — the
+    detector says en/unknown for every label, which is the right answer
+    about the data, and exactly what a confusion matrix is for.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    guesses = textops.language_id(docs).select("doc_id", "lang_guess")
+    cm = (docs.select("doc_id", "lang").join(guesses, "doc_id")
+          .groupBy("lang", "lang_guess")
+          .agg(F.count(F.lit(1)).alias("n")))
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("t"))
+    return (cm.join(F.broadcast(tot), "lang")
+            .select("lang", "lang_guess", "n",
+                    fround(F.col("n").cast("double") / F.col("t"))
+                    .alias("frac")))
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware canonicalization: within each near-dup cluster keep
     the HIGHEST-quality member, not the lowest id — the survivor policy
@@ -2145,6 +2166,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,         # equal-width numeric profile
         "event_transitions": q_event_transitions,     # Markov next-event matrix
         "dedup_keep_best": q_dedup_keep_best,         # quality-aware survivor policy
+        "lang_confusion": q_lang_confusion,           # label-grounded lang-ID eval
         "rp_topk": q_rp_topk,                         # JL random-projection ANN tier
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
@@ -4380,6 +4402,31 @@ rk2 AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
 SELECT cluster_id, doc_id, quality_score,
        CAST(cluster_size AS BIGINT) AS cluster_size
 FROM rk2 WHERE rn = 1
+"""
+    # label-grounded language-ID eval: the language_id CTEs + one count
+    sql["lang_confusion"] = f"""
+WITH markers(lang_guess, marker) AS (VALUES {markers_values}),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hits AS (
+  SELECT doc_id, lang_guess, count(*) AS n_hits
+  FROM tok JOIN markers ON tok = marker
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang_guess, n_hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang_guess ASC) AS rn
+  FROM hits
+),
+g AS (
+  SELECT d.doc_id, d.lang, coalesce(b.lang_guess, 'unknown') AS lang_guess
+  FROM documents d LEFT JOIN (SELECT doc_id, lang_guess FROM best WHERE rn = 1) b
+    ON d.doc_id = b.doc_id
+),
+cm AS (SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2),
+tt AS (SELECT lang, sum(n) AS t FROM cm GROUP BY 1)
+SELECT cm.lang, cm.lang_guess, cm.n,
+       floor((cm.n::DOUBLE / tt.t) * 1000000 + 0.5) / 1000000 AS frac
+FROM cm JOIN tt ON cm.lang = tt.lang
 """
     sql["ranking_eval"] = _ranking_eval_sql()
     # ordered funnel: step-i frontier = min at-or-after time chained off

@@ -122,6 +122,7 @@ HEADLINE = [
     "event_transitions",
     "rp_topk",
     "dedup_keep_best",
+    "lang_confusion",
 ]
 
 
