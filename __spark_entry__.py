@@ -1720,6 +1720,26 @@ def q_snapshot_diff(spark, sf_dir):
                                   ["text", "lang", "source", "n_chars"])
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """SCD-type-2 validity intervals over each user's event-type history
+    (gaps-and-islands): consecutive same-type events collapse into one
+    [valid_from, valid_to) state run, NULL valid_to = current — the
+    warehouse-dimension twin of snapshot_diff
+    (operators/snapshot.py::scd2_intervals; one shuffle feeds both
+    windows)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import snapshot
+
+    _pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    runs = snapshot.scd2_intervals(ev, ["user_id"], ["event_type"],
+                                   ["ts", "event_id"])
+    return runs.select(
+        "user_id", "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current")
+
+
 def q_value_histogram(spark, sf_dir):
     """Equal-width 20-bin histogram of event values per event type
     (shared global edges for cross-group comparability) — two partial-agg
@@ -1729,6 +1749,21 @@ def q_value_histogram(spark, sf_dir):
     return profiling.value_histogram(
         load_table(spark, sf_dir, "events"), "value", n_bins=20,
         group_col="event_type")
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population-Stability-Index drift monitor between two event
+    populations (even- vs odd-user slices of `value`) over caller-fixed
+    [0, 500) edges, 20 bins, Laplace-smoothed — the per-ingest dataset
+    drift gate (operators/profiling.py::psi_drift; one map+partial-agg
+    pass per side, broadcast align)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    ev = load_table(spark, sf_dir, "events")
+    return profiling.psi_drift(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value", lo=0.0, hi=500.0, n_bins=20)
 
 
 def q_key_skew(spark, sf_dir):
@@ -2159,11 +2194,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_anomalies": q_activity_anomalies,   # per-user daily burst flags
         "fuzzy_names": q_fuzzy_names,                 # blocked Levenshtein entity match
         "snapshot_diff": q_snapshot_diff,             # CDC added/removed/changed diff
+        "scd2_intervals": q_scd2_intervals,           # SCD2 validity-interval build
         "bloom_prune": q_bloom_prune,                 # Bloom runtime-filter pre-join prune
         "pmi_collocations": q_pmi_collocations,       # PMI word-association mining
         "mutual_knn": q_mutual_knn,                   # reciprocal nearest-neighbor pairs
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
         "value_histogram": q_value_histogram,         # equal-width numeric profile
+        "psi_drift": q_psi_drift,                     # PSI dataset-drift monitor
         "event_transitions": q_event_transitions,     # Markov next-event matrix
         "dedup_keep_best": q_dedup_keep_best,         # quality-aware survivor policy
         "lang_confusion": q_lang_confusion,           # label-grounded lang-ID eval
@@ -4565,6 +4602,61 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 WHERE (CASE WHEN o.d IS NULL THEN 'added'
             WHEN n.d IS NULL THEN 'removed'
             WHEN o.d <> n.d THEN 'changed' END) IS NOT NULL
+"""
+    # SCD2 gaps-and-islands: the run-break compare mirrors the Spark
+    # digest's null-sentinel semantics via coalesce(chr(30)); both
+    # windows order by the same (ts, event_id) total order
+    sql["scd2_intervals"] = """
+WITH h AS (
+  SELECT user_id, ts, event_id, event_type,
+         coalesce(event_type, chr(30)) AS e2
+  FROM events
+),
+r AS (
+  SELECT *, lag(e2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+  FROM h
+),
+s AS (SELECT user_id, event_type, ts, event_id FROM r
+      WHERE pe IS NULL OR pe <> e2),
+f AS (
+  SELECT user_id, event_type, ts AS vf,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM s
+)
+SELECT user_id, event_type,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       vt IS NULL AS is_current
+FROM f
+"""
+    # PSI drift: fixed [0,500)/20 edges, Laplace alpha=0.5 — the ln
+    # expression text is identical to the Spark plan's (exact integer
+    # counts inside; score-scale rounding outside)
+    sql["psi_drift"] = """
+WITH r AS (
+  SELECT greatest(0, least(19,
+           CAST(floor((value::DOUBLE - 0.0) / 25.0) AS INT))) AS bin,
+         count(*) AS ref_n
+  FROM events WHERE value IS NOT NULL AND user_id % 2 = 0 GROUP BY 1
+),
+c AS (
+  SELECT greatest(0, least(19,
+           CAST(floor((value::DOUBLE - 0.0) / 25.0) AS INT))) AS bin,
+         count(*) AS cur_n
+  FROM events WHERE value IS NOT NULL AND user_id % 2 = 1 GROUP BY 1
+),
+g AS (SELECT CAST(range AS INT) AS bin FROM range(20)),
+j AS (
+  SELECT g.bin, coalesce(r.ref_n, 0) AS ref_n, coalesce(c.cur_n, 0) AS cur_n
+  FROM g LEFT JOIN r ON g.bin = r.bin LEFT JOIN c ON g.bin = c.bin
+),
+t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j)
+SELECT bin, ref_n, cur_n,
+       floor((((ref_n + 0.5) / (rt + 10.0) - (cur_n + 0.5) / (ct + 10.0))
+              * ln(((ref_n + 0.5) / (rt + 10.0))
+                   / ((cur_n + 0.5) / (ct + 10.0)))) * 1000000 + 0.5)
+         / 1000000 AS psi
+FROM j CROSS JOIN t
 """
     # Bloom runtime prune: deterministic md5 positions — the pruned set
     # (members + the filter's own false positives) hash-checks exactly

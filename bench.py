@@ -123,6 +123,8 @@ HEADLINE = [
     "rp_topk",
     "dedup_keep_best",
     "lang_confusion",
+    "scd2_intervals",
+    "psi_drift",
 ]
 
 

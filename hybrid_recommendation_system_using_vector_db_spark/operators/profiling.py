@@ -130,3 +130,58 @@ def value_histogram(df: DataFrame, value_col: str, n_bins: int = 20,
                            * (F.col("__mx") - F.col("__mn")) / n_bins,
                            ROUND_SCORE).alias("hi"),
                     "cnt"))
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+              lo: float, hi: float, n_bins: int = 20,
+              alpha: float = 0.5) -> DataFrame:
+    """Population Stability Index between a reference slice and a current
+    slice of the same numeric column — the standard dataset-drift monitor
+    a 100 TB pipeline runs per ingest (refresh vs. trained-on corpus,
+    today's crawl vs. last month's).
+
+    Bin edges are CALLER-FIXED literals (``[lo, hi)`` equal-width, values
+    clamped into the edge bins) exactly as a production monitor pins its
+    edges at training time — drifting edges would make PSI incomparable
+    across runs, and literal edges keep the whole plan free of
+    data-dependent driver constants.  Per-bin probabilities are
+    Laplace-smoothed (``alpha`` pseudo-count) so empty bins never divide
+    by zero; contributions use exact integer counts inside one ``ln``
+    whose expression text the DuckDB oracle mirrors verbatim, rounded at
+    the repo score scale.  PSI < 0.1 is conventionally "no drift",
+    0.1–0.25 "moderate", > 0.25 "significant".
+
+    Output: (bin, ref_n, cur_n, psi) — one row per bin in [0, n_bins),
+    including empty bins (monitoring wants the full grid); total PSI is
+    ``sum(psi)``.  Plan: each side is one map-side bin expression + one
+    partial-agg count over ≤ ``n_bins`` groups, a broadcast-sized
+    full-outer align on bin id, and single-row totals broadcast back —
+    data is touched exactly once per side.
+    """
+    width = (hi - lo) / n_bins
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.floor((F.col(value_col).cast("double") - F.lit(lo))
+                    / F.lit(width)).cast("int")
+        return (df.filter(F.col(value_col).isNotNull())
+                .select(F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), b))
+                        .alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias(out)))
+
+    r, c = binned(ref, "ref_n"), binned(cur, "cur_n")
+    grid = r.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (grid.join(F.broadcast(r), "bin", "left")
+              .join(F.broadcast(c), "bin", "left")
+              .select("bin", F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+                      F.coalesce("cur_n", F.lit(0)).alias("cur_n"))
+              # bounded (n_bins rows) table feeds BOTH the totals agg and
+              # the output — checkpoint or the full per-side scans execute
+              # twice (the recurring two-branch re-execution defect)
+              .localCheckpoint(eager=True))
+    tot = joined.agg(F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct"))
+    sm = F.lit(float(alpha)) * n_bins
+    p = (F.col("ref_n") + F.lit(float(alpha))) / (F.col("rt") + sm)
+    q = (F.col("cur_n") + F.lit(float(alpha))) / (F.col("ct") + sm)
+    return (joined.crossJoin(F.broadcast(tot))
+            .select("bin", "ref_n", "cur_n",
+                    fround((p - q) * F.log(p / q), ROUND_SCORE).alias("psi")))

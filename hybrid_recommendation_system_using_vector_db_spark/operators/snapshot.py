@@ -17,7 +17,7 @@ else ever computed for them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SEP = "\x1f"   # unit separator - outside every normal text alphabet
@@ -55,4 +55,45 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
                     .when(F.col("__od") != F.col("__nd"), F.lit("changed")))
         .filter(F.col("status").isNotNull())
         .select(*key_cols, "status")
+    )
+
+
+def scd2_intervals(history: DataFrame, key_cols: list[str],
+                   attr_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Collapse a per-key version history into SCD-type-2 validity
+    intervals (gaps-and-islands).
+
+    ``history`` holds one row per observed version of an entity (the raw
+    CDC / event feed); the output holds one row per *state run*: the
+    ``attr_cols`` values plus ``valid_from`` (first ``order_cols[0]``
+    value of the run), exclusive ``valid_to`` (start of the next run,
+    NULL while current) and ``is_current``.  Consecutive versions whose
+    ``attr_cols`` digest is unchanged merge into one interval — the
+    warehouse-dimension counterpart of :func:`snapshot_diff` (that one
+    answers "what changed between two snapshots", this one "when was each
+    value in effect" across the whole history).
+
+    Scale design: a single hash shuffle on ``key_cols`` feeds BOTH
+    windows — the change-flag ``lag`` runs over the full history, the
+    ``valid_to`` ``lead`` runs over the filtered run-starts, and because
+    ``filter`` preserves hash partitioning and sort order Spark plans the
+    second window without a new exchange.  State per key is one row
+    (the previous digest), so skewed keys cost sort time, not memory.
+    ``order_cols`` must be a total order within a key (add a tiebreak
+    id column) or run boundaries are nondeterministic under ties.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    digest = _digest(attr_cols)
+    runs = (
+        history
+        .withColumn("__d", digest)
+        .withColumn("__pd", F.lag("__d").over(w))
+        .filter(F.col("__pd").isNull() | (F.col("__pd") != F.col("__d")))
+        .withColumn("valid_from", F.col(order_cols[0]))
+    )
+    return (
+        runs
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
     )

@@ -1854,3 +1854,50 @@ def test_random_projection_jl_distortion(spark, sf_dir):
     std = math.sqrt(sum((r - mean) ** 2 for r in ratios) / len(ratios))
     assert 0.7 <= mean <= 1.3, mean          # unbiased up to sampling noise
     assert std <= 3 * math.sqrt(2 / 16), std  # JL concentration at k=16
+
+
+def test_scd2_intervals_runs_and_plan(spark):
+    """Consecutive same-attr versions collapse into one interval;
+    valid_to chains exclusively to the next run's start; exactly one
+    current row per key; NULL attr and its sentinel don't merge with
+    empty string; single exchange feeds both windows."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import snapshot
+    from hybrid_recommendation_system_using_vector_db_spark.plans import formatted_plan
+
+    hist = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "b"), (1, 5, "a"),
+         (2, 1, None), (2, 2, ""), (2, 3, "")],
+        "k long, v long, s string")
+    out = snapshot.scd2_intervals(hist, ["k"], ["s"], ["v"])
+    rows = sorted(((r.k, r.s, r.valid_from, r.valid_to, r.is_current)
+                   for r in out.collect()),
+                  key=lambda t: (t[0], t[2]))
+    assert rows == [
+        (1, "a", 1, 3, False), (1, "b", 3, 5, False), (1, "a", 5, None, True),
+        (2, None, 1, 2, False), (2, "", 2, None, True)]
+    # one current row per key; intervals tile the history per key
+    assert sum(1 for r in rows if r[4]) == 2
+    # single hash shuffle feeds both windows (filter preserves the
+    # partitioning + sort, so the lead window adds no exchange); the AQE
+    # dump prints initial+final trees, so count unique node Arguments
+    plan = formatted_plan(out)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_psi_drift_identical_zero_and_shift_positive(spark):
+    """PSI of a slice against itself is ~0 on every bin; a shifted
+    population yields a positive total; out-of-range values clamp into
+    the edge bins; the full bin grid (incl. empty bins) is returned."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    a = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("x"))
+    same = profiling.psi_drift(a, a, "x", lo=0.0, hi=100.0, n_bins=10).collect()
+    assert len(same) == 10
+    assert all(abs(r.psi) < 1e-9 for r in same)
+    b = spark.range(0, 1000).select(
+        ((F.col("id") % 100) + 60).cast("double").alias("x"))  # mass clamps high
+    drift = profiling.psi_drift(a, b, "x", lo=0.0, hi=100.0, n_bins=10).collect()
+    assert sum(r.psi for r in drift) > 0.25          # "significant" by convention
+    assert {r.bin for r in drift} == set(range(10))  # grid complete
+    hi_bin = [r for r in drift if r.bin == 9][0]
+    assert hi_bin.cur_n == 700                       # 100 in-range + 600 clamped
