@@ -1751,6 +1751,22 @@ def q_value_histogram(spark, sf_dir):
         group_col="event_type")
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton / Z-order layout keys over (user_id, value) with fixed
+    [0,1500)×[0,600) quantization and 8 bits/dim, summarized as the
+    256-bucket key histogram (top 8 key bits) — the clustering profile
+    a data-layout optimizer reads before rewriting files
+    (operators/layout.py; pure-integer codegen expression, one
+    partial-agg pass)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import layout
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = layout.with_zorder_key(ev, "user_id", "value",
+                                   (0.0, 1500.0), (0.0, 600.0), bits=8)
+    return (keyed.select(F.expr("(zkey >> 8)").alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-Stability-Index drift monitor between two event
     populations (even- vs odd-user slices of `value`) over caller-fixed
@@ -2201,6 +2217,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
         "value_histogram": q_value_histogram,         # equal-width numeric profile
         "psi_drift": q_psi_drift,                     # PSI dataset-drift monitor
+        "zorder_key": q_zorder_key,                   # Morton layout-key histogram
         "event_transitions": q_event_transitions,     # Markov next-event matrix
         "dedup_keep_best": q_dedup_keep_best,         # quality-aware survivor policy
         "lang_confusion": q_lang_confusion,           # label-grounded lang-ID eval
@@ -4628,6 +4645,17 @@ SELECT user_id, event_type,
        strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
        vt IS NULL AS is_current
 FROM f
+"""
+    # Z-order key histogram: the SAME generated integer fragment
+    # (clamp→scale→bit-spread→interleave) runs in both engines — `<<`,
+    # `|`, `&` are two's-complement-identical, so the key hash-checks
+    from hybrid_recommendation_system_using_vector_db_spark.operators.layout import (
+        morton_sql,
+    )
+    _mk = morton_sql("user_id", "value", (0.0, 1500.0), (0.0, 600.0), bits=8)
+    sql["zorder_key"] = f"""
+SELECT ({_mk} >> 8) AS bucket, count(*) AS cnt
+FROM events GROUP BY 1
 """
     # PSI drift: fixed [0,500)/20 edges, Laplace alpha=0.5 — the ln
     # expression text is identical to the Spark plan's (exact integer

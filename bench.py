@@ -125,6 +125,7 @@ HEADLINE = [
     "lang_confusion",
     "scd2_intervals",
     "psi_drift",
+    "zorder_key",
 ]
 
 

@@ -1901,3 +1901,56 @@ def test_psi_drift_identical_zero_and_shift_positive(spark):
     assert {r.bin for r in drift} == set(range(10))  # grid complete
     hi_bin = [r for r in drift if r.bin == 9][0]
     assert hi_bin.cur_n == 700                       # 100 in-range + 600 clamped
+
+
+def test_morton_key_known_values_and_engine_parity(spark):
+    """Hand-computed interleavings; clamping at both edges; the SAME SQL
+    fragment evaluates identically in DuckDB (the oracle contract)."""
+    import duckdb
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import layout
+
+    frag = layout.morton_sql("x", "y", (0.0, 16.0), (0.0, 16.0), bits=4)
+    rows = [(0.0, 0.0), (15.0, 0.0), (0.0, 15.0), (15.0, 15.0),
+            (5.0, 10.0), (-3.0, 99.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = [r[0] for r in df.select(F.expr(frag)).collect()]
+    # x=15 → 0b1111 spread 0b01010101=85; y contributes the odd bits (×2)
+    assert got[0] == 0 and got[1] == 85 and got[2] == 170 and got[3] == 255
+    # x=5=0b0101→0b00010001=17; y=10=0b1010→0b01000100<<1=0b10001000=136
+    assert got[4] == 17 + 136
+    assert got[5] == 170        # clamps to (0, 15)
+    con = duckdb.connect()
+    want = [con.execute(f"SELECT {frag} FROM (SELECT {x} AS x, {y} AS y)")
+            .fetchone()[0] for x, y in rows]
+    assert got == want
+
+
+def test_zorder_layout_prunes_2d_boxes(spark):
+    """The payoff: under a Z-order layout, a 2-D box predicate overlaps
+    strictly fewer per-partition bounding boxes than under a 1-D sort —
+    and x-pruning stays comparable (Morton trades a little 1-D locality
+    for 2-D locality)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import layout
+
+    n = 1 << 14
+    df = (spark.range(n)
+          .select(((F.col("id") * 2654435761) % 256).cast("double").alias("x"),
+                  ((F.col("id") * 40503) % 256).cast("double").alias("y")))
+    keyed = layout.with_zorder_key(df, "x", "y", (0.0, 256.0), (0.0, 256.0),
+                                   bits=8)
+    z = layout.zorder_layout_stats(keyed, "x", "y", "zkey", n_parts=16).collect()
+    lin = layout.zorder_layout_stats(keyed, "x", "y", "x", n_parts=16).collect()
+    assert sum(r.cnt for r in z) == n == sum(r.cnt for r in lin)
+
+    def overlaps(stats, x0, x1, y0, y1):
+        return sum(1 for r in stats
+                   if r.x_max >= x0 and r.x_min <= x1
+                   and r.y_max >= y0 and r.y_min <= y1)
+
+    box = (32.0, 63.0, 32.0, 63.0)       # 1/64 of the space
+    assert overlaps(z, *box) < overlaps(lin, *box)
+    # y-only predicate: the 1-D x-sort leaves partitions spanning most of
+    # y (near-zero pruning); the z-layout prunes strictly more
+    assert overlaps(z, 0.0, 256.0, 0.0, 31.0) < overlaps(
+        lin, 0.0, 256.0, 0.0, 31.0)
