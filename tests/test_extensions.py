@@ -1954,3 +1954,26 @@ def test_zorder_layout_prunes_2d_boxes(spark):
     # y (near-zero pruning); the z-layout prunes strictly more
     assert overlaps(z, 0.0, 256.0, 0.0, 31.0) < overlaps(
         lin, 0.0, 256.0, 0.0, 31.0)
+
+
+def test_zorder_write_roundtrip(spark, tmp_path):
+    """Writer round-trip: all rows survive, every output file carries the
+    key column, and each file's [min, max] zkey ranges are disjoint
+    (range-partitioned) — the property footer-level skipping relies on."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import layout
+
+    df = (spark.range(4096)
+          .select(((F.col("id") * 7919) % 64).cast("double").alias("x"),
+                  ((F.col("id") * 104729) % 64).cast("double").alias("y")))
+    path = str(tmp_path / "zorder")
+    layout.zorder_write(df, path, "x", "y", (0.0, 64.0), (0.0, 64.0),
+                        bits=6, n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 4096 and "zkey" in back.columns
+    import pyspark.sql.functions as SF
+    spans = (back.withColumn("f", SF.input_file_name())
+             .groupBy("f").agg(SF.min("zkey").alias("lo"),
+                               SF.max("zkey").alias("hi"))
+             .collect())
+    spans = sorted([(r.lo, r.hi) for r in spans])
+    assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
