@@ -232,7 +232,10 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
                     (F.col("nmin") < F.col("label")).alias("changed"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # NON-eager checkpoint: this count is the materializing action, so
+        # each round is one job (compute + checkpoint + count in a single
+        # pass) instead of an eager-checkpoint job followed by a count job
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
@@ -298,19 +301,38 @@ def connected_components_star(pairs: DataFrame, nodes: DataFrame,
     min-label propagation's practical round budget.
 
     Each round = two grouped aggregations (two shuffles) + a distinct;
-    convergence check = ``exceptAll`` count on the edge set (exact, not a
-    count heuristic — equal cardinality with different edges still
-    iterates). ``localCheckpoint`` per round cuts the growing lineage.
+    convergence check is exact but pays for exactness only when it might
+    matter: both edge sets are ``distinct()`` outputs, so set equality ⟺
+    equal counts AND empty symmetric difference. The per-round action is
+    a single ``count()`` (which also materializes the round's NON-eager
+    ``localCheckpoint`` — one pass computes, checkpoints, and counts);
+    the one-job sum-signed symmetric diff runs only on rounds where the
+    count is unchanged (typically just the final round). This halves the
+    per-round job count vs the former eager-checkpoint + ``exceptAll``
+    form — iterative rounds are pure scheduler floor on a cluster, so
+    fewer jobs per round is the lever (VERDICT r5 plan-audit class).
     """
     edges = (pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
              .filter(F.col("u") != F.col("v"))
              .distinct()
              .localCheckpoint(eager=True))
+    n_prev = edges.count()
     for _ in range(max_iter):
-        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        n_diff = stepped.exceptAll(edges).count()
-        prev, edges = edges, stepped
-        if n_diff == 0 and prev.exceptAll(stepped).count() == 0:
+        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        n_new = stepped.count()
+        converged = False
+        if n_new == n_prev:
+            # exact set-equality check in ONE job: both sides are sets, so
+            # any key whose signed multiplicity doesn't cancel is a change.
+            # isEmpty() short-circuits at the first surviving row.
+            converged = (
+                stepped.withColumn("_s", F.lit(1))
+                .unionByName(edges.withColumn("_s", F.lit(-1)))
+                .groupBy("u", "v").agg(F.sum("_s").alias("_d"))
+                .filter(F.col("_d") != 0)
+                .isEmpty())
+        edges, n_prev = stepped, n_new
+        if converged:
             break
     else:
         raise RuntimeError(
