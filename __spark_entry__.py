@@ -1655,6 +1655,42 @@ def q_rp_topk(spark, sf_dir):
     return similarity.cosine_topk(q, proj, TOP_K, vec_col="rp", dim=16)
 
 
+_PCA_COMPS: dict = {}
+
+
+def _pca_comps(spark, sf_dir, emb, out_dim=16):
+    """Memoized train-once PCA basis (uncentered — top eigenvectors of the
+    Gram matrix X^T X, i.e. the top right-singular directions, which are
+    the inner-product-preserving choice for cosine serving; centering
+    would optimize reconstruction of *centered* data instead). One
+    Arrow partial-GEMM corpus pass (shuffle volume O(partitions·dim²)) +
+    a driver eigh of the 64×64 matrix — the IVF-codebook lifecycle."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pca", out_dim)
+    if key not in _PCA_COMPS:
+        g = linalg.gram_matrix(emb, dim=VEC_DIM)
+        rows = [(r.i, r.j, r.g) for r in g.collect()]
+        _PCA_COMPS[key] = linalg.pca_components(rows, n_components=out_dim)
+    return _PCA_COMPS[key]
+
+
+def q_pca_topk(spark, sf_dir):
+    """Cosine top-k in the TRAINED 64→16 PCA projection — the other half
+    of the dim-reduction story (``rp_topk`` is the train-free JL tier;
+    this is the FAISS ``PCAMatrix`` slot when one corpus pass is
+    affordable). Train: ``_pca_comps``; serve: map-only literal
+    projection + the unchanged cosine_topk plan. Rows-only at the
+    static-oracle layer (eigendecomposition isn't SQL) — cross-engine
+    pinned by tests/test_extensions.py::test_pca_topk_matches_dynamic_
+    duckdb_oracle, which injects the trained literals into the same
+    DuckDB tail rp_topk's static oracle uses; recall floor vs the JL
+    tier pinned on the clustered fixture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = _pca_comps(spark, sf_dir, emb)
+    proj = linalg.pca_project(emb, comps, out_col="pca")
+    q = proj.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.cosine_topk(q, proj, TOP_K, vec_col="pca", dim=16)
+
+
 def q_mutual_knn(spark, sf_dir):
     """Reciprocal nearest-neighbor pairs over the embedding corpus
     (mutual top-10 by exact cosine via the GEMM scorer) — the
@@ -2222,6 +2258,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,         # quality-aware survivor policy
         "lang_confusion": q_lang_confusion,           # label-grounded lang-ID eval
         "rp_topk": q_rp_topk,                         # JL random-projection ANN tier
+        "pca_topk": q_pca_topk,                       # trained-PCA ANN tier (rows-only:
+                                                      # eigh isn't SQL; dynamic DuckDB
+                                                      # oracle + recall floor in pytest)
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags

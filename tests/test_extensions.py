@@ -1152,6 +1152,88 @@ def test_pca_project_plan_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_pca_topk_matches_dynamic_duckdb_oracle(spark, sf_dir):
+    """Full cross-engine check for the trained-PCA serve tier: the static
+    oracle layer can't express eigendecomposition, so this test trains
+    the SAME components the query uses, injects them as literals into
+    the rp_topk oracle tail, and compares engines value-for-value."""
+    import __spark_entry__ as entrymod
+    from hybrid_recommendation_system_using_vector_db_spark import QUERY_MOD, TOP_K
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    from .oracle_util import compare, duckdb_con
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = entrymod._pca_comps(spark, sf_dir, emb)
+    projs = ", ".join(
+        "floor((list_inner_product(["
+        + ", ".join(repr(x) for x in comp)
+        + "]::DOUBLE[], v)) * 1000000 + 0.5) / 1000000"
+        for comp in comps)
+    cos = entrymod._cos("qv", "cv")
+    sql = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (SELECT vec_id, [{projs}]::DOUBLE[] AS pca FROM e),
+q AS (SELECT vec_id AS qid, pca AS qv FROM proj WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand, pca AS cv FROM proj),
+scored AS (
+  SELECT qid, cand, {cos} AS score
+  FROM q CROSS JOIN c WHERE cand <> qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+"""
+    con = duckdb_con(sf_dir)
+    try:
+        problems = compare(entrymod.q_pca_topk(spark, sf_dir), con, sql, "pca_topk")
+    finally:
+        con.close()
+    assert not problems, "\n".join(problems)
+
+
+def test_pca_recall_floor_low_rank(spark):
+    """Recall gate for the trained tier at shipped dims (64→16) on a
+    rank-12 manifold fixture — the regime trained dim reduction exists
+    for (real embedding spectra decay; neighbors are signal-driven).
+    Measured: PCA 1.0 vs JL 0.41. On TIGHT-cluster fixtures both tiers
+    cap at ~0.8 regardless of training because within-cluster fine
+    ranking is noise-driven — that ceiling is a property of the data,
+    not of either projection, so the gate lives on the manifold fixture
+    where the training signal is identifiable."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import linalg, similarity
+
+    rng = np.random.default_rng(42)
+    basis = np.linalg.qr(rng.normal(size=(64, 12)))[0]
+    z = rng.normal(size=(500, 12))
+    x = z @ basis.T + 0.05 * rng.normal(size=(500, 64))
+    pts = [(i, [float(v) for v in x[i]]) for i in range(500)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>") \
+        .localCheckpoint(eager=True)
+    k = 10
+    exact = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, k, dim=64) \
+        .select("qid", "cand").localCheckpoint(eager=True)
+    nq = emb.filter(F.col("vec_id") % 50 == 0).count()
+    g = linalg.gram_matrix(emb, dim=64)
+    pca = linalg.pca_components([(r.i, r.j, r.g) for r in g.collect()],
+                                n_components=16)
+
+    def recall(comps):
+        proj = linalg.pca_project(emb, comps, out_col="p")
+        ann = similarity.cosine_topk(
+            proj.filter(F.col("vec_id") % 50 == 0), proj, k, vec_col="p", dim=16)
+        hits = ann.select("qid", "cand").join(exact, ["qid", "cand"], "left_semi").count()
+        return hits / (nq * k)
+
+    r_pca, r_jl = recall(pca), recall(linalg.rp_components(16))
+    assert r_pca >= 0.95, f"trained-PCA recall@10 regressed below floor: {r_pca}"
+    assert r_pca > r_jl + 0.2, \
+        f"training must clearly beat a random basis here: pca={r_pca} jl={r_jl}"
+
+
 def test_semdedup_survivors_have_no_lower_similar_neighbor(spark):
     """Within a cluster, every dropped vector has a kept lower-id
     eps-neighbor and every kept vector has none (star-removal contract)."""
