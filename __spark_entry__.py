@@ -1443,6 +1443,16 @@ def q_paragraph_dedup(spark, sf_dir):
                                  delim=". ")
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans at token-window granularity (Lee
+    et al. 2022 ExactSubstr, via content-defined chunk boundaries — the
+    distributed stand-in for their corpus-wide suffix array). Emits one
+    row per occurrence of a duplicated chunk with keep-first marking;
+    anchor_mod=8 ⇒ expected 8-token chunks, min_tokens=5 floor."""
+    return dedup.dup_token_spans(load_table(spark, sf_dir, "documents"),
+                                 anchor_mod=8, min_tokens=5)
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Structured Streaming session windows (native ``session_window``
     state) — the streaming twin of the batch ``session_windows`` driver
@@ -2220,6 +2230,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,                       # iterative graph rank
         "streaming_sessions": q_streaming_sessions,   # native session_window state
         "paragraph_dedup": q_paragraph_dedup,         # Lee-et-al span-granular dedup
+        "dup_spans": q_dup_spans,                     # ExactSubstr via content-defined chunks
         "boilerplate_removal": q_boilerplate_removal, # CCNet line-docfreq filter
         "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
         "mmr_topk": q_mmr_topk,                       # MMR diversified serving
@@ -4127,6 +4138,32 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
         # paragraph split via zipped unnest (range + parts align
         # positionally), keep-first via (doc_id, pos) window, ordered
         # reassembly — mirrors dedup.paragraph_dedup
+        # ExactSubstr duplicate spans: the same content-defined anchor
+        # rule (portable md5 nibble bucket, the DSIR hash family) and
+        # cumulative-sum segmentation, chunk digests compared globally
+        "dup_spans": f"""
+WITH dst AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dse AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+        FROM dst),
+dsf AS (SELECT doc_id, pos, tok,
+               CASE WHEN {sampling.token_bucket_sql('tok', 8)} = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM dse),
+dss AS (SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS seg FROM dsf),
+dsc AS (SELECT doc_id, seg, min(pos) AS start_pos, max(pos) AS end_pos,
+               count(*) AS n_tokens,
+               md5(array_to_string(list(tok ORDER BY pos), ' ')) AS digest
+        FROM dss GROUP BY doc_id, seg),
+dsd AS (SELECT *, count(*) OVER (PARTITION BY digest) AS n_copies,
+               row_number() OVER (PARTITION BY digest
+                                  ORDER BY doc_id, start_pos) AS rn
+        FROM dsc)
+SELECT doc_id, CAST(start_pos AS INT) AS start_pos,
+       CAST(end_pos AS INT) AS end_pos, CAST(n_tokens AS INT) AS n_tokens,
+       digest, CAST(n_copies AS BIGINT) AS n_copies, rn = 1 AS is_first
+FROM dsd WHERE n_copies > 1 AND n_tokens >= 5
+""",
+
         "paragraph_dedup": """
 WITH p AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
 e AS (

@@ -122,6 +122,7 @@ HEADLINE = [
     "event_transitions",
     "rp_topk",
     "pca_topk",
+    "dup_spans",
     "dedup_keep_best",
     "lang_confusion",
     "scd2_intervals",

@@ -575,3 +575,73 @@ def cross_dedup_links(corpus: DataFrame, holdout: DataFrame,
         .select("doc_id", "holdout_id", "n_match", "est_jaccard")
         .distinct()
     )
+
+
+def dup_token_spans(documents: DataFrame, anchor_mod: int = 8,
+                    min_tokens: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact-substring duplicate spans via content-defined chunking — the
+    token-window granularity of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", their ExactSubstr dedup), made
+    Spark-expressible.
+
+    The paper builds a corpus-wide suffix array — a global sorted
+    structure with no good distributed form. The scale-correct
+    equivalent is content-defined chunk boundaries (the rsync/CDC and
+    winnowing trick): a chunk starts at every token whose portable
+    bucket-hash ≡ 0 (mod ``anchor_mod``), so boundaries depend only on
+    CONTENT, never on position. Two copies of a duplicated run produce
+    identical interior chunks regardless of where the run sits in each
+    document — no alignment problem, no stride-phase miss. Expected
+    chunk length is ``anchor_mod`` tokens; runs shorter than one chunk
+    (or chunks below ``min_tokens``) fall below the detector's
+    granularity, which is the explicit recall/cost dial.
+
+    Output: one row per *occurrence* of a duplicated chunk —
+    (doc_id, start_pos, end_pos, n_tokens, digest, n_copies, is_first)
+    with ``is_first`` marking the globally-first occurrence by
+    (doc_id, start_pos) — keep-first span removal (the paper's policy)
+    is then a filter + per-doc reassembly exactly like
+    :func:`paragraph_dedup`.
+
+    Scale shape: one tokenize + posexplode pass (linear token fan-out,
+    the vocab/unigram cost class); one per-doc window cumsum to assign
+    segment ids (shuffle on doc_id); the chunk groupBy reuses that
+    partitioning; then one window over chunk digests (shuffle carrying
+    ~1 row per ``anchor_mod`` tokens — digests and offsets only, never
+    text). A boilerplate chunk duplicated a billion times lands on one
+    digest partition as pre-aggregated chunk rows, not raw tokens.
+    """
+    from .sampling import token_bucket_sql
+
+    t = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(TT.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    anchor = F.expr(token_bucket_sql("tok", anchor_mod)) == 0
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    chunks = (
+        t.withColumn("seg", F.sum(anchor.cast("int")).over(wdoc))
+        .groupBy("doc_id", "seg")
+        .agg(F.min("pos").alias("start_pos"),
+             F.max("pos").alias("end_pos"),
+             F.count(F.lit(1)).alias("n_tokens"),
+             F.md5(F.array_join(
+                 F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                             lambda s: s["tok"]), " ")).alias("digest"))
+    )
+    wdig = Window.partitionBy("digest")
+    worder = Window.partitionBy("digest").orderBy("doc_id", "start_pos")
+    return (
+        chunks
+        .withColumn("n_copies", F.count(F.lit(1)).over(wdig))
+        .withColumn("is_first", F.row_number().over(worder) == 1)
+        .filter((F.col("n_copies") > 1) & (F.col("n_tokens") >= min_tokens))
+        .select("doc_id",
+                F.col("start_pos").cast("int").alias("start_pos"),
+                F.col("end_pos").cast("int").alias("end_pos"),
+                F.col("n_tokens").cast("int").alias("n_tokens"),
+                "digest",
+                F.col("n_copies").cast("bigint").alias("n_copies"),
+                "is_first")
+    )

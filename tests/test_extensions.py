@@ -979,6 +979,38 @@ def test_paragraph_dedup_within_doc_repeats_collapse(spark):
     assert (row.n_paras, row.n_kept) == (4, 3)
 
 
+def test_dup_token_spans_position_independent(spark):
+    """The CDC property the operator exists for: the SAME duplicated run
+    planted at DIFFERENT token offsets in two documents yields matching
+    chunk digests (content-defined boundaries have no alignment/phase
+    problem), with keep-first marking on the lowest (doc_id, start_pos);
+    a doc sharing no run produces no rows."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    run = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(1, "unique1 opening words here " + run + " and a unique tail"),
+         # same run, different offset (shifted by a different-length prefix)
+         (2, run + " entirely different ending text two"),
+         (3, "no shared content in this document at all three")],
+        ["doc_id", "text"])
+    out = dedup.dup_token_spans(docs, anchor_mod=4, min_tokens=3).collect()
+    assert out, "planted duplicate run not detected"
+    assert {r.doc_id for r in out} == {1, 2}
+    by_digest = {}
+    for r in out:
+        by_digest.setdefault(r.digest, []).append(r)
+    for occ in by_digest.values():
+        assert len(occ) == 2 and {r.doc_id for r in occ} == {1, 2}
+        assert all(r.n_copies == 2 for r in occ)
+        firsts = [r for r in occ if r.is_first]
+        assert len(firsts) == 1 and firsts[0].doc_id == 1  # keep-first order
+    # spans are real token offsets into each doc (doc 2's run starts at 0)
+    d2 = sorted((r for r in out if r.doc_id == 2), key=lambda r: r.start_pos)
+    assert d2[0].start_pos < 5
+
+
 # ---------------------------------------------------------------------------
 # Line-frequency boilerplate removal + char-bigram LM (operators/textops.py)
 # ---------------------------------------------------------------------------
