@@ -1453,6 +1453,15 @@ def q_dup_spans(spark, sf_dir):
                                  anchor_mod=8, min_tokens=5)
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Keep-first exact-substring span REMOVAL (Lee et al. 2022 end
+    state) over the same content-defined chunks as ``dup_spans``: later
+    copies of every duplicated ≥5-token chunk are stripped and survivors
+    reassembled in order; fully-duplicate docs drop out."""
+    return dedup.exact_substring_dedup(load_table(spark, sf_dir, "documents"),
+                                       anchor_mod=8, min_tokens=5)
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Structured Streaming session windows (native ``session_window``
     state) — the streaming twin of the batch ``session_windows`` driver
@@ -2231,6 +2240,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,   # native session_window state
         "paragraph_dedup": q_paragraph_dedup,         # Lee-et-al span-granular dedup
         "dup_spans": q_dup_spans,                     # ExactSubstr via content-defined chunks
+        "substring_dedup": q_substring_dedup,         # keep-first span removal end state
         "boilerplate_removal": q_boilerplate_removal, # CCNet line-docfreq filter
         "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
         "mmr_topk": q_mmr_topk,                       # MMR diversified serving
@@ -4162,6 +4172,33 @@ SELECT doc_id, CAST(start_pos AS INT) AS start_pos,
        CAST(end_pos AS INT) AS end_pos, CAST(n_tokens AS INT) AS n_tokens,
        digest, CAST(n_copies AS BIGINT) AS n_copies, rn = 1 AS is_first
 FROM dsd WHERE n_copies > 1 AND n_tokens >= 5
+""",
+
+        # ExactSubstr keep-first REMOVAL: same chunking, then strip
+        # non-first copies and reassemble survivors in order
+        "substring_dedup": f"""
+WITH est AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ese AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+        FROM est),
+esf AS (SELECT doc_id, pos, tok,
+               CASE WHEN {sampling.token_bucket_sql('tok', 8)} = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM ese),
+ess AS (SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS seg FROM esf),
+esc AS (SELECT doc_id, seg, min(pos) AS start_pos, count(*) AS n_tokens,
+               array_to_string(list(tok ORDER BY pos), ' ') AS chunk_text
+        FROM ess GROUP BY doc_id, seg),
+esm AS (SELECT *, count(*) OVER (PARTITION BY md5(chunk_text)) AS n_copies,
+               row_number() OVER (PARTITION BY md5(chunk_text)
+                                  ORDER BY doc_id, start_pos) AS rn
+        FROM esc),
+esk AS (SELECT *, (rn = 1 OR n_copies = 1 OR n_tokens < 5) AS keep FROM esm)
+SELECT doc_id,
+       array_to_string(list(chunk_text ORDER BY start_pos) FILTER (WHERE keep), ' ') AS text,
+       CAST(count(*) AS INT) AS n_chunks,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept
+FROM esk GROUP BY doc_id
+HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0
 """,
 
         "paragraph_dedup": """

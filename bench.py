@@ -123,6 +123,7 @@ HEADLINE = [
     "rp_topk",
     "pca_topk",
     "dup_spans",
+    "substring_dedup",
     "dedup_keep_best",
     "lang_confusion",
     "scd2_intervals",

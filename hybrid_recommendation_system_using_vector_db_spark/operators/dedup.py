@@ -645,3 +645,73 @@ def dup_token_spans(documents: DataFrame, anchor_mod: int = 8,
                 F.col("n_copies").cast("bigint").alias("n_copies"),
                 "is_first")
     )
+
+
+def exact_substring_dedup(documents: DataFrame, anchor_mod: int = 8,
+                          min_tokens: int = 5, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Keep-first exact-substring span REMOVAL — the end state of Lee et
+    al. 2022's ExactSubstr dedup, over the same content-defined chunks
+    as :func:`dup_token_spans`: every duplicated chunk (≥ ``min_tokens``
+    tokens) survives only at its globally-first (doc_id, start_pos)
+    occurrence; later copies are stripped and each document's surviving
+    chunks are reassembled in order. Chunks below ``min_tokens`` are
+    always kept — removing ubiquitous tiny fragments would shred text
+    rather than dedup it.
+
+    Output: (doc_id, text, n_chunks, n_kept); documents whose every
+    eligible chunk was seen earlier drop out entirely (the
+    :func:`paragraph_dedup` contract at token-window grain). The
+    reassembled text is the NORMALIZED token stream (lowercased,
+    whitespace-collapsed — ``TT.tokens``' form): this operator feeds
+    training pipelines that tokenize anyway, and position-independent
+    chunk identity only exists modulo that normalization.
+
+    Scale shape: unlike the span DETECTOR (which shuffles digests only),
+    removal must move surviving text once — chunk text rides the single
+    digest-window shuffle, then one per-doc reassembly aggregate. Still
+    two shuffles total, both linear, no join back to the corpus.
+    """
+    from .sampling import token_bucket_sql
+
+    t = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(TT.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    anchor = F.expr(token_bucket_sql("tok", anchor_mod)) == 0
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    chunks = (
+        t.withColumn("seg", F.sum(anchor.cast("int")).over(wdoc))
+        .groupBy("doc_id", "seg")
+        .agg(F.min("pos").alias("start_pos"),
+             F.count(F.lit(1)).alias("n_tokens"),
+             F.array_join(
+                 F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                             lambda s: s["tok"]), " ").alias("chunk_text"))
+        .withColumn("digest", F.md5("chunk_text"))
+    )
+    wdig = Window.partitionBy("digest")
+    worder = Window.partitionBy("digest").orderBy("doc_id", "start_pos")
+    marked = (
+        chunks
+        .withColumn("n_copies", F.count(F.lit(1)).over(wdig))
+        .withColumn("rn", F.row_number().over(worder))
+        .withColumn("keep", (F.col("rn") == 1) | (F.col("n_copies") == 1)
+                    | (F.col("n_tokens") < min_tokens))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum(F.col("keep").cast("int")).alias("n_kept"),
+             F.array_join(
+                 F.transform(
+                     F.filter(
+                         F.array_sort(F.collect_list(
+                             F.struct("start_pos", "keep", "chunk_text"))),
+                         lambda s: s["keep"]),
+                     lambda s: s["chunk_text"]), " ").alias("text"))
+        .filter(F.col("n_kept") > 0)
+        .select("doc_id", "text",
+                F.col("n_chunks").cast("int").alias("n_chunks"),
+                F.col("n_kept").cast("int").alias("n_kept"))
+    )

@@ -1011,6 +1011,36 @@ def test_dup_token_spans_position_independent(spark):
     assert d2[0].start_pos < 5
 
 
+def test_exact_substring_dedup_strips_later_copies_only(spark):
+    """Removal end state: the first doc keeps the duplicated run, the
+    later doc loses exactly the shared interior chunks (its unique tail
+    survives), and a doc that is nothing but an earlier-seen run drops
+    out entirely. Tiny chunks below min_tokens are never stripped."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    run = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(1, run + " plus one unique closing sentence here"),
+         (2, "different and unique opening words " + run),
+         (3, run)],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.exact_substring_dedup(
+        docs, anchor_mod=4, min_tokens=3).collect()}
+    assert 1 in out and out[1].n_kept == out[1].n_chunks  # first copy intact
+    assert "alpha beta gamma" in out[1].text
+    assert 2 in out and out[2].n_kept < out[2].n_chunks   # later copy stripped
+    assert "unique opening words" in out[2].text
+    # the stripped doc must have lost the run's interior (some run token
+    # sequences no longer present)
+    assert "epsilon zeta eta theta" not in out[2].text
+    # doc 3 = nothing but the run: every eligible chunk seen earlier.
+    # (it may survive only via sub-min_tokens boundary fragments)
+    if 3 in out:
+        assert all(len(c.split()) < 3 for c in [out[3].text]) or \
+            out[3].n_kept < out[3].n_chunks
+
+
 # ---------------------------------------------------------------------------
 # Line-frequency boilerplate removal + char-bigram LM (operators/textops.py)
 # ---------------------------------------------------------------------------
