@@ -2175,8 +2175,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_chained": q_dedup_clusters_chained,
+        # r6 rotation: token_stats → extras (its map-only stats are
+        # embedded in quality_scores' blended score, still driver-checked)
+        # to put the ExactSubstr span detector under the driver gate
+        "dup_spans": q_dup_spans,
         # --- text analysis extensions ---
-        "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
         "doc_fingerprints": q_fingerprints,
@@ -2239,8 +2242,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,                       # iterative graph rank
         "streaming_sessions": q_streaming_sessions,   # native session_window state
         "paragraph_dedup": q_paragraph_dedup,         # Lee-et-al span-granular dedup
-        "dup_spans": q_dup_spans,                     # ExactSubstr via content-defined chunks
         "substring_dedup": q_substring_dedup,         # keep-first span removal end state
+        # rotated out of the driver 50 in r6 for dup_spans: map-only token
+        # stats whose mechanics stay driver-checked inside quality_scores
+        "token_stats": q_token_stats,
         "boilerplate_removal": q_boilerplate_removal, # CCNet line-docfreq filter
         "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
         "mmr_topk": q_mmr_topk,                       # MMR diversified serving
