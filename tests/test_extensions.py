@@ -1041,6 +1041,26 @@ def test_exact_substring_dedup_strips_later_copies_only(spark):
             out[3].n_kept < out[3].n_chunks
 
 
+def test_exact_substring_dedup_identity_on_unique_corpus(spark):
+    """A corpus with no shared chunks passes through untouched: output
+    text equals the normalized token stream of the input, every chunk
+    kept — the removal op must never mangle unique content."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} " + " ".join(f"w{i}x{j}" for j in range(37)))
+         for i in range(6)],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.exact_substring_dedup(
+        docs, anchor_mod=4, min_tokens=3).collect()}
+    want = {r.doc_id: " ".join(r.text.lower().split())
+            for r in docs.collect()}
+    assert set(out) == set(want)
+    for i, r in out.items():
+        assert r.text == want[i], (i, r.text)
+        assert r.n_kept == r.n_chunks
+
+
 # ---------------------------------------------------------------------------
 # Line-frequency boilerplate removal + char-bigram LM (operators/textops.py)
 # ---------------------------------------------------------------------------
