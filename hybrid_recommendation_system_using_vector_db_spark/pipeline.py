@@ -178,6 +178,27 @@ def write_pq_index(spark: SparkSession, embeddings: DataFrame, out_dir: str,
     return books
 
 
+def append_pq_index(spark: SparkSession, new_embeddings: DataFrame,
+                    out_dir: str) -> None:
+    """Incremental PQ maintenance: encode ONLY the new batch with the
+    STORED codebooks and append to the codes table — the
+    :func:`append_ivf_index` story for the compressed tier. Encoding is
+    a pure function of the codebooks, so an incrementally-grown codes
+    table is row-identical to a one-shot encode of the full corpus with
+    the same books (pinned by
+    ``test_pq_index_incremental_append_equals_bulk``); cost is O(batch),
+    map-only, zero shuffles. Codebooks are NOT retrained — when the new
+    data drifts off the trained distribution the quantization error
+    rises (the SQ clamp note in ``scalar_quantize`` is the same trade);
+    re-train + full rewrite is the drift response, not the append path.
+    """
+    from .operators.similarity import pq_encode
+
+    _, books = load_pq_index(spark, out_dir)
+    pq_encode(new_embeddings, books).write.mode("append") \
+        .parquet(f"{out_dir}/pq_codes")
+
+
 def load_pq_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, list]:
     """(codes table, codebooks) written by :func:`write_pq_index`."""
     codes = spark.read.parquet(f"{out_dir}/pq_codes")

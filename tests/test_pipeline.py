@@ -387,6 +387,38 @@ def test_ivf_index_incremental_append_equals_bulk(spark, tmp_path):
     assert srt(served) == srt(direct)
 
 
+def test_pq_index_incremental_append_equals_bulk(spark, tmp_path):
+    """write_pq_index(A) + append_pq_index(B) == one-shot encode of
+    A ∪ B under the SAME (stored) codebooks — row-identical codes and
+    hash-identical ADC serving (encoding is a pure function of the
+    books, so incremental growth cannot drift)."""
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = str(tmp_path / "pq")
+    books = pipeline.write_pq_index(spark, a, out, m=8, n_centroids=8,
+                                    n_iters=1)
+    pipeline.append_pq_index(spark, b, out)
+    codes, books2 = pipeline.load_pq_index(spark, out)
+    assert books2 == [[(int(c), [float(x) for x in v]) for c, v in bk]
+                      for bk in books]
+    bulk = sim.pq_encode(emb, books)
+    got = sorted((r.vec_id, list(r.pq_codes)) for r in codes.collect())
+    want = sorted((r.vec_id, list(r.pq_codes)) for r in bulk.collect())
+    assert got == want
+    # ADC serving parity through the appended codes table
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    served = sim.pq_topk_from_codes(qs, codes, books, 5).collect()
+    direct = sim.pq_topk_from_codes(qs, bulk, books, 5).collect()
+    srt = lambda rows: sorted((r.qid, r.rank, r.cand, r.score) for r in rows)
+    assert srt(served) == srt(direct)
+
+
 def test_maxsim_index_roundtrip_serves_identically(spark, sf_dir, tmp_path):
     """write → load → serve must equal the in-plan component build
     row-for-row, and the artifact must be pos-partitioned so a bucket
