@@ -285,6 +285,49 @@ def write_bm25_index(spark: SparkSession, documents: DataFrame,
     stats.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/bm25_stats")
 
 
+def append_bm25_index(spark: SparkSession, new_documents: DataFrame,
+                      out_dir: str, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      n_term_partitions: int = 8) -> None:
+    """Incremental BM25 maintenance: tokenize ONLY the new batch, append
+    its postings, and MERGE the sidecar tables exactly.
+
+    Unlike IVF/PQ appends (pure per-row functions of a stored artifact),
+    BM25's df and (n_docs, avgdl) are corpus-global — but over disjoint
+    doc sets they merge exactly: per-term df adds; the stored avgdl·n is
+    the integer token total (recovered via round(), exact for any real
+    corpus magnitude), so the merged avgdl is the same sum/count double
+    division the bulk build performs — serving through an appended index
+    is bit-identical to a one-shot build over the union (pinned by
+    ``test_bm25_index_incremental_append_equals_bulk``). Cost: one
+    O(batch) tokenize pass + a |vocabulary|-row sidecar rewrite; the
+    corpus-sized postings are append-only, never rewritten.
+    """
+    from pyspark.sql import functions as SF
+
+    from .operators.retrieval import bm25_build_index
+
+    postings_b, df_b, stats_b = bm25_build_index(new_documents, id_col,
+                                                 text_col)
+    (postings_b.repartition(n_term_partitions, "term")
+     .sortWithinPartitions("term")
+     .write.mode("append").parquet(f"{out_dir}/bm25_postings"))
+    # sidecars are read-merge-rewritten: materialize the merge first
+    # (localCheckpoint) so overwriting the directory being read is safe
+    old_df = spark.read.parquet(f"{out_dir}/bm25_df")
+    merged_df = (old_df.unionByName(df_b)
+                 .groupBy("term").agg(SF.sum("df").alias("df"))
+                 .localCheckpoint(eager=True))
+    merged_df.write.mode("overwrite").parquet(f"{out_dir}/bm25_df")
+    so = spark.read.parquet(f"{out_dir}/bm25_stats").collect()[0]
+    sn = stats_b.collect()[0]
+    n = so.n_docs + sn.n_docs
+    sumdl = round(so.avgdl * so.n_docs) + round(sn.avgdl * sn.n_docs)
+    spark.createDataFrame([(float(n), float(sumdl) / n)],
+                          "n_docs double, avgdl double") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/bm25_stats")
+
+
 def load_bm25_index(spark: SparkSession, out_dir: str
                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(postings, df, stats) written by :func:`write_bm25_index` — pass

@@ -387,6 +387,43 @@ def test_ivf_index_incremental_append_equals_bulk(spark, tmp_path):
     assert srt(served) == srt(direct)
 
 
+def test_bm25_index_incremental_append_equals_bulk(spark, tmp_path):
+    """write_bm25_index(A) + append_bm25_index(B) == one-shot index over
+    A ∪ B: postings row-identical, per-term df identical, (n_docs,
+    avgdl) bit-identical (the integer token total is recovered exactly
+    from avgdl·n), and serving through the appended index matches the
+    bulk index row-for-row."""
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.functions import texttools as TT
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    out = str(tmp_path / "bm25")
+    pipeline.write_bm25_index(spark, a, out)
+    pipeline.append_bm25_index(spark, b, out)
+    postings, df_, stats = pipeline.load_bm25_index(spark, out)
+    bulk_p, bulk_df, bulk_s = retrieval.bm25_build_index(docs)
+    key = lambda r: (r[0], r[1])  # noqa: E731
+    assert sorted(map(tuple, postings.collect()), key=key) == \
+        sorted(map(tuple, bulk_p.collect()), key=key)
+    assert sorted(map(tuple, df_.collect())) == \
+        sorted(map(tuple, bulk_df.collect()))
+    assert stats.collect() == bulk_s.collect()   # bit-identical merge
+    qs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.slice(TT.tokens(F.col("text")), 1, 8).alias("qterms"))
+    served = retrieval.bm25_topk(qs, docs, 10, exclude_self=True,
+                                 index=(postings, df_, stats))
+    bulk = retrieval.bm25_topk(qs, docs, 10, exclude_self=True,
+                               index=(bulk_p, bulk_df, bulk_s))
+    k2 = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    assert sorted(served.collect(), key=k2) == sorted(bulk.collect(), key=k2)
+
+
 def test_pq_index_incremental_append_equals_bulk(spark, tmp_path):
     """write_pq_index(A) + append_pq_index(B) == one-shot encode of
     A ∪ B under the SAME (stored) codebooks — row-identical codes and
