@@ -87,3 +87,36 @@ def test_funnel_counts_monotone_nonincreasing(spark, sf_dir):
         assert rows[0].conv_rate == 1.0
         for a, b in zip(rows, rows[1:]):
             assert b.users <= a.users
+
+
+@given(st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=1,
+                         max_size=60), min_size=2, max_size=8),
+       st.integers(min_value=2, max_value=6))
+@settings(max_examples=12, deadline=None)
+def test_dup_spans_and_removal_invariants(spark, token_lists, anchor_mod):
+    """Random token corpora: every reported span has n_copies >= 2 with
+    exactly one is_first per digest and n_copies equal to the digest's
+    occurrence count; removal keeps first copies (token count conserved:
+    removed tokens = tokens of stripped non-first duplicated chunks)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        ["doc_id", "text"])
+    spans = dedup.dup_token_spans(docs, anchor_mod=anchor_mod,
+                                  min_tokens=1).collect()
+    by_digest = {}
+    for r in spans:
+        by_digest.setdefault(r.digest, []).append(r)
+    for occ in by_digest.values():
+        assert len(occ) >= 2
+        assert all(r.n_copies == len(occ) for r in occ)
+        assert sum(1 for r in occ if r.is_first) == 1
+        assert len({r.n_tokens for r in occ}) == 1  # same chunk everywhere
+    kept = dedup.exact_substring_dedup(docs, anchor_mod=anchor_mod,
+                                       min_tokens=1).collect()
+    n_in = sum(len(t) for t in token_lists)
+    n_out = sum(len(r.text.split()) for r in kept)
+    n_stripped = sum(r.n_tokens for occ in by_digest.values()
+                     for r in occ if not r.is_first)
+    assert n_in == n_out + n_stripped
