@@ -607,10 +607,14 @@ def dup_token_spans(documents: DataFrame, anchor_mod: int = 8,
     Scale shape: one tokenize + posexplode pass (linear token fan-out,
     the vocab/unigram cost class); one per-doc window cumsum to assign
     segment ids (shuffle on doc_id); the chunk groupBy reuses that
-    partitioning; then one window over chunk digests (shuffle carrying
-    ~1 row per ``anchor_mod`` tokens — digests and offsets only, never
-    text). A boilerplate chunk duplicated a billion times lands on one
-    digest partition as pre-aggregated chunk rows, not raw tokens.
+    partitioning; then the per-digest copy count and first occurrence
+    come from a PARTIAL-AGG aggregate (count + min-struct, the
+    ``paragraph_dedup`` keep-first pattern) joined back — NOT a window
+    over digest: a window funnels every occurrence of a
+    billion-times-duplicated boilerplate chunk into one un-splittable
+    sort partition, while the aggregate map-side combines to one row
+    per (mapper, digest) and the join probe streams + AQE can split a
+    skewed digest. Shuffles carry digests and offsets only, never text.
     """
     from .sampling import token_bucket_sql
 
@@ -630,20 +634,21 @@ def dup_token_spans(documents: DataFrame, anchor_mod: int = 8,
                  F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))),
                              lambda s: s["tok"]), " ")).alias("digest"))
     )
-    wdig = Window.partitionBy("digest")
-    worder = Window.partitionBy("digest").orderBy("doc_id", "start_pos")
+    per_digest = chunks.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.struct("doc_id", "start_pos")).alias("f"))
     return (
-        chunks
-        .withColumn("n_copies", F.count(F.lit(1)).over(wdig))
-        .withColumn("is_first", F.row_number().over(worder) == 1)
-        .filter((F.col("n_copies") > 1) & (F.col("n_tokens") >= min_tokens))
+        chunks.join(per_digest.filter(F.col("n_copies") > 1), "digest")
+        .filter(F.col("n_tokens") >= min_tokens)
         .select("doc_id",
                 F.col("start_pos").cast("int").alias("start_pos"),
                 F.col("end_pos").cast("int").alias("end_pos"),
                 F.col("n_tokens").cast("int").alias("n_tokens"),
                 "digest",
                 F.col("n_copies").cast("bigint").alias("n_copies"),
-                "is_first")
+                ((F.col("doc_id") == F.col("f.doc_id"))
+                 & (F.col("start_pos") == F.col("f.start_pos")))
+                .alias("is_first"))
     )
 
 
@@ -667,10 +672,14 @@ def exact_substring_dedup(documents: DataFrame, anchor_mod: int = 8,
     training pipelines that tokenize anyway, and position-independent
     chunk identity only exists modulo that normalization.
 
-    Scale shape: unlike the span DETECTOR (which shuffles digests only),
-    removal must move surviving text once — chunk text rides the single
-    digest-window shuffle, then one per-doc reassembly aggregate. Still
-    two shuffles total, both linear, no join back to the corpus.
+    Scale shape: unlike the span DETECTOR (which shuffles digests and
+    offsets only), removal must move surviving text once — but the
+    keep-first decision still comes from the partial-agg count +
+    min-struct aggregate (digest-only rows) joined back, never a window
+    over digest (the mega-duplicated-boilerplate skew argument in
+    :func:`dup_token_spans`): the chunk-text side of that join streams,
+    and AQE can split a skewed digest. Then one per-doc reassembly
+    aggregate. No join back to the corpus.
     """
     from .sampling import token_bucket_sql
 
@@ -690,13 +699,15 @@ def exact_substring_dedup(documents: DataFrame, anchor_mod: int = 8,
                              lambda s: s["tok"]), " ").alias("chunk_text"))
         .withColumn("digest", F.md5("chunk_text"))
     )
-    wdig = Window.partitionBy("digest")
-    worder = Window.partitionBy("digest").orderBy("doc_id", "start_pos")
+    per_digest = chunks.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.struct("doc_id", "start_pos")).alias("f"))
     marked = (
-        chunks
-        .withColumn("n_copies", F.count(F.lit(1)).over(wdig))
-        .withColumn("rn", F.row_number().over(worder))
-        .withColumn("keep", (F.col("rn") == 1) | (F.col("n_copies") == 1)
+        chunks.join(per_digest, "digest")
+        .withColumn("keep",
+                    ((F.col("doc_id") == F.col("f.doc_id"))
+                     & (F.col("start_pos") == F.col("f.start_pos")))
+                    | (F.col("n_copies") == 1)
                     | (F.col("n_tokens") < min_tokens))
     )
     return (
