@@ -364,6 +364,30 @@ def write_maxsim_index(spark: SparkSession, documents: DataFrame,
      .parquet(f"{out_dir}/maxsim_components"))
 
 
+def append_maxsim_index(spark: SparkSession, new_documents: DataFrame,
+                        out_dir: str, chunk_tokens: int = 64,
+                        overlap: int = 16) -> None:
+    """Incremental MaxSim maintenance: chunk + embed + summarize ONLY the
+    new batch and dynamic-partition-append under the same ``pos=``
+    layout. The per-(doc, pos) extrema depend only on a document's OWN
+    chunks (and the hashing embedder is stateless), so over disjoint doc
+    sets incremental == bulk row-identically (pinned by
+    ``test_maxsim_index_incremental_append_equals_bulk``). Cost is
+    O(batch); chunk/embed params must match the original build — the
+    same contract as the IVF codebook."""
+    from .embeddings import hashing_embedder
+    from .operators.retrieval import maxsim_component_index
+    from .operators.textops import chunk_documents
+
+    chunks = chunk_documents(new_documents, chunk_tokens=chunk_tokens,
+                             overlap=overlap)
+    cv = hashing_embedder(chunks, id_col=["doc_id", "chunk_id"],
+                          text_col="chunk_text")
+    (maxsim_component_index(cv)
+     .write.mode("append").partitionBy("pos")
+     .parquet(f"{out_dir}/maxsim_components"))
+
+
 def load_maxsim_index(spark: SparkSession, out_dir: str) -> DataFrame:
     """The component summary written by :func:`write_maxsim_index` —
     pass as ``maxsim_topk(..., components=...)``."""

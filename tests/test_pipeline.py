@@ -456,6 +456,36 @@ def test_pq_index_incremental_append_equals_bulk(spark, tmp_path):
     assert srt(served) == srt(direct)
 
 
+def test_maxsim_index_incremental_append_equals_bulk(spark, tmp_path):
+    """write_maxsim_index(A) + append_maxsim_index(B) == one-shot build
+    over A ∪ B: per-(doc, pos) extrema depend only on each doc's own
+    chunks, so disjoint-batch appends are row-identical to bulk."""
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.embeddings import hashing_embedder
+    from hybrid_recommendation_system_using_vector_db_spark.operators.retrieval import (
+        maxsim_component_index)
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import (
+        chunk_documents)
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    out = str(tmp_path / "maxsim")
+    pipeline.write_maxsim_index(spark, a, out, chunk_tokens=16, overlap=4)
+    pipeline.append_maxsim_index(spark, b, out, chunk_tokens=16, overlap=4)
+    got = pipeline.load_maxsim_index(spark, out)
+    bulk = maxsim_component_index(hashing_embedder(
+        chunk_documents(docs, chunk_tokens=16, overlap=4),
+        id_col=["doc_id", "chunk_id"], text_col="chunk_text"))
+    cols = sorted(set(got.columns))
+    canon = lambda df: sorted(
+        tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+        for r in df.select(*cols).collect())
+    assert canon(got) == canon(bulk)
+
+
 def test_maxsim_index_roundtrip_serves_identically(spark, sf_dir, tmp_path):
     """write → load → serve must equal the in-plan component build
     row-for-row, and the artifact must be pos-partitioned so a bucket
