@@ -241,6 +241,22 @@ def write_ivfpq_index(spark: SparkSession, embeddings: DataFrame,
     return cents, books
 
 
+def append_ivfpq_index(spark: SparkSession, new_embeddings: DataFrame,
+                       out_dir: str) -> None:
+    """Incremental IVF-PQ maintenance: encode ONLY the new batch with the
+    STORED coarse centroids + residual codebooks and dynamic-partition-
+    append — files land only under the ``centroid_id=`` directories the
+    batch touches. Encoding is a pure per-row function of both stored
+    artifacts, so incremental == bulk row-identically (pinned by
+    ``test_ivfpq_index_incremental_append_equals_bulk``); the
+    ``append_ivf_index``/``append_pq_index`` contract combined."""
+    from .operators.similarity import ivfpq_encode
+
+    _, cents, books = load_ivfpq_index(spark, out_dir)
+    ivfpq_encode(new_embeddings, cents, books).write.mode("append") \
+        .partitionBy("centroid_id").parquet(f"{out_dir}/ivfpq_codes")
+
+
 def load_ivfpq_index(spark: SparkSession,
                      out_dir: str) -> tuple[DataFrame, list, list]:
     """(codes table, coarse centroids, residual codebooks) written by

@@ -456,6 +456,31 @@ def test_pq_index_incremental_append_equals_bulk(spark, tmp_path):
     assert srt(served) == srt(direct)
 
 
+def test_ivfpq_index_incremental_append_equals_bulk(spark, tmp_path):
+    """write_ivfpq_index(A) + append_ivfpq_index(B) == one-shot encode of
+    A ∪ B under the SAME stored coarse centroids + residual books."""
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = str(tmp_path / "ivfpq")
+    cents, books = pipeline.write_ivfpq_index(spark, a, out, n_centroids=4,
+                                              m=8, pq_centroids=8, n_iters=1)
+    pipeline.append_ivfpq_index(spark, b, out)
+    codes, cents2, books2 = pipeline.load_ivfpq_index(spark, out)
+    assert cents2 == [(int(i), [float(x) for x in v]) for i, v in cents]
+    bulk = sim.ivfpq_encode(emb, cents, books)
+    cols = sorted(set(bulk.columns))
+    canon = lambda df: sorted(
+        tuple(list(x) if isinstance(x, list) else x for x in r)
+        for r in df.select(*cols).collect())
+    assert canon(codes) == canon(bulk)
+
+
 def test_maxsim_index_incremental_append_equals_bulk(spark, tmp_path):
     """write_maxsim_index(A) + append_maxsim_index(B) == one-shot build
     over A ∪ B: per-(doc, pos) extrema depend only on each doc's own
