@@ -42,6 +42,40 @@ def _recommend(spark: SparkSession, index_dir: str, query: str, k: int) -> DataF
     return hybrid.hybrid_recommend(queries, corpus, e, names, k=k)
 
 
+def _index_cmd(spark: SparkSession, family: str, action: str,
+               sf_dir: str, out: str, where: str | None = None) -> dict:
+    """Index-lifecycle dispatch (the ``index`` subcommand body, kept
+    session-injectable for tests): ``write`` trains + persists, ``append``
+    encodes only the selected batch with the stored artifacts — the
+    O(batch) maintenance path that replaces the reference's
+    destroy-and-recreate (A4). Returns row counts of the written dirs."""
+    from . import pipeline
+    from .datamodel import load_table
+
+    src_table = "documents" if family in {"bm25", "maxsim"} else "embeddings"
+    src = load_table(spark, sf_dir, src_table)
+    if where:
+        src = src.filter(where)
+    fns = {
+        ("ivf", "write"): lambda: pipeline.write_ivf_index(spark, src, out),
+        ("ivf", "append"): lambda: pipeline.append_ivf_index(spark, src, out),
+        ("pq", "write"): lambda: pipeline.write_pq_index(spark, src, out),
+        ("pq", "append"): lambda: pipeline.append_pq_index(spark, src, out),
+        ("ivfpq", "write"): lambda: pipeline.write_ivfpq_index(spark, src, out),
+        ("ivfpq", "append"): lambda: pipeline.append_ivfpq_index(spark, src, out),
+        ("bm25", "write"): lambda: pipeline.write_bm25_index(spark, src, out),
+        ("bm25", "append"): lambda: pipeline.append_bm25_index(spark, src, out),
+        ("maxsim", "write"): lambda: pipeline.write_maxsim_index(spark, src, out),
+        ("maxsim", "append"): lambda: pipeline.append_maxsim_index(spark, src, out),
+    }
+    fns[(family, action)]()
+    dirs = {"ivf": ["ivf_lists"], "pq": ["pq_codes"],
+            "ivfpq": ["ivfpq_codes"],
+            "bm25": ["bm25_postings", "bm25_df"],
+            "maxsim": ["maxsim_components"]}[family]
+    return {d: spark.read.parquet(f"{out}/{d}").count() for d in dirs}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hybrid_recommendation_system_using_vector_db_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -73,6 +107,19 @@ def main(argv: list[str] | None = None) -> int:
         "explain", help="print the formatted physical plan of a query")
     x.add_argument("name", help="a queries()/extra_queries() entry name")
     x.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    ix = sub.add_parser(
+        "index", help="index lifecycle: train+write, or O(batch) append "
+                      "with the stored artifacts (no retrain, no rewrite)")
+    ix.add_argument("--family", required=True,
+                    choices=["ivf", "pq", "ivfpq", "bm25", "maxsim"])
+    ix.add_argument("--action", default="write",
+                    choices=["write", "append"])
+    ix.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ix.add_argument("--out", required=True, help="index directory")
+    ix.add_argument("--where", default=None,
+                    help="SQL predicate selecting the source batch "
+                         "(e.g. \"vec_id % 2 = 1\" for an append)")
     e.add_argument("--out", default=None,
                    help="write precision_k.csv (+ PNGs when matplotlib is "
                         "available) here, mirroring the reference's plot "
@@ -112,6 +159,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"# scans={plan.count('Scan parquet')} "
                   f"exchanges={plan.count('Exchange')} "
                   f"aggregates={plan.count('HashAggregate')}")
+        elif args.cmd == "index":
+            counts = _index_cmd(spark, args.family, args.action,
+                                args.sf_dir, args.out, args.where)
+            print({k: v for k, v in sorted(counts.items())})
         elif args.cmd == "profile":
             from .datamodel import load_table  # noqa: PLC0415
             from .operators import profiling  # noqa: PLC0415

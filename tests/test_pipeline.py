@@ -456,6 +456,22 @@ def test_pq_index_incremental_append_equals_bulk(spark, tmp_path):
     assert srt(served) == srt(direct)
 
 
+def test_cli_index_write_then_append(spark, tmp_path):
+    """The `index` CLI verbs drive the same lifecycle: write on a batch,
+    append the rest, and the resulting row counts equal the full corpus
+    (one count per persisted dir)."""
+    from hybrid_recommendation_system_using_vector_db_spark.cli import _index_cmd
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "ix")
+    n = load_table(spark, sf, "embeddings").count()
+    _index_cmd(spark, "pq", "write", sf, out, where="vec_id % 2 = 0")
+    counts = _index_cmd(spark, "pq", "append", sf, out,
+                        where="vec_id % 2 = 1")
+    assert counts == {"pq_codes": n}
+
+
 def test_ivfpq_index_incremental_append_equals_bulk(spark, tmp_path):
     """write_ivfpq_index(A) + append_ivfpq_index(B) == one-shot encode of
     A ∪ B under the SAME stored coarse centroids + residual books."""
