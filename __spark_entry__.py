@@ -285,6 +285,18 @@ def q_content_topk(spark, sf_dir):
                                   dim=VEC_DIM)
 
 
+def q_diversity_eval(spark, sf_dir):
+    """Beyond-accuracy serving metrics over the content top-k list:
+    intra-list diversity (mean pairwise 1−cosine, integer-scaled exact
+    summation) + catalog coverage — the Ziegler-et-al complement to the
+    Precision/NDCG grids (a popularity-collapsed recommender scores high
+    accuracy and terrible coverage; this row catches it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K, dim=VEC_DIM)
+    return evaluate.diversity_eval(topk, emb, dim=VEC_DIM)
+
+
 def q_content_topk_gemm(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -2243,6 +2255,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,   # native session_window state
         "paragraph_dedup": q_paragraph_dedup,         # Lee-et-al span-granular dedup
         "substring_dedup": q_substring_dedup,         # keep-first span removal end state
+        "diversity_eval": q_diversity_eval,           # ILD + catalog coverage metrics
         # rotated out of the driver 50 in r6 for dup_spans: map-only token
         # stats whose mechanics stay driver-checked inside quality_scores
         "token_stats": q_token_stats,
@@ -3080,6 +3093,34 @@ scored AS (
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+""",
+
+        # beyond-accuracy metrics: same exact-ranking CTE, then pairwise
+        # 1-cos at integer 1e6 scale (exact summation, the ranking_metrics
+        # trick) + distinct-item coverage over the catalog count
+        "diversity_eval": f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT qid, cand, {_cos('qv', 'cv')} AS score
+  FROM q CROSS JOIN c WHERE cand <> qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored),
+tk AS (SELECT qid, cand FROM r WHERE rnk <= {TOP_K}),
+pr AS (SELECT a.qid, a.cand AS cand1, b.cand AS cand2
+       FROM tk a JOIN tk b ON a.qid = b.qid AND a.cand < b.cand),
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pi AS (SELECT pr.qid,
+              1000000 - CAST(floor({_cos('ea.v', 'eb.v')} * 1000000 + 0.5) AS BIGINT) AS ild_i
+       FROM pr JOIN ev ea ON pr.cand1 = ea.vec_id
+               JOIN ev eb ON pr.cand2 = eb.vec_id),
+agg AS (SELECT count(*) AS n_pairs, sum(ild_i) AS ild_sum FROM pi),
+qa AS (SELECT count(DISTINCT qid) AS n_queries, count(DISTINCT cand) AS n_items FROM tk),
+cat AS (SELECT count(*) AS n FROM embeddings)
+SELECT CAST(n_queries AS BIGINT) AS n_queries, CAST(n_pairs AS BIGINT) AS n_pairs,
+       floor((ild_sum::DOUBLE / n_pairs / 1000000) * 1000000 + 0.5) / 1000000 AS mean_ild,
+       floor((n_items::DOUBLE / n) * 1000000 + 0.5) / 1000000 AS coverage
+FROM agg, qa, cat
 """,
 
         # bit-equal by construction to content_topk (the GEMM path applies

@@ -124,6 +124,7 @@ HEADLINE = [
     "pca_topk",
     "dup_spans",
     "substring_dedup",
+    "diversity_eval",
     "dedup_keep_best",
     "lang_confusion",
     "scd2_intervals",

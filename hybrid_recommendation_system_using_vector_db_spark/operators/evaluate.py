@@ -182,3 +182,59 @@ def ranking_metrics(ranked: dict[str, DataFrame], gt_edges: DataFrame,
     for m in per_model[1:]:
         out = out.unionByName(m)
     return out
+
+
+def diversity_eval(topk: DataFrame, corpus: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """Beyond-accuracy serving metrics: intra-list diversity + catalog
+    coverage of a served top-k table (Ziegler et al. 2005's ILD; the
+    standard complement to Precision/NDCG — a recommender that serves
+    the same popular items to everyone scores high accuracy and terrible
+    coverage).
+
+    - ``mean_ild``: mean over all within-list pairs of (1 − cosine) —
+      per-pair values are floored to integers at 1e6 scale and summed
+      exactly (the ``ranking_metrics`` trick), so the cross-engine mean
+      has no float-summation-order hazard.
+    - ``coverage``: distinct recommended items / catalog size.
+
+    Output: ONE row (n_queries, n_pairs, mean_ild, coverage).
+
+    Scale shape: the pair table is |Q|·k(k−1)/2 rows — linear in the
+    query batch, never corpus-sized; two joins keyed by item id pull the
+    vectors onto the pairs (corpus-vs-small, AQE picks the strategy);
+    the catalog size rides a broadcast single-row aggregate.
+    """
+    from ..functions import vector as V
+
+    emb_a = corpus.select(F.col(id_col).alias("cand1"),
+                          V.as_double(F.col(vec_col)).alias("__va"))
+    emb_b = corpus.select(F.col(id_col).alias("cand2"),
+                          V.as_double(F.col(vec_col)).alias("__vb"))
+    t = topk.select("qid", "cand")
+    pairs = (t.select("qid", F.col("cand").alias("cand1"))
+             .join(t.select("qid", F.col("cand").alias("cand2")), "qid")
+             .filter(F.col("cand1") < F.col("cand2"))
+             .join(emb_a, "cand1").join(emb_b, "cand2"))
+    scale = 1_000_000
+    ild_i = (F.lit(scale)
+             - F.floor(V.cosine(F.col("__va"), F.col("__vb"), dim)
+                       * scale + F.lit(0.5)).cast("bigint"))
+    per = pairs.select("qid", ild_i.alias("ild_i"))
+    catalog_n = corpus.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        per.agg(F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("ild_i").alias("ild_sum"))
+        .crossJoin(F.broadcast(
+            t.agg(F.countDistinct("qid").alias("n_queries"),
+                  F.countDistinct("cand").alias("n_items"))))
+        .crossJoin(F.broadcast(catalog_n))
+        .select(
+            F.col("n_queries").cast("bigint").alias("n_queries"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            fround(F.col("ild_sum").cast("double") / F.col("n_pairs")
+                   / F.lit(float(scale)), ROUND_SCORE).alias("mean_ild"),
+            fround(F.col("n_items").cast("double") / F.col("__n"),
+                   ROUND_SCORE).alias("coverage"))
+    )
