@@ -1722,6 +1722,36 @@ def q_pca_topk(spark, sf_dir):
     return similarity.cosine_topk(q, proj, TOP_K, vec_col="pca", dim=16)
 
 
+def _whitening(spark, sf_dir):
+    """Memoized whitening transform (gram + mean corpus passes + driver
+    eigh — the ``_pca_comps`` lifecycle)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "whiten")
+    if key not in _PCA_COMPS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        g = [(r.i, r.j, r.g)
+             for r in linalg.gram_matrix(emb, dim=VEC_DIM).collect()]
+        mu = linalg.mean_vector(emb, dim=VEC_DIM)
+        n = emb.count()
+        _PCA_COMPS[key] = linalg.whitening_components(g, n, mu)
+    return _PCA_COMPS[key]
+
+
+def q_whitened_topk(spark, sf_dir):
+    """Cosine top-k in the WHITENED space (BERT-whitening, Su et al.
+    2021): x → diag(1/√λ)U^T(x−μ), after which coordinates are
+    isotropic — the post-processing that makes anisotropic embedding
+    spaces cosine-retrievable. Train: gram + mean passes + driver eigh
+    (memoized); serve: map-only literal projection with folded-in
+    −μ·w offsets, then the unchanged cosine_topk plan. Rows-only at the
+    static-oracle layer (eigh isn't SQL) — pinned by the dynamic DuckDB
+    oracle in test_whitening_identity_covariance_and_dynamic_oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, offs = _whitening(spark, sf_dir)
+    proj = linalg.pca_project(emb, comps, offsets=offs, out_col="w")
+    q = proj.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.cosine_topk(q, proj, TOP_K, vec_col="w", dim=VEC_DIM)
+
+
 def q_mutual_knn(spark, sf_dir):
     """Reciprocal nearest-neighbor pairs over the embedding corpus
     (mutual top-10 by exact cosine via the GEMM scorer) — the
@@ -2300,6 +2330,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_topk": q_pca_topk,                       # trained-PCA ANN tier (rows-only:
                                                       # eigh isn't SQL; dynamic DuckDB
                                                       # oracle + recall floor in pytest)
+        "whitened_topk": q_whitened_topk,             # BERT-whitening serve tier (rows-
+                                                      # only; dynamic DuckDB oracle +
+                                                      # identity-covariance test)
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags

@@ -125,6 +125,7 @@ HEADLINE = [
     "dup_spans",
     "substring_dedup",
     "diversity_eval",
+    "whitened_topk",
     "dedup_keep_best",
     "lang_confusion",
     "scd2_intervals",

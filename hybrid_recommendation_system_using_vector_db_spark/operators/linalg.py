@@ -103,24 +103,87 @@ def pca_components(gram_rows: list, n_rows: int | None = None,
 
 def pca_project(corpus: DataFrame, components: list[list[float]],
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                out_col: str = "pca") -> DataFrame:
+                out_col: str = "pca",
+                offsets: list[float] | None = None) -> DataFrame:
     """Project vectors onto literal PCA components — map-only, zero
     shuffles. Each output coordinate is one HOF dot against a constant-
     folded component literal (the ``hyperplane_bits`` expression shape);
     at 100 TB this is a pure scan+write pass, and the projected column
-    is what the ANN index should be built on when dim reduction pays."""
+    is what the ANN index should be built on when dim reduction pays.
+
+    ``offsets``: optional per-coordinate constants subtracted AFTER the
+    dot — mean-centering folded into the projection, since
+    (x − μ)·w = x·w − μ·w and μ·w is a literal. This is how
+    :func:`whitening_components` applies without a second pass."""
     dots = []
-    for comp in components:
+    for k, comp in enumerate(components):
         arr = "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in comp) + ")"
-        dots.append(
-            f"aggregate(zip_with({arr}, transform({vec_col}, "
-            f"v -> CAST(v AS DOUBLE)), (x, y) -> x * y), "
-            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+        d = (f"aggregate(zip_with({arr}, transform({vec_col}, "
+             f"v -> CAST(v AS DOUBLE)), (x, y) -> x * y), "
+             f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+        if offsets is not None:
+            d = f"({d} - CAST('{offsets[k]!r}' AS DOUBLE))"
+        dots.append(d)
     # integer scale constants (not 1000000.0 — a decimal literal would
     # drag the whole expression into DECIMAL arithmetic)
     expr = "array(" + ", ".join(
         f"floor(({dt}) * 1000000 + 0.5) / 1000000" for dt in dots) + ")"
     return corpus.select(F.col(id_col), F.expr(expr).alias(out_col))
+
+
+def whitening_components(gram_rows: list, n_rows: int, mean: list,
+                         n_components: int | None = None,
+                         eps: float = 1e-9) -> tuple[list, list]:
+    """BERT-whitening transform (Su et al. 2021, arXiv:2103.15316):
+    W = U·diag(1/√λ) from the eigendecomposition of the sample
+    covariance, applied as x → W^T(x − μ). Whitened coordinates have
+    ~zero mean and identity covariance — the cheap post-processing that
+    makes anisotropic sentence-embedding spaces cosine-retrievable.
+
+    Input is the :func:`gram_matrix` collect + the mean vector + row
+    count (all bounded driver state); returns (components, offsets) to
+    feed :func:`pca_project` — components are the 1/√λ-scaled
+    eigenvector rows, offsets the folded-in μ·w constants, so the apply
+    pass stays map-only with literal constants. ``eps`` floors λ so a
+    degenerate direction can't blow up the scale."""
+    import numpy as np
+
+    d = max(j for _, j, _ in gram_rows) + 1
+    g = np.zeros((d, d))
+    for i, j, v in gram_rows:
+        g[i, j] = v
+        g[j, i] = v
+    mu = np.asarray(mean, dtype=float)
+    cov = g / float(n_rows) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components if n_components else d]
+    comps, offs = [], []
+    for k in order:
+        v = vecs[:, k]
+        pin = np.argmax(np.abs(v))
+        if v[pin] < 0:
+            v = -v
+        w = v / float(np.sqrt(max(vals[k], eps)))
+        w = [round(float(x), 6) for x in w]
+        comps.append(w)
+        offs.append(round(float(np.dot(mu, w)), 6))
+    return comps, offs
+
+
+def mean_vector(corpus: DataFrame, vec_col: str = "embedding",
+                dim: int | None = None) -> list[float]:
+    """Exact per-dimension mean as a driver list (dim doubles): one
+    partial-agg aggregate over ``posexplode`` — shuffle volume
+    O(partitions·dim), the :func:`gram_matrix` cost class."""
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    rows = (corpus.select(F.posexplode(V.as_double(F.col(vec_col)))
+                          .alias("i", "x"))
+            .groupBy("i").agg(F.sum("x").alias("s"),
+                              F.count(F.lit(1)).alias("n"))
+            .collect())
+    by_i = {r.i: r.s / r.n for r in rows}
+    return [float(by_i.get(i, 0.0)) for i in range(dim)]
 
 
 def rp_components(out_dim: int = 16) -> list[list[float]]:

@@ -1273,6 +1273,65 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
     assert not problems, "\n".join(problems)
 
 
+def test_whitening_identity_covariance_and_dynamic_oracle(spark, sf_dir):
+    """whitening_components → pca_project(offsets=…): whitened output has
+    ~zero mean and identity covariance on anisotropic data (the Su et
+    al. 2021 contract), and the whitened_topk serve entry matches a
+    dynamically-generated DuckDB oracle (literals injected, the pca_topk
+    treatment — eigh isn't SQL)."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from hybrid_recommendation_system_using_vector_db_spark import QUERY_MOD, TOP_K
+    from hybrid_recommendation_system_using_vector_db_spark.operators import linalg
+
+    from .oracle_util import compare, duckdb_con
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(8, 8))
+    x = rng.normal(size=(300, 8)) @ a + 2.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    g = [(r.i, r.j, r.g) for r in linalg.gram_matrix(df, dim=8).collect()]
+    mu = linalg.mean_vector(df, dim=8)
+    comps, offs = linalg.whitening_components(g, 300, mu)
+    y = np.array([r.w for r in linalg.pca_project(
+        df, comps, offsets=offs, out_col="w").collect()])
+    assert np.abs(y.mean(axis=0)).max() < 1e-5
+    cov = np.cov(y.T, bias=True)
+    assert np.allclose(cov.diagonal(), 1.0, atol=1e-3)
+    assert np.abs(cov - np.diag(cov.diagonal())).max() < 1e-3
+
+    # dynamic cross-engine oracle for the serve entry
+    comps2, offs2 = entrymod._whitening(spark, sf_dir)
+    projs = ", ".join(
+        "floor((list_inner_product(["
+        + ", ".join(repr(v) for v in comp)
+        + f"]::DOUBLE[], v) - {off!r}) * 1000000 + 0.5) / 1000000"
+        for comp, off in zip(comps2, offs2))
+    cos = entrymod._cos("qv", "cv")
+    sql = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (SELECT vec_id, [{projs}]::DOUBLE[] AS w FROM e),
+q AS (SELECT vec_id AS qid, w AS qv FROM proj WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand, w AS cv FROM proj),
+scored AS (
+  SELECT qid, cand, {cos} AS score
+  FROM q CROSS JOIN c WHERE cand <> qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
+SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+"""
+    con = duckdb_con(sf_dir)
+    try:
+        problems = compare(entrymod.q_whitened_topk(spark, sf_dir), con, sql,
+                           "whitened_topk")
+    finally:
+        con.close()
+    assert not problems, "\n".join(problems)
+
+
 def test_pca_recall_floor_low_rank(spark):
     """Recall gate for the trained tier at shipped dims (64→16) on a
     rank-12 manifold fixture — the regime trained dim reduction exists
