@@ -1752,6 +1752,20 @@ def q_whitened_topk(spark, sf_dir):
     return similarity.cosine_topk(q, proj, TOP_K, vec_col="w", dim=VEC_DIM)
 
 
+def q_negative_samples(spark, sf_dir):
+    """BPR-style training triplets (src, pos_dst, neg_dst) from the
+    co-purchase graph: a shared seeded-md5 candidate pool (64 items,
+    broadcast — the in-batch-negatives scale trick), per-src pair-hash
+    ranking, positives and self anti-joined away, 4 negatives per
+    positive. Deterministic end-to-end, full DuckDB oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase.copurchase_edges(li).filter(F.col("src") % 20 == 0)
+    items = load_table(spark, sf_dir, "part") \
+        .select(F.col("p_partkey").alias("item_id"))
+    return sampling.negative_samples(edges, items, n_neg=4, pool_size=64,
+                                     seed=SEED)
+
+
 def q_mutual_knn(spark, sf_dir):
     """Reciprocal nearest-neighbor pairs over the embedding corpus
     (mutual top-10 by exact cosine via the GEMM scorer) — the
@@ -2286,6 +2300,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,         # Lee-et-al span-granular dedup
         "substring_dedup": q_substring_dedup,         # keep-first span removal end state
         "diversity_eval": q_diversity_eval,           # ILD + catalog coverage metrics
+        "negative_samples": q_negative_samples,       # BPR triplet mining (seeded pool)
         # rotated out of the driver 50 in r6 for dup_spans: map-only token
         # stats whose mechanics stay driver-checked inside quality_scores
         "token_stats": q_token_stats,
@@ -3126,6 +3141,30 @@ scored AS (
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+""",
+
+        # BPR triplet mining: same edge CTE, shared seeded-md5 pool,
+        # pair-hash per-src ranking, anti-join, n_neg fan-out
+        "negative_samples": f"""
+WITH {_EDGES_CTE.strip()},
+fe AS (SELECT src, dst FROM edges WHERE src % 20 = 0),
+pool AS (SELECT p_partkey AS neg_dst FROM part
+         ORDER BY md5('{SEED}:' || CAST(p_partkey AS VARCHAR)) ASC, p_partkey ASC
+         LIMIT 64),
+srcs AS (SELECT DISTINCT src FROM fe),
+cand AS (SELECT s.src, p.neg_dst FROM srcs s CROSS JOIN pool p
+         WHERE s.src <> p.neg_dst),
+nneg AS (SELECT c.src, c.neg_dst FROM cand c
+         LEFT JOIN fe e ON c.src = e.src AND c.neg_dst = e.dst
+         WHERE e.src IS NULL),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY src
+         ORDER BY md5('{SEED}:' || CAST(src AS VARCHAR) || ':' || CAST(neg_dst AS VARCHAR)) ASC,
+                  neg_dst ASC) AS rn
+       FROM nneg),
+negs AS (SELECT src, neg_dst FROM rk WHERE rn <= 4)
+SELECT fe.src, fe.dst AS pos_dst, n.neg_dst
+FROM fe JOIN negs n ON fe.src = n.src
 """,
 
         # beyond-accuracy metrics: same exact-ranking CTE, then pairwise

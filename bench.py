@@ -126,6 +126,7 @@ HEADLINE = [
     "substring_dedup",
     "diversity_eval",
     "whitened_topk",
+    "negative_samples",
     "dedup_keep_best",
     "lang_confusion",
     "scd2_intervals",

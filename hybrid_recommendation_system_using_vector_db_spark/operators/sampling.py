@@ -213,3 +213,62 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
         F.col(id_col),
         fround(F.expr(w_expr), 6).alias("dsir_weight"),
     )
+
+
+def negative_samples(edges: DataFrame, items: DataFrame, n_neg: int = 4,
+                     pool_size: int = 64, seed: int = 42,
+                     src_col: str = "src", dst_col: str = "dst",
+                     item_col: str = "item_id") -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    (src, pos_dst, neg_dst) triplets — the batch that trains a BPR /
+    two-tower ranker from the co-purchase graph (Rendle et al. 2009's
+    sampling step, made seeded and engine-portable).
+
+    Semantics: a GLOBAL candidate pool of ``pool_size`` items (lowest
+    seeded-md5 ordering keys — the ``seeded_sample`` mechanic) is shared
+    by every source; each source takes its ``n_neg`` pool items with the
+    lowest PAIR hash md5(seed:src:item), excluding itself and everything
+    it has a positive edge to; each positive edge then fans out to those
+    negatives. The shared pool is the scale trick: personalized
+    candidate generation is |src|×|catalog|, while pool-based is
+    |src|×pool_size with the pool broadcast — in-batch-negatives
+    semantics, standard for two-tower training.
+
+    Determinism: pure function of (seed, edges, items) — no RNG state,
+    so the DuckDB oracle replicates it exactly. A popularity-weighted
+    pool is one `weighted_sample` swap away; uniform is the honest
+    default (popularity weighting is a tuning choice, not a semantics
+    change).
+
+    Scale shape: pool = global TakeOrdered over items (pool_size rows,
+    broadcast); src×pool candidate table is linear in |sources|; one
+    anti-join against the edge set (shuffle keyed by (src, item)); one
+    per-src ranking window; final fan-out join edges⋈negatives keyed by
+    src. Output volume = |edges|·n_neg.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import seeded_key
+
+    pool = (items.select(F.col(item_col).alias("neg_dst"))
+            .orderBy(seeded_key(F.col("neg_dst"), seed).asc(),
+                     F.col("neg_dst").asc())
+            .limit(pool_size))
+    srcs = edges.select(F.col(src_col).alias("src")).distinct()
+    cand = (srcs.join(F.broadcast(pool))
+            .filter(F.col("src") != F.col("neg_dst")))
+    pos = edges.select(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("neg_dst"))
+    pair_key = F.md5(F.concat(F.lit(f"{seed}:"),
+                              F.col("src").cast("string"), F.lit(":"),
+                              F.col("neg_dst").cast("string")))
+    w = Window.partitionBy("src").orderBy(pair_key.asc(),
+                                          F.col("neg_dst").asc())
+    negs = (cand.join(pos, ["src", "neg_dst"], "left_anti")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_neg)
+            .drop("__rn"))
+    return (edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("pos_dst"))
+            .join(negs, "src")
+            .select("src", "pos_dst", "neg_dst"))
