@@ -1752,6 +1752,25 @@ def q_whitened_topk(spark, sf_dir):
     return similarity.cosine_topk(q, proj, TOP_K, vec_col="w", dim=VEC_DIM)
 
 
+def q_als_recommend(spark, sf_dir):
+    """Implicit-feedback ALS (Hu-Koren-Volinsky) over the co-purchase
+    graph via Spark MLlib — the engine's factorization-CF tier, served
+    with the repo-wide pinned ranking. Rows-only at the oracle layer
+    (iterative least squares has no engine-portable closed form); the
+    block-structure ranking invariant pins quality in pytest."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import mf
+
+    key = (spark.sparkContext.applicationId, sf_dir, "als")
+    if key not in _ANN_INDEXES:
+        li = load_table(spark, sf_dir, "lineitem")
+        edges = copurchase.copurchase_edges(li)
+        # train-once artifact (the IVF-codebook lifecycle): the flat rec
+        # table is small (|served users|·k) — localCheckpoint, serve warm
+        _ANN_INDEXES[key] = mf.als_recommend(
+            edges, k=TOP_K, user_mod=20, seed=SEED).localCheckpoint(eager=True)
+    return _ANN_INDEXES[key]
+
+
 def q_negative_samples(spark, sf_dir):
     """BPR-style training triplets (src, pos_dst, neg_dst) from the
     co-purchase graph: a shared seeded-md5 candidate pool (64 items,
@@ -2301,6 +2320,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,         # keep-first span removal end state
         "diversity_eval": q_diversity_eval,           # ILD + catalog coverage metrics
         "negative_samples": q_negative_samples,       # BPR triplet mining (seeded pool)
+        "als_recommend": q_als_recommend,             # MLlib implicit-ALS CF tier (rows-
+                                                      # only: iterative least squares;
+                                                      # block-structure invariant in pytest)
         # rotated out of the driver 50 in r6 for dup_spans: map-only token
         # stats whose mechanics stay driver-checked inside quality_scores
         "token_stats": q_token_stats,

@@ -198,7 +198,7 @@ def main() -> None:
     # un-memoized single-shot builds (build cost is paid once per corpus
     # in production — min-of-iters would just measure the scan cache).
     from hybrid_recommendation_system_using_vector_db_spark.operators import (
-        copurchase, linalg, similarity,
+        copurchase, linalg, mf, similarity,
     )
 
     emb = load_table(spark, SF_DIR, "embeddings")
@@ -216,6 +216,12 @@ def main() -> None:
             [(r.i, r.j, r.g)
              for r in linalg.gram_matrix(emb, dim=64).collect()],
             n_components=16)),
+        # implicit-ALS factorization over the co-purchase graph (the
+        # als_recommend entry rides the session-memoized rec table)
+        "als_train": lambda: mf.als_recommend(
+            copurchase.copurchase_edges(
+                load_table(spark, SF_DIR, "lineitem")),
+            k=10, user_mod=20).count(),
     }
     build_timings: dict[str, float] = {}
     for name, fn in builds.items():
