@@ -3212,7 +3212,7 @@ agg AS (SELECT count(*) AS n_pairs, sum(ild_i) AS ild_sum FROM pi),
 qa AS (SELECT count(DISTINCT qid) AS n_queries, count(DISTINCT cand) AS n_items FROM tk),
 cat AS (SELECT count(*) AS n FROM embeddings)
 SELECT CAST(n_queries AS BIGINT) AS n_queries, CAST(n_pairs AS BIGINT) AS n_pairs,
-       floor((ild_sum::DOUBLE / n_pairs / 1000000) * 1000000 + 0.5) / 1000000 AS mean_ild,
+       CASE WHEN n_pairs > 0 THEN floor((ild_sum::DOUBLE / n_pairs / 1000000) * 1000000 + 0.5) / 1000000 ELSE NULL END AS mean_ild,
        floor((n_items::DOUBLE / n) * 1000000 + 0.5) / 1000000 AS coverage
 FROM agg, qa, cat
 """,

@@ -233,8 +233,12 @@ def diversity_eval(topk: DataFrame, corpus: DataFrame,
         .select(
             F.col("n_queries").cast("bigint").alias("n_queries"),
             F.col("n_pairs").cast("bigint").alias("n_pairs"),
-            fround(F.col("ild_sum").cast("double") / F.col("n_pairs")
-                   / F.lit(float(scale)), ROUND_SCORE).alias("mean_ild"),
+            # k=1 (or empty) top-k tables have zero within-list pairs;
+            # NULL is the well-defined mean there, not a div-by-zero
+            F.when(F.col("n_pairs") > 0,
+                   fround(F.col("ild_sum").cast("double") / F.col("n_pairs")
+                          / F.lit(float(scale)), ROUND_SCORE))
+            .otherwise(F.lit(None).cast("double")).alias("mean_ild"),
             fround(F.col("n_items").cast("double") / F.col("__n"),
                    ROUND_SCORE).alias("coverage"))
     )

@@ -25,7 +25,6 @@ file-skipping planner would read from parquet footers.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as SqlWindow
 from pyspark.sql import functions as F
 
 # magic-number bit-spread masks (insert one 0 between bits; valid for
@@ -93,17 +92,30 @@ def zorder_layout_stats(df: DataFrame, x_col: str, y_col: str,
     (part, x_min, x_max, y_min, y_max, cnt), one row per non-empty
     partition.
 
-    Partitions come from ``ntile`` over a pinned total order rather than
-    ``repartitionByRange``: the RangePartitioner derives its boundaries
-    by SAMPLING with a seed tied to session RDD ids, so the same call
-    could report slightly different boxes run-to-run (it flaked a strict
-    pruning comparison in CI once). ntile is exact equal-depth and fully
-    deterministic under the (key, x, y) tiebreak; the production writer
-    (``zorder_write``) keeps repartitionByRange, where approximate
-    boundaries are fine and a sort-free exchange matters."""
-    w = SqlWindow.orderBy(F.col(layout_key).asc(), F.col(x_col).asc(),
-                          F.col(y_col).asc())
-    return (df.withColumn("part", F.ntile(n_parts).over(w) - 1)
+    Partition boundaries come from ONE exact-``percentile`` aggregate
+    over the layout key, then rows are assigned map-side by a
+    searchsorted-style sum of comparisons — no global window (an
+    unpartitioned ``ntile``/``row_number`` funnels the whole table
+    through a single task: a single-node sort/OOM at scale) and no
+    ``repartitionByRange`` (the RangePartitioner SAMPLES with a seed
+    tied to session RDD ids, so the same call could report different
+    boxes run-to-run; it flaked a strict pruning comparison in CI once).
+    Exact percentile keeps per-group state proportional to the number
+    of DISTINCT key values — bounded by construction for Morton keys
+    (≤ 4^bits values); for arbitrary high-cardinality keys prefer the
+    production writer's sampled ranges. Key ties land in one partition
+    (exact equal-depth up to ties), which is what a real writer does
+    anyway. The boundary list (n_parts − 1 doubles) is the only
+    driver-side state."""
+    qs = [i / n_parts for i in range(1, n_parts)]
+    key_d = F.col(layout_key).cast("double")
+    bounds = (df.agg(F.percentile(
+        key_d, F.array(*[F.lit(q) for q in qs])).alias("b"))
+        .head()["b"]) or []
+    part = F.lit(0)
+    for b in bounds:
+        part = part + F.when(key_d > F.lit(float(b)), 1).otherwise(0)
+    return (df.withColumn("part", part.cast("int"))
             .groupBy("part")
             .agg(F.min(x_col).alias("x_min"), F.max(x_col).alias("x_max"),
                  F.min(y_col).alias("y_min"), F.max(y_col).alias("y_max"),

@@ -37,6 +37,19 @@ def _als(edges: DataFrame, rank: int, iters: int, reg: float, alpha: float,
          seed: int, src_col: str, dst_col: str, weight_col: str):
     from pyspark.ml.recommendation import ALS
 
+    # MLlib ALS requires int32 ids; a silent (non-ANSI) long→int cast
+    # WRAPS for ids ≥ 2^31 and collides users/items into corrupted
+    # factors with no error. Fail loudly instead — callers with wide ids
+    # must remap through a dense index first. One bounded action
+    # (single-row max) before a many-job training loop.
+    mx = edges.agg(F.max(F.greatest(
+        F.abs(F.col(src_col).cast("long")),
+        F.abs(F.col(dst_col).cast("long")))).alias("m")).head()["m"]
+    if mx is not None and mx > 2**31 - 1:
+        raise ValueError(
+            f"ALS ids must fit int32 (MLlib requirement); max |id| = {mx} "
+            f">= 2^31. Remap ids through a dense integer index before "
+            f"training.")
     ratings = edges.select(
         F.col(src_col).cast("int").alias("user"),
         F.col(dst_col).cast("int").alias("item"),

@@ -218,7 +218,8 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
 def negative_samples(edges: DataFrame, items: DataFrame, n_neg: int = 4,
                      pool_size: int = 64, seed: int = 42,
                      src_col: str = "src", dst_col: str = "dst",
-                     item_col: str = "item_id") -> DataFrame:
+                     item_col: str = "item_id",
+                     require_full: bool = False) -> DataFrame:
     """Deterministic negative sampling for implicit-feedback training:
     (src, pos_dst, neg_dst) triplets — the batch that trains a BPR /
     two-tower ranker from the co-purchase graph (Rendle et al. 2009's
@@ -245,6 +246,17 @@ def negative_samples(edges: DataFrame, items: DataFrame, n_neg: int = 4,
     anti-join against the edge set (shuffle keyed by (src, item)); one
     per-src ranking window; final fan-out join edges⋈negatives keyed by
     src. Output volume = |edges|·n_neg.
+
+    STARVATION CAVEAT (explicit, by design): a source whose positive
+    edges cover most/all of the shared pool gets fewer than ``n_neg``
+    negatives — possibly zero, in which case the final inner join DROPS
+    that source's positive edges from the training output (an edge with
+    no negative cannot form a BPR triplet). With the default
+    pool_size=64 ≫ typical out-degree this is vanishingly rare; raise
+    ``pool_size`` if your degree distribution says otherwise. Pass
+    ``require_full=True`` to fail loudly instead of silently under-
+    sampling: it raises if ANY source received fewer than ``n_neg``
+    negatives (one bounded single-row action).
     """
     from pyspark.sql import Window
 
@@ -268,6 +280,20 @@ def negative_samples(edges: DataFrame, items: DataFrame, n_neg: int = 4,
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n_neg)
             .drop("__rn"))
+    if require_full:
+        starved = (srcs.join(negs.groupBy("src")
+                             .agg(F.count(F.lit(1)).alias("__k")),
+                             "src", "left")
+                   .filter(F.coalesce(F.col("__k"), F.lit(0)) < n_neg)
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.min("src").alias("example")).head())
+        if starved["n"] > 0:
+            raise ValueError(
+                f"negative_samples: {starved['n']} source(s) received "
+                f"fewer than n_neg={n_neg} negatives (e.g. src="
+                f"{starved['example']}); their positive edges would be "
+                f"silently dropped. Raise pool_size (={pool_size}) or "
+                f"sample without require_full.")
     return (edges.select(F.col(src_col).alias("src"),
                          F.col(dst_col).alias("pos_dst"))
             .join(negs, "src")

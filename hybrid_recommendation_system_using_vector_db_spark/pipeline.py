@@ -304,9 +304,18 @@ def write_bm25_index(spark: SparkSession, documents: DataFrame,
 def append_bm25_index(spark: SparkSession, new_documents: DataFrame,
                       out_dir: str, id_col: str = "doc_id",
                       text_col: str = "text",
-                      n_term_partitions: int = 8) -> None:
+                      n_term_partitions: int = 8,
+                      assume_disjoint: bool = False) -> None:
     """Incremental BM25 maintenance: tokenize ONLY the new batch, append
     its postings, and MERGE the sidecar tables exactly.
+
+    The merge math is only exact over doc-DISJOINT batches, so by
+    default the batch is anti-joined against the stored index's doc ids
+    (one column-pruned scan of the postings' ``cand`` column) — an
+    accidental replay of already-indexed docs is silently skipped
+    instead of double-counting df and inflating n_docs/avgdl. Callers
+    with an upstream exactly-once guarantee can pass
+    ``assume_disjoint=True`` to skip the scan.
 
     Unlike IVF/PQ appends (pure per-row functions of a stored artifact),
     BM25's df and (n_docs, avgdl) are corpus-global — but over disjoint
@@ -323,8 +332,15 @@ def append_bm25_index(spark: SparkSession, new_documents: DataFrame,
 
     from .operators.retrieval import bm25_build_index
 
+    if not assume_disjoint:
+        stored_ids = (spark.read.parquet(f"{out_dir}/bm25_postings")
+                      .select(SF.col("cand").alias(id_col)).distinct())
+        new_documents = new_documents.join(stored_ids, id_col, "left_anti")
     postings_b, df_b, stats_b = bm25_build_index(new_documents, id_col,
                                                  text_col)
+    sn = stats_b.collect()[0]
+    if not sn.n_docs:           # whole batch was a replay (or empty): no-op
+        return
     (postings_b.repartition(n_term_partitions, "term")
      .sortWithinPartitions("term")
      .write.mode("append").parquet(f"{out_dir}/bm25_postings"))
@@ -336,7 +352,6 @@ def append_bm25_index(spark: SparkSession, new_documents: DataFrame,
                  .localCheckpoint(eager=True))
     merged_df.write.mode("overwrite").parquet(f"{out_dir}/bm25_df")
     so = spark.read.parquet(f"{out_dir}/bm25_stats").collect()[0]
-    sn = stats_b.collect()[0]
     n = so.n_docs + sn.n_docs
     sumdl = round(so.avgdl * so.n_docs) + round(sn.avgdl * sn.n_docs)
     spark.createDataFrame([(float(n), float(sumdl) / n)],

@@ -2250,3 +2250,79 @@ def test_zorder_write_roundtrip(spark, tmp_path):
              .collect())
     spans = sorted([(r.lo, r.hi) for r in spans])
     assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_zorder_layout_stats_is_deterministic_and_windowless(spark):
+    """r7 advice fix: the stats helper must not funnel the table through
+    a single-task global window. Same boxes across repeated calls (the
+    determinism repartitionByRange lacked), counts conserved, and the
+    physical plan carries NO window operator at all."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import layout
+
+    df = (spark.range(8192)
+          .select(((F.col("id") * 2654435761) % 128).cast("double").alias("x"),
+                  ((F.col("id") * 40503) % 128).cast("double").alias("y")))
+    keyed = layout.with_zorder_key(df, "x", "y", (0.0, 128.0), (0.0, 128.0),
+                                   bits=7)
+    stats = layout.zorder_layout_stats(keyed, "x", "y", "zkey", n_parts=8)
+    # plan check: no Window node anywhere (the old ntile form had one)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        stats.explain(mode="formatted")
+    assert "Window" not in buf.getvalue()
+    a = sorted(map(tuple, stats.collect()))
+    b = sorted(map(tuple, layout.zorder_layout_stats(
+        keyed, "x", "y", "zkey", n_parts=8).collect()))
+    assert a == b
+    assert sum(r[-1] for r in a) == 8192
+    # near-equal depth on a near-unique key
+    cnts = [r[-1] for r in a]
+    assert max(cnts) <= 2 * min(cnts)
+
+
+def test_als_rejects_int32_overflow_ids(spark):
+    """r7 advice fix: MLlib ALS needs int32 ids; ids >= 2^31 must fail
+    loudly instead of silently wrapping into colliding factors."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import mf
+
+    edges = spark.createDataFrame(
+        [(2**31 + 5, 1, 2.0), (2, 3, 1.0)],
+        "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="int32"):
+        mf.als_item_factors(edges, rank=2, iters=1)
+
+
+def test_diversity_eval_degenerate_k_yields_null_mean(spark):
+    """r7 advice fix: a k=1 top-k table has zero within-list pairs —
+    mean_ild must be NULL (well-defined), never a div-by-zero error."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import evaluate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    topk = spark.createDataFrame([(1, 2), (2, 3)], "qid long, cand long")
+    row = evaluate.diversity_eval(topk, corpus, dim=2).collect()[0]
+    assert row.n_pairs == 0 and row.mean_ild is None
+    assert row.n_queries == 2 and row.coverage > 0
+
+
+def test_negative_samples_starvation_guard(spark):
+    """r7 advice fix: a source whose positives cover the whole pool is
+    silently dropped by default (documented), and require_full=True
+    turns that silent loss into a loud error."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sampling
+
+    items = spark.createDataFrame([(i,) for i in range(1, 5)],
+                                  "item_id long")
+    # src=100 has edges to EVERY pool item -> zero negatives available
+    edges = spark.createDataFrame(
+        [(100, i, 1.0) for i in range(1, 5)] + [(200, 1, 1.0)],
+        "src long, dst long, weight double")
+    out = sampling.negative_samples(edges, items, n_neg=2, pool_size=4)
+    srcs = {r.src for r in out.collect()}
+    assert 200 in srcs and 100 not in srcs      # the documented drop
+    with pytest.raises(ValueError, match="fewer than n_neg"):
+        sampling.negative_samples(edges, items, n_neg=2, pool_size=4,
+                                  require_full=True)

@@ -556,3 +556,34 @@ def test_maxsim_index_roundtrip_serves_identically(spark, sf_dir, tmp_path):
     from hybrid_recommendation_system_using_vector_db_spark.plans import formatted_plan
     fp = formatted_plan(comps.filter(F.col("pos") == 7))
     assert "PartitionFilters" in fp and "pos" in fp, fp
+
+
+def test_bm25_append_replay_is_noop(spark, tmp_path):
+    """r7 advice fix: re-appending an already-indexed batch must not
+    double-count df / inflate n_docs / duplicate postings — the default
+    anti-join guard makes an accidental replay a no-op, and a partially
+    -overlapping batch indexes only its genuinely-new docs."""
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import retrieval
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    out = str(tmp_path / "bm25")
+    pipeline.write_bm25_index(spark, a, out)
+    pipeline.append_bm25_index(spark, b, out)
+    pipeline.append_bm25_index(spark, b, out)          # exact replay
+    pipeline.append_bm25_index(spark, docs.limit(0), out)  # empty batch
+    postings, df_, stats = pipeline.load_bm25_index(spark, out)
+    bulk_p, bulk_df, bulk_s = retrieval.bm25_build_index(docs)
+    assert stats.collect() == bulk_s.collect()
+    assert postings.count() == bulk_p.count()
+    assert sorted(map(tuple, df_.collect())) == \
+        sorted(map(tuple, bulk_df.collect()))
+    # partially-overlapping batch: only the new half lands
+    extra = docs.filter(F.col("doc_id") % 2 == 1).limit(0)  # nothing new
+    pipeline.append_bm25_index(spark, b.unionByName(extra), out)
+    p2, _, s2 = pipeline.load_bm25_index(spark, out)
+    assert s2.collect() == bulk_s.collect() and p2.count() == bulk_p.count()
