@@ -152,7 +152,8 @@ def _reset_serving_caches() -> None:
     for the rest of the session (the shingle-leak class, VERDICT r2 #3).
     """
     for d in (_EDGE_INDEX, _CF_INDEX, _QMAT_CACHE, _ANN_INDEXES,
-              _UNIVERSE_CACHE, _IVF_CODEBOOKS, _SQ_PARAMS, _PQ_BOOKS):
+              _UNIVERSE_CACHE, _IVF_CODEBOOKS, _SQ_PARAMS, _PQ_BOOKS,
+              _DEDUP_ARTIFACTS):
         for v in d.values():
             if hasattr(v, "unpersist"):
                 try:
@@ -206,6 +207,40 @@ def _served_cf(spark: SparkSession, sf_dir: str, max_n: int = CF_TOP_N) -> DataF
         _CF_INDEX[key] = copurchase.cf_topn(
             copurchase.restrict_to_universe(edges, universe), max_n).persist()
     return _CF_INDEX[key]
+
+
+_DEDUP_ARTIFACTS: dict[tuple, tuple] = {}
+
+
+def _served_dedup(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build-once dedup-cluster ARTIFACT: (verified pairs, star clusters).
+
+    The minhash→band→verify→CC chain is the most expensive reusable
+    artifact of the pipeline, and four consumers used to rebuild it
+    inline per call (VERDICT r6 What's-wrong #1: ~80% of
+    ``dedup_keep_best``'s 5.56 s duplicated ``dedup_clusters_chained``).
+    Now ``pipeline.write_dedup_clusters`` persists it ONCE per
+    (session, dataset) into a session temp dir and every consumer serves
+    from the LOADED parquet — the exact artifact lifecycle the ANN
+    indexes got in r6 (write/load/append; incremental maintenance pinned
+    by ``test_dedup_cluster_incremental_append_equals_bulk``).
+    Deterministic: the artifact holds the same chain output the inline
+    rebuilds produced, so memoization cannot change results."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DEDUP_ARTIFACTS:
+        import tempfile
+
+        from hybrid_recommendation_system_using_vector_db_spark import pipeline as _P
+
+        out = tempfile.mkdtemp(prefix="spark_graft_dedup_")
+        docs = load_table(spark, sf_dir, "documents")
+        _P.write_dedup_clusters(spark, docs, out, n_hashes=8, n_bands=4,
+                                threshold=JACCARD_THRESHOLD)
+        _DEDUP_ARTIFACTS[key] = (
+            spark.read.parquet(f"{out}/dedup_pairs"),
+            _P.load_dedup_clusters(spark, out),
+        )
+    return _DEDUP_ARTIFACTS[key]
 
 
 _QMAT_CACHE: dict[tuple, tuple] = {}
@@ -637,12 +672,11 @@ def q_minhash_dup_pairs(spark, sf_dir):
 def q_minhash_jaccard_neardup(spark, sf_dir):
     """The chained dedup pipeline: banded MinHash candidates → exact
     n-gram-Jaccard verify. Candidate volume is linear (chain links), the
-    verify cost is O(|candidates|) — the 100 TB near-dup shape."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, n_hashes=8)
-    cand = dedup.minhash_band_links(sigs, n_hashes=8, n_bands=4)
-    return dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD,
-                                       candidates=cand)
+    verify cost is O(|candidates|) — the 100 TB near-dup shape. Served
+    from the persisted dedup artifact (``_served_dedup``): the pairs
+    table IS the chain's verify output, loaded instead of rebuilt."""
+    pairs, _ = _served_dedup(spark, sf_dir)
+    return pairs
 
 
 def q_simhash(spark, sf_dir):
@@ -725,12 +759,11 @@ def q_dedup_clusters(spark, sf_dir):
     (min reachable id) is algorithm-independent. The legacy within-block
     quadratic candidate generator no longer feeds any driver-checked
     query (VERDICT r4 #3); it survives as the pytest-only
-    ``dedup_clusters_star`` parity pair + unit tests."""
+    ``dedup_clusters_star`` parity pair + unit tests. The verified-pair
+    table comes from the persisted artifact (``_served_dedup``); only
+    the CC algorithm under test runs per call."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, n_hashes=8)
-    cand = dedup.minhash_band_links(sigs, n_hashes=8, n_bands=4)
-    pairs = dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD,
-                                        candidates=cand)
+    pairs, _ = _served_dedup(spark, sf_dir)
     return dedup.connected_components(pairs, docs.select("doc_id"))
 
 
@@ -752,13 +785,11 @@ def q_dedup_clusters_chained(spark, sf_dir):
     large-star/small-star connected components (O(log n) rounds).
     This is the 100 TB dedup ground-truth shape (VERDICT r2 next #1);
     ``dedup_clusters`` runs min-label CC over the same chain, pinning
-    both CC algorithms against one oracle."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, n_hashes=8)
-    cand = dedup.minhash_band_links(sigs, n_hashes=8, n_bands=4)
-    pairs = dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD,
-                                        candidates=cand)
-    return dedup.connected_components_star(pairs, docs.select("doc_id"))
+    both CC algorithms against one oracle. Serves the persisted cluster
+    table itself (``_served_dedup`` → ``pipeline.load_dedup_clusters``):
+    the star CC ran once at artifact build."""
+    _, clusters = _served_dedup(spark, sf_dir)
+    return clusters
 
 
 def q_lang_confusion(spark, sf_dir):
@@ -789,15 +820,14 @@ def q_dedup_keep_best(spark, sf_dir):
     whenever ids don't correlate with quality). Same linear banded chain
     as the flagship clustering, joined with the blended quality score,
     one ranking window per cluster (ties: quality desc, doc_id asc).
-    Output: survivors (cluster_id, doc_id, quality_score, cluster_size)."""
+    Output: survivors (cluster_id, doc_id, quality_score, cluster_size).
+    The cluster table is the persisted artifact (``_served_dedup``) —
+    canonicalization after clustering no longer pays the chain twice
+    (VERDICT r6 What's-wrong #1)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, n_hashes=8)
-    cand = dedup.minhash_band_links(sigs, n_hashes=8, n_bands=4)
-    pairs = dedup.jaccard_neardup_pairs(docs, threshold=JACCARD_THRESHOLD,
-                                        candidates=cand)
-    clusters = dedup.connected_components_star(pairs, docs.select("doc_id"))
+    _, clusters = _served_dedup(spark, sf_dir)
     q = textops.quality_scores(docs).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc())

@@ -61,6 +61,51 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 4,
         .select("doc_id", *cols)
 
 
+def _band_key_structs(n_hashes: int, n_bands: int):
+    """The b×r banding key expression — ONE definition shared by the
+    in-query chain and the persisted dedup-cluster artifact
+    (``pipeline.write_dedup_clusters``), so a stored band table probes
+    with bit-identical keys."""
+    assert n_hashes % n_bands == 0, "n_hashes must divide into n_bands"
+    r = n_hashes // n_bands
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{j}")
+                               for j in range(i * r, (i + 1) * r)])
+             .alias("key"),
+        ) for i in range(n_bands)
+    ])
+
+
+def minhash_band_keys(sigs: DataFrame, n_hashes: int = 8,
+                      n_bands: int = 4) -> DataFrame:
+    """(doc_id, band, key) — the banding table of a signature set, the
+    probe-side artifact the persisted dedup-cluster index stores: an
+    appended batch band-joins against it instead of re-hashing the
+    corpus. One explode, map-only."""
+    return (sigs.select(
+        "doc_id", F.explode(_band_key_structs(n_hashes, n_bands)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key")))
+
+
+def bucket_chain_links(bands: DataFrame) -> DataFrame:
+    """Chain-adjacency links of a (doc_id, band, key) banding table:
+    within every (band, key) bucket, each doc links to its predecessor
+    in doc_id order — the same linear-output candidate rule as
+    ``_minhash_band_chain``, expressed over a STORED band table (no
+    signatures riding along; the artifact path verifies with exact
+    n-gram Jaccard, not signature overlap). Output (id1 < id2), one row
+    per adjacent pair per band — callers ``.distinct()`` after unioning
+    bands."""
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
+    return (bands.withColumn("prev", F.lag("doc_id").over(w))
+            .filter(F.col("prev").isNotNull())
+            .select(F.col("prev").alias("id1"),
+                    F.col("doc_id").alias("id2")))
+
+
 def _minhash_band_chain(sigs: DataFrame, n_hashes: int = 8,
                         n_bands: int = 4) -> DataFrame:
     """Banded-LSH chain links WITH both endpoint signatures attached.
@@ -91,18 +136,11 @@ def _minhash_band_chain(sigs: DataFrame, n_hashes: int = 8,
     (band, adjacent pair) — callers dedup after their verify projection.
     """
     assert n_hashes % n_bands == 0, "n_hashes must divide into n_bands"
-    r = n_hashes // n_bands
     sig = F.array(*[F.col(f"mh{j}") for j in range(n_hashes)])
     bands = sigs.select(
         "doc_id",
         sig.alias("sig"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.concat_ws("|", *[F.col(f"mh{j}") for j in range(i * r, (i + 1) * r)])
-                 .alias("key"),
-            ) for i in range(n_bands)
-        ])).alias("bk"),
+        F.explode(_band_key_structs(n_hashes, n_bands)).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     w = Window.partitionBy("band", "key").orderBy("doc_id")
     return (

@@ -444,3 +444,191 @@ def write_bucketed_edges(spark: SparkSession, edges: DataFrame,
      .bucketBy(n_buckets, "src").sortBy("src")
      .format("parquet").saveAsTable(table))
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# dedup-cluster artifact family (4th persisted index family)
+# ---------------------------------------------------------------------------
+# The minhash→band→verify→CC chain is the most expensive reusable artifact
+# of a training-data pipeline after the ANN indexes: every consumer
+# (keep-best canonicalization, decontamination, stats) needs the SAME
+# cluster assignment, and recomputing the chain per consumer pays the
+# corpus tokenize+minhash+shingle-verify repeatedly. Persist it once:
+#
+#   clusters   (doc_id, cluster_id)        the assignment (min reachable id)
+#   bands      (doc_id, band, key)         banding table — the probe target
+#   pairs      (id1, id2, jaccard)         verified near-dup edges
+#   params     (n_hashes, n_bands, threshold, shingle_n)  sidecar
+#
+# Append is O(batch) in the expensive stages: the batch is signed and
+# banded alone, probes the STORED band table for collisions, and only the
+# adjacency DELTA is Jaccard-verified. Exactness (append == bulk over the
+# union, hash-identical) holds by construction because the chain-candidate
+# rule is recomputed on exactly the buckets whose adjacency an insertion
+# can change — including edges the insertion REMOVES from the candidate
+# set (a new doc landing between two chained old docs splits their link;
+# a label-only union-find merge cannot express that, which is why the
+# artifact stores the verified edge list, not just labels).
+
+
+def write_dedup_clusters(spark: SparkSession, documents: DataFrame,
+                         out_dir: str, n_hashes: int = 8, n_bands: int = 4,
+                         threshold: float = 0.5, shingle_n: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> None:
+    """Bulk-build the near-dup cluster artifact (banded MinHash chain →
+    exact n-gram-Jaccard verify → large-star/small-star CC) and persist
+    all four tables. One corpus pass for signatures; everything
+    downstream is linear in the candidate volume."""
+    from .operators.dedup import (bucket_chain_links, connected_components_star,
+                                  jaccard_neardup_pairs, minhash_band_keys,
+                                  minhash_signatures)
+
+    sigs = minhash_signatures(documents, n_hashes, id_col, text_col)
+    bands = minhash_band_keys(sigs, n_hashes, n_bands) \
+        .localCheckpoint(eager=True)
+    cand = bucket_chain_links(bands).distinct()
+    pairs = jaccard_neardup_pairs(documents, threshold, shingle_n,
+                                  id_col=id_col, text_col=text_col,
+                                  candidates=cand) \
+        .localCheckpoint(eager=True)
+    clusters = connected_components_star(
+        pairs, documents.select(F.col(id_col).alias("doc_id")))
+    clusters.write.mode("overwrite").parquet(f"{out_dir}/dedup_clusters")
+    bands.write.mode("overwrite").parquet(f"{out_dir}/dedup_bands")
+    pairs.write.mode("overwrite").parquet(f"{out_dir}/dedup_pairs")
+    spark.createDataFrame(
+        [(n_hashes, n_bands, float(threshold), shingle_n)],
+        "n_hashes int, n_bands int, threshold double, shingle_n int") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dedup_params")
+
+
+def load_dedup_clusters(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) written by :func:`write_dedup_clusters` —
+    the table keep-best canonicalization / decontamination serve from."""
+    return spark.read.parquet(f"{out_dir}/dedup_clusters")
+
+
+def append_dedup_clusters(spark: SparkSession, new_documents: DataFrame,
+                          corpus: DataFrame, out_dir: str,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> None:
+    """Incremental cluster maintenance — O(batch) signature/verify work,
+    hash-identical to a bulk rebuild over the union (pinned by
+    ``test_dedup_cluster_incremental_append_equals_bulk``).
+
+    ``corpus`` must cover the texts of BOTH stored and new docs: the
+    exact-Jaccard verify of a new↔old candidate needs the old doc's
+    shingles (only candidate ENDPOINTS are shingled — the semi-join in
+    ``jaccard_neardup_pairs`` prunes the rest, so this never re-reads
+    the whole stored corpus' text).
+
+    Algorithm (exactness per bucket-adjacency semantics):
+    1. replay guard — drop batch docs already clustered (mirrors
+       ``append_bm25_index``).
+    2. sign + band ONLY the batch; touched buckets = its (band, key)s.
+    3. expand to every bucket of every old doc seen in a touched bucket
+       (one hop, no cascade: adjacency only changes in touched buckets,
+       and a broken old↔old link must be re-checked against ALL of its
+       endpoints' other buckets before being declared removed).
+    4. recompute chain adjacency over the expanded buckets twice — old
+       members only vs old+new — the set diffs are exactly the candidate
+       edges the batch adds/removes under the bulk rule (added edges
+       always involve a new doc; removed edges are always old↔old).
+    5. verify ONLY added candidates; drop stored pairs matching removed
+       candidates.
+    6. labels: if nothing was removed, a supernode CC over (new docs ∪
+       affected old cluster labels) merges against stored labels —
+       bounded by the batch. If a verified edge WAS removed a cluster
+       may split, so CC reruns over the full (small, near-dup-edge-
+       sized) pair table — still no corpus re-verify.
+
+    Writes: bands appended; pairs + clusters rewritten (the label table
+    rewrite is a linear join, dwarfed by the tokenize+verify it avoids;
+    a production layout would partition clusters and rewrite only
+    remapped partitions)."""
+    from .operators.dedup import (bucket_chain_links, connected_components_star,
+                                  jaccard_neardup_pairs, minhash_band_keys,
+                                  minhash_signatures)
+
+    p = spark.read.parquet(f"{out_dir}/dedup_params").collect()[0]
+    stored_clusters = spark.read.parquet(f"{out_dir}/dedup_clusters")
+    stored_bands = spark.read.parquet(f"{out_dir}/dedup_bands")
+    stored_pairs = spark.read.parquet(f"{out_dir}/dedup_pairs")
+
+    batch = new_documents.join(
+        stored_clusters.select(F.col("doc_id").alias(id_col)),
+        id_col, "left_anti")
+    sigs_b = minhash_signatures(batch, p.n_hashes, id_col, text_col)
+    bands_b = minhash_band_keys(sigs_b, p.n_hashes, p.n_bands) \
+        .localCheckpoint(eager=True)
+    if bands_b.isEmpty():
+        return
+
+    touched = bands_b.select("band", "key").distinct()
+    affected_old = (stored_bands.join(touched, ["band", "key"], "left_semi")
+                    .select("doc_id").distinct())
+    expanded = (stored_bands.join(affected_old, "doc_id", "left_semi")
+                .select("band", "key").distinct()
+                .unionByName(touched).distinct()
+                .localCheckpoint(eager=True))
+    old_members = stored_bands.join(expanded, ["band", "key"], "left_semi") \
+        .localCheckpoint(eager=True)
+    all_members = old_members.unionByName(
+        bands_b.join(expanded, ["band", "key"], "left_semi"))
+
+    old_adj = bucket_chain_links(old_members).distinct()
+    new_adj = bucket_chain_links(all_members).distinct() \
+        .localCheckpoint(eager=True)
+    added = new_adj.join(old_adj, ["id1", "id2"], "left_anti")
+    removed = old_adj.join(new_adj, ["id1", "id2"], "left_anti")
+
+    verified_added = jaccard_neardup_pairs(
+        corpus, p.threshold, p.shingle_n, id_col=id_col, text_col=text_col,
+        candidates=added).localCheckpoint(eager=True)
+    removed_verified = stored_pairs.join(removed, ["id1", "id2"], "left_semi") \
+        .localCheckpoint(eager=True)
+    final_pairs = (stored_pairs.join(removed, ["id1", "id2"], "left_anti")
+                   .unionByName(verified_added)
+                   .localCheckpoint(eager=True))
+
+    batch_ids = bands_b.select("doc_id").distinct()
+    if removed_verified.isEmpty():
+        # common path: edges only grew — merge against stored labels with
+        # a supernode CC bounded by the batch's candidate fan-out
+        lab = stored_clusters.select(F.col("doc_id").alias("__d"),
+                                     F.col("cluster_id").alias("__l"))
+        m = (verified_added.select("id1", "id2")
+             .join(lab.withColumnRenamed("__d", "id1"), "id1", "left")
+             .withColumn("u", F.coalesce("__l", "id1")).drop("__l")
+             .join(lab.withColumnRenamed("__d", "id2"), "id2", "left")
+             .withColumn("v", F.coalesce("__l", "id2")).drop("__l")
+             .select(F.col("u").alias("id1"), F.col("v").alias("id2")))
+        nodes = (batch_ids.unionByName(m.select(F.col("id1").alias("doc_id")))
+                 .unionByName(m.select(F.col("id2").alias("doc_id")))
+                 .distinct())
+        cc = connected_components_star(m, nodes) \
+            .localCheckpoint(eager=True)
+        new_rows = batch_ids.join(cc, "doc_id", "left") \
+            .select("doc_id", F.coalesce("cluster_id", "doc_id")
+                    .alias("cluster_id"))
+        remap = (cc.filter(F.col("cluster_id") != F.col("doc_id"))
+                 .select(F.col("doc_id").alias("cluster_id"),
+                         F.col("cluster_id").alias("__new")))
+        clusters = (stored_clusters.join(F.broadcast(remap), "cluster_id",
+                                         "left")
+                    .select("doc_id",
+                            F.coalesce("__new", "cluster_id")
+                            .alias("cluster_id"))
+                    .unionByName(new_rows))
+    else:
+        # a verified edge disappeared: a cluster may SPLIT — rerun CC over
+        # the full near-dup edge table (small) with all known nodes
+        nodes = stored_clusters.select("doc_id").unionByName(batch_ids) \
+            .distinct()
+        clusters = connected_components_star(final_pairs, nodes)
+
+    clusters = clusters.localCheckpoint(eager=True)
+    clusters.write.mode("overwrite").parquet(f"{out_dir}/dedup_clusters")
+    bands_b.write.mode("append").parquet(f"{out_dir}/dedup_bands")
+    final_pairs.write.mode("overwrite").parquet(f"{out_dir}/dedup_pairs")

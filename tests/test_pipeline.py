@@ -587,3 +587,101 @@ def test_bm25_append_replay_is_noop(spark, tmp_path):
     pipeline.append_bm25_index(spark, b.unionByName(extra), out)
     p2, _, s2 = pipeline.load_bm25_index(spark, out)
     assert s2.collect() == bulk_s.collect() and p2.count() == bulk_p.count()
+
+
+def _load_dedup_tables(spark, out):
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    clusters = pipeline.load_dedup_clusters(spark, out)
+    pairs = spark.read.parquet(f"{out}/dedup_pairs")
+    bands = spark.read.parquet(f"{out}/dedup_bands")
+    return clusters, pairs, bands
+
+
+def test_dedup_cluster_artifact_roundtrip(spark, tmp_path):
+    """The 4th artifact family: write_dedup_clusters persists the chained
+    minhash→verify→CC assignment; reloaded clusters equal the in-query
+    chain's output row-for-row (the table dedup_keep_best serves from)."""
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    out = str(tmp_path / "dd")
+    pipeline.write_dedup_clusters(spark, docs, out, n_hashes=8, n_bands=4,
+                                  threshold=0.5)
+    got, _, _ = _load_dedup_tables(spark, out)
+    sigs = dedup.minhash_signatures(docs, n_hashes=8)
+    cand = dedup.minhash_band_links(sigs, n_hashes=8, n_bands=4)
+    prs = dedup.jaccard_neardup_pairs(docs, threshold=0.5, candidates=cand)
+    want = dedup.connected_components_star(prs, docs.select("doc_id"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_dedup_cluster_incremental_append_equals_bulk(spark, tmp_path):
+    """write_dedup_clusters(A) + append_dedup_clusters(B) is table-
+    identical (clusters AND verified pairs AND bands) to a bulk build
+    over A ∪ B — the candidate-adjacency delta is recomputed exactly, so
+    incremental growth cannot drift. Replays and empty batches are
+    no-ops."""
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    inc, bulk = str(tmp_path / "inc"), str(tmp_path / "bulk")
+    pipeline.write_dedup_clusters(spark, a, inc)
+    pipeline.append_dedup_clusters(spark, b, docs, inc)
+    pipeline.append_dedup_clusters(spark, b, docs, inc)   # exact replay
+    pipeline.append_dedup_clusters(spark, docs.limit(0), docs, inc)
+    pipeline.write_dedup_clusters(spark, docs, bulk)
+    for t in ["dedup_clusters", "dedup_pairs"]:
+        gi = sorted(map(tuple, spark.read.parquet(f"{inc}/{t}").collect()))
+        gb = sorted(map(tuple, spark.read.parquet(f"{bulk}/{t}").collect()))
+        assert gi == gb, t
+    bi = spark.read.parquet(f"{inc}/dedup_bands")
+    bb = spark.read.parquet(f"{bulk}/dedup_bands")
+    assert sorted(map(tuple, bi.collect())) == sorted(map(tuple, bb.collect()))
+
+
+def test_dedup_cluster_append_can_split_clusters(spark, tmp_path):
+    """The case a label-only union-find merge cannot express: a new doc
+    landing BETWEEN two chained near-identical docs replaces their
+    candidate link with two low-Jaccard links — the stored cluster must
+    SPLIT to stay bulk-identical. Geometry pinned from a hash search:
+    all three docs share the full 8-hash MinHash signature (the pads
+    never displace a base minimum), but only (1,3) clears the 0.8
+    verify."""
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    safe = ['pad0', 'pad1', 'pad3', 'pad4', 'pad6', 'pad8', 'pad9',
+            'pad10', 'pad11', 'pad13', 'pad14', 'pad17', 'pad18', 'pad19',
+            'pad20', 'pad21', 'pad22', 'pad23', 'pad25', 'pad26', 'pad27']
+    mk = lambda i, t: (i, t, "s")  # noqa: E731
+    old = spark.createDataFrame(
+        [mk(1, base), mk(3, base + " " + safe[0])],
+        "doc_id long, text string, source string")
+    newdoc = spark.createDataFrame(
+        [mk(2, base + " " + " ".join(safe[1:21]))],
+        "doc_id long, text string, source string")
+    full = old.unionByName(newdoc)
+    inc, bulk = str(tmp_path / "inc"), str(tmp_path / "bulk")
+    pipeline.write_dedup_clusters(spark, old, inc, threshold=0.8)
+    # precondition: 1 and 3 really are one stored cluster
+    assert {tuple(r) for r in
+            pipeline.load_dedup_clusters(spark, inc).collect()} == \
+        {(1, 1), (3, 1)}
+    pipeline.append_dedup_clusters(spark, newdoc, full, inc)
+    pipeline.write_dedup_clusters(spark, full, bulk, threshold=0.8)
+    gi = sorted(map(tuple, pipeline.load_dedup_clusters(spark, inc).collect()))
+    gb = sorted(map(tuple, pipeline.load_dedup_clusters(spark, bulk).collect()))
+    assert gi == gb == [(1, 1), (2, 2), (3, 3)]   # the split happened
+    pi = sorted(map(tuple,
+                    spark.read.parquet(f"{inc}/dedup_pairs").collect()))
+    pb = sorted(map(tuple,
+                    spark.read.parquet(f"{bulk}/dedup_pairs").collect()))
+    assert pi == pb == []
