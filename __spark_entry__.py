@@ -680,7 +680,12 @@ def q_minhash_jaccard_neardup(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    """64-bit wide fingerprints (doc_id, w0, w1): w0 is bit-identical to
+    the legacy 32-bit ``simhash`` (same nibble-top-bit rule), w1 draws
+    the next md5 bit per nibble — the widened form the near-dup pass
+    bands over."""
+    return dedup.simhash_fingerprints_wide(
+        load_table(spark, sf_dir, "documents"), 64)
 
 
 def q_jaccard_neardup(spark, sf_dir):
@@ -842,13 +847,18 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 def q_simhash_neardup(spark, sf_dir):
-    # 32-bit fingerprints (md5 yields one portable bit per hex nibble, 32
-    # max): a 16-bit space holds 65k distinct values and saturates on any
-    # corpus beyond toy scale — every doc collides with every doc and the
-    # "near-dup" output itself goes quadratic (measured 4.98M pairs from
-    # 5k docs at sf0.1; 32-bit more than halves it and runs 5x faster).
-    return dedup.simhash_neardup_pairs(load_table(spark, sf_dir, "documents"),
-                                       max_hamming=2, n_bits=32)
+    # 64-bit two-word fingerprints (VERDICT r6 next #2): a b-bit space
+    # saturates once the corpus nears 2^b docs and banded Hamming goes
+    # quadratic — 16 bits died at toy scale, 32 bits (~4.3B values) dies
+    # at exactly the billions-of-docs corpus this engine targets. md5
+    # has 128 portable bits; 64 (two 32-bit words, w0 == the narrow
+    # fingerprint) keeps expected bucket sizes O(1) past 10^12 docs
+    # (saturation math in SCALE.md). Pair volume drops too: 23,553
+    # 32-bit pairs → 1,845 64-bit pairs at sf0.001 (collisions were
+    # mostly fingerprint aliasing, not near-duplication).
+    return dedup.simhash_neardup_pairs_wide(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=2, n_bits=64, n_bands=4)
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -3521,15 +3531,19 @@ FROM ver
 WHERE u > 0 AND floor((i::DOUBLE / u) * 1000000 + 0.5) / 1000000 >= {JACCARD_THRESHOLD}
 """,
 
+        # 64-bit wide fingerprints in two 32-bit words: bit j = bit
+        # (3 - j//32) of md5 hex nibble (j % 32); w0 reproduces the legacy
+        # 32-bit top-nibble-bit fingerprint exactly
         "simhash_fingerprints": f"""
 WITH t AS (SELECT doc_id, unnest({_DTOKS}) AS tok FROM documents),
 h AS (SELECT doc_id, md5(tok) AS h FROM t),
-pos AS (SELECT unnest(range(16)) AS pos),
+pos AS (SELECT unnest(range(64)) AS pos),
 contrib AS (
   SELECT doc_id, pos,
-    CASE WHEN (CASE WHEN ascii(substr(h, CAST(pos AS INT) + 1, 1)) <= 57
-                    THEN ascii(substr(h, CAST(pos AS INT) + 1, 1)) - 48
-                    ELSE ascii(substr(h, CAST(pos AS INT) + 1, 1)) - 87 END) >= 8
+    CASE WHEN (((CASE WHEN ascii(substr(h, CAST((pos % 32) AS INT) + 1, 1)) <= 57
+                      THEN ascii(substr(h, CAST((pos % 32) AS INT) + 1, 1)) - 48
+                      ELSE ascii(substr(h, CAST((pos % 32) AS INT) + 1, 1)) - 87 END)
+                >> CAST(3 - (pos // 32) AS INT)) & 1) = 1
          THEN 1 ELSE -1 END AS c
   FROM h CROSS JOIN pos
 ),
@@ -3537,7 +3551,9 @@ bits AS (
   SELECT doc_id, pos, CASE WHEN sum(c) >= 0 THEN 1 ELSE 0 END AS bit
   FROM contrib GROUP BY 1, 2
 )
-SELECT doc_id, CAST(sum(bit * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS simhash
+SELECT doc_id,
+  CAST(sum(CASE WHEN pos < 32 THEN bit * CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS w0,
+  CAST(sum(CASE WHEN pos >= 32 THEN bit * CAST(pow(2, pos - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1
 FROM bits GROUP BY doc_id
 """,
 
@@ -4012,15 +4028,18 @@ reach(id, l) AS (
 SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id
 """,
 
+        # 64-bit two-word banding: 4 bands of 16 bits, band 0-1 from w0,
+        # band 2-3 from w1; Hamming distance sums bit_count(xor) per word
         "simhash_neardup": """
 WITH t AS (SELECT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS tok FROM documents),
 h AS (SELECT doc_id, md5(tok) AS h FROM t),
-pos AS (SELECT unnest(range(32)) AS pos),
+pos AS (SELECT unnest(range(64)) AS pos),
 contrib AS (
   SELECT doc_id, pos,
-    CASE WHEN (CASE WHEN ascii(substr(h, CAST(pos AS INT) + 1, 1)) <= 57
-                    THEN ascii(substr(h, CAST(pos AS INT) + 1, 1)) - 48
-                    ELSE ascii(substr(h, CAST(pos AS INT) + 1, 1)) - 87 END) >= 8
+    CASE WHEN (((CASE WHEN ascii(substr(h, CAST((pos % 32) AS INT) + 1, 1)) <= 57
+                      THEN ascii(substr(h, CAST((pos % 32) AS INT) + 1, 1)) - 48
+                      ELSE ascii(substr(h, CAST((pos % 32) AS INT) + 1, 1)) - 87 END)
+                >> CAST(3 - (pos // 32) AS INT)) & 1) = 1
          THEN 1 ELSE -1 END AS c
   FROM h CROSS JOIN pos
 ),
@@ -4029,20 +4048,25 @@ bits AS (
   FROM contrib GROUP BY 1, 2
 ),
 fp AS (
-  SELECT doc_id, CAST(sum(bit * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS simhash
+  SELECT doc_id,
+    CAST(sum(CASE WHEN pos < 32 THEN bit * CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS w0,
+    CAST(sum(CASE WHEN pos >= 32 THEN bit * CAST(pow(2, pos - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1
   FROM bits GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, simhash, b.band,
-         (simhash >> (b.band * 11)) & 2047 AS val
-  FROM fp CROSS JOIN (SELECT unnest(range(3)) AS band) b
+  SELECT doc_id, w0, w1, b.band,
+         CASE WHEN b.band < 2 THEN (w0 >> (b.band * 16)) & 65535
+              ELSE (w1 >> ((b.band - 2) * 16)) & 65535 END AS val
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) b
 ),
 cands AS (
-  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.simhash AS h1, c.simhash AS h2
+  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+         a.w0 AS a0, a.w1 AS a1, c.w0 AS b0, c.w1 AS b1
   FROM bands a JOIN bands c ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id
 )
-SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
-FROM cands WHERE bit_count(xor(h1, h2)) <= 2
+SELECT id1, id2,
+       CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS INT) AS hamming
+FROM cands WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 2
 """,
 
         "stratified_sample": f"""

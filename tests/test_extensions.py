@@ -2326,3 +2326,29 @@ def test_negative_samples_starvation_guard(spark):
     with pytest.raises(ValueError, match="fewer than n_neg"):
         sampling.negative_samples(edges, items, n_neg=2, pool_size=4,
                                   require_full=True)
+
+
+def test_simhash_wide_w0_equals_narrow_and_finds_dups(spark, sf_dir):
+    """The 64-bit widening is backwards-consistent: word 0 of the wide
+    fingerprint is bit-identical to the legacy 32-bit simhash (same
+    nibble-top-bit rule), and the wide banded near-dup pass still finds
+    an exact duplicate (hamming 0) while emitting far fewer aliased
+    pairs than the 32-bit space."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = dedup.simhash_fingerprints_wide(docs, 64)
+    narrow = dedup.simhash_fingerprints(docs, 32)
+    assert wide.join(narrow, "doc_id") \
+        .filter(F.col("w0") != F.col("simhash")).isEmpty()
+    # exact duplicate must collide in every band: hamming 0 pair found
+    d0 = docs.limit(1)
+    dup = d0.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pairs = dedup.simhash_neardup_pairs_wide(
+        d0.unionByName(dup), max_hamming=2, n_bits=64, n_bands=4).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 0
+    # saturation relief: strictly fewer candidate-aliased pairs at 64 bit
+    n64 = dedup.simhash_neardup_pairs_wide(docs, 2, 64, 4).count()
+    n32 = dedup.simhash_neardup_pairs(docs, 2, n_bits=32).count()
+    assert n64 < n32
