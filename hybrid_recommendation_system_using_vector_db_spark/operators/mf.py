@@ -103,3 +103,92 @@ def als_recommend(edges: DataFrame, k: int = 10, rank: int = 16,
                                           F.col("cand").asc())
     return (flat.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def mips_augment(items: DataFrame, id_col: str = "item_id",
+                 vec_col: str = "features",
+                 out_id: str = "vec_id",
+                 out_vec: str = "embedding") -> DataFrame:
+    """Corpus-side MIPS→cosine reduction (Bachrach et al., RecSys 2014):
+    append sqrt(M² − ‖x‖²) to every item vector, where M is the max item
+    norm. For a fixed query padded with 0, cosine over the augmented
+    space is dot(q, x) / (‖q‖·M) — a per-query constant times the inner
+    product — so ANY of the engine's cosine ANN tiers (IVF, PQ, LSH, …)
+    serves maximum-inner-product rankings, which is how trained ALS
+    factors reach the ANN serving path without a dedicated MIPS index.
+
+    One single-row max-norm aggregate (broadcast crossJoin), then a
+    map-only array append — no shuffle. Output columns renamed to the
+    ANN tiers' (vec_id, embedding) convention."""
+    sq = F.aggregate(vec_col, F.lit(0.0),
+                     lambda a, x: a + x * x)
+    m2 = items.agg(F.max(sq).alias("__m2"))
+    return (items.crossJoin(F.broadcast(m2))
+            .select(
+                F.col(id_col).alias(out_id),
+                F.concat(
+                    F.col(vec_col),
+                    F.array(F.sqrt(F.greatest(F.lit(0.0),
+                                              F.col("__m2") - sq))),
+                ).alias(out_vec)))
+
+
+def mips_augment_queries(queries: DataFrame, id_col: str = "user_id",
+                         vec_col: str = "features",
+                         out_id: str = "vec_id",
+                         out_vec: str = "embedding") -> DataFrame:
+    """Query-side of the MIPS reduction: zero-pad (the augmented item
+    coordinate contributes nothing to the dot product). Map-only."""
+    return queries.select(
+        F.col(id_col).alias(out_id),
+        F.concat(F.col(vec_col), F.array(F.lit(0.0))).alias(out_vec))
+
+
+def als_ann_topk(edges: DataFrame, k: int = 10, rank: int = 16,
+                 iters: int = 5, reg: float = 0.1, alpha: float = 10.0,
+                 seed: int = 42, user_mod: int | None = None,
+                 tier: str = "ivf", src_col: str = "src",
+                 dst_col: str = "dst", weight_col: str = "weight",
+                 **ann_kwargs) -> DataFrame:
+    """Serve trained ALS factors THROUGH the ANN tier: train implicit
+    ALS, MIPS-augment the item factors, and answer top-k per user with
+    the chosen cosine ANN index (``tier`` ∈ {"ivf", "pq", "exact"}) —
+    the composition PARITY advertises ("item factors feed any ANN
+    tier"). ``exact`` is the brute-force cosine over augmented factors,
+    i.e. the exact inner-product ranking the approximate tiers are
+    measured against (recall floor pinned by
+    ``test_als_factors_served_through_ann_tier``).
+
+    Scale shape: factors are |items|×rank (tiny vs the corpus); the
+    augmented index persists/appends exactly like any embedding index
+    (``pipeline.write_ivf_index`` / ``write_pq_index`` take the
+    augmented table as-is)."""
+    from . import similarity as sim
+
+    model = _als(edges, rank, iters, reg, alpha, seed,
+                 src_col, dst_col, weight_col)
+    items = model.itemFactors.select(
+        F.col("id").cast("bigint").alias("item_id"),
+        F.transform("features", lambda x: x.cast("double")).alias("features"))
+    users = model.userFactors.select(
+        F.col("id").cast("bigint").alias("user_id"),
+        F.transform("features", lambda x: x.cast("double")).alias("features"))
+    if user_mod is not None:
+        users = users.filter(F.col("user_id") % user_mod == 0)
+    corpus = mips_augment(items).localCheckpoint(eager=True)
+    qs = mips_augment_queries(users)
+    dim = rank + 1
+    # every tier keeps the engine's pinned self-exclusion (B4: cand ==
+    # qid dropped) — in the co-purchase graph src and dst share the part
+    # id space, so "don't recommend the item itself" is the semantics
+    # als_recommend's consumers want, and exact-vs-ANN recall stays
+    # apples-to-apples
+    if tier == "exact":
+        out = sim.cosine_topk(qs, corpus, k, dim=dim)
+    elif tier == "ivf":
+        out = sim.ivf_topk(qs, corpus, k, dim=dim, **ann_kwargs)
+    elif tier == "pq":
+        out = sim.pq_topk(qs, corpus, k, dim=dim, **ann_kwargs)
+    else:
+        raise ValueError(f"unknown tier {tier!r}")
+    return out.withColumnRenamed("qid", "src")
