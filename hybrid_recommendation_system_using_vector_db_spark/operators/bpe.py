@@ -20,6 +20,11 @@ Scale design (100 TB corpus):
 - The vocab is ``localCheckpoint``ed per round: the loop would otherwise
   stack n_merges aggregate-HOF plans and re-execute the whole history
   each round (the iterative-lineage lifecycle of ``graph.pagerank``).
+  Checkpoints are LAZY (``eager=False``): the re-segmented vocab
+  materializes inside the NEXT round's argmax action, so each round
+  costs exactly one Spark action (collect) instead of two
+  (checkpoint-materialize + collect) — halving the job count, which at
+  n_merges=8 is the dominant cost (job overhead, not data).
 
 The merge table is NOT SQL-expressible without per-row recursion
 (re-segmentation feeds the next round's counts), so the driver entry is
@@ -78,7 +83,7 @@ def bpe_train(documents: DataFrame, n_merges: int = 8,
             ).alias("syms"),
             "cnt",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges = []
     for rank in range(n_merges):
@@ -105,7 +110,7 @@ def bpe_train(documents: DataFrame, n_merges: int = 8,
         vocab = vocab.select(
             _merge_pair_expr(F.col("syms"), left, right).alias("syms"),
             "cnt",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long")
 
