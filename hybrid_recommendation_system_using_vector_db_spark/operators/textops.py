@@ -101,6 +101,129 @@ def language_id(documents: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _char_ngrams(text_expr, n: int):
+    """Per-row array of character n-grams over an arbitrary string
+    expression — map-side, no explode until the caller asks for one
+    (the ``_char_bigrams`` shape generalized to n). Rows shorter than n
+    chars yield an EMPTY array: Spark's sequence(1, stop) runs
+    DESCENDING when stop < 1, so the short case must be guarded, not
+    relied on to be empty (unlike DuckDB's empty range())."""
+    return F.when(
+        F.length(text_expr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_expr) - (n - 1)),
+            lambda i: text_expr.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_language_profiles(documents: DataFrame, lang_col: str = "lang",
+                            text_col: str = "text", n: int = 3,
+                            alpha: float = 1.0,
+                            max_grams_per_lang: int = 8192) -> DataFrame:
+    """Train per-language character-n-gram naive-Bayes profiles from
+    labeled rows (Cavnar & Trenkle 1994's n-gram LID, with add-α
+    multinomial smoothing instead of rank-order distance so scoring is a
+    pure sum — one broadcast join away from map-only).
+
+    Returns (lang, gram, logp, oov):
+
+        logp = ln((count(gram|lang)+α) / (tot(lang)+α·V))
+        oov  = ln(α / (tot(lang)+α·V))   — the smoothed-zero estimate
+               scoring charges for each doc gram absent from the profile
+
+    V = |distinct grams corpus-wide| (shared across languages so the
+    scores are comparable). Profiles keep only the ``max_grams_per_lang``
+    most frequent grams per language (ties: gram asc) — the classic LID
+    truncation; everything outside the cap scores as OOV.
+
+    Scale shape: one labeled-corpus pass explodes per-doc gram arrays
+    into a partial-agg count keyed by (lang, gram) — bounded by
+    |langs| × charset^n, NOT corpus size; the per-lang top-cap window
+    partitions by lang. The trained table is ≤ |langs| × cap rows —
+    broadcastable by construction. At 100 TB you train on a labeled
+    sample (``seeded_sample`` upstream), exactly as CCNet does.
+    """
+    low = F.lower(F.col(text_col))
+    grams = documents.filter(F.length(low) >= n).select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_char_ngrams(low, n)).alias("gram"))
+    # counts feed three branches (logp rows, per-lang totals, V);
+    # checkpoint once — bounded at |langs| × charset^n rows, KB-scale
+    counts = (grams.groupBy("lang", "gram")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint(eager=True))
+    tot = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    v = counts.select(F.countDistinct("gram").cast("double").alias("v"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc())
+    denom = F.col("tot") + F.lit(alpha) * F.col("v")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_grams_per_lang)
+        .join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang", "gram",
+            F.log((F.col("cnt") + F.lit(alpha)) / denom).alias("logp"),
+            F.log(F.lit(alpha) / denom).alias("oov"))
+    )
+
+
+def language_id_trained(documents: DataFrame, profiles: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Score documents against trained language profiles; argmax wins.
+
+    score(doc, lang) = Σ logp over profile-matched grams
+                     + (n_grams − n_matched) · oov(lang)
+
+    — the exact naive-Bayes log-likelihood including OOV mass, so a
+    language that matches nothing still gets a well-defined (very low)
+    score. Docs shorter than n chars have no grams and report
+    'unknown'. Ties argmax on (rounded score desc, lang asc).
+
+    Scale shape: the profile table broadcasts (≤ |langs| × cap rows);
+    scoring is one corpus map pass (explode → broadcast probe), a
+    partial-agg shuffle keyed by (doc, lang), a |langs|-row broadcast
+    cross join to restore zero-match languages, and one doc-keyed argmax
+    window. Nothing corpus-sized on any build side.
+    """
+    # the profile feeds two branches (gram probe + per-lang OOV floors);
+    # materialize once so a lazily-built trainer isn't re-run per branch
+    if not profiles.storageLevel.useMemory and not profiles.storageLevel.useDisk:
+        profiles = profiles.localCheckpoint(eager=True)
+    low = F.lower(F.col(text_col))
+    grams = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_char_ngrams(low, n)).alias("gram"))
+    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("t"))
+    matched = (
+        grams.join(F.broadcast(profiles.select("gram", "lang", "logp")), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("logp").alias("s"), F.count(F.lit(1)).alias("m")))
+    langs = profiles.groupBy("lang").agg(F.min("oov").alias("oov"))
+    scored = (
+        totals.crossJoin(F.broadcast(langs))
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id", "lang", "t",
+            (F.coalesce(F.col("s"), F.lit(0.0))
+             + (F.col("t") - F.coalesce(F.col("m"), F.lit(0))) * F.col("oov")
+             ).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        fround(F.col("score"), ROUND_SCORE).desc(), F.col("lang").asc())
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang", F.lit("unknown")).alias("lang_guess"),
+            fround(F.coalesce(F.col("score"), F.lit(0.0)), ROUND_SCORE).alias("score"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("int").alias("n_grams"))
+    )
+
+
 def fingerprints(documents: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Document fingerprints: full-text digest + rolling prefix digests.
