@@ -2294,8 +2294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,     # F2 ext: per-stratum
         "weighted_sample": q_weighted_sample,         # F2 ext: A-ES importance
         # --- similarity / ANN extensions ---
-        "lsh_topk": q_lsh_topk,
+        # r7 rotation: lsh_topk (single-probe special case of the multi-
+        # probe path below) → extras, freeing a driver slot for the r6
+        # SCD2 validity-interval builder
         "lsh_topk_mp": q_lsh_topk_mp,
+        "scd2_intervals": q_scd2_intervals,
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "cluster_centroids": q_cluster_centroids,
@@ -2306,8 +2309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "minhash_jaccard_neardup": q_minhash_jaccard_neardup,
         "simhash_neardup": q_simhash_neardup,
-        "dedup_clusters": q_dedup_clusters,
+        # r7 rotation: dedup_clusters (min-label CC over the same banded
+        # chain as dedup_clusters_chained — shared oracle) → extras, so a
+        # driver slot covers the r6 PSI drift monitor instead
         "dedup_clusters_chained": q_dedup_clusters_chained,
+        "psi_drift": q_psi_drift,
         # r6 rotation: token_stats → extras (its map-only stats are
         # embedded in quality_scores' blended score, still driver-checked)
         # to put the ExactSubstr span detector under the driver gate
@@ -2354,6 +2360,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "minhash_signatures": q_minhash_signatures,   # sigs ride minhash_dup_pairs' chain
+        # r7 rotation out of the driver 50 (for psi_drift / scd2_intervals):
+        # min-label CC shares dedup_clusters_chained's oracle verbatim, and
+        # single-probe LSH is the r=0 special case of the driver-checked
+        # multi-probe path — both stay oracle-pinned here every CI run
+        "dedup_clusters": q_dedup_clusters,
+        "lsh_topk": q_lsh_topk,
         "dedup_clusters_star": q_dedup_clusters_star, # star-CC pinned by dedup_clusters_chained;
                                                       # legacy block-mode generator parity pair
         "jaccard_neardup": q_jaccard_neardup,         # block-mode exact Jaccard; candidates= form
@@ -2410,13 +2422,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_anomalies": q_activity_anomalies,   # per-user daily burst flags
         "fuzzy_names": q_fuzzy_names,                 # blocked Levenshtein entity match
         "snapshot_diff": q_snapshot_diff,             # CDC added/removed/changed diff
-        "scd2_intervals": q_scd2_intervals,           # SCD2 validity-interval build
         "bloom_prune": q_bloom_prune,                 # Bloom runtime-filter pre-join prune
         "pmi_collocations": q_pmi_collocations,       # PMI word-association mining
         "mutual_knn": q_mutual_knn,                   # reciprocal nearest-neighbor pairs
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
         "value_histogram": q_value_histogram,         # equal-width numeric profile
-        "psi_drift": q_psi_drift,                     # PSI dataset-drift monitor
         "zorder_key": q_zorder_key,                   # Morton layout-key histogram
         "event_transitions": q_event_transitions,     # Markov next-event matrix
         "dedup_keep_best": q_dedup_keep_best,         # quality-aware survivor policy
