@@ -42,6 +42,7 @@ from hybrid_recommendation_system_using_vector_db_spark.functions.portable impor
 from hybrid_recommendation_system_using_vector_db_spark.functions.texttools import STOPWORDS
 from hybrid_recommendation_system_using_vector_db_spark.operators import (
     asof,
+    classifier,
     copurchase,
     dedup,
     evaluate,
@@ -153,7 +154,7 @@ def _reset_serving_caches() -> None:
     """
     for d in (_EDGE_INDEX, _CF_INDEX, _QMAT_CACHE, _ANN_INDEXES,
               _UNIVERSE_CACHE, _IVF_CODEBOOKS, _SQ_PARAMS, _PQ_BOOKS,
-              _DEDUP_ARTIFACTS):
+              _DEDUP_ARTIFACTS, _LID_PROFILES, _QCLF_WEIGHTS):
         for v in d.values():
             if hasattr(v, "unpersist"):
                 try:
@@ -284,6 +285,30 @@ def _hybrid_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K,
         queries, universe, CONTENT_TOP_N,
         q_local=_query_matrix(spark, sf_dir, "universe_qs", queries))
     return hybrid.hybrid_recommend(queries, universe, edges, names, k=k,
+                                   content_candidates=cands,
+                                   cf_candidates=_served_cf(spark, sf_dir))
+
+
+def hybrid_serve_batch(spark: SparkSession, sf_dir: str,
+                       query_mod: int = 4, k: int = TOP_K) -> DataFrame:
+    """Amortized-serve surface for bench.py: the ``_hybrid_topk`` chain
+    over a parameterized query set (vec_id % query_mod == 0 — mod 4 ≈ 500
+    queries at sf0.1) through the same session-memoized indexes in ONE
+    batched action. BASELINE.md's only published serve unit is per-query
+    latency over a batch (50 hybrid queries in ≈0.168 s ≈ 3.4 ms/q,
+    ``Hybrid_Recom_vecdb.py:259-279``); Spark's per-action scheduling floor
+    makes the 40-query total incomparable, so the bench divides one warm
+    batched run by |queries| to report the same unit (VERDICT r6 next #6).
+    """
+    universe = _served_universe(spark, sf_dir)
+    queries = universe.filter(F.col("vec_id") % query_mod == 0)
+    edges = _served_edges(spark, sf_dir)
+    cands = similarity.cosine_topk_gemm(
+        queries, universe, CONTENT_TOP_N,
+        q_local=_query_matrix(spark, sf_dir, f"universe_qs_m{query_mod}",
+                              queries))
+    return hybrid.hybrid_recommend(queries, universe, edges,
+                                   _names(spark, sf_dir), k=k,
                                    content_candidates=cands,
                                    cf_candidates=_served_cf(spark, sf_dir))
 
@@ -701,6 +726,13 @@ def q_quality_scores(spark, sf_dir):
     return textops.quality_scores(load_table(spark, sf_dir, "documents"))
 
 
+def q_char_entropy(spark, sf_dir):
+    """Shannon char-entropy quality signal (textops.char_entropy): the
+    exact, JVM-side form of the Gopher compressibility check — flags
+    repeated-char padding (≈0 nats) and random-bytes blobs (high)."""
+    return textops.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_language_id(spark, sf_dir):
     return textops.language_id(load_table(spark, sf_dir, "documents"))
 
@@ -797,6 +829,21 @@ def q_dedup_clusters_chained(spark, sf_dir):
     return clusters
 
 
+_LID_PROFILES: dict[tuple, "DataFrame"] = {}
+
+
+def _lid_profiles(spark, sf_dir):
+    """Memoized train-once LID profile table (pure function of the
+    labeled corpus; ≤ langs × 8192 rows, checkpointed) — the IVF-codebook
+    lifecycle, shared by lang_id_trained and lang_confusion so the
+    training pass is paid once per session, not per call."""
+    key = (spark.sparkContext.applicationId, sf_dir, "lid")
+    if key not in _LID_PROFILES:
+        _LID_PROFILES[key] = textops.train_language_profiles(
+            load_table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    return _LID_PROFILES[key]
+
+
 def q_lang_id_trained(spark, sf_dir):
     """Trained (non-heuristic) language ID: per-language char-trigram
     naive-Bayes profiles learned from the labeled lang column, scored
@@ -804,8 +851,7 @@ def q_lang_id_trained(spark, sf_dir):
     docstrings in textops.py carry the scale shape). Full DuckDB
     oracle — train and score are both pure relational algebra."""
     docs = load_table(spark, sf_dir, "documents")
-    profiles = textops.train_language_profiles(docs)
-    return textops.language_id_trained(docs, profiles)
+    return textops.language_id_trained(docs, _lid_profiles(spark, sf_dir))
 
 
 def q_lang_confusion(spark, sf_dir):
@@ -821,7 +867,7 @@ def q_lang_confusion(spark, sf_dir):
     too, where the labels actually correlate with the text.)"""
     docs = load_table(spark, sf_dir, "documents")
     guesses = textops.language_id_trained(
-        docs, textops.train_language_profiles(docs)).select("doc_id", "lang_guess")
+        docs, _lid_profiles(spark, sf_dir)).select("doc_id", "lang_guess")
     # cm feeds two branches (per-lang totals + the final join); checkpoint
     # the bounded |langs|² table so the corpus-wide train+score chain
     # behind it executes once, not per branch (the simhash r5 #1 class)
@@ -1747,6 +1793,36 @@ def q_rp_topk(spark, sf_dir):
 _PCA_COMPS: dict = {}
 
 
+_QCLF_WEIGHTS: dict[tuple, tuple] = {}
+
+
+def _qclf_weights(spark, sf_dir):
+    """Memoized train-once quality-classifier coefficients (the
+    dim-sized serving artifact — IVF-codebook lifecycle). Weak label on
+    the driver corpus: lang == 'en' (the only supervision the synthetic
+    tables carry); a production pipeline trains the same shape on
+    "sampled-from-trusted-corpus" labels."""
+    key = (spark.sparkContext.applicationId, sf_dir, "qclf")
+    if key not in _QCLF_WEIGHTS:
+        docs = load_table(spark, sf_dir, "documents")
+        labeled = docs.select(
+            "doc_id", "text",
+            (F.col("lang") == "en").cast("double").alias("label"))
+        _QCLF_WEIGHTS[key] = classifier.train_quality_classifier(labeled)
+    return _QCLF_WEIGHTS[key]
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Learned quality filter (operators/classifier.py): MLlib logistic
+    regression over hashing-trick features, served as a map-only literal
+    dot + sigmoid. Rows-only at the static-oracle layer (LBFGS training
+    isn't SQL); the serve path is pinned cross-engine by a dynamic
+    DuckDB oracle in tests/test_extensions.py, the ALS/PCA pattern."""
+    w, b = _qclf_weights(spark, sf_dir)
+    return classifier.quality_classifier_scores(
+        load_table(spark, sf_dir, "documents"), w, b)
+
+
 def _pca_comps(spark, sf_dir, emb, out_dim=16):
     """Memoized train-once PCA basis (uncentered — top eigenvectors of the
     Gram matrix X^T X, i.e. the top right-singular directions, which are
@@ -2432,6 +2508,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,         # quality-aware survivor policy
         "lang_confusion": q_lang_confusion,           # label-grounded lang-ID eval
         "lang_id_trained": q_lang_id_trained,         # trained char-trigram NB LID
+        "char_entropy": q_char_entropy,               # Shannon-entropy quality signal
+        "quality_classifier": q_quality_classifier,   # trained linear quality filter
+                                                      # (rows-only: LBFGS training;
+                                                      # dynamic DuckDB oracle + held-
+                                                      # out separability in pytest)
         "rp_topk": q_rp_topk,                         # JL random-projection ANN tier
         "pca_topk": q_pca_topk,                       # trained-PCA ANN tier (rows-only:
                                                       # eigh isn't SQL; dynamic DuckDB
@@ -4799,9 +4880,9 @@ FROM rk2 WHERE rn = 1
     # over lowercased trigrams, per-lang top-8192 cap, OOV-charged scoring,
     # argmax on (score rounded to the repo scale desc, lang asc)
     _lid_grams = ("unnest(list_transform(range(1, length(t) - 1), "
-                  "i -> substr(t, i, 3)))")
+                  "i -> lower(substr(t, i, 3))))")
     _lid_cte = f"""
-low AS (SELECT doc_id, lower(text) AS t, lang FROM documents),
+low AS (SELECT doc_id, text AS t, lang FROM documents),
 g AS (SELECT lang, {_lid_grams} AS gram FROM low WHERE length(t) >= 3),
 counts AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
 tot AS (SELECT lang, sum(cnt) AS tot FROM counts GROUP BY 1),
@@ -4815,7 +4896,7 @@ prof AS (SELECT k.lang, k.gram,
          FROM kept k JOIN tot t USING (lang) CROSS JOIN v
          WHERE k.rk <= 8192),
 dg AS (SELECT doc_id, {_lid_grams} AS gram FROM low WHERE length(t) >= 3),
-dt AS (SELECT doc_id, count(*) AS t FROM dg GROUP BY 1),
+dt AS (SELECT doc_id, length(t) - 2 AS t FROM low WHERE length(t) >= 3),
 mm AS (SELECT doc_id, lang, sum(logp) AS s, count(*) AS m
        FROM dg JOIN prof USING (gram) GROUP BY 1, 2),
 langs AS (SELECT lang, min(oov) AS oov FROM prof GROUP BY 1),
@@ -4850,6 +4931,23 @@ tt AS (SELECT lang, sum(n) AS t FROM cm GROUP BY 1)
 SELECT cm.lang, cm.lang_guess, cm.n,
        floor((cm.n::DOUBLE / tt.t) * 1000000 + 0.5) / 1000000 AS frac
 FROM cm JOIN tt ON cm.lang = tt.lang
+"""
+    # Shannon char entropy (textops.char_entropy): H = ln t − Σ n·ln n / t
+    # over lowercased per-doc character counts — integer counts only, so
+    # both engines agree at the rounding scale
+    _ent_chars = ("unnest(list_transform(range(1, length(text) + 1), "
+                  "i -> lower(substr(text, i, 1))))")
+    sql["char_entropy"] = f"""
+WITH ch AS (SELECT doc_id, {_ent_chars} AS c FROM documents),
+per AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+ent AS (
+  SELECT doc_id, CAST(sum(n) AS INT) AS n_chars,
+         {fround_sql("ln(CAST(sum(n) AS DOUBLE)) - sum(n * ln(CAST(n AS DOUBLE))) / sum(n)")} AS entropy
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars,
+       coalesce(e.entropy, 0.0) AS entropy
+FROM (SELECT doc_id FROM documents) d LEFT JOIN ent e USING (doc_id)
 """
     sql["ranking_eval"] = _ranking_eval_sql()
     # ordered funnel: step-i frontier = min at-or-after time chained off

@@ -129,6 +129,9 @@ HEADLINE = [
     "negative_samples",
     "dedup_keep_best",
     "lang_confusion",
+    "lang_id_trained",
+    "char_entropy",
+    "quality_classifier",
     "scd2_intervals",
     "psi_drift",
     "zorder_key",
@@ -235,6 +238,29 @@ def main() -> None:
         build_timings[name] = dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # amortized hybrid serve: BASELINE.md's published unit is PER-QUERY
+    # latency over a batch (50 hybrid queries ≈ 0.168 s ≈ 3.4 ms/q
+    # in-process). A 40-query Spark total is dominated by the per-action
+    # scheduling floor, so measure ~500 queries through the memoized serve
+    # chain in ONE batched action and report ms/query (VERDICT r6 next #6).
+    serve_per_q_ms = None
+    serve_iters: list[float] = []
+    n_serve_q = 0
+    try:
+        sdf = entry_mod.hybrid_serve_batch(spark, SF_DIR)
+        n_serve_q = sdf.select("qid").distinct().count()  # warm run
+        if n_serve_q:
+            for _ in range(max(iters, 2)):
+                t0 = time.perf_counter()
+                sdf.count()
+                serve_iters.append(round(time.perf_counter() - t0, 3))
+            serve_per_q_ms = round(min(serve_iters) / n_serve_q * 1000, 3)
+        print(f"# hybrid_serve_batch: {n_serve_q} queries, "
+              f"{serve_per_q_ms} ms/q iters={serve_iters}", file=sys.stderr)
+    except Exception as e:
+        print(f"# hybrid_serve_batch: FAILED {type(e).__name__}: "
+              f"{str(e)[:120]}", file=sys.stderr)
+
     try:
         load_avg = [round(x, 2) for x in os.getloadavg()]
     except OSError:
@@ -252,8 +278,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if serve_per_q_ms is not None:
+        headline["hybrid_serve_per_query_ms"] = serve_per_q_ms
+        headline["hybrid_serve_n_queries"] = n_serve_q
     full = {**headline, "iters": all_iters, "builds": build_timings,
-            "load_avg": load_avg}
+            "serve_iters": serve_iters, "load_avg": load_avg}
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")
     with open(full_path, "w") as fh:

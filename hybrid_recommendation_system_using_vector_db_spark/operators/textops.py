@@ -143,10 +143,14 @@ def train_language_profiles(documents: DataFrame, lang_col: str = "lang",
     broadcastable by construction. At 100 TB you train on a labeled
     sample (``seeded_sample`` upstream), exactly as CCNet does.
     """
-    low = F.lower(F.col(text_col))
-    grams = documents.filter(F.length(low) >= n).select(
+    # extract from the RAW column and case-fold the n-char gram AFTER the
+    # explode: an inline lower(text) inside the transform lambda is
+    # re-evaluated per element (O(len²) per row — measured 6.9 s vs 1.6 s
+    # for the corpus gram pass at sf0.1); lower() on 3 chars is O(1)
+    grams = documents.filter(F.length(F.col(text_col)) >= n).select(
         F.col(lang_col).alias("lang"),
-        F.explode(_char_ngrams(low, n)).alias("gram"))
+        F.explode(_char_ngrams(F.col(text_col), n)).alias("g0"),
+    ).select("lang", F.lower(F.col("g0")).alias("gram"))
     # counts feed three branches (logp rows, per-lang totals, V);
     # checkpoint once — bounded at |langs| × charset^n rows, KB-scale
     counts = (grams.groupBy("lang", "gram")
@@ -192,11 +196,18 @@ def language_id_trained(documents: DataFrame, profiles: DataFrame,
     # materialize once so a lazily-built trainer isn't re-run per branch
     if not profiles.storageLevel.useMemory and not profiles.storageLevel.useDisk:
         profiles = profiles.localCheckpoint(eager=True)
-    low = F.lower(F.col(text_col))
+    # raw-extract + per-gram lower, same O(len²) avoidance as the trainer
     grams = documents.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_char_ngrams(low, n)).alias("gram"))
-    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("t"))
+        F.explode(_char_ngrams(F.col(text_col), n)).alias("g0"),
+    ).select("doc_id", F.lower(F.col("g0")).alias("gram"))
+    # a doc's n-gram count is just length − (n−1): derive totals map-side
+    # from the document table instead of a second corpus-wide explode+agg
+    # pass (measured: each explode pass over sf0.1 costs ~1.6 s)
+    totals = documents.select(
+        F.col(id_col).alias("doc_id"),
+        (F.length(F.col(text_col)) - (n - 1)).cast("long").alias("t"),
+    ).filter(F.col("t") > 0)
     matched = (
         grams.join(F.broadcast(profiles.select("gram", "lang", "logp")), "gram")
         .groupBy("doc_id", "lang")
@@ -787,3 +798,46 @@ def pmi_collocations(documents: DataFrame, k: int = 100,
                        F.col("t2").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def char_entropy(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Shannon character entropy per document (nats): the cheap
+    gibberish/padding detector quality pipelines run next to the LM
+    perplexity filter — near-zero entropy flags repeated-char padding,
+    anomalously high entropy flags random bytes/base64 blobs (the
+    Gopher-class "compressibility" signal, computed exactly instead of
+    via a zlib UDF so it stays JVM-side and oracle-checkable).
+
+        H(doc) = −Σ_c p_c ln p_c = ln t − (Σ_c n_c ln n_c) / t
+
+    over the doc's character counts (t = total chars) — the right-hand
+    form needs only integer counts, so Spark and the SQL oracle agree to
+    the rounding scale. Empty docs report n_chars=0, entropy=0.
+
+    Scale shape: one explode → partial-agg count keyed by (doc, char)
+    (combiner-bounded: ≤ |charset| rows per doc reach the exchange) →
+    per-doc agg; two doc-keyed shuffles, no joins, no windows, fully
+    whole-stage-codegen.
+    """
+    # raw-extract + per-char lower (inline lower(text) in the transform
+    # lambda re-evaluates per element — O(len²) per row; see the LID note)
+    chars = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_char_ngrams(F.col(text_col), 1)).alias("c0"),
+    ).select("doc_id", F.lower(F.col("c0")).alias("c"))
+    per = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    ent = (per.groupBy("doc_id")
+           .agg(F.sum("n").alias("t"),
+                F.sum(F.col("n") * F.log(F.col("n").cast("double")))
+                 .alias("snlogn"))
+           .select("doc_id",
+                   F.col("t").cast("int").alias("n_chars"),
+                   fround(F.log(F.col("t").cast("double"))
+                          - F.col("snlogn") / F.col("t"),
+                          ROUND_SCORE).alias("entropy")))
+    return (documents.select(F.col(id_col).alias("doc_id"))
+            .join(ent, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+                    F.coalesce("entropy", F.lit(0.0)).alias("entropy")))

@@ -2513,3 +2513,111 @@ def test_profile_cap_bounds_table_and_oov_scores(spark):
     test = spark.createDataFrame([(9, "aaa bbb ccc ddd")], "doc_id long, text string")
     [r] = textops.language_id_trained(test, capped).collect()
     assert r.lang_guess in ("x1", "x2") and r.n_grams > 0
+
+
+def test_char_entropy_known_values_and_edges(spark):
+    """Exact entropy on hand-computable inputs: uniform chars = ln(k),
+    single repeated char = 0, empty doc = (0, 0.0); case-folded."""
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"),        # uniform over 4 chars → ln 4
+         (2, "aaaaaa"),      # one symbol → 0
+         (3, ""),            # empty → (0, 0.0)
+         (4, "aAbB"),        # case-folds to aabb → ln 2
+         (5, "aab")],        # H = ln 3 − (2 ln 2)/3
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.char_entropy(docs).collect()}
+    assert abs(out[1].entropy - math.log(4)) < 1e-6 and out[1].n_chars == 4
+    assert out[2].entropy == 0.0 and out[2].n_chars == 6
+    assert out[3].entropy == 0.0 and out[3].n_chars == 0
+    assert abs(out[4].entropy - math.log(2)) < 1e-6
+    assert abs(out[5].entropy - (math.log(3) - 2 * math.log(2) / 3)) < 1e-6
+
+
+def test_quality_classifier_separates_heldout(spark):
+    """Train on 20 labeled docs per class, classify 10 held-out per
+    class: the learned linear filter must recover the separable quality
+    signal (≥0.9 held-out accuracy) and emit calibrated-range probs."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import classifier
+
+    good_words = ["the", "cat", "sat", "on", "a", "mat", "and", "read", "books"]
+    spam_words = ["buy", "now", "click", "here", "free", "winner", "prize", "cash"]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(good_words[(i + j) % len(good_words)]
+                                 for j in range(12)), 1.0))
+    for i in range(30):
+        rows.append((100 + i, " ".join(spam_words[(i + j) % len(spam_words)]
+                                       for j in range(12)), 0.0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    train = docs.filter((F.col("doc_id") % 100) < 20)
+    test = docs.filter((F.col("doc_id") % 100) >= 20)
+    w, b = classifier.train_quality_classifier(train)
+    scored = {r.doc_id: r for r in
+              classifier.quality_classifier_scores(test, w, b).collect()}
+    truth = {d: l for d, _, l in test.collect()}
+    assert len(scored) == 20
+    acc = sum((scored[d].prob >= 0.5) == (truth[d] == 1.0)
+              for d in truth) / len(truth)
+    assert acc >= 0.9, acc
+    assert all(0.0 <= r.prob <= 1.0 and r.pred in (0, 1)
+               for r in scored.values())
+
+
+def test_quality_classifier_scores_match_dynamic_duckdb_oracle(spark, sf_dir):
+    """Cross-engine pin for the serve path: the trained coefficients are
+    injected as SQL literals over the hash_embeddings feature CTEs (the
+    trained-PCA dynamic-oracle pattern) and compared value-for-value."""
+    import __spark_entry__ as entrymod
+
+    from .oracle_util import compare, duckdb_con
+
+    w, b = entrymod._qclf_weights(spark, sf_dir)
+    nib = entrymod._nib
+    wt_values = ", ".join(f"({i}, {repr(x)})" for i, x in enumerate(w))
+    sql = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+hb AS (
+  SELECT doc_id,
+         (16 * {nib('substr(md5(tok), 7, 1)')} + {nib('substr(md5(tok), 8, 1)')}) % 64 AS bucket,
+         CASE WHEN {nib('substr(md5(tok), 9, 1)')} >= 8 THEN 1.0 ELSE -1.0 END AS sign
+  FROM tok
+),
+sums AS (SELECT doc_id, bucket, sum(sign) AS s FROM hb GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, p.pos FROM documents d
+  CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+),
+vec AS (
+  SELECT g.doc_id, g.pos, coalesce(s.s, 0.0) AS s
+  FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.pos = s.bucket
+),
+nrm AS (SELECT doc_id, sqrt(sum(s * s)) AS n FROM vec GROUP BY doc_id),
+feat AS (
+  SELECT v.doc_id, v.pos,
+         CAST(CAST(CASE WHEN n.n > 0 THEN v.s / n.n ELSE 0.0 END AS REAL) AS DOUBLE) AS val
+  FROM vec v JOIN nrm n ON v.doc_id = n.doc_id
+),
+wt(pos, w) AS (VALUES {wt_values}),
+z AS (
+  SELECT doc_id, sum(val * w) + {repr(b)} AS z
+  FROM feat JOIN wt USING (pos) GROUP BY doc_id
+)
+SELECT doc_id,
+       floor((1.0 / (1.0 + exp(-z))) * 1000000 + 0.5) / 1000000 AS prob,
+       CAST(1.0 / (1.0 + exp(-z)) >= 0.5 AS INT) AS pred
+FROM z
+"""
+    con = duckdb_con(sf_dir)
+    try:
+        problems = compare(entrymod.q_quality_classifier(spark, sf_dir),
+                           con, sql, "quality_classifier")
+    finally:
+        con.close()
+    assert not problems, "\n".join(problems)
