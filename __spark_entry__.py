@@ -43,6 +43,7 @@ from hybrid_recommendation_system_using_vector_db_spark.functions.texttools impo
 from hybrid_recommendation_system_using_vector_db_spark.operators import (
     asof,
     classifier,
+    unigram_lm,
     copurchase,
     dedup,
     evaluate,
@@ -1793,6 +1794,39 @@ def q_rp_topk(spark, sf_dir):
 _PCA_COMPS: dict = {}
 
 
+_UNIGRAM_PIECES: dict[tuple, list] = {}
+
+
+def _unigram_pieces(spark, sf_dir):
+    """Memoized train-once unigram-LM inventory (EM over the vocab table;
+    bounded driver state — the BPE-merge-table lifecycle)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "unigram")
+    if key not in _UNIGRAM_PIECES:
+        docs = load_table(spark, sf_dir, "documents")
+        _UNIGRAM_PIECES[key] = [
+            (r["piece"], r["logp"], r["n_used"])
+            for r in unigram_lm.unigram_lm_train(docs).collect()]
+    return _UNIGRAM_PIECES[key]
+
+
+def q_unigram_pieces(spark, sf_dir):
+    """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece;
+    operators/unigram_lm.py). Rows-only: EM + Viterbi recursion isn't
+    SQL; exactness is pinned against an independent pure-Python
+    reference in tests/test_extensions.py."""
+    pieces = _unigram_pieces(spark, sf_dir)
+    return spark.createDataFrame(
+        pieces, "piece string, logp double, n_used long")
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Apply the trained unigram-LM inventory corpus-wide (rows-only,
+    same recursion; roundtrip/OOV contracts pinned in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = [(p, lp) for p, lp, _ in _unigram_pieces(spark, sf_dir)]
+    return unigram_lm.unigram_lm_encode(docs, pieces)
+
+
 _QCLF_WEIGHTS: dict[tuple, tuple] = {}
 
 
@@ -2532,6 +2566,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                       # reference-pinned in pytest
         "bpe_encode": q_bpe_encode,                   # apply trained merges (rows-only,
                                                       # same recursion; python-ref-pinned)
+        "unigram_pieces": q_unigram_pieces,           # unigram-LM tokenizer training
+                                                      # (rows-only: EM/Viterbi; python-
+                                                      # reference-pinned in pytest)
+        "unigram_encode": q_unigram_encode,           # apply trained inventory (rows-only)
         # fake-decoder plumbing rotated out of the driver 50 in r6 (their
         # value-check is a hex re-derivation; the Arrow/schema plumbing
         # stays oracle-pinned here and in tests/test_extensions.py)

@@ -105,6 +105,8 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "bpe_encode",
+    "unigram_pieces",
+    "unigram_encode",
     "link_prediction",
     "cohort_retention",
     "ranking_eval",

@@ -2621,3 +2621,139 @@ FROM z
     finally:
         con.close()
     assert not problems, "\n".join(problems)
+
+
+def _py_unigram_reference(texts, vocab_size=64, n_iters=3, seed_size=256,
+                          max_piece_len=4):
+    """Independent pure-Python unigram-LM trainer (Kudo 2018, same
+    simplified recipe as operators/unigram_lm.py but written directly
+    against collected strings — no Spark, no shared helpers)."""
+    import math
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for tok in t.lower().split(" "):
+            if tok:
+                words["▁" + tok] += 1
+
+    seed = Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                seed[w[i:i + l]] += c
+    multi = sorted(((p, n) for p, n in seed.items() if len(p) > 1),
+                   key=lambda pn: (-pn[1], pn[0]))[:seed_size]
+    inv0 = dict([(p, n) for p, n in seed.items() if len(p) == 1] + multi)
+    inventory = sorted(inv0)
+    charset = [p for p in inventory if len(p) == 1]
+    tot = sum(inv0.values()) or 1
+    logp = {p: math.log(n / tot) for p, n in inv0.items()}
+
+    def smooth(usage, inv):
+        t = sum(usage.get(p, 0) for p in inv) + len(inv)
+        return {p: math.log((usage.get(p, 0) + 1) / t) for p in inv}
+
+    def viterbi(w, lp):
+        NEG = float("-inf")
+        dp = [(NEG, 0, ())] * (len(w) + 1)
+        dp[0] = (0.0, 0, ())
+        for i in range(1, len(w) + 1):
+            best = (NEG, 0, ())
+            for j in range(max(0, i - max_piece_len), i):
+                if dp[j][0] == NEG or w[j:i] not in lp:
+                    continue
+                cand = (dp[j][0] + lp[w[j:i]], dp[j][1] - 1,
+                        dp[j][2] + (w[j:i],))
+                ka = (round(cand[0], 12), cand[1])
+                kb = (round(best[0], 12), best[1])
+                if best[0] == NEG or ka > kb or (ka == kb
+                                                and cand[2] < best[2]):
+                    best = cand
+            dp[i] = best
+        return dp[len(w)][2] if dp[len(w)][0] != NEG else None
+
+    def em(lp):
+        used = Counter()
+        for w, c in words.items():
+            pieces = viterbi(w, lp)
+            if pieces:
+                for p in pieces:
+                    used[p] += c
+        return used
+
+    used = Counter()
+    for _ in range(n_iters):
+        used = em(logp)
+        logp = smooth(used, inventory)
+    keep_multi = sorted(((p, n) for p, n in used.items() if len(p) > 1),
+                        key=lambda pn: (-pn[1], pn[0]))
+    kept = charset + [p for p, _ in
+                      keep_multi[:max(0, vocab_size - len(charset))]]
+    logp = smooth(used, kept)
+    final = em(logp)
+    flogp = smooth(final, kept)
+    return [(p, flogp[p], n)
+            for p, n in sorted(((p, final.get(p, 0)) for p in kept),
+                               key=lambda pn: (-pn[1], pn[0]))]
+
+
+def test_unigram_lm_matches_python_reference(spark, sf_dir):
+    """Exact pin: Spark unigram-LM training reproduces the independent
+    pure-Python EM on the same corpus — piece set, usage counts, and
+    log-probs (to 1e-9) in the same deterministic order."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    got = unigram_lm.unigram_lm_train(docs, vocab_size=48, n_iters=2,
+                                      seed_size=128).collect()
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _py_unigram_reference(texts, vocab_size=48, n_iters=2,
+                                 seed_size=128)
+    got = sorted(got, key=lambda r: (-r.n_used, r.piece))
+    assert len(got) == len(want)
+    for g, (p, lp, n) in zip(got, want):
+        assert g.piece == p and g.n_used == n, (g, p, n)
+        assert abs(g.logp - lp) < 1e-9
+
+
+def test_unigram_lm_encode_roundtrip_and_oov(spark):
+    """Encode contract: tokens concatenate back to the marked words,
+    token counts line up, and out-of-inventory words are counted as OOV
+    rather than dropped or crashed on."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import unigram_lm
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low low slow slowly"),
+         (2, "low slow lower slowly lowest low")],
+        "doc_id long, text string")
+    pieces = unigram_lm.unigram_lm_train(train, vocab_size=32, n_iters=2,
+                                         seed_size=64)
+    enc = unigram_lm.unigram_lm_encode(train, pieces)
+    rows = {r.doc_id: r for r in enc.collect()}
+    assert rows[1].n_words == 7 and rows[1].n_oov_words == 0
+    assert "".join(rows[1].tokens) == "".join(
+        "▁" + w for w in "low lower lowest low low slow slowly".split())
+    assert rows[1].n_tokens == len(rows[1].tokens)
+    # OOV: the char 'z' never appeared → the word is OOV, others encode
+    test = spark.createDataFrame([(9, "low zzz slow")], "doc_id long, text string")
+    [r] = unigram_lm.unigram_lm_encode(test, pieces).collect()
+    assert r.n_words == 3 and r.n_oov_words == 1
+    assert "".join(r.tokens) == "▁low▁slow"
+
+
+def test_unigram_lm_vocab_bound_and_chars_retained(spark):
+    """The trained inventory respects vocab_size and always retains the
+    single characters (every in-charset word stays segmentable)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import unigram_lm
+
+    docs = spark.createDataFrame(
+        [(i, "spark scale shuffle partition broadcast") for i in range(4)],
+        "doc_id long, text string")
+    out = unigram_lm.unigram_lm_train(docs, vocab_size=24, n_iters=2,
+                                      seed_size=64).collect()
+    chars = {r.piece for r in out if len(r.piece) == 1}
+    assert len(out) <= max(24, len(chars))  # chars may exceed the budget
+    needed = set("▁sparkclehufitonbd")
+    assert needed <= chars, needed - chars
