@@ -1482,6 +1482,24 @@ def _lm_model(spark, sf_dir):
     return _ANN_INDEXES[key]
 
 
+def _kn_lm(spark, sf_dir):
+    """Build-once persisted KN word-bigram LM (vocab²-bounded; same
+    train-once-score-everything lifecycle as ``_lm_model``)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "kn_lm")
+    if key not in _ANN_INDEXES:
+        docs = load_table(spark, sf_dir, "documents")
+        _ANN_INDEXES[key] = textops.kn_word_lm(docs).persist()
+    return _ANN_INDEXES[key]
+
+
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney word-bigram perplexity filter (the
+    KenLM-class upgrade of q_lm_perplexity's add-α char LM; Kneser & Ney
+    1995). Full DuckDB oracle — every term is integer-count arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.kn_perplexity(docs, _kn_lm(spark, sf_dir))
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet perplexity filter: score every document by negative
     log-likelihood under the build-once add-α char-bigram LM
@@ -2508,6 +2526,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "boilerplate_removal": q_boilerplate_removal, # CCNet line-docfreq filter
         "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
+        "kn_perplexity": q_kn_perplexity,             # Kneser-Ney word-bigram filter
         "mmr_topk": q_mmr_topk,                       # MMR diversified serving
         "filtered_topk": q_filtered_topk,             # metadata-filtered ANN
         "semdedup": q_semdedup,                       # cluster-then-dedup (SemDeDup)
@@ -4986,6 +5005,42 @@ ent AS (
 SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars,
        coalesce(e.entropy, 0.0) AS entropy
 FROM (SELECT doc_id FROM documents) d LEFT JOIN ent e USING (doc_id)
+"""
+    # interpolated Kneser-Ney word-bigram LM (textops.kn_word_lm /
+    # kn_perplexity): P = max(c−D,0)/c1 + (D·n1f/c1)·pc with continuation
+    # prob pc = n1b/n_types; unseen context → pc; unseen continuation →
+    # uniform 1/(n_types+1). Arithmetic mirrored operation-for-operation
+    # (left-assoc products, greatest over a double subtraction).
+    sql["kn_perplexity"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dbg AS (
+  SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+counts AS (SELECT w1, w2, count(*) AS c FROM dbg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c) AS c1, count(*) AS n1f FROM counts GROUP BY 1),
+back AS (SELECT w2, count(*) AS n1b FROM counts GROUP BY 1),
+types AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM counts),
+sc AS (
+  SELECT g.doc_id,
+         CASE WHEN x.c1 IS NOT NULL THEN
+           greatest(coalesce(c.c, 0) - 0.75, 0.0) / x.c1
+           + 0.75 * x.n1f / x.c1
+             * coalesce(b.n1b / t.n_types, 1.0 / (t.n_types + 1.0))
+         ELSE coalesce(b.n1b / t.n_types, 1.0 / (t.n_types + 1.0)) END AS p
+  FROM dbg g
+  LEFT JOIN counts c ON g.w1 = c.w1 AND g.w2 = c.w2
+  LEFT JOIN ctx x ON g.w1 = x.w1
+  LEFT JOIN back b ON g.w2 = b.w2
+  CROSS JOIN types t
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+         {fround_sql('-avg(ln(p))')} AS nll
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.nll
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
 """
     sql["ranking_eval"] = _ranking_eval_sql()
     # ordered funnel: step-i frontier = min at-or-after time chained off

@@ -88,6 +88,7 @@ HEADLINE = [
     "paragraph_dedup",
     "boilerplate_removal",
     "lm_perplexity",
+    "kn_perplexity",
     "semdedup",
     "dsir_weights",
     "cross_dedup",

@@ -841,3 +841,125 @@ def char_entropy(documents: DataFrame, id_col: str = "doc_id",
             .select("doc_id",
                     F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
                     F.coalesce("entropy", F.lit(0.0)).alias("entropy")))
+
+
+def kn_word_lm(documents: DataFrame, discount: float = 0.75,
+               text_col: str = "text") -> DataFrame:
+    """Train an interpolated Kneser-Ney word-bigram LM (Kneser & Ney
+    1995; the smoothing family KenLM uses for the CCNet quality filter —
+    the existing ``char_bigram_lm`` is the charset-bounded add-α cousin,
+    this is the word-level upgrade).
+
+    Returns one row per observed word bigram carrying every term the
+    scorer needs (all derived from integer counts, so cross-engine
+    exact to the rounding scale):
+
+        (w1, w2, c, c1, n1f, pc) with
+        c    = count(w1 w2)
+        c1   = count(w1 ·)            — context total
+        n1f  = |{w2 : c(w1,w2) > 0}|  — distinct continuations of w1
+        pc   = N1+(·w2) / |distinct bigrams|  — continuation prob of w2
+
+        P_KN(w2|w1) = max(c − D, 0)/c1 + (D·n1f/c1)·pc
+
+    Scale shape: one corpus pass explodes per-doc word-bigram arrays
+    into a partial-agg count keyed by (w1, w2) — bounded by the distinct
+    word-bigram vocabulary, not corpus size; context totals, forward and
+    backward continuation counts, and the bigram-type total all derive
+    from that one counts table (checkpointed — it feeds four branches).
+    The model is vocabulary²-bounded: unlike the charset-bounded char
+    LM it is NOT unconditionally broadcastable — the scorer joins it
+    AQE-sized (broadcast when small, shuffle hash otherwise).
+    """
+    toks = TT.tokens(F.col(text_col))
+    bigrams = documents.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # the counts table feeds four branches (c rows, context totals,
+    # forward/backward continuation counts, type total) — checkpoint once;
+    # bounded by |distinct word bigrams|
+    counts = (bigrams.groupBy("w1", "w2")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint(eager=True))
+    ctx = counts.groupBy("w1").agg(
+        F.sum("c").alias("c1"),
+        F.count(F.lit(1)).alias("n1f"))
+    back = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = counts.select(F.count(F.lit(1)).cast("double").alias("n_types"))
+    return (
+        counts.join(ctx, "w1")
+        .join(back, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1", "w2", "c", "c1", "n1f",
+            (F.col("n1b") / F.col("n_types")).alias("pc"))
+    )
+
+
+def kn_perplexity(documents: DataFrame, lm: DataFrame,
+                  discount: float = 0.75, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Score documents by KN word-bigram negative log-likelihood:
+    (doc_id, n_bigrams, nll); low = fluent in-distribution text.
+
+    Backoff chain, all relational (D = ``discount``):
+    - seen (w1,w2): P = max(c−D,0)/c1 + (D·n1f/c1)·pc
+    - unseen pair, seen context w1: P = (D·n1f/c1)·pc(w2)
+    - unseen context: P = pc(w2)
+    - unseen continuation word: pc falls to 1/(n_types+1) — the uniform
+      over one more type than observed, mirrored exactly in the oracle.
+
+    Scale shape: one corpus bigram explode; three probes — the pair
+    join (AQE-sized: the model is vocab²-bounded, not charset-bounded),
+    a context probe and a continuation probe (both vocab-bounded,
+    broadcastable); one doc-keyed partial-agg mean. Docs with <2 tokens
+    report (0, null).
+    """
+    if not lm.storageLevel.useMemory and not lm.storageLevel.useDisk:
+        lm = lm.localCheckpoint(eager=True)
+    toks = TT.tokens(F.col(text_col))
+    dbg = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ctx = lm.groupBy("w1").agg(F.first("c1").alias("c1"),
+                               F.first("n1f").alias("n1f"))
+    cont = lm.groupBy("w2").agg(F.first("pc").alias("pc"))
+    uni = lm.select((F.lit(1.0) / (F.count(F.lit(1)).cast("double") + 1.0))
+                    .alias("pc_floor"))
+    d = F.lit(float(discount))
+    scored = (
+        dbg.join(lm.select("w1", "w2", "c"), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(uni))
+        .withColumn("pc2", F.coalesce("pc", "pc_floor"))
+        .withColumn(
+            "p",
+            F.when(
+                F.col("c1").isNotNull(),
+                F.greatest(F.coalesce("c", F.lit(0)) - d, F.lit(0.0))
+                / F.col("c1")
+                + d * F.col("n1f") / F.col("c1") * F.col("pc2"),
+            ).otherwise(F.col("pc2")))
+    )
+    docs_all = documents.select(F.col(id_col).alias("doc_id"))
+    agg = (scored.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+                fround(-F.avg(F.log("p")), ROUND_SCORE).alias("nll")))
+    return (docs_all.join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.col("nll")))

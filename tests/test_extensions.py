@@ -2757,3 +2757,48 @@ def test_unigram_lm_vocab_bound_and_chars_retained(spark):
     assert len(out) <= max(24, len(chars))  # chars may exceed the budget
     needed = set("▁sparkclehufitonbd")
     assert needed <= chars, needed - chars
+
+
+def test_kn_perplexity_hand_computed_and_ordering(spark):
+    """Interpolated KN on a hand-checkable corpus: exact probability for
+    a seen bigram, the backoff chain for unseen pair / unseen context /
+    unseen word, and the fluency ordering property (in-distribution text
+    scores lower nll than shuffled junk)."""
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    train = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")],
+        "doc_id long, text string")
+    lm = textops.kn_word_lm(train)
+    rows = {(r.w1, r.w2): r for r in lm.collect()}
+    # counts: (a,b)=2 (a,c)=1; ctx a: c1=3 n1f=2; n_types=2
+    # pc(b) = n1b(b)/n_types = 1/2, pc(c) = 1/2
+    assert rows[("a", "b")].c == 2 and rows[("a", "b")].c1 == 3
+    assert rows[("a", "b")].n1f == 2 and abs(rows[("a", "b")].pc - 0.5) < 1e-12
+
+    test = spark.createDataFrame(
+        [(10, "a b"),      # seen: P = (2-.75)/3 + .75*2/3*.5
+         (11, "a a"),      # unseen pair, seen ctx: P = .75*2/3*pc(a)-> floor
+         (12, "b c"),      # unseen ctx b: P = pc(c) = .5
+         (13, "z"),        # <2 tokens: no bigrams
+         ], "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.kn_perplexity(test, lm).collect()}
+    p_ab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * 0.5
+    assert abs(out[10].nll - round(-math.log(p_ab), 6)) < 2e-6
+    # 'a' never continues anything → pc floor = 1/(n_types+1) = 1/3
+    p_aa = 0.75 * 2 / 3 * (1.0 / 3.0)
+    assert abs(out[11].nll - round(-math.log(p_aa), 6)) < 2e-6
+    assert abs(out[12].nll - round(-math.log(0.5), 6)) < 2e-6
+    assert out[13].n_bigrams == 0 and out[13].nll is None
+    # fluency ordering on a bigger corpus: real phrases beat junk
+    phrases = [(i, "the cat sat on the mat and the dog ran") for i in range(20)]
+    corpus = spark.createDataFrame(phrases, "doc_id long, text string")
+    lm2 = textops.kn_word_lm(corpus)
+    probe = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),
+         (101, "mat ran the on dog cat")],
+        "doc_id long, text string")
+    s = {r.doc_id: r.nll for r in textops.kn_perplexity(probe, lm2).collect()}
+    assert s[100] < s[101]
