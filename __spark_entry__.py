@@ -2434,7 +2434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_topk_gemm": q_content_topk_gemm,
         # --- dedup extensions ---
         "dedup_exact": q_dedup_exact,
-        "minhash_dup_pairs": q_minhash_dup_pairs,
+        # r7 rotation: minhash_dup_pairs (the band-link stage riding inside
+        # the driver-checked minhash_jaccard_neardup chain) → extras,
+        # freeing a slot for the Shannon char-entropy signal (full oracle)
+        "char_entropy": q_char_entropy,
         "minhash_jaccard_neardup": q_minhash_jaccard_neardup,
         "simhash_neardup": q_simhash_neardup,
         # r7 rotation: dedup_clusters (min-label CC over the same banded
@@ -2469,7 +2472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- generic relational + streaming operators ---
         "tpch_q1": q_tpch_q1,
         "orders_running_total": q_orders_running_total,
-        "events_hourly": q_events_hourly,
+        # r7 rotation: events_hourly (the batch twin of the driver-checked
+        # streaming_hourly aggregation) → extras, freeing a slot for the
+        # KN word-bigram perplexity filter (full oracle)
+        "kn_perplexity": q_kn_perplexity,
         "session_windows": q_session_windows,  # native session_window form
         "streaming_hourly": q_streaming_hourly,  # Structured Streaming path
         "streaming_dedup": q_streaming_dedup,  # streaming dropDuplicates state
@@ -2494,6 +2500,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-probe path — both stay oracle-pinned here every CI run
         "dedup_clusters": q_dedup_clusters,
         "lsh_topk": q_lsh_topk,
+        # r7 second rotation (for kn_perplexity / char_entropy): the batch
+        # hourly agg is streaming_hourly's exact twin (shared oracle
+        # semantics), and the band-link stage is embedded in the chained
+        # minhash verify — both stay oracle-pinned here every CI run
+        "events_hourly": q_events_hourly,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
         "dedup_clusters_star": q_dedup_clusters_star, # star-CC pinned by dedup_clusters_chained;
                                                       # legacy block-mode generator parity pair
         "jaccard_neardup": q_jaccard_neardup,         # block-mode exact Jaccard; candidates= form
@@ -2526,7 +2538,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "boilerplate_removal": q_boilerplate_removal, # CCNet line-docfreq filter
         "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
-        "kn_perplexity": q_kn_perplexity,             # Kneser-Ney word-bigram filter
         "mmr_topk": q_mmr_topk,                       # MMR diversified serving
         "filtered_topk": q_filtered_topk,             # metadata-filtered ANN
         "semdedup": q_semdedup,                       # cluster-then-dedup (SemDeDup)
@@ -2561,7 +2572,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,         # quality-aware survivor policy
         "lang_confusion": q_lang_confusion,           # label-grounded lang-ID eval
         "lang_id_trained": q_lang_id_trained,         # trained char-trigram NB LID
-        "char_entropy": q_char_entropy,               # Shannon-entropy quality signal
         "quality_classifier": q_quality_classifier,   # trained linear quality filter
                                                       # (rows-only: LBFGS training;
                                                       # dynamic DuckDB oracle + held-
