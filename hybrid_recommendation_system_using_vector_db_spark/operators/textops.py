@@ -143,19 +143,20 @@ def train_language_profiles(documents: DataFrame, lang_col: str = "lang",
     broadcastable by construction. At 100 TB you train on a labeled
     sample (``seeded_sample`` upstream), exactly as CCNet does.
     """
-    # extract from the RAW column and case-fold the n-char gram AFTER the
-    # explode: an inline lower(text) inside the transform lambda is
-    # re-evaluated per element (O(len²) per row — measured 6.9 s vs 1.6 s
-    # for the corpus gram pass at sf0.1); lower() on 3 chars is O(1)
-    grams = documents.filter(F.length(F.col(text_col)) >= n).select(
-        F.col(lang_col).alias("lang"),
-        F.explode(_char_ngrams(F.col(text_col), n)).alias("g0"),
-    ).select("lang", F.lower(F.col("g0")).alias("gram"))
     # counts feed three branches (logp rows, per-lang totals, V);
     # checkpoint once — bounded at |langs| × charset^n rows, KB-scale
-    counts = (grams.groupBy("lang", "gram")
-              .agg(F.count(F.lit(1)).alias("cnt"))
-              .localCheckpoint(eager=True))
+    counts = lid_gram_counts(documents, lang_col, text_col, n) \
+        .localCheckpoint(eager=True)
+    return lid_profiles_from_counts(counts, alpha, max_grams_per_lang)
+
+
+def lid_profiles_from_counts(counts: DataFrame, alpha: float = 1.0,
+                             max_grams_per_lang: int = 8192) -> DataFrame:
+    """Derive the (lang, gram, logp, oov) profile table from the
+    (lang, gram, cnt) SUFFICIENT STATISTIC — shared by the trainer and
+    the persisted-artifact load path (``pipeline.load_lid_profiles``),
+    so a counts table merged incrementally derives the bit-identical
+    model a bulk retrain would."""
     tot = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
     v = counts.select(F.countDistinct("gram").cast("double").alias("v"))
     w = Window.partitionBy("lang").orderBy(
@@ -171,6 +172,21 @@ def train_language_profiles(documents: DataFrame, lang_col: str = "lang",
             F.log((F.col("cnt") + F.lit(alpha)) / denom).alias("logp"),
             F.log(F.lit(alpha) / denom).alias("oov"))
     )
+
+
+def lid_gram_counts(documents: DataFrame, lang_col: str = "lang",
+                    text_col: str = "text", n: int = 3) -> DataFrame:
+    """The (lang, gram, cnt) sufficient statistic for LID training —
+    exposed so the artifact lifecycle can persist and incrementally
+    merge it (counts are additive: append = union + re-sum)."""
+    # raw-extract + per-gram lower: an inline lower(text) inside the
+    # transform lambda re-evaluates per element — O(len²) per row
+    # (measured 6.9 s vs 1.6 s per sf0.1 gram pass)
+    grams = documents.filter(F.length(F.col(text_col)) >= n).select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_char_ngrams(F.col(text_col), n)).alias("g0"),
+    ).select("lang", F.lower(F.col("g0")).alias("gram"))
+    return grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def language_id_trained(documents: DataFrame, profiles: DataFrame,
@@ -871,6 +887,18 @@ def kn_word_lm(documents: DataFrame, discount: float = 0.75,
     LM it is NOT unconditionally broadcastable — the scorer joins it
     AQE-sized (broadcast when small, shuffle hash otherwise).
     """
+    # the counts table feeds four branches (c rows, context totals,
+    # forward/backward continuation counts, type total) — checkpoint once;
+    # bounded by |distinct word bigrams|
+    counts = kn_bigram_counts(documents, text_col).localCheckpoint(eager=True)
+    return kn_model_from_counts(counts)
+
+
+def kn_bigram_counts(documents: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """The (w1, w2, c) sufficient statistic for KN training — exposed so
+    the artifact lifecycle can persist and incrementally merge it
+    (bigram counts are additive: append = union + re-sum)."""
     toks = TT.tokens(F.col(text_col))
     bigrams = documents.select(
         F.explode(
@@ -881,12 +909,14 @@ def kn_word_lm(documents: DataFrame, discount: float = 0.75,
             )
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    # the counts table feeds four branches (c rows, context totals,
-    # forward/backward continuation counts, type total) — checkpoint once;
-    # bounded by |distinct word bigrams|
-    counts = (bigrams.groupBy("w1", "w2")
-              .agg(F.count(F.lit(1)).alias("c"))
-              .localCheckpoint(eager=True))
+    return bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+
+
+def kn_model_from_counts(counts: DataFrame) -> DataFrame:
+    """Derive the KN model table from the (w1, w2, c) sufficient
+    statistic — shared by the trainer and the persisted-artifact load
+    path, so an incrementally merged counts table derives the
+    bit-identical model a bulk retrain would."""
     ctx = counts.groupBy("w1").agg(
         F.sum("c").alias("c1"),
         F.count(F.lit(1)).alias("n1f"))

@@ -632,3 +632,107 @@ def append_dedup_clusters(spark: SparkSession, new_documents: DataFrame,
     clusters.write.mode("overwrite").parquet(f"{out_dir}/dedup_clusters")
     bands_b.write.mode("append").parquet(f"{out_dir}/dedup_bands")
     final_pairs.write.mode("overwrite").parquet(f"{out_dir}/dedup_pairs")
+
+
+# ---------------------------------------------------------------------------
+# count-statistic model artifacts (KN LM, LID profiles)
+# ---------------------------------------------------------------------------
+# Both models are pure functions of an ADDITIVE sufficient statistic (bigram
+# counts / per-language gram counts), so the artifact stores the counts plus
+# a doc-id ledger for replay protection; append = count batch → union →
+# re-sum — O(batch) compute, and the merged counts derive a model
+# bit-identical to a bulk retrain (shared derivation in operators/textops).
+
+
+def write_kn_lm(spark: SparkSession, documents: DataFrame, out_dir: str,
+                id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Bulk-build the KN word-bigram count artifact: (w1, w2, c) counts
+    plus the indexed doc ledger."""
+    from .operators.textops import kn_bigram_counts
+
+    kn_bigram_counts(documents, text_col) \
+        .write.mode("overwrite").parquet(f"{out_dir}/kn_counts")
+    documents.select(F.col(id_col).alias("doc_id")) \
+        .write.mode("overwrite").parquet(f"{out_dir}/kn_docs")
+
+
+def load_kn_lm(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Derive the serving model from the stored counts — one
+    vocab²-bounded pass, no corpus re-read."""
+    from .operators.textops import kn_model_from_counts
+
+    return kn_model_from_counts(
+        spark.read.parquet(f"{out_dir}/kn_counts"))
+
+
+def append_kn_lm(spark: SparkSession, new_documents: DataFrame,
+                 out_dir: str, id_col: str = "doc_id",
+                 text_col: str = "text") -> None:
+    """O(batch) incremental LM maintenance: replay-guard the batch
+    against the doc ledger (a re-appended doc is a no-op, mirroring
+    ``append_bm25_index``), count ONLY the batch, merge by re-summing
+    the union — counts are additive, so merged == bulk exactly."""
+    from .operators.textops import kn_bigram_counts
+
+    ledger = spark.read.parquet(f"{out_dir}/kn_docs")
+    batch = new_documents.join(
+        ledger.select(F.col("doc_id").alias(id_col)), id_col, "left_anti")
+    if batch.isEmpty():
+        return
+    stored = spark.read.parquet(f"{out_dir}/kn_counts")
+    merged = (stored.unionByName(kn_bigram_counts(batch, text_col))
+              .groupBy("w1", "w2").agg(F.sum("c").alias("c"))
+              .localCheckpoint(eager=True))
+    batch_ids = batch.select(F.col(id_col).alias("doc_id")) \
+        .localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(f"{out_dir}/kn_counts")
+    batch_ids.write.mode("append").parquet(f"{out_dir}/kn_docs")
+
+
+def write_lid_profiles(spark: SparkSession, documents: DataFrame,
+                       out_dir: str, lang_col: str = "lang",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3) -> None:
+    """Bulk-build the LID gram-count artifact: (lang, gram, cnt) plus
+    the indexed doc ledger."""
+    from .operators.textops import lid_gram_counts
+
+    lid_gram_counts(documents, lang_col, text_col, n) \
+        .write.mode("overwrite").parquet(f"{out_dir}/lid_counts")
+    documents.select(F.col(id_col).alias("doc_id")) \
+        .write.mode("overwrite").parquet(f"{out_dir}/lid_docs")
+
+
+def load_lid_profiles(spark: SparkSession, out_dir: str,
+                      alpha: float = 1.0,
+                      max_grams_per_lang: int = 8192) -> DataFrame:
+    """Derive the (lang, gram, logp, oov) profile table from the stored
+    counts — bounded by |langs| × charset^n, no corpus re-read."""
+    from .operators.textops import lid_profiles_from_counts
+
+    return lid_profiles_from_counts(
+        spark.read.parquet(f"{out_dir}/lid_counts"),
+        alpha, max_grams_per_lang)
+
+
+def append_lid_profiles(spark: SparkSession, new_documents: DataFrame,
+                        out_dir: str, lang_col: str = "lang",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> None:
+    """O(batch) incremental profile maintenance — same additive-counts
+    merge as :func:`append_kn_lm`."""
+    from .operators.textops import lid_gram_counts
+
+    ledger = spark.read.parquet(f"{out_dir}/lid_docs")
+    batch = new_documents.join(
+        ledger.select(F.col("doc_id").alias(id_col)), id_col, "left_anti")
+    if batch.isEmpty():
+        return
+    stored = spark.read.parquet(f"{out_dir}/lid_counts")
+    merged = (stored.unionByName(lid_gram_counts(batch, lang_col, text_col, n))
+              .groupBy("lang", "gram").agg(F.sum("cnt").alias("cnt"))
+              .localCheckpoint(eager=True))
+    batch_ids = batch.select(F.col(id_col).alias("doc_id")) \
+        .localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(f"{out_dir}/lid_counts")
+    batch_ids.write.mode("append").parquet(f"{out_dir}/lid_docs")

@@ -685,3 +685,61 @@ def test_dedup_cluster_append_can_split_clusters(spark, tmp_path):
     pb = sorted(map(tuple,
                     spark.read.parquet(f"{bulk}/dedup_pairs").collect()))
     assert pi == pb == []
+
+
+def test_kn_lm_incremental_append_equals_bulk(spark, sf_dir, tmp_path):
+    """Appending a doc batch to the KN count artifact yields counts —
+    and therefore a derived model — identical to a bulk rebuild over the
+    union; replayed batches are no-ops (ledger guard)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    inc, bulk = str(tmp_path / "inc"), str(tmp_path / "bulk")
+    pipeline.write_kn_lm(spark, old, inc)
+    pipeline.append_kn_lm(spark, batch, inc)
+    pipeline.write_kn_lm(spark, docs, bulk)
+    a = sorted(map(tuple, pipeline.load_kn_lm(spark, inc).collect()))
+    b = sorted(map(tuple, pipeline.load_kn_lm(spark, bulk).collect()))
+    assert a == b and len(a) > 0
+    # replay: appending the same batch again changes nothing
+    pipeline.append_kn_lm(spark, batch, inc)
+    a2 = sorted(map(tuple, pipeline.load_kn_lm(spark, inc).collect()))
+    assert a2 == a
+    # the loaded model scores identically to the directly trained one
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    direct = textops.kn_perplexity(docs, textops.kn_word_lm(docs)).collect()
+    loaded = textops.kn_perplexity(docs, pipeline.load_kn_lm(spark, inc)).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, loaded))
+
+
+def test_lid_profiles_incremental_append_equals_bulk(spark, sf_dir, tmp_path):
+    """Same contract for the LID gram-count artifact: append == bulk,
+    replay is a no-op, and the loaded profiles reproduce the directly
+    trained table exactly."""
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    inc, bulk = str(tmp_path / "inc"), str(tmp_path / "bulk")
+    pipeline.write_lid_profiles(spark, old, inc)
+    pipeline.append_lid_profiles(spark, batch, inc)
+    pipeline.write_lid_profiles(spark, docs, bulk)
+    a = sorted(map(tuple, pipeline.load_lid_profiles(spark, inc).collect()))
+    b = sorted(map(tuple, pipeline.load_lid_profiles(spark, bulk).collect()))
+    assert a == b and len(a) > 0
+    pipeline.append_lid_profiles(spark, batch, inc)
+    assert sorted(map(tuple,
+                      pipeline.load_lid_profiles(spark, inc).collect())) == a
+    direct = sorted(map(tuple, textops.train_language_profiles(docs).collect()))
+    assert a == direct
