@@ -845,14 +845,26 @@ def _lid_profiles(spark, sf_dir):
     return _LID_PROFILES[key]
 
 
+def _lid_guesses(spark, sf_dir):
+    """Memoized scored-corpus table (doc_id, lang_guess, score, n_grams)
+    — a pure function of the corpus + memoized profiles, shared by the
+    lang_id_trained entry and the confusion-matrix eval so the corpus
+    scoring pass runs once per session, not once per consumer."""
+    key = (spark.sparkContext.applicationId, sf_dir, "lid_guesses")
+    if key not in _LID_PROFILES:
+        docs = load_table(spark, sf_dir, "documents")
+        _LID_PROFILES[key] = textops.language_id_trained(
+            docs, _lid_profiles(spark, sf_dir)).persist()
+    return _LID_PROFILES[key]
+
+
 def q_lang_id_trained(spark, sf_dir):
     """Trained (non-heuristic) language ID: per-language char-trigram
     naive-Bayes profiles learned from the labeled lang column, scored
     map-only against the same corpus (VERDICT r6 missing #4; operator
     docstrings in textops.py carry the scale shape). Full DuckDB
     oracle — train and score are both pure relational algebra."""
-    docs = load_table(spark, sf_dir, "documents")
-    return textops.language_id_trained(docs, _lid_profiles(spark, sf_dir))
+    return _lid_guesses(spark, sf_dir)
 
 
 def q_lang_confusion(spark, sf_dir):
@@ -867,8 +879,7 @@ def q_lang_confusion(spark, sf_dir):
     generalization is pinned on a held-out multilingual fixture there
     too, where the labels actually correlate with the text.)"""
     docs = load_table(spark, sf_dir, "documents")
-    guesses = textops.language_id_trained(
-        docs, _lid_profiles(spark, sf_dir)).select("doc_id", "lang_guess")
+    guesses = _lid_guesses(spark, sf_dir).select("doc_id", "lang_guess")
     # cm feeds two branches (per-lang totals + the final join); checkpoint
     # the bounded |langs|² table so the corpus-wide train+score chain
     # behind it executes once, not per branch (the simhash r5 #1 class)
