@@ -155,7 +155,8 @@ def _reset_serving_caches() -> None:
     """
     for d in (_EDGE_INDEX, _CF_INDEX, _QMAT_CACHE, _ANN_INDEXES,
               _UNIVERSE_CACHE, _IVF_CODEBOOKS, _SQ_PARAMS, _PQ_BOOKS,
-              _DEDUP_ARTIFACTS, _LID_PROFILES, _QCLF_WEIGHTS):
+              _DEDUP_ARTIFACTS, _LID_PROFILES, _QCLF_WEIGHTS,
+              _UNIGRAM_PIECES):
         for v in d.values():
             if hasattr(v, "unpersist"):
                 try:
