@@ -496,3 +496,26 @@ def streaming_neardup_signatures(docs: DataFrame, n_hashes: int = 4,
     sigs = docs.select(*[minhash(toks, i).alias(c)
                          for i, c in enumerate(sig_cols)])
     return sigs.dropDuplicates(sig_cols)
+
+
+def streaming_quality_filter(docs: DataFrame, weights: list[float],
+                             bias: float, threshold: float = 0.5,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Streaming corpus-quality gate: score each arriving document with
+    an OFFLINE-trained linear classifier and keep rows whose keep-prob
+    clears ``threshold`` — the train-offline / filter-online split every
+    production ingest pipeline runs (the classifier never retrains
+    in-stream; its coefficients are plan literals).
+
+    Stateless by construction: the scoring path is one Arrow feature
+    batch + a map-only literal dot + sigmoid (``operators/classifier``),
+    so the streaming plan needs no state store, no watermark, and no
+    shuffle — every micro-batch filters independently, and the kept set
+    is batch-equivalent (pinned in pytest against the batch scorer over
+    the same rows, the ``streaming_dedup_keys`` oracle argument).
+    """
+    from ..operators.classifier import quality_classifier_scores
+
+    scored = quality_classifier_scores(docs, weights, bias, id_col, text_col)
+    return scored.filter(F.col("prob") >= threshold)

@@ -312,3 +312,34 @@ def test_stateful_v2_matches_v1_and_batch(spark, sf_dir):
     )
     want = {r.user_id: (r.n, round(r.v, 6)) for r in batch}
     assert {u: (n, v) for u, (n, v, _) in got.items()} == want
+
+
+def test_streaming_quality_filter_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming quality gate keeps exactly the rows the batch
+    scorer keeps (stateless map-only plan → batch equivalence), and the
+    streaming plan carries no state store."""
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import classifier
+    from hybrid_recommendation_system_using_vector_db_spark.streaming import events as SE
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id", "text", (F.col("lang") == "en").cast("double").alias("label"))
+    w, b = classifier.train_quality_classifier(labeled)
+
+    stream = SE.read_documents_stream(spark, sf_dir)
+    kept = SE.streaming_quality_filter(stream, w, b, threshold=0.5)
+    q = (kept.select("doc_id").writeStream.format("memory")
+         .queryName("qfilter").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM qfilter").collect()}
+    want = {r.doc_id for r in
+            classifier.quality_classifier_scores(docs, w, b)
+            .filter(F.col("prob") >= 0.5).select("doc_id").collect()}
+    assert got == want and 0 < len(want) < docs.count()
