@@ -229,6 +229,22 @@ def main() -> None:
                 load_table(spark, SF_DIR, "lineitem")),
             k=10, user_mod=20).count(),
     }
+    # r7 trainers (their serve entries ride session memos, so the train
+    # cost is only visible here): LID char-trigram profiles, KN word LM,
+    # the LR quality classifier, and the unigram-LM EM loop
+    from hybrid_recommendation_system_using_vector_db_spark.operators import (
+        classifier, textops, unigram_lm,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    builds.update({
+        "lid_train": lambda: textops.train_language_profiles(docs).count(),
+        "kn_train": lambda: textops.kn_word_lm(docs).count(),
+        "qclf_train": lambda: len(classifier.train_quality_classifier(
+            docs.selectExpr("doc_id", "text",
+                            "CAST(lang = 'en' AS DOUBLE) AS label"))[0]),
+        "unigram_train": lambda: unigram_lm.unigram_lm_train(docs).count(),
+    })
     build_timings: dict[str, float] = {}
     for name, fn in builds.items():
         try:

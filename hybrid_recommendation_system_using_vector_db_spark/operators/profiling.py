@@ -41,11 +41,15 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
               .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
     totals = counts.agg(F.sum("cnt").alias("total"),
                         F.count(F.lit(1)).alias("n_keys"))
+    # pre-limit with orderBy().limit() (TakeOrderedAndProject) so the
+    # rank + cumulative window runs over ≤ top_n rows, not every distinct
+    # key: cum_cnt at rank r ≤ top_n only sums ranks 1..r, all inside the
+    # top-n prefix, so the pre-limit is exact (ADVICE r6 zorder class)
     w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
-    ranked = (counts.withColumn("rank", F.row_number().over(w))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc())         .limit(top_n)
+    ranked = (top.withColumn("rank", F.row_number().over(w))
               .withColumn("cum_cnt", F.sum("cnt").over(
-                  w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-              .filter(F.col("rank") <= top_n))
+                  w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     return (ranked.crossJoin(F.broadcast(totals))
             .select(
                 "rank", "key", "cnt",

@@ -810,10 +810,15 @@ def pmi_collocations(documents: DataFrame, k: int = 100,
                               * F.col("nu"))
                              / (F.col("nb") * F.col("c1") * F.col("c2"))),
                        ROUND_SCORE).alias("pmi")))
+    # global top-k via orderBy().limit() — TakeOrderedAndProject (per-
+    # partition top-k merged on the driver); the rank window then runs
+    # over ≤ k rows instead of the full distinct-bigram table (the
+    # single-task global-window hazard, ADVICE r6 zorder class)
+    top = scored.orderBy(F.col("pmi").desc(), F.col("t1").asc(),
+                         F.col("t2").asc()).limit(k)
     w = Window.orderBy(F.col("pmi").desc(), F.col("t1").asc(),
                        F.col("t2").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def char_entropy(documents: DataFrame, id_col: str = "doc_id",
