@@ -923,6 +923,18 @@ def q_dedup_keep_best(spark, sf_dir):
                     F.col("cluster_size").cast("bigint").alias("cluster_size")))
 
 
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware 80/10/10 split (dedup.leakage_safe_split): split
+    label keyed on the served cluster artifact's cluster_id, so whole
+    near-dup clusters land in one split — the leakage guard a per-doc
+    split lacks (Lee et al. 2022). Full oracle: recursive-CC cluster
+    CTEs + the same seeded-md5 CASE as split_assign."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, clusters = _served_dedup(spark, sf_dir)
+    return dedup.leakage_safe_split(
+        docs, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=SEED)
+
 def q_simhash_neardup(spark, sf_dir):
     # 64-bit two-word fingerprints (VERDICT r6 next #2): a b-bit space
     # saturates once the corpus nears 2^b docs and banded Hamming goes
@@ -2582,6 +2594,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,                   # Morton layout-key histogram
         "event_transitions": q_event_transitions,     # Markov next-event matrix
         "dedup_keep_best": q_dedup_keep_best,         # quality-aware survivor policy
+        "leakage_safe_split": q_leakage_safe_split,   # cluster-keyed split (no near-
+                                                      # dup leakage across train/test)
         "lang_confusion": q_lang_confusion,           # label-grounded lang-ID eval
         "lang_id_trained": q_lang_id_trained,         # trained char-trigram NB LID
         "quality_classifier": q_quality_classifier,   # trained linear quality filter
@@ -4952,6 +4966,36 @@ rk2 AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
 SELECT cluster_id, doc_id, quality_score,
        CAST(cluster_size AS BIGINT) AS cluster_size
 FROM rk2 WHERE rn = 1
+"""
+    # near-dup-aware split: the same recursive-CC cluster CTEs, then the
+    # split_assign CASE applied to the CLUSTER id (seeded md5, first 8 hex)
+    _thr_train = f"{int(0.8 * 0xFFFFFFFF):08x}"
+    _thr_val = f"{int(0.9 * 0xFFFFFFFF):08x}"
+    sql["leakage_safe_split"] = f"""
+WITH RECURSIVE {_minhash_cand_cte()},
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+shg AS (SELECT doc_id, {shingles} AS sh FROM tk),
+jpairs AS (
+  SELECT c.id1, c.id2
+  FROM cand c JOIN shg a ON c.id1 = a.doc_id JOIN shg b ON c.id2 = b.doc_id
+  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+    AND floor((len(list_intersect(a.sh, b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 >= {JACCARD_THRESHOLD}
+),
+und AS (SELECT id1 AS a, id2 AS b FROM jpairs UNION ALL SELECT id2, id1 FROM jpairs),
+reach(id, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.b, r.l FROM reach r JOIN und u ON u.a = r.id
+),
+cl AS (SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+  CASE WHEN substr(md5('{SEED}:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+            < '{_thr_train}' THEN 'train'
+       WHEN substr(md5('{SEED}:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+            < '{_thr_val}' THEN 'val'
+       ELSE 'test' END AS split
+FROM cl
 """
     # label-grounded language-ID eval: the language_id CTEs + one count
     # trained char-trigram LID (textops.train_language_profiles /

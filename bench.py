@@ -131,6 +131,7 @@ HEADLINE = [
     "whitened_topk",
     "negative_samples",
     "dedup_keep_best",
+    "leakage_safe_split",
     "lang_confusion",
     "lang_id_trained",
     "char_entropy",

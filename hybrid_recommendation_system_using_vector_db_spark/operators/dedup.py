@@ -874,3 +874,35 @@ def exact_substring_dedup(documents: DataFrame, anchor_mod: int = 8,
                 F.col("n_chunks").cast("int").alias("n_chunks"),
                 F.col("n_kept").cast("int").alias("n_kept"))
     )
+
+
+def leakage_safe_split(documents: DataFrame, clusters: DataFrame,
+                       fractions: dict[str, float], id_col: str = "doc_id",
+                       seed: int = 42) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split label is a pure
+    function of (seed, CLUSTER id), so every member of a near-dup
+    cluster lands in the SAME split — the leakage guard a naive per-doc
+    split (``textops.split_assign``) lacks: near-identical copies of one
+    document straddling train and test silently contaminate eval (the
+    Lee et al. 2022 deduplicate-before-splitting argument).
+
+    ``clusters``: a (doc_id, cluster_id) table — the chained
+    minhash→verify→CC output (``connected_components_star``) or the
+    loaded ``pipeline.load_dedup_clusters`` artifact. Docs absent from
+    it become their own singleton cluster (coalesce to doc_id).
+
+    Returns (doc_id, cluster_id, split). Scale shape: one doc-keyed
+    left join + the map-only seeded-md5 CASE — no shuffle beyond the
+    join, no RNG state; the label is stable across runs, partitionings
+    and engines (``split_expr`` is shared with ``split_assign``, so the
+    two split families cannot diverge).
+    """
+    from .textops import split_expr
+
+    cl = (documents.select(F.col(id_col).alias("doc_id"))
+          .join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
+          .select("doc_id",
+                  F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")))
+    return cl.select(
+        "doc_id", "cluster_id",
+        split_expr(F.col("cluster_id"), fractions, seed).alias("split"))

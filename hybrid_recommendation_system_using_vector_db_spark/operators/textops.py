@@ -325,6 +325,15 @@ def split_assign(documents: DataFrame, fractions: dict[str, float],
     no shuffle, no RNG state, stable across runs/partitionings/engines.
     Fractions must sum to 1 (the last split absorbs rounding).
     """
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        split_expr(F.col(id_col), fractions, seed).alias("split"))
+
+
+def split_expr(id_expr, fractions: dict[str, float], seed: int = 42):
+    """The split-label CASE as a reusable Column expression (shared by
+    doc-keyed ``split_assign`` and cluster-keyed
+    ``dedup.leakage_safe_split`` so the two assignments cannot diverge)."""
     from ..functions.hashing import seeded_key
 
     total = sum(fractions.values())
@@ -333,15 +342,14 @@ def split_assign(documents: DataFrame, fractions: dict[str, float],
     names = list(fractions)
     cum = 0.0
     expr = None
-    k = F.substring(seeded_key(F.col(id_col), seed), 1, 8)
+    k = F.substring(seeded_key(id_expr, seed), 1, 8)
     for name in names[:-1]:
         cum += fractions[name]
         thr = f"{int(cum * 0xFFFFFFFF):08x}"
         branch = F.when(k < F.lit(thr), F.lit(name))
         expr = branch if expr is None else expr.when(k < F.lit(thr), F.lit(name))
-    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+    return (expr.otherwise(F.lit(names[-1])) if expr is not None
             else F.lit(names[-1]))
-    return documents.select(F.col(id_col).alias("doc_id"), expr.alias("split"))
 
 
 def pack_sequences(documents: DataFrame, budget: int, n_shards: int = 8,

@@ -2802,3 +2802,26 @@ def test_kn_perplexity_hand_computed_and_ordering(spark):
         "doc_id long, text string")
     s = {r.doc_id: r.nll for r in textops.kn_perplexity(probe, lm2).collect()}
     assert s[100] < s[101]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """Every near-dup cluster lands in exactly one split (the leakage
+    guard), fractions are roughly honored, and near-dup doc pairs can
+    never straddle train/test."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.extra_queries()["leakage_safe_split"](spark, sf_dir)
+    rows = out.collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # some cluster has >1 member AND the corpus actually has near-dups
+    sizes = {}
+    for r in rows:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    assert max(sizes.values()) > 1
+    n = len(rows)
+    train_frac = sum(1 for r in rows if r.split == "train") / n
+    assert 0.6 < train_frac < 0.95
