@@ -496,3 +496,29 @@ def test_tpch_q5_dim_chain_broadcasts_and_prunes(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     pf = "\n".join(pushed_filters(df))
     assert "r_name" in pf and "o_orderdate" in pf, pf
+
+
+def test_global_topk_entries_use_take_ordered_not_global_window(spark, sf_dir):
+    """pmi_collocations and key_skew must bound their rank windows with a
+    TakeOrderedAndProject pre-limit — a no-partition row_number window
+    over the full aggregated table funnels every distinct bigram/key
+    through one task (the zorder_layout_stats class, ADVICE r6 #1)."""
+    import __spark_entry__ as m
+
+    for q in (m.q_pmi_collocations, m.q_key_skew):
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, (q.__name__, plan)
+
+
+def test_hybrid_serve_batch_reproduces_driver_entry(spark, sf_dir):
+    """The bench's amortized-serve surface is not a separate code path:
+    at query_mod=QUERY_MOD it must produce exactly the driver-checked
+    hybrid_topk rows (same memoized indexes, same fusion plan)."""
+    import __spark_entry__ as m
+    from hybrid_recommendation_system_using_vector_db_spark import QUERY_MOD
+
+    batch = m.hybrid_serve_batch(spark, sf_dir, query_mod=QUERY_MOD)
+    driver = m.q_hybrid_topk(spark, sf_dir)
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, driver.collect()))
+    assert a == b and len(a) > 0
