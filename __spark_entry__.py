@@ -1962,6 +1962,29 @@ def q_whitened_topk(spark, sf_dir):
     return similarity.cosine_topk(q, proj, TOP_K, vec_col="w", dim=VEC_DIM)
 
 
+def q_als_fold_in(spark, sf_dir):
+    """Cold-start fold-in: solve factors for a held-out user slice
+    against the session's trained item factors and serve top-k through
+    the MIPS-augmented exact tier (operators/mf.py::als_fold_in — the
+    between-retrains path recommendForUserSubset cannot answer).
+    Rows-only at the oracle layer (iterative ALS + a per-user Cholesky);
+    the SOLVE is pinned exactly vs a numpy reference and the serve
+    ranking by the block-structure invariant in pytest."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import mf
+
+    key = (spark.sparkContext.applicationId, sf_dir, "als_items")
+    if key not in _ANN_INDEXES:
+        li = load_table(spark, sf_dir, "lineitem")
+        edges = copurchase.copurchase_edges(li)
+        _ANN_INDEXES[key] = (
+            mf.als_item_factors(edges, rank=8, iters=3)
+            .localCheckpoint(eager=True),
+            edges.localCheckpoint(eager=True))
+    items, edges = _ANN_INDEXES[key]
+    fold_edges = edges.filter(F.col("src") % 20 == 0)
+    return mf.als_fold_in_recommend(fold_edges, items, k=10)
+
+
 def q_als_recommend(spark, sf_dir):
     """Implicit-feedback ALS (Hu-Koren-Volinsky) over the co-purchase
     graph via Spark MLlib — the engine's factorization-CF tier, served
@@ -2555,6 +2578,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_eval": q_diversity_eval,           # ILD + catalog coverage metrics
         "negative_samples": q_negative_samples,       # BPR triplet mining (seeded pool)
         "als_recommend": q_als_recommend,             # MLlib implicit-ALS CF tier (rows-
+        "als_fold_in": q_als_fold_in,                 # cold-start user fold-in (rows-
+                                                      # only; numpy-exact solve pin)
                                                       # only: iterative least squares;
                                                       # block-structure invariant in pytest)
         # rotated out of the driver 50 in r6 for dup_spans: map-only token

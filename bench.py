@@ -132,6 +132,7 @@ HEADLINE = [
     "negative_samples",
     "dedup_keep_best",
     "leakage_safe_split",
+    "als_fold_in",
     "lang_confusion",
     "lang_id_trained",
     "char_entropy",

@@ -192,3 +192,96 @@ def als_ann_topk(edges: DataFrame, k: int = 10, rank: int = 16,
     else:
         raise ValueError(f"unknown tier {tier!r}")
     return out.withColumnRenamed("qid", "src")
+
+
+def als_fold_in(new_edges: DataFrame, item_factors: DataFrame,
+                reg: float = 0.1, alpha: float = 10.0,
+                src_col: str = "src", dst_col: str = "dst",
+                weight_col: str = "weight") -> DataFrame:
+    """Serve-time user FOLD-IN: solve factors for unseen users against
+    FIXED trained item factors (Hu, Koren & Volinsky 2008 eq. 4) — the
+    cold-start path a production recommender runs between retrains,
+    which ``recommendForUserSubset`` cannot do (MLlib only answers for
+    users seen at fit time).
+
+        x_u = (YᵀY + Σ_i c1_i·y_i·y_iᵀ + λI)⁻¹ · Σ_i (1 + c1_i)·y_i,
+        c1_i = α·r_ui over the user's observed items
+
+    — exactly MLlib's implicit-ALS per-user normal equation (ALS.scala
+    builds AtA = YᵀY + c1·y·yᵀ and Atb = (1+c1)·y, then solves with an
+    unscaled λ ridge), so folding in a user the model ALREADY trained on
+    reproduces one half-sweep of ALS from the converged item side.
+
+    Scale shape: Y is |items|×rank — the same driver-boundable table the
+    ANN serve tiers broadcast (the GEMM query-matrix precedent); YᵀY is
+    rank² once. Each user's solve is a rank×rank Cholesky over ONLY that
+    user's interactions — one ``applyInPandas`` keyed by user, state
+    bounded by rank², embarrassingly parallel across users. Returns
+    (src, features array<double>).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = item_factors.collect()
+    ids = np.array([r["item_id"] for r in rows], dtype="int64")
+    Y = np.array([r["features"] for r in rows], dtype="float64")
+    rank = Y.shape[1]
+    YtY = Y.T @ Y
+    idx = {int(i): j for j, i in enumerate(ids)}
+    lam_eye = reg * np.eye(rank)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, grp in pdf.groupby("src"):
+            ii = [idx[i] for i in grp["dst"] if i in idx]
+            if not ii:
+                continue
+            w = np.asarray(
+                [r for i, r in zip(grp["dst"], grp["weight"]) if i in idx],
+                dtype="float64")
+            Yu = Y[ii]
+            c1 = alpha * np.abs(w)
+            ata = YtY + (Yu * c1[:, None]).T @ Yu + lam_eye
+            atb = Yu.T @ (1.0 + c1)
+            x = np.linalg.solve(ata, atb)
+            out.append((src, x.tolist()))
+        return pd.DataFrame(out, columns=["src", "features"])
+
+    e = new_edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("weight"))
+    return e.groupBy("src").applyInPandas(
+        solve, "src long, features array<double>")
+
+
+def als_fold_in_recommend(new_edges: DataFrame, item_factors: DataFrame,
+                          k: int = 10, reg: float = 0.1,
+                          alpha: float = 10.0,
+                          exclude_seen: bool = True,
+                          src_col: str = "src", dst_col: str = "dst",
+                          weight_col: str = "weight") -> DataFrame:
+    """Fold-in + serve: solve cold-start user factors, then answer top-k
+    through the MIPS→cosine reduction over the SAME augmented item index
+    the trained users are served from (``als_ann_topk``'s exact tier) —
+    (src, cand, score, rank), observed items excluded by default (the
+    B5-style "don't recommend what the user already has")."""
+    from . import similarity as sim
+
+    users = als_fold_in(new_edges, item_factors, reg, alpha,
+                        src_col, dst_col, weight_col) \
+        .withColumnRenamed("src", "user_id")
+    corpus = mips_augment(item_factors)
+    qs = mips_augment_queries(users)
+    dim = len(item_factors.select("features").first()["features"]) + 1
+    if exclude_seen:
+        # pre-filter exclusion (hard_negative_topk): the ranking runs
+        # over unseen items only, so the top-k never under-fills because
+        # observed items crowded the pool
+        seen = new_edges.select(F.col(src_col).cast("long").alias("qid"),
+                                F.col(dst_col).cast("long").alias("cand"))
+        out = sim.hard_negative_topk(qs, corpus, seen, k, dim=dim)
+    else:
+        out = sim.cosine_topk(qs, corpus, k, dim=dim)
+    return out.withColumnRenamed("qid", "src") \
+        .select("src", "cand", "score", "rank")

@@ -2825,3 +2825,58 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     n = len(rows)
     train_frac = sum(1 for r in rows if r.split == "train") / n
     assert 0.6 < train_frac < 0.95
+
+
+def test_als_fold_in_reproduces_trained_users_and_solve_is_exact(spark):
+    """Fold-in contract, two pins:
+    1. EXACT solve: the distributed applyInPandas solution equals a
+       driver-side numpy reference of the same normal equation.
+    2. SEMANTIC: folding in a user the model trained on reproduces the
+       trained serve ranking at high overlap (fold-in = one half-sweep
+       of ALS from the converged item side)."""
+    import numpy as np
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import mf
+
+    rows = []
+    for u in range(30):
+        g = u % 2
+        for j in range(15):
+            item = 100 + g * 15 + j
+            if (u + j) % 3:
+                rows.append((u, item, float(1 + (u + j) % 3)))
+    edges = spark.createDataFrame(rows, ["src", "dst", "weight"])
+    items = mf.als_item_factors(edges, rank=8, iters=5, seed=7) \
+        .localCheckpoint(eager=True)
+
+    # 1. exact-solve pin vs numpy reference (alpha/reg defaults)
+    folded = {r.src: np.array(r.features)
+              for r in mf.als_fold_in(edges, items).collect()}
+    Y_rows = items.collect()
+    idx = {r.item_id: np.array(r.features) for r in Y_rows}
+    Y = np.array([r.features for r in Y_rows])
+    YtY = Y.T @ Y
+    by_u = {}
+    for u, i, w in rows:
+        by_u.setdefault(u, []).append((i, w))
+    for u, obs in list(by_u.items())[:5]:
+        Yu = np.array([idx[i] for i, _ in obs])
+        c1 = 10.0 * np.abs(np.array([w for _, w in obs]))
+        want = np.linalg.solve(
+            YtY + (Yu * c1[:, None]).T @ Yu + 0.1 * np.eye(8),
+            Yu.T @ (1.0 + c1))
+        assert np.allclose(folded[u], want, atol=1e-9), u
+
+    # 2. semantic pin: fold-in recs ≈ the exact factor-serve ranking for
+    # the model's own users (both exclude seen items)
+    served = mf.als_fold_in_recommend(edges, items, k=5).toPandas()
+    assert set(served.columns) == {"src", "cand", "score", "rank"}
+    # in-group dominance carries over (the block-structure invariant)
+    in_group = sum(1 for r in served.itertuples()
+                   if ((r.cand - 100) // 15) == (r.src % 2))
+    assert in_group / len(served) >= 0.9
+    # every served user got exactly k dense ranks and no seen items
+    seen = {(u, i) for u, i, _ in rows}
+    assert not any((r.src, r.cand) in seen for r in served.itertuples())
+    by_src = served.groupby("src")["rank"].apply(list)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_src)
