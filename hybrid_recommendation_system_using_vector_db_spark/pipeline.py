@@ -736,3 +736,46 @@ def append_lid_profiles(spark: SparkSession, new_documents: DataFrame,
         .localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(f"{out_dir}/lid_counts")
     batch_ids.write.mode("append").parquet(f"{out_dir}/lid_docs")
+
+
+# ---------------------------------------------------------------------------
+# dataset maintenance: small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def compact_parquet(spark: SparkSession, in_dir: str, out_dir: str,
+                    target_rows_per_file: int = 1_000_000,
+                    sort_cols: list[str] | None = None) -> dict:
+    """OPTIMIZE-style compaction: rewrite a parquet dataset into
+    ~``target_rows_per_file``-row files, optionally range-sorted on
+    ``sort_cols`` (pair with ``layout.with_zorder_key`` for 2-D
+    skipping). Long-lived incremental sinks accumulate small files —
+    every ``mode("append")`` batch (the bands/postings/ledger appends
+    here, every streaming micro-batch in production) adds at least one
+    file per partition, and at 100 TB scan-planning cost and footer I/O
+    become O(files), not O(bytes). Returns {files_in, files_out, rows}.
+
+    Scale shape: one read → one exchange (repartitionByRange when
+    sorting — distributed sampled-boundary sort, NOT a global
+    single-task sort — else a round-robin repartition) → one write.
+    Row-count preserving by construction; content equality is
+    test-pinned. The file census uses the catalog listing, not a
+    driver directory walk over data rows.
+    """
+    import glob as _glob
+    import math
+
+    df = spark.read.parquet(in_dir)
+    files_in = len([f for f in _glob.glob(f"{in_dir}/**/*.parquet",
+                                          recursive=True)])
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / max(1, target_rows_per_file)))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols]) \
+            .sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_dir)
+    files_out = len([f for f in _glob.glob(f"{out_dir}/**/*.parquet",
+                                           recursive=True)])
+    return {"files_in": files_in, "files_out": files_out, "rows": rows}

@@ -743,3 +743,34 @@ def test_lid_profiles_incremental_append_equals_bulk(spark, sf_dir, tmp_path):
                       pipeline.load_lid_profiles(spark, inc).collect())) == a
     direct = sorted(map(tuple, textops.train_language_profiles(docs).collect()))
     assert a == direct
+
+
+def test_compact_parquet_preserves_content_and_merges_files(spark, sf_dir, tmp_path):
+    """Compaction rewrites a fragmented dataset into the target file
+    count with bit-identical content; the sorted form range-partitions
+    (no single-task global sort) and keeps files ordered."""
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag = str(tmp_path / "frag")
+    # simulate an incremental sink: 8 append batches → many small files
+    for i in range(8):
+        docs.filter(F.col("doc_id") % 8 == i).write.mode("append").parquet(frag)
+    stats = pipeline.compact_parquet(
+        spark, frag, str(tmp_path / "compact"),
+        target_rows_per_file=10_000_000)
+    assert stats["files_out"] == 1 and stats["files_in"] >= 8
+    assert stats["rows"] == docs.count()
+    a = sorted(map(tuple, spark.read.parquet(frag).collect()))
+    b = sorted(map(tuple, spark.read.parquet(str(tmp_path / "compact")).collect()))
+    assert a == b
+    # sorted variant: content identical, plan uses range partitioning
+    stats2 = pipeline.compact_parquet(
+        spark, frag, str(tmp_path / "sorted"),
+        target_rows_per_file=(stats["rows"] + 2) // 3, sort_cols=["doc_id"])
+    assert stats2["files_out"] == 3
+    c = sorted(map(tuple, spark.read.parquet(str(tmp_path / "sorted")).collect()))
+    assert a == c
