@@ -1147,6 +1147,38 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): customers ranked by revenue
+    lost to returns in one quarter. Fact join lineitem(R-flag)⋈orders
+    (date-pruned) shuffles on the order key; customer joins the
+    aggregated per-customer revenue (shuffle keyed by custkey), nation
+    broadcasts; global top-20 via TakeOrdered, not a global window."""
+    _pin_utc(spark)
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-01-01") &
+                      (F.col("o_orderdate") < "1996-04-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+           .groupBy("o_custkey")
+           .agg(fround(F.sum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))), 2)
+                .alias("revenue")))
+    return (rev.join(cust, rev["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "revenue",
+                    fround(F.col("c_acctbal"), 2).alias("c_acctbal"),
+                    "n_name")
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 (forecasting revenue change): a pure scan-side query —
     every predicate is a pushable range filter and the result is one
@@ -2598,6 +2630,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,               # portable HyperLogLog sketch
         "tpch_q3": q_tpch_q3,                         # 3-table join + top-10 (broadcast semi)
         "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,                       # returned-item customer ranking
         "tpch_q6": q_tpch_q6,                         # pure pushdown scan aggregate
         "link_prediction": q_link_prediction,         # Adamic-Adar common-neighbor ranking
         "cohort_retention": q_cohort_retention,       # weekly first-activity cohorts
@@ -3946,6 +3979,24 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
+""",
+
+        "tpch_q10": """
+WITH rev AS (
+  SELECT o_custkey,
+    floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, revenue,
+       floor(c_acctbal * 100 + 0.5) / 100 AS c_acctbal, n_name
+FROM rev JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
 """,
 
         "tpch_q6": """

@@ -104,6 +104,7 @@ HEADLINE = [
     "hll_distinct",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q10",
     "tpch_q6",
     "bpe_encode",
     "unigram_pieces",
