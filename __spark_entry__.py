@@ -158,11 +158,17 @@ def _reset_serving_caches() -> None:
               _DEDUP_ARTIFACTS, _LID_PROFILES, _QCLF_WEIGHTS,
               _UNIGRAM_PIECES):
         for v in d.values():
-            if hasattr(v, "unpersist"):
-                try:
-                    v.unpersist()
-                except Exception:
-                    pass  # session already stopped — nothing to release
+            # memo values may be tuples/lists of DataFrames (bm25's
+            # (postings, docs, stats), als_fold_in's (items, edges)) —
+            # flatten so every persisted element is released, not just
+            # scalar-valued entries (ADVICE r7).
+            parts = v if isinstance(v, (tuple, list)) else (v,)
+            for p in parts:
+                if hasattr(p, "unpersist"):
+                    try:
+                        p.unpersist()
+                    except Exception:
+                        pass  # session already stopped — nothing to release
         d.clear()
 
 

@@ -87,8 +87,12 @@ def quality_classifier_scores(documents: DataFrame, weights: list[float],
         F.zip_with(F.col("embedding").cast("array<double>"), warr,
                    lambda x, w: x * w),
         F.lit(0.0), lambda a, x: a + x) + F.lit(float(bias))
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # pred derives from the SAME rounded prob the caller sees (and the
+    # streaming gate thresholds on): at the 0.5 boundary the rounded and
+    # unrounded sigmoid can straddle the threshold, and cross-engine
+    # pins rely on the rounding convention, not exact float agreement.
+    prob = fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), ROUND_SCORE)
     return emb.select(
         F.col(id_col),
-        fround(prob, ROUND_SCORE).alias("prob"),
+        prob.alias("prob"),
         (prob >= 0.5).cast("int").alias("pred"))

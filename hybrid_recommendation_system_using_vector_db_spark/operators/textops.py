@@ -959,10 +959,11 @@ def kn_perplexity(documents: DataFrame, lm: DataFrame,
       over one more type than observed, mirrored exactly in the oracle.
 
     Scale shape: one corpus bigram explode; three probes — the pair
-    join (AQE-sized: the model is vocab²-bounded, not charset-bounded),
-    a context probe and a continuation probe (both vocab-bounded,
-    broadcastable); one doc-keyed partial-agg mean. Docs with <2 tokens
-    report (0, null).
+    join plus a context probe and a continuation probe, all AQE-sized
+    (the tables are word-vocabulary-bounded, which is NOT
+    unconditionally broadcastable at corpus scale, so no forced
+    broadcast hints — AQE picks broadcast when they fit); one doc-keyed
+    partial-agg mean. Docs with <2 tokens report (0, null).
     """
     if not lm.storageLevel.useMemory and not lm.storageLevel.useDisk:
         lm = lm.localCheckpoint(eager=True)
@@ -985,8 +986,8 @@ def kn_perplexity(documents: DataFrame, lm: DataFrame,
     d = F.lit(float(discount))
     scored = (
         dbg.join(lm.select("w1", "w2", "c"), ["w1", "w2"], "left")
-        .join(F.broadcast(ctx), "w1", "left")
-        .join(F.broadcast(cont), "w2", "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
         .crossJoin(F.broadcast(uni))
         .withColumn("pc2", F.coalesce("pc", "pc_floor"))
         .withColumn(

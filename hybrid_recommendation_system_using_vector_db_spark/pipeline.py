@@ -644,6 +644,82 @@ def append_dedup_clusters(spark: SparkSession, new_documents: DataFrame,
 # bit-identical to a bulk retrain (shared derivation in operators/textops).
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class) for ``path`` via the JVM Hadoop API —
+    works on local FS, HDFS, and object stores alike (unlike driver-side
+    ``glob``, which silently returns nothing off the local FS)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _staged_commit_finish(spark: SparkSession, out_dir: str,
+                          counts_name: str, docs_name: str) -> None:
+    """Roll forward (or discard) a staged count-artifact commit.
+
+    The count-statistic artifacts (KN LM, LID profiles) pair a counts
+    table with a doc-id replay ledger; updating both non-atomically
+    risks double-counting a batch on crash-retry (counts landed, ledger
+    didn't) or losing the live counts mid-overwrite (ADVICE r7). The
+    append path therefore stages BOTH halves of the update under
+    ``{counts_name}__staging/`` and drops a ``_COMMIT`` marker as the
+    single commit point; this helper publishes a committed staging
+    (atomic-rename swap of counts + idempotent anti-join ledger append)
+    and discards an uncommitted one. Invariant readers rely on:
+    ``_COMMIT`` present and ``staging/counts`` present → staging/counts
+    is the committed truth; otherwise the live counts dir is.
+    """
+    staging = f"{out_dir}/{counts_name}__staging"
+    fs, P = _hadoop_fs(spark, out_dir)
+    commit = P(f"{staging}/_COMMIT")
+    if not fs.exists(commit):
+        if fs.exists(P(staging)):      # partial stage from a crashed
+            fs.delete(P(staging), True)  # append — never committed
+        return
+    live = P(f"{out_dir}/{counts_name}")
+    staged_counts = P(f"{staging}/counts")
+    if fs.exists(staged_counts):       # swap not yet done (or mid-way)
+        if fs.exists(live):
+            fs.delete(live, True)
+        fs.rename(staged_counts, live)
+    ledger_path = f"{out_dir}/{docs_name}"
+    fresh = (spark.read.parquet(f"{staging}/docs")
+             .join(spark.read.parquet(ledger_path), "doc_id", "left_anti")
+             .localCheckpoint(eager=True))
+    if not fresh.isEmpty():            # idempotent: replay-safe append
+        fresh.write.mode("append").parquet(ledger_path)
+    fs.delete(commit, False)           # marker last: its absence means
+    fs.delete(P(staging), True)        # the live dirs are consistent
+
+
+def _committed_counts_path(spark: SparkSession, out_dir: str,
+                           counts_name: str) -> str:
+    """Resolve the committed counts dir per the staging invariant."""
+    staging = f"{out_dir}/{counts_name}__staging"
+    fs, P = _hadoop_fs(spark, out_dir)
+    if fs.exists(P(f"{staging}/_COMMIT")) \
+            and fs.exists(P(f"{staging}/counts")):
+        return f"{staging}/counts"
+    return f"{out_dir}/{counts_name}"
+
+
+def _staged_commit_write(spark: SparkSession, out_dir: str,
+                         counts_name: str, docs_name: str,
+                         merged_counts: DataFrame,
+                         batch_ids: DataFrame) -> None:
+    """Stage both halves, mark ``_COMMIT``, roll forward. Crash before
+    the marker → retry discards the stage and recomputes against
+    untouched live state; crash after → the next append (or this call's
+    own finish step) completes the publish exactly once."""
+    staging = f"{out_dir}/{counts_name}__staging"
+    batch_ids.write.mode("overwrite").parquet(f"{staging}/docs")
+    merged_counts.write.mode("overwrite").parquet(f"{staging}/counts")
+    fs, P = _hadoop_fs(spark, out_dir)
+    fs.create(P(f"{staging}/_COMMIT")).close()   # the commit point
+    _staged_commit_finish(spark, out_dir, counts_name, docs_name)
+
+
 def write_kn_lm(spark: SparkSession, documents: DataFrame, out_dir: str,
                 id_col: str = "doc_id", text_col: str = "text") -> None:
     """Bulk-build the KN word-bigram count artifact: (w1, w2, c) counts
@@ -661,8 +737,8 @@ def load_kn_lm(spark: SparkSession, out_dir: str) -> DataFrame:
     vocab²-bounded pass, no corpus re-read."""
     from .operators.textops import kn_model_from_counts
 
-    return kn_model_from_counts(
-        spark.read.parquet(f"{out_dir}/kn_counts"))
+    return kn_model_from_counts(spark.read.parquet(
+        _committed_counts_path(spark, out_dir, "kn_counts")))
 
 
 def append_kn_lm(spark: SparkSession, new_documents: DataFrame,
@@ -671,9 +747,15 @@ def append_kn_lm(spark: SparkSession, new_documents: DataFrame,
     """O(batch) incremental LM maintenance: replay-guard the batch
     against the doc ledger (a re-appended doc is a no-op, mirroring
     ``append_bm25_index``), count ONLY the batch, merge by re-summing
-    the union — counts are additive, so merged == bulk exactly."""
+    the union — counts are additive, so merged == bulk exactly.
+    Counts + ledger move together through the staged-commit protocol
+    (``_staged_commit_write``): a crash at ANY point either leaves the
+    artifact untouched or the batch fully applied — never the
+    double-count / destroyed-counts windows of a naive two-file write.
+    """
     from .operators.textops import kn_bigram_counts
 
+    _staged_commit_finish(spark, out_dir, "kn_counts", "kn_docs")
     ledger = spark.read.parquet(f"{out_dir}/kn_docs")
     batch = new_documents.join(
         ledger.select(F.col("doc_id").alias(id_col)), id_col, "left_anti")
@@ -685,8 +767,8 @@ def append_kn_lm(spark: SparkSession, new_documents: DataFrame,
               .localCheckpoint(eager=True))
     batch_ids = batch.select(F.col(id_col).alias("doc_id")) \
         .localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(f"{out_dir}/kn_counts")
-    batch_ids.write.mode("append").parquet(f"{out_dir}/kn_docs")
+    _staged_commit_write(spark, out_dir, "kn_counts", "kn_docs",
+                         merged, batch_ids)
 
 
 def write_lid_profiles(spark: SparkSession, documents: DataFrame,
@@ -711,7 +793,8 @@ def load_lid_profiles(spark: SparkSession, out_dir: str,
     from .operators.textops import lid_profiles_from_counts
 
     return lid_profiles_from_counts(
-        spark.read.parquet(f"{out_dir}/lid_counts"),
+        spark.read.parquet(
+            _committed_counts_path(spark, out_dir, "lid_counts")),
         alpha, max_grams_per_lang)
 
 
@@ -720,9 +803,10 @@ def append_lid_profiles(spark: SparkSession, new_documents: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3) -> None:
     """O(batch) incremental profile maintenance — same additive-counts
-    merge as :func:`append_kn_lm`."""
+    merge and staged-commit crash safety as :func:`append_kn_lm`."""
     from .operators.textops import lid_gram_counts
 
+    _staged_commit_finish(spark, out_dir, "lid_counts", "lid_docs")
     ledger = spark.read.parquet(f"{out_dir}/lid_docs")
     batch = new_documents.join(
         ledger.select(F.col("doc_id").alias(id_col)), id_col, "left_anti")
@@ -734,8 +818,8 @@ def append_lid_profiles(spark: SparkSession, new_documents: DataFrame,
               .localCheckpoint(eager=True))
     batch_ids = batch.select(F.col(id_col).alias("doc_id")) \
         .localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(f"{out_dir}/lid_counts")
-    batch_ids.write.mode("append").parquet(f"{out_dir}/lid_docs")
+    _staged_commit_write(spark, out_dir, "lid_counts", "lid_docs",
+                         merged, batch_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -759,15 +843,24 @@ def compact_parquet(spark: SparkSession, in_dir: str, out_dir: str,
     sorting — distributed sampled-boundary sort, NOT a global
     single-task sort — else a round-robin repartition) → one write.
     Row-count preserving by construction; content equality is
-    test-pinned. The file census uses the catalog listing, not a
-    driver directory walk over data rows.
+    test-pinned. The file census uses the scan's own file listing
+    (``DataFrame.inputFiles``), which works on HDFS/object stores, not
+    a driver-local directory walk; ``out_dir == in_dir`` is rejected —
+    the overwrite would destroy the input while the lazy read still
+    references it.
     """
-    import glob as _glob
     import math
 
+    fs, P = _hadoop_fs(spark, in_dir)
+    q_in = fs.makeQualified(P(in_dir)).toString()
+    q_out = fs.makeQualified(P(out_dir)).toString()
+    if q_in.rstrip("/") == q_out.rstrip("/"):
+        raise ValueError(
+            f"compact_parquet: out_dir resolves to in_dir ({q_in}); "
+            "overwrite-while-reading would destroy the dataset — "
+            "compact to a fresh path and swap")
     df = spark.read.parquet(in_dir)
-    files_in = len([f for f in _glob.glob(f"{in_dir}/**/*.parquet",
-                                          recursive=True)])
+    files_in = len(df.inputFiles())
     rows = df.count()
     n_files = max(1, math.ceil(rows / max(1, target_rows_per_file)))
     if sort_cols:
@@ -776,6 +869,5 @@ def compact_parquet(spark: SparkSession, in_dir: str, out_dir: str,
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(out_dir)
-    files_out = len([f for f in _glob.glob(f"{out_dir}/**/*.parquet",
-                                           recursive=True)])
+    files_out = len(spark.read.parquet(out_dir).inputFiles())
     return {"files_in": files_in, "files_out": files_out, "rows": rows}

@@ -774,3 +774,81 @@ def test_compact_parquet_preserves_content_and_merges_files(spark, sf_dir, tmp_p
     assert stats2["files_out"] == 3
     c = sorted(map(tuple, spark.read.parquet(str(tmp_path / "sorted")).collect()))
     assert a == c
+
+
+def test_compact_parquet_rejects_in_place_overwrite(spark, sf_dir, tmp_path):
+    """out_dir == in_dir would overwrite the dataset while the lazy
+    read still references it — rejected up front (ADVICE r7)."""
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    d = str(tmp_path / "data")
+    load_table(spark, sf_dir, "region").write.parquet(d)
+    with pytest.raises(ValueError, match="out_dir resolves to in_dir"):
+        pipeline.compact_parquet(spark, d, d)
+    # trailing-slash / relative spelling of the same dir is also caught
+    with pytest.raises(ValueError):
+        pipeline.compact_parquet(spark, d, d + "/")
+
+
+def test_kn_append_staged_commit_crash_windows(spark, sf_dir, tmp_path):
+    """The two-file count artifact moves through a staged commit: a
+    crash BEFORE the _COMMIT marker discards the stage (clean retry); a
+    crash AFTER it rolls forward exactly once on the next touch — no
+    double-count, no destroyed-counts window (ADVICE r7)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    inc, bulk = str(tmp_path / "inc"), str(tmp_path / "bulk")
+    pipeline.write_kn_lm(spark, old, inc)
+    pipeline.write_kn_lm(spark, docs, bulk)
+    want = sorted(map(tuple, pipeline.load_kn_lm(spark, bulk).collect()))
+    pre = sorted(map(tuple, pipeline.load_kn_lm(spark, inc).collect()))
+    staging = os.path.join(inc, "kn_counts__staging")
+
+    # -- crash window 1: stage written, _COMMIT never created ----------
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import kn_bigram_counts
+    merged = (spark.read.parquet(f"{inc}/kn_counts")
+              .unionByName(kn_bigram_counts(batch, "text"))
+              .groupBy("w1", "w2").agg(F.sum("c").alias("c")))
+    batch_ids = batch.select(F.col("doc_id"))
+    batch_ids.write.mode("overwrite").parquet(f"{staging}/docs")
+    merged.write.mode("overwrite").parquet(f"{staging}/counts")
+    # no _COMMIT → loader must still serve the PRE-batch model
+    assert sorted(map(tuple, pipeline.load_kn_lm(spark, inc).collect())) == pre
+    # a real append discards the orphan stage and applies the batch once
+    pipeline.append_kn_lm(spark, batch, inc)
+    assert not os.path.exists(staging)
+    got = sorted(map(tuple, pipeline.load_kn_lm(spark, inc).collect()))
+    assert got == want
+
+    # -- crash window 2: _COMMIT created, publish interrupted ----------
+    inc2 = str(tmp_path / "inc2")
+    pipeline.write_kn_lm(spark, old, inc2)
+    staging2 = os.path.join(inc2, "kn_counts__staging")
+    merged2 = (spark.read.parquet(f"{inc2}/kn_counts")
+               .unionByName(kn_bigram_counts(batch, "text"))
+               .groupBy("w1", "w2").agg(F.sum("c").alias("c"))
+               .localCheckpoint(eager=True))
+    batch_ids.write.mode("overwrite").parquet(f"{staging2}/docs")
+    merged2.write.mode("overwrite").parquet(f"{staging2}/counts")
+    open(os.path.join(staging2, "_COMMIT"), "w").close()
+    # committed-but-unswapped: the loader already serves the NEW model
+    assert sorted(map(tuple, pipeline.load_kn_lm(spark, inc2).collect())) == want
+    # replaying the SAME batch rolls the commit forward, then no-ops —
+    # the ledger append inside the publish guards the recount
+    pipeline.append_kn_lm(spark, batch, inc2)
+    assert not os.path.exists(staging2)
+    assert sorted(map(tuple, pipeline.load_kn_lm(spark, inc2).collect())) == want
+    # idempotent: a second recovery pass / append changes nothing
+    pipeline.append_kn_lm(spark, batch, inc2)
+    assert sorted(map(tuple, pipeline.load_kn_lm(spark, inc2).collect())) == want
