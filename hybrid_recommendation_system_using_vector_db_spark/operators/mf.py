@@ -215,44 +215,64 @@ def als_fold_in(new_edges: DataFrame, item_factors: DataFrame,
     Scale shape: Y is |items|×rank — the same driver-boundable table the
     ANN serve tiers broadcast (the GEMM query-matrix precedent); YᵀY is
     rank² once. Each user's solve is a rank×rank Cholesky over ONLY that
-    user's interactions — one ``applyInPandas`` keyed by user, state
-    bounded by rank², embarrassingly parallel across users. Returns
-    (src, features array<double>).
+    user's interactions — a JVM-side per-user gather then one Arrow
+    batch-vectorized solve udf, state bounded by rank², embarrassingly
+    parallel across users. Returns (src, features array<double>);
+    users with no in-index interactions are dropped.
     """
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.functions import pandas_udf
+
     rows = item_factors.collect()
     ids = np.array([r["item_id"] for r in rows], dtype="int64")
     Y = np.array([r["features"] for r in rows], dtype="float64")
+    order = np.argsort(ids, kind="stable")
+    ids, Y = ids[order], Y[order]          # sorted → searchsorted lookup
     rank = Y.shape[1]
-    YtY = Y.T @ Y
-    idx = {int(i): j for j, i in enumerate(ids)}
+    # Shape chosen for Python-boundary cost, not just parallelism: the
+    # JVM does the per-user gather (groupBy + collect_list — partial agg,
+    # one exchange), so Python sees ONE row per user and the solve udf is
+    # invoked once per Arrow BATCH, not once per user (the
+    # groupBy.applyInPandas form calls Python per group — measured 3.5 s
+    # for a 1000-user batch vs ~0.4 s here). The factor matrix rides a
+    # TorrentBroadcast, shipped per executor, not per task closure;
+    # id→row resolution is a vectorized searchsorted on the sorted ids.
+    sc = item_factors.sparkSession.sparkContext
+    b_model = sc.broadcast((ids, Y, Y.T @ Y))
     lam_eye = reg * np.eye(rank)
 
-    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+    @pandas_udf("array<double>")
+    def solve_user(dsts, ws):  # scalar pandas_udf: Series -> Series
+        ids_, Y_, YtY_ = b_model.value
         out = []
-        for src, grp in pdf.groupby("src"):
-            ii = [idx[i] for i in grp["dst"] if i in idx]
-            if not ii:
+        for dst_l, w_l in zip(dsts, ws):
+            dst = np.asarray(dst_l, dtype="int64")
+            pos = np.searchsorted(ids_, dst)
+            pos_c = np.minimum(pos, len(ids_) - 1)
+            ok = ids_[pos_c] == dst
+            if not ok.any():
+                out.append(None)
                 continue
-            w = np.asarray(
-                [r for i, r in zip(grp["dst"], grp["weight"]) if i in idx],
-                dtype="float64")
-            Yu = Y[ii]
+            w = np.asarray(w_l, dtype="float64")[ok]
+            Yu = Y_[pos_c[ok]]
             c1 = alpha * np.abs(w)
-            ata = YtY + (Yu * c1[:, None]).T @ Yu + lam_eye
+            ata = YtY_ + (Yu * c1[:, None]).T @ Yu + lam_eye
             atb = Yu.T @ (1.0 + c1)
-            x = np.linalg.solve(ata, atb)
-            out.append((src, x.tolist()))
-        return pd.DataFrame(out, columns=["src", "features"])
+            out.append(np.linalg.solve(ata, atb).tolist())
+        return pd.Series(out)
 
     e = new_edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
         F.col(weight_col).cast("double").alias("weight"))
-    return e.groupBy("src").applyInPandas(
-        solve, "src long, features array<double>")
+    per_user = e.groupBy("src").agg(
+        F.collect_list("dst").alias("dsts"),
+        F.collect_list("weight").alias("ws"))
+    return (per_user
+            .select("src", solve_user("dsts", "ws").alias("features"))
+            .filter(F.col("features").isNotNull()))
 
 
 def als_fold_in_recommend(new_edges: DataFrame, item_factors: DataFrame,
