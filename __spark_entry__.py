@@ -2480,6 +2480,57 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.table("q_streaming_dedup_mem").select("user_id", "event_type")
 
 
+EWMA_ALPHA = 0.3
+EWMA_N = 8
+
+
+def q_grouped_quantiles(spark, sf_dir):
+    """Exact per-priority order-price quantiles (p50/p90/p99) by
+    nearest-rank — the exact tier of the quantile family; the
+    percentile_approx sketch tier's error is pinned against this table
+    in pytest (operators/profiling.py::grouped_quantiles)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.grouped_quantiles(orders, "o_orderpriority",
+                                       "o_totalprice")
+
+
+def q_ewma_revenue(spark, sf_dir):
+    """Per-customer trailing EWMA of order totals (α=0.3, window 8) —
+    the per-entity smoothed metric a monitoring pipeline derives per
+    ingest window. Weights are python-literal constants folded
+    sequentially, so the DuckDB oracle is bit-equal
+    (operators/profiling.py::ewma_smooth)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.ewma_smooth(orders, "o_custkey",
+                                 ["o_orderdate", "o_orderkey"],
+                                 "o_totalprice", alpha=EWMA_ALPHA,
+                                 window_n=EWMA_N)
+
+
+def q_association_rules(spark, sf_dir):
+    """Market-basket rules over the co-purchase graph: support /
+    confidence / lift, top-100 by lift — popularity-corrected "also
+    bought" beyond raw CF weight (operators/copurchase.py::
+    association_rules). Serves from the memoized edge index like every
+    other co-purchase consumer."""
+    return copurchase.association_rules(_served_edges(spark, sf_dir),
+                                        min_weight=3, top_n=100)
+
+
+def q_containment_neardup(spark, sf_dir):
+    """Asymmetric shingle-containment near-dup pairs: C(A→B) =
+    |sh(A)∩sh(B)|/|sh(A)| ≥ 0.6 over df-filtered 3-gram shingles —
+    catches doc-inside-doc duplication symmetric Jaccard misses
+    (operators/dedup.py::containment_neardup_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_neardup_pairs(docs, threshold=0.6,
+                                           shingle_n=3, df_cap=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-checked query surface — EXACTLY 50 entries, the driver's
     per-round correctness budget (VERDICT r4 What's-wrong #2: at 61
@@ -2699,6 +2750,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mechanics stay pinned by neighbouring driver entries
         "parts_unindexed": q_parts_unindexed,         # broadcast anti-join
         "doc_length_stats": q_doc_length_stats,       # groupBy + ntile stats
+        # r8 additions — full oracles, pytest-pinned
+        "grouped_quantiles": q_grouped_quantiles,     # exact nearest-rank percentiles
+        "ewma_revenue": q_ewma_revenue,               # bounded-window EWMA smoothing
+        "association_rules": q_association_rules,     # support/confidence/lift rules
+        "containment_neardup": q_containment_neardup, # asymmetric doc-in-doc dedup
     }
 
 
@@ -5542,6 +5598,91 @@ scored AS (
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand ASC) AS rnk FROM scored)
 SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
+"""
+    # exact nearest-rank per-group quantiles: value at rank ceil(p*n)
+    sql["grouped_quantiles"] = """
+WITH r AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT grp, p, v AS q
+FROM r CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p) ps
+WHERE rn = ceil(p * n)
+"""
+    # bounded-window EWMA: identical python-literal weights, identical
+    # left-fold order (list_reduce == Spark aggregate HOF: 0.0+x1 == x1)
+    ewma_wts = "[" + ", ".join(
+        repr((1.0 - EWMA_ALPHA) ** j) for j in range(EWMA_N)) + "]"
+    sql["ewma_revenue"] = f"""
+WITH b AS (
+  SELECT o_custkey AS grp, o_orderdate, o_orderkey,
+         o_totalprice::DOUBLE AS v
+  FROM orders
+),
+w AS (
+  SELECT grp, o_orderdate, o_orderkey, v,
+         list(v) OVER (PARTITION BY grp ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN {EWMA_N - 1} PRECEDING AND CURRENT ROW)
+           AS vals
+  FROM b
+)
+SELECT grp, o_orderdate, o_orderkey, v,
+  floor((
+    list_reduce(list_transform(generate_series(1, len(vals)),
+                i -> vals[i] * ({ewma_wts})[len(vals) - i + 1]),
+                (a, x) -> a + x)
+    /
+    list_reduce(list_transform(generate_series(1, len(vals)),
+                i -> ({ewma_wts})[len(vals) - i + 1]),
+                (a, x) -> a + x)
+  ) * 1000000 + 0.5) / 1000000 AS ewma
+FROM w
+"""
+    # association rules: same (w/out_w)*(tot/in_w) float-op order
+    sql["association_rules"] = f"""
+WITH {_EDGES_CTE.strip()},
+ow AS (SELECT src, sum(weight) AS out_w FROM edges GROUP BY 1),
+iw AS (SELECT dst, sum(weight) AS in_w FROM edges GROUP BY 1),
+tt AS (SELECT sum(weight)::DOUBLE AS tot FROM edges)
+SELECT src, dst, weight,
+  floor((weight::DOUBLE / tot) * 1000000 + 0.5) / 1000000 AS support,
+  floor((weight::DOUBLE / out_w::DOUBLE) * 1000000 + 0.5) / 1000000
+    AS confidence,
+  floor(((weight::DOUBLE / out_w::DOUBLE) * (tot / in_w::DOUBLE))
+        * 1000000 + 0.5) / 1000000 AS lift
+FROM edges JOIN ow USING (src) JOIN iw USING (dst) CROSS JOIN tt
+WHERE weight >= 3
+ORDER BY lift DESC, src ASC, dst ASC
+LIMIT 100
+"""
+    # asymmetric containment over df-filtered shingles; threshold applies
+    # to the ROUNDED containment, mirroring the Spark filter
+    sql["containment_neardup"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh0 AS (SELECT doc_id, unnest({shingles}) AS sh FROM tk),
+keep AS (
+  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1)
+  WHERE df BETWEEN 2 AND 200
+),
+shk AS (SELECT doc_id, sh FROM sh0 WHERE sh IN (SELECT sh FROM keep)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS n_common
+  FROM shk a JOIN shk b USING (sh)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT src_id, dst_id, n_common,
+         floor((n_common::DOUBLE / sz::DOUBLE) * 1000000 + 0.5) / 1000000
+           AS containment
+  FROM common JOIN sizes ON common.src_id = sizes.doc_id
+)
+SELECT src_id, dst_id, n_common, containment
+FROM scored WHERE containment >= 0.6
 """
     return sql
 

@@ -141,6 +141,10 @@ HEADLINE = [
     "scd2_intervals",
     "psi_drift",
     "zorder_key",
+    "grouped_quantiles",
+    "ewma_revenue",
+    "association_rules",
+    "containment_neardup",
 ]
 
 

@@ -105,3 +105,45 @@ def cf_topn(edges: DataFrame, top_n: int) -> DataFrame:
         .filter(F.col("cf_rank") <= top_n)
         .select("src", "dst", "weight", "cf_score", "cf_rank")
     )
+
+
+def association_rules(edges: DataFrame, min_weight: int = 3,
+                      top_n: int = 100) -> DataFrame:
+    """Association rules src→dst over a weighted co-occurrence edge
+    table: (src, dst, weight, support, confidence, lift), the market-
+    basket statistics behind "customers who bought X also bought Y"
+    when a raw CF score is not enough (lift corrects for item
+    popularity — a rule to a bestseller is not informative).
+
+        support    = w(s,d) / Σw          confidence = w(s,d) / out_w(s)
+        lift       = confidence / (in_w(d) / Σw)
+
+    computed as (w/out_w)·(Σw/in_w) — one fixed float-op order, mirrored
+    exactly in the oracle. Top ``top_n`` by (lift desc, src, dst) —
+    deterministic after rounding.
+
+    Scale shape: two partial-agg aggregations (out-weight by src,
+    in-weight by dst), two AQE-sized joins back on those keys, the
+    corpus-total as a broadcast 1-row crossJoin, and a TakeOrdered
+    top-n — no window, no global sort. ``min_weight`` prunes the rule
+    candidates BEFORE the joins (Catalyst pushes the filter below
+    them), which at 100 TB is the difference between joining every
+    hapax pair and joining only supported rules.
+    """
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    in_w = edges.groupBy("dst").agg(F.sum("weight").alias("in_w"))
+    tot = edges.agg(F.sum("weight").cast("double").alias("tot"))
+    wd = F.col("weight").cast("double")
+    conf = wd / F.col("out_w").cast("double")
+    return (edges.filter(F.col("weight") >= min_weight)
+            .join(out_w, "src").join(in_w, "dst")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "src", "dst", "weight",
+                fround(wd / F.col("tot"), ROUND_SCORE).alias("support"),
+                fround(conf, ROUND_SCORE).alias("confidence"),
+                fround(conf * (F.col("tot") / F.col("in_w").cast("double")),
+                       ROUND_SCORE).alias("lift"))
+            .orderBy(F.col("lift").desc(), F.col("src").asc(),
+                     F.col("dst").asc())
+            .limit(top_n))

@@ -906,3 +906,64 @@ def leakage_safe_split(documents: DataFrame, clusters: DataFrame,
     return cl.select(
         "doc_id", "cluster_id",
         split_expr(F.col("cluster_id"), fractions, seed).alias("split"))
+
+
+def containment_neardup_pairs(documents: DataFrame, threshold: float = 0.6,
+                              shingle_n: int = 3, df_cap: int = 200,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment:
+    C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| — catches doc-inside-doc
+    duplication (quotes, wrapped reposts, boilerplate-plus-payload)
+    that symmetric Jaccard misses: a short doc fully contained in a
+    long one has low Jaccard but containment 1.0.
+
+    Returns (src_id, dst_id, n_common, containment) for ordered pairs
+    with C(src→dst) ≥ threshold; both directions appear when both
+    qualify. |sh(A)| is the doc's FULL distinct-shingle count; the
+    intersection is computed over the pairable shingle space — document
+    frequency in [2, df_cap]. Dropping df-1 shingles is LOSSLESS for
+    the intersection (they can't co-occur); dropping df > df_cap
+    stopword-like shingles is the classic frequency-filtering bound
+    that keeps the inverted-index join linear, and can only UNDERCOUNT
+    the intersection — reported containment is a lower bound, the
+    conservative direction for a dedup decision.
+
+    Scale shape: one shingle explode, one df aggregation, a semi-join
+    prune, then the inverted-index self-join keyed on the shingle —
+    per-shingle fan-out is ≤ df_cap², so total pair volume is
+    Σ_sh df(sh)² bounded by df_cap·|postings|, never |docs|². The pair
+    count and per-doc sizes ride two partial aggs; no all-pairs
+    anywhere. (cf. the symmetric tiers in this module: MinHash bands
+    estimate Jaccard; this is the exact asymmetric complement.)
+    """
+    sh = _spread(documents.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col).alias(text_col))) \
+        .select("doc_id",
+                F.explode(F.array_distinct(
+                    TT.word_ngrams(TT.tokens(F.col(text_col)), shingle_n)))
+                .alias("sh"))
+    # the shingle table feeds three branches (df agg, sizes, pair join)
+    # — checkpoint BEFORE the fan-out so tokenize+ngram runs once
+    sh = sh.localCheckpoint(eager=True)
+    keep = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+            .select("sh"))
+    shk = sh.join(keep, "sh", "left_semi")
+    # sizes over the FULL shingle set — the containment denominator is
+    # the doc's whole identity, not just its pairable shingles
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shk.select(F.col("doc_id").alias("src_id"), "sh")
+    b = shk.select(F.col("doc_id").alias("dst_id"), "sh")
+    common = (a.join(b, "sh")
+              .filter(F.col("src_id") != F.col("dst_id"))
+              .groupBy("src_id", "dst_id")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (common
+            .join(sizes.select(F.col("doc_id").alias("src_id"),
+                               F.col("sz")), "src_id")
+            .withColumn("containment",
+                        fround(F.col("n_common").cast("double")
+                               / F.col("sz").cast("double"), ROUND_SCORE))
+            .filter(F.col("containment") >= threshold)
+            .select("src_id", "dst_id", "n_common", "containment"))

@@ -189,3 +189,78 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     return (joined.crossJoin(F.broadcast(tot))
             .select("bin", "ref_n", "cur_n",
                     fround((p - q) * F.log(p / q), ROUND_SCORE).alias("psi")))
+
+
+def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
+                      ps: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Exact per-group quantiles by the nearest-rank definition:
+    (grp, p, q) with q = the value at rank ⌈p·n⌉ in ascending order.
+
+    The exact tier of the quantile family (``percentile_approx`` /
+    KLL-style sketches are the approximate tier — their error is
+    test-bounded against THIS table). Nearest-rank picks an actual data
+    value, so the result is engine-portable with no interpolation-
+    convention ambiguity (type R-1; linear interpolation differs across
+    engines).
+
+    Scale shape: ONE exchange — row_number and the per-group count share
+    the same partitionBy(grp) sort; the ``ps`` fan-out is a map-side
+    explode AFTER ranking (×|ps| tiny rows, filtered immediately). The
+    per-group sort is the price of exactness: at 100 TB use this on
+    bounded groups (or sample first) and the sketch tier for full-corpus
+    profiles.
+    """
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(value_col).alias("v"))
+    ranked = (base
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("grp").orderBy("v")))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("grp"))))
+    pexp = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    return (ranked.select("grp", "v", "rn", "n", pexp)
+            .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")))
+            .select("grp", "p", F.col("v").alias("q")))
+
+
+def ewma_smooth(df: DataFrame, group_col: str, order_cols: list,
+                value_col: str, alpha: float = 0.3,
+                window_n: int = 8) -> DataFrame:
+    """Trailing bounded-window EWMA per group: (grp, <order cols>, v,
+    ewma) where ewma = Σ w_j·v_{t−j} / Σ w_j over the last ``window_n``
+    observations, w_j = (1−α)^j — the adjusted (normalized) EWMA every
+    monitoring pipeline runs over per-entity metrics.
+
+    Engine-portable by construction: the weights are PRECOMPUTED python
+    float literals embedded in the plan (both engines see bit-identical
+    constants — no cross-libm ``pow`` in the hot expression), the
+    weighted sum is a sequential left fold (``aggregate`` HOF here,
+    ``list_reduce`` in the oracle — same order, same IEEE ops), and the
+    result is rounded once.
+
+    Scale shape: one exchange (partitionBy grp, sort by order cols);
+    the frame collect is bounded at ``window_n`` values per row, so
+    state is O(window_n), never O(history). No self-join — the naive
+    rn-offset join form pays a second shuffle and |rows|×window_n join
+    rows for the same answer.
+    """
+    wts = [(1.0 - alpha) ** j for j in range(window_n)]   # age-indexed
+    warr = F.array(*[F.lit(w) for w in wts])
+    ocols = [F.col(c) for c in order_cols]
+    frame = (Window.partitionBy("grp").orderBy(*ocols)
+             .rowsBetween(-(window_n - 1), 0))
+    base = df.select(F.col(group_col).alias("grp"), *order_cols,
+                     F.col(value_col).cast("double").alias("v"))
+    vals = base.withColumn("vals", F.collect_list("v").over(frame))
+    L = F.size("vals")
+    # element i (1-based) has age L−i → weight wts[L−i] (array 1-indexed)
+    terms = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: F.element_at(F.col("vals"), i)
+        * F.element_at(warr, L - i + 1))
+    wsum = F.transform(F.sequence(F.lit(1), L),
+                       lambda i: F.element_at(warr, L - i + 1))
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda a, x: a + x)
+    return (vals.select("grp", *order_cols, "v",
+                        fround(fold(terms) / fold(wsum),
+                               ROUND_SCORE).alias("ewma")))

@@ -2880,3 +2880,122 @@ def test_als_fold_in_reproduces_trained_users_and_solve_is_exact(spark):
     assert not any((r.src, r.cand) in seen for r in served.itertuples())
     by_src = served.groupby("src")["rank"].apply(list)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_src)
+
+
+# ---------------------------------------------------------------------------
+# r8: quantiles / EWMA / association rules / containment
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_quantiles_exact_and_approx_tier(spark, sf_dir):
+    """Nearest-rank quantiles match a python reference per group, and the
+    percentile_approx sketch tier lands within its accuracy bound of the
+    exact table (the exact-vs-sketch contract the operator documents)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = {(r.grp, r.p): r.q
+           for r in profiling.grouped_quantiles(
+               orders, "o_orderpriority", "o_totalprice").collect()}
+    rows = orders.select("o_orderpriority", "o_totalprice").collect()
+    import math
+    from collections import defaultdict
+    by = defaultdict(list)
+    for r in rows:
+        by[r.o_orderpriority].append(r.o_totalprice)
+    for g, vs in by.items():
+        vs.sort()
+        for p in (0.5, 0.9, 0.99):
+            want = vs[math.ceil(p * len(vs)) - 1]
+            assert got[(g, p)] == want, (g, p)
+    # sketch tier: percentile_approx with accuracy A has rank error
+    # <= n/A; assert the returned value sits within that rank window
+    acc = 100
+    approx = {r.o_orderpriority: r.qs for r in orders.groupBy("o_orderpriority")
+              .agg(F.percentile_approx("o_totalprice",
+                                       [0.5, 0.9, 0.99], acc).alias("qs"))
+              .collect()}
+    for g, vs in by.items():
+        n = len(vs)
+        for i, p in enumerate((0.5, 0.9, 0.99)):
+            r_lo = max(0, math.ceil(p * n) - 1 - n // acc - 1)
+            r_hi = min(n - 1, math.ceil(p * n) - 1 + n // acc + 1)
+            assert vs[r_lo] <= approx[g][i] <= vs[r_hi], (g, p)
+
+
+def test_ewma_smooth_constant_series_and_hand_values(spark):
+    """A constant series smooths to itself; a hand-computed 3-step EWMA
+    matches the closed-form weighted mean."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, 5.0), (1, 3, 5.0),
+         (2, 1, 1.0), (2, 2, 2.0), (2, 3, 3.0)],
+        "grp long, t long, v double")
+    out = {(r.grp, r.t): r.ewma
+           for r in profiling.ewma_smooth(df, "grp", ["t"], "v",
+                                          alpha=0.5, window_n=8).collect()}
+    assert out[(1, 1)] == 5.0 and out[(1, 2)] == 5.0 and out[(1, 3)] == 5.0
+    # grp 2 @ t=3: weights (0.25, 0.5, 1) on (1,2,3) -> 3.25/1.75
+    assert abs(out[(2, 3)] - (0.25 * 1 + 0.5 * 2 + 1 * 3) / 1.75) < 1e-6
+    assert abs(out[(2, 2)] - (0.5 * 1 + 1 * 2) / 1.5) < 1e-6
+
+
+def test_ewma_window_bound_drops_old_history(spark):
+    """Observations older than window_n have exactly zero influence —
+    the bounded-state guarantee (state O(window_n), not O(history))."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    rows = [(1, t, 100.0 if t == 1 else 1.0) for t in range(1, 6)]
+    df = spark.createDataFrame(rows, "grp long, t long, v double")
+    out = {r.t: r.ewma for r in profiling.ewma_smooth(
+        df, "grp", ["t"], "v", alpha=0.5, window_n=3).collect()}
+    # t=5 window covers t in {3,4,5}: all 1.0 -> the t=1 spike is gone
+    assert out[5] == 1.0
+    assert out[3] > 1.0  # spike still inside the window at t=3
+
+
+def test_association_rules_hand_graph(spark):
+    """Support/confidence/lift on a hand-built basket graph."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import copurchase
+
+    # edges: A->B 6, A->C 2, B->A 6, C->A 2  (total 16)
+    df = spark.createDataFrame(
+        [(1, 2, 6), (1, 3, 2), (2, 1, 6), (3, 1, 2)],
+        "src long, dst long, weight long")
+    out = {(r.src, r.dst): r
+           for r in copurchase.association_rules(df, min_weight=2).collect()}
+    r = out[(1, 2)]
+    assert abs(r.support - 6 / 16) < 1e-6
+    assert abs(r.confidence - 6 / 8) < 1e-6
+    # lift = conf / (in_w(2)/tot) = 0.75 / (6/16) = 2.0
+    assert abs(r.lift - 2.0) < 1e-6
+    # min_weight prunes: the weight-2 rules survive at min_weight=2 but
+    # not at min_weight=3
+    assert (1, 3) in out
+    out3 = {(r.src, r.dst)
+            for r in copurchase.association_rules(df, min_weight=3).collect()}
+    assert (1, 3) not in out3 and (1, 2) in out3
+
+
+def test_containment_detects_doc_inside_doc(spark):
+    """A short doc fully contained in a long one scores containment 1.0
+    in the contained->container direction while symmetric Jaccard is
+    low — the asymmetric case the operator exists for."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    other = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, short, "s"), (2, long_, "s"), (3, other, "s")],
+        "doc_id long, text string, source string")
+    out = {(r.src_id, r.dst_id): r.containment
+           for r in dedup.containment_neardup_pairs(
+               df, threshold=0.5, shingle_n=3, df_cap=10).collect()}
+    assert out[(1, 2)] == 1.0          # short fully inside long
+    assert (2, 1) not in out           # long is NOT contained in short
+    assert (1, 3) not in out and (3, 1) not in out
