@@ -2521,6 +2521,18 @@ def q_association_rules(spark, sf_dir):
                                         min_weight=3, top_n=100)
 
 
+def q_winsorize(spark, sf_dir):
+    """Per-priority quantile capping of order totals into the
+    [p01, p99] nearest-rank band — outlier treatment before a numeric
+    column feeds training/drift stats; caps broadcast back map-only
+    (operators/profiling.py::winsorize)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.winsorize(orders, "o_orderpriority", "o_totalprice",
+                               p_lo=0.01, p_hi=0.99)
+
+
 def q_containment_neardup(spark, sf_dir):
     """Asymmetric shingle-containment near-dup pairs: C(A→B) =
     |sh(A)∩sh(B)|/|sh(A)| ≥ 0.6 over df-filtered 3-gram shingles —
@@ -2755,6 +2767,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_revenue": q_ewma_revenue,               # bounded-window EWMA smoothing
         "association_rules": q_association_rules,     # support/confidence/lift rules
         "containment_neardup": q_containment_neardup, # asymmetric doc-in-doc dedup
+        "winsorize": q_winsorize,                     # per-group quantile capping
     }
 
 
@@ -5657,6 +5670,32 @@ FROM edges JOIN ow USING (src) JOIN iw USING (dst) CROSS JOIN tt
 WHERE weight >= 3
 ORDER BY lift DESC, src ASC, dst ASC
 LIMIT 100
+"""
+    # per-group winsorization: caps from the same nearest-rank CTE
+    sql["winsorize"] = """
+WITH r AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+qv AS (
+  SELECT grp, p, v AS q
+  FROM r CROSS JOIN (SELECT unnest([0.01, 0.99]) AS p) ps
+  WHERE rn = ceil(p * n)
+),
+caps AS (
+  SELECT grp, min(CASE WHEN p = 0.01 THEN q END) AS lo,
+              min(CASE WHEN p = 0.99 THEN q END) AS hi
+  FROM qv GROUP BY 1
+)
+SELECT b.grp, b.v,
+       least(greatest(b.v, c.lo), c.hi) AS v_wins,
+       CASE WHEN b.v < c.lo THEN -1 WHEN b.v > c.hi THEN 1
+            ELSE 0 END AS clipped
+FROM (SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders) b
+JOIN caps c USING (grp)
 """
     # asymmetric containment over df-filtered shingles; threshold applies
     # to the ROUNDED containment, mirroring the Spark filter

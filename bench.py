@@ -145,6 +145,7 @@ HEADLINE = [
     "ewma_revenue",
     "association_rules",
     "containment_neardup",
+    "winsorize",
 ]
 
 

@@ -264,3 +264,36 @@ def ewma_smooth(df: DataFrame, group_col: str, order_cols: list,
     return (vals.select("grp", *order_cols, "v",
                         fround(fold(terms) / fold(wsum),
                                ROUND_SCORE).alias("ewma")))
+
+
+def winsorize(df: DataFrame, group_col: str, value_col: str,
+              p_lo: float = 0.01, p_hi: float = 0.99) -> DataFrame:
+    """Per-group quantile capping: clamp ``value_col`` into the group's
+    [q(p_lo), q(p_hi)] nearest-rank band — the standard outlier
+    treatment before a numeric column feeds training or drift stats
+    (a fat-finger price or a bot burst otherwise dominates means, PSI
+    bins, and loss scales).
+
+    Returns every input row as (grp, v, v_wins, clipped ∈ {-1,0,1}).
+    Composes :func:`grouped_quantiles` — the caps are actual data
+    values by construction (nearest-rank), so the output domain is a
+    subset of the input domain.
+
+    Scale shape: the quantile table is |groups|×2 rows — broadcast back
+    onto the corpus (map-only clamp, no second corpus shuffle); the one
+    exchange is the quantile sort itself.
+    """
+    qs = grouped_quantiles(df, group_col, value_col, ps=(p_lo, p_hi))
+    caps = (qs.groupBy("grp")
+            .agg(F.min(F.when(F.col("p") == p_lo, F.col("q"))).alias("lo"),
+                 F.min(F.when(F.col("p") == p_hi, F.col("q"))).alias("hi")))
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(value_col).alias("v"))
+    return (base.join(F.broadcast(caps), "grp")
+            .select(
+                "grp", "v",
+                F.least(F.greatest(F.col("v"), F.col("lo")),
+                        F.col("hi")).alias("v_wins"),
+                F.when(F.col("v") < F.col("lo"), F.lit(-1))
+                 .when(F.col("v") > F.col("hi"), F.lit(1))
+                 .otherwise(F.lit(0)).alias("clipped")))

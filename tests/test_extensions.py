@@ -2999,3 +2999,54 @@ def test_containment_detects_doc_inside_doc(spark):
     assert out[(1, 2)] == 1.0          # short fully inside long
     assert (2, 1) not in out           # long is NOT contained in short
     assert (1, 3) not in out and (3, 1) not in out
+
+
+def test_winsorize_caps_and_flags(spark):
+    """Caps are actual group data values; out-of-band rows clamp and
+    flag; in-band rows pass through unchanged."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    rows = [("a", float(v)) for v in range(1, 101)]   # 1..100
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r.v: r for r in profiling.winsorize(
+        df, "grp", "v", p_lo=0.05, p_hi=0.95).collect()}
+    # nearest-rank caps on 1..100: lo = ceil(.05*100)=5, hi = 95
+    assert out[1.0].v_wins == 5.0 and out[1.0].clipped == -1
+    assert out[100.0].v_wins == 95.0 and out[100.0].clipped == 1
+    assert out[50.0].v_wins == 50.0 and out[50.0].clipped == 0
+    assert len(out) == 100  # row-preserving
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """The salted join returns row-for-row the plain join's rows (inner
+    and left), the salt participates in the join key (plan-visible),
+    and other-side-preserving modes are refused."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators.skewjoin import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    plain = sorted(map(tuple, li.join(orders, "l_orderkey").collect()))
+    salted = sorted(map(tuple,
+                        salted_join(li, orders, "l_orderkey",
+                                    n_salts=8).collect()))
+    assert salted == plain and len(plain) > 0
+    # left join: unmatched skewed rows survive exactly once
+    half = orders.filter(F.col("l_orderkey") % 2 == 0)
+    plain_l = sorted(map(tuple, li.join(half, "l_orderkey", "left").collect()))
+    salted_l = sorted(map(tuple,
+                          salted_join(li, half, "l_orderkey", n_salts=8,
+                                      how="left").collect()))
+    assert salted_l == plain_l
+    # the salt column is part of the physical join key
+    plan = salted_join(li, orders, "l_orderkey", n_salts=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "__skew_salt" in plan
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(li, orders, "l_orderkey", how="right")
