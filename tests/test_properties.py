@@ -120,3 +120,39 @@ def test_dup_spans_and_removal_invariants(spark, token_lists, anchor_mod):
     n_stripped = sum(r.n_tokens for occ in by_digest.values()
                      for r in occ if not r.is_first)
     assert n_in == n_out + n_stripped
+
+
+@given(st.lists(st.floats(min_value=-1e4, max_value=1e4,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=10, deadline=None)
+def test_ewma_bounded_by_window_extremes(spark, vs, window_n):
+    """EWMA is a convex combination of its window: every output lies in
+    [min, max] of the trailing window_n values, for any series."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import ewma_smooth
+
+    df = spark.createDataFrame(
+        [(1, t, v) for t, v in enumerate(vs)], "grp long, t long, v double")
+    out = sorted((r.t, r.ewma) for r in ewma_smooth(
+        df, "grp", ["t"], "v", alpha=0.4, window_n=window_n).collect())
+    for t, e in out:
+        win = vs[max(0, t - window_n + 1): t + 1]
+        assert min(win) - 1e-6 <= e <= max(win) + 1e-6, (t, e, win)
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+@settings(max_examples=10, deadline=None)
+def test_grouped_quantiles_values_from_data_and_monotone(spark, vs):
+    """Nearest-rank quantiles are actual data values and monotone in p."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import grouped_quantiles
+
+    df = spark.createDataFrame([("g", v) for v in vs], "grp string, v double")
+    out = {r.p: r.q for r in grouped_quantiles(
+        df, "grp", "v", ps=(0.1, 0.5, 0.9)).collect()}
+    assert set(out) == {0.1, 0.5, 0.9}
+    sv = set(vs)
+    assert all(q in sv for q in out.values())
+    assert out[0.1] <= out[0.5] <= out[0.9]
