@@ -2521,6 +2521,54 @@ def q_association_rules(spark, sf_dir):
                                         min_weight=3, top_n=100)
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): orders in a half-year
+    window with at least one LATE line (shipped ≥60 days after the
+    order date — adapted to this schema's l_shipdate/o_orderdate),
+    counted per priority. The EXISTS compiles to ONE left-semi hash
+    join on the order key with the date predicate as a join residual —
+    no aggregation-then-join, no row explosion for multi-line orders."""
+    _pin_utc(spark)
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1996-07-01")))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds 150, with customer enrichment, top-100 by order
+    value. The quantity aggregate runs FIRST (partial-agg on the fact
+    table, one shuffle on l_orderkey), the having-filter prunes before
+    any join, customer broadcasts, and the top-100 is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 150))
+    return (big.join(orders,
+                     F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.col("o_totalprice").desc(),
+                     F.col("o_orderkey").asc())
+            .limit(100))
+
+
 def q_winsorize(spark, sf_dir):
     """Per-priority quantile capping of order totals into the
     [p01, p99] nearest-rank band — outlier treatment before a numeric
@@ -2768,6 +2816,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,     # support/confidence/lift rules
         "containment_neardup": q_containment_neardup, # asymmetric doc-in-doc dedup
         "winsorize": q_winsorize,                     # per-group quantile capping
+        "tpch_q4": q_tpch_q4,                         # EXISTS → left-semi + residual
+        "tpch_q18": q_tpch_q18,                       # having-prune before joins
     }
 
 
@@ -5669,6 +5719,27 @@ SELECT src, dst, weight,
 FROM edges JOIN ow USING (src) JOIN iw USING (dst) CROSS JOIN tt
 WHERE weight >= 3
 ORDER BY lift DESC, src ASC, dst ASC
+LIMIT 100
+"""
+    sql["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+    sql["tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 100
 """
     # per-group winsorization: caps from the same nearest-rank CTE

@@ -146,6 +146,8 @@ HEADLINE = [
     "association_rules",
     "containment_neardup",
     "winsorize",
+    "tpch_q4",
+    "tpch_q18",
 ]
 
 
