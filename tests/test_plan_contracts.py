@@ -522,3 +522,31 @@ def test_hybrid_serve_batch_reproduces_driver_entry(spark, sf_dir):
     a = sorted(map(tuple, batch.collect()))
     b = sorted(map(tuple, driver.collect()))
     assert a == b and len(a) > 0
+
+
+def test_tpch_q4_exists_is_left_semi_with_residual(spark, sf_dir):
+    """Q4's EXISTS must compile to ONE left-semi join on the order key
+    (no aggregate-then-join, no row fan-out) with the order-date window
+    pruning at the orders scan."""
+    import __spark_entry__ as m
+
+    df = m.q_tpch_q4(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "o_orderdate" in "\n".join(pushed_filters(df)), pushed_filters(df)
+
+
+def test_tpch_q18_having_prunes_before_joins_and_broadcasts_customer(spark, sf_dir):
+    """Q18's quantity aggregate + having filter must sit BELOW the order
+    join (prune first), customer must broadcast, and the top-100 must be
+    a TakeOrdered, not a global sort."""
+    import __spark_entry__ as m
+
+    df = m.q_tpch_q18(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # the having filter references the aggregated alias — it must appear
+    # as a post-agg Filter, and the agg must be present (partial+final)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "sum_qty" in plan and "Filter" in plan, plan
