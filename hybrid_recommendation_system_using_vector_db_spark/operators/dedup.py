@@ -668,7 +668,9 @@ def paragraph_dedup(documents: DataFrame, id_col: str = "doc_id",
 def cross_dedup_links(corpus: DataFrame, holdout: DataFrame,
                       n_hashes: int = 8, n_bands: int = 4,
                       threshold: float = 0.5, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      corpus_sigs: DataFrame | None = None,
+                      holdout_sigs: DataFrame | None = None) -> DataFrame:
     """Cross-corpus near-dup links: training docs that near-duplicate a
     held-out / benchmark document (document-granular decontamination —
     the companion of ``textops.decontaminate``'s n-gram leak probe; the
@@ -688,12 +690,21 @@ def cross_dedup_links(corpus: DataFrame, holdout: DataFrame,
     ``_minhash_band_chain`` trick applied across corpora). The final
     distinct dedups multi-band matches — bounded by the flagged-pair
     volume, not the corpus.
+
+    ``corpus_sigs`` / ``holdout_sigs``: prebuilt ``minhash_signatures``
+    tables (doc_id, mh0..mh{n-1}) — the serve path: signatures are a
+    pure function of the corpus, so a session/persisted signature
+    artifact (the LSH-index lifecycle) removes the tokenize+minhash
+    pass entirely and the serve call pays only banding projections +
+    the broadcast probe.
     """
     assert n_hashes % n_bands == 0, "n_hashes must divide into n_bands"
     r = n_hashes // n_bands
 
-    def banded(df: DataFrame, out_id: str, sig_name: str) -> DataFrame:
-        sigs = minhash_signatures(df, n_hashes, id_col, text_col)
+    def banded(df: DataFrame, out_id: str, sig_name: str,
+               sigs: DataFrame | None) -> DataFrame:
+        if sigs is None:
+            sigs = minhash_signatures(df, n_hashes, id_col, text_col)
         sig = F.array(*[F.col(f"mh{j}") for j in range(n_hashes)])
         return sigs.select(
             F.col("doc_id").alias(out_id),
@@ -708,8 +719,8 @@ def cross_dedup_links(corpus: DataFrame, holdout: DataFrame,
         ).select(out_id, sig_name, F.col("bk.band").alias("band"),
                  F.col("bk.key").alias("key"))
 
-    c = banded(corpus, "doc_id", "sig_c")
-    h = banded(holdout, "holdout_id", "sig_h")
+    c = banded(corpus, "doc_id", "sig_c", corpus_sigs)
+    h = banded(holdout, "holdout_id", "sig_h", holdout_sigs)
     matched = c.join(F.broadcast(h), ["band", "key"])
     n_match = sum(
         F.when(F.col("sig_c")[i] == F.col("sig_h")[i], 1).otherwise(0)
