@@ -503,9 +503,28 @@ def write_dedup_clusters(spark: SparkSession, documents: DataFrame,
         .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dedup_params")
 
 
+def _finish_dedup_commit(spark: SparkSession, out_dir: str) -> None:
+    """Dedup-artifact staged-commit publish: clusters + pairs swap,
+    bands keyed append, through :func:`_finish_staging` (the cluster/
+    band/pair triple previously committed non-atomically — the same
+    crash-window class ADVICE r7 flagged for the count artifacts)."""
+    _finish_staging(
+        spark, f"{out_dir}/dedup__staging",
+        swaps={"clusters": f"{out_dir}/dedup_clusters",
+               "pairs": f"{out_dir}/dedup_pairs"},
+        appends={"bands": (f"{out_dir}/dedup_bands", "doc_id")})
+
+
 def load_dedup_clusters(spark: SparkSession, out_dir: str) -> DataFrame:
     """(doc_id, cluster_id) written by :func:`write_dedup_clusters` —
-    the table keep-best canonicalization / decontamination serve from."""
+    the table keep-best canonicalization / decontamination serve from.
+    Resolves the committed truth through the staging marker (a
+    committed-but-unpublished append already serves the new labels)."""
+    staging = f"{out_dir}/dedup__staging"
+    fs, P = _hadoop_fs(spark, out_dir)
+    if fs.exists(P(f"{staging}/_COMMIT")) \
+            and fs.exists(P(f"{staging}/clusters")):
+        return spark.read.parquet(f"{staging}/clusters")
     return spark.read.parquet(f"{out_dir}/dedup_clusters")
 
 
@@ -551,6 +570,7 @@ def append_dedup_clusters(spark: SparkSession, new_documents: DataFrame,
                                   jaccard_neardup_pairs, minhash_band_keys,
                                   minhash_signatures)
 
+    _finish_dedup_commit(spark, out_dir)   # recover any interrupted append
     p = spark.read.parquet(f"{out_dir}/dedup_params").collect()[0]
     stored_clusters = spark.read.parquet(f"{out_dir}/dedup_clusters")
     stored_bands = spark.read.parquet(f"{out_dir}/dedup_bands")
@@ -629,9 +649,17 @@ def append_dedup_clusters(spark: SparkSession, new_documents: DataFrame,
         clusters = connected_components_star(final_pairs, nodes)
 
     clusters = clusters.localCheckpoint(eager=True)
-    clusters.write.mode("overwrite").parquet(f"{out_dir}/dedup_clusters")
-    bands_b.write.mode("append").parquet(f"{out_dir}/dedup_bands")
-    final_pairs.write.mode("overwrite").parquet(f"{out_dir}/dedup_pairs")
+    # all three tables move through ONE staged commit: stage, mark,
+    # publish (swap clusters/pairs, keyed-append bands) — a crash at any
+    # point leaves the artifact untouched or fully updated, never the
+    # stale-bands/new-clusters mix the old in-place writes risked
+    staging = f"{out_dir}/dedup__staging"
+    clusters.write.mode("overwrite").parquet(f"{staging}/clusters")
+    final_pairs.write.mode("overwrite").parquet(f"{staging}/pairs")
+    bands_b.write.mode("overwrite").parquet(f"{staging}/bands")
+    fs, P = _hadoop_fs(spark, out_dir)
+    fs.create(P(f"{staging}/_COMMIT")).close()   # the commit point
+    _finish_dedup_commit(spark, out_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -654,43 +682,64 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jvm.org.apache.hadoop.fs.Path
 
 
-def _staged_commit_finish(spark: SparkSession, out_dir: str,
-                          counts_name: str, docs_name: str) -> None:
-    """Roll forward (or discard) a staged count-artifact commit.
+def _finish_staging(spark: SparkSession, staging: str,
+                    swaps: dict, appends: dict) -> None:
+    """Roll forward (or discard) a staged multi-table artifact commit.
 
-    The count-statistic artifacts (KN LM, LID profiles) pair a counts
-    table with a doc-id replay ledger; updating both non-atomically
-    risks double-counting a batch on crash-retry (counts landed, ledger
-    didn't) or losing the live counts mid-overwrite (ADVICE r7). The
-    append path therefore stages BOTH halves of the update under
-    ``{counts_name}__staging/`` and drops a ``_COMMIT`` marker as the
-    single commit point; this helper publishes a committed staging
-    (atomic-rename swap of counts + idempotent anti-join ledger append)
-    and discards an uncommitted one. Invariant readers rely on:
-    ``_COMMIT`` present and ``staging/counts`` present → staging/counts
-    is the committed truth; otherwise the live counts dir is.
+    Multi-file artifacts (count tables + replay ledgers, the dedup
+    cluster/band/pair triple) must move together; updating them
+    non-atomically risks double-applying a batch on crash-retry (one
+    half landed, the other didn't) or destroying a live table
+    mid-overwrite (ADVICE r7). Append paths therefore stage EVERY
+    updated table under ``staging/`` and drop a ``_COMMIT`` marker file
+    as the single commit point; this helper publishes a committed stage
+    and discards an uncommitted one. Every publish step is idempotent,
+    so a crash mid-publish re-runs cleanly:
+
+    - ``swaps``: {staging-subdir → live dir} — atomic-rename
+      replacement (skipped if the subdir is already renamed away).
+    - ``appends``: {staging-subdir → (live dir, key col)} — append
+      staged rows whose key is absent from the live table (replay-safe;
+      torn in-flight appends are covered by the FileOutputCommitter's
+      _temporary staging, which never exposes partial part files).
+
+    Invariant readers rely on: ``_COMMIT`` present AND the staged
+    subdir present → the staged table is the committed truth; otherwise
+    the live dir is.
     """
-    staging = f"{out_dir}/{counts_name}__staging"
-    fs, P = _hadoop_fs(spark, out_dir)
+    fs, P = _hadoop_fs(spark, staging)
     commit = P(f"{staging}/_COMMIT")
     if not fs.exists(commit):
         if fs.exists(P(staging)):      # partial stage from a crashed
             fs.delete(P(staging), True)  # append — never committed
         return
-    live = P(f"{out_dir}/{counts_name}")
-    staged_counts = P(f"{staging}/counts")
-    if fs.exists(staged_counts):       # swap not yet done (or mid-way)
-        if fs.exists(live):
-            fs.delete(live, True)
-        fs.rename(staged_counts, live)
-    ledger_path = f"{out_dir}/{docs_name}"
-    fresh = (spark.read.parquet(f"{staging}/docs")
-             .join(spark.read.parquet(ledger_path), "doc_id", "left_anti")
-             .localCheckpoint(eager=True))
-    if not fresh.isEmpty():            # idempotent: replay-safe append
-        fresh.write.mode("append").parquet(ledger_path)
+    for sub, live in swaps.items():
+        staged = P(f"{staging}/{sub}")
+        if fs.exists(staged):          # swap not yet done (or mid-way)
+            if fs.exists(P(live)):
+                fs.delete(P(live), True)
+            fs.rename(staged, P(live))
+    for sub, (live, key) in appends.items():
+        spath = f"{staging}/{sub}"
+        if fs.exists(P(spath)):
+            fresh = (spark.read.parquet(spath)
+                     .join(spark.read.parquet(live).select(key).distinct(),
+                           key, "left_anti")
+                     .localCheckpoint(eager=True))
+            if not fresh.isEmpty():    # idempotent: replay-safe append
+                fresh.write.mode("append").parquet(live)
     fs.delete(commit, False)           # marker last: its absence means
     fs.delete(P(staging), True)        # the live dirs are consistent
+
+
+def _staged_commit_finish(spark: SparkSession, out_dir: str,
+                          counts_name: str, docs_name: str) -> None:
+    """Count-artifact (KN LM / LID profile) staged-commit publish:
+    counts swap + ledger append through :func:`_finish_staging`."""
+    _finish_staging(
+        spark, f"{out_dir}/{counts_name}__staging",
+        swaps={"counts": f"{out_dir}/{counts_name}"},
+        appends={"docs": (f"{out_dir}/{docs_name}", "doc_id")})
 
 
 def _committed_counts_path(spark: SparkSession, out_dir: str,

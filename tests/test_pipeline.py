@@ -852,3 +852,57 @@ def test_kn_append_staged_commit_crash_windows(spark, sf_dir, tmp_path):
     # idempotent: a second recovery pass / append changes nothing
     pipeline.append_kn_lm(spark, batch, inc2)
     assert sorted(map(tuple, pipeline.load_kn_lm(spark, inc2).collect())) == want
+
+
+def test_dedup_append_staged_commit_crash_windows(spark, tmp_path):
+    """The cluster/band/pair triple moves through the generalized staged
+    commit: an uncommitted stage is discarded (pre-batch state intact);
+    a committed-but-unpublished stage already serves the new labels and
+    the next append rolls it forward exactly once — never the
+    stale-bands/new-clusters mix of in-place writes."""
+    import os
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    inc, bulk = str(tmp_path / "inc"), str(tmp_path / "bulk")
+    pipeline.write_dedup_clusters(spark, a, inc)
+    pipeline.write_dedup_clusters(spark, docs, bulk)
+    pre = sorted(map(tuple, pipeline.load_dedup_clusters(spark, inc).collect()))
+    want = sorted(map(tuple, pipeline.load_dedup_clusters(spark, bulk).collect()))
+    staging = os.path.join(inc, "dedup__staging")
+
+    # -- window 1: stage written, never committed -> discarded ---------
+    spark.read.parquet(f"{bulk}/dedup_clusters").write.parquet(f"{staging}/clusters")
+    assert sorted(map(tuple,
+                      pipeline.load_dedup_clusters(spark, inc).collect())) == pre
+    pipeline.append_dedup_clusters(spark, b, docs, inc)
+    assert not os.path.exists(staging)
+    got = sorted(map(tuple, pipeline.load_dedup_clusters(spark, inc).collect()))
+    assert got == want
+
+    # -- window 2: committed stage -> loader serves it; replay rolls
+    # forward once and the final state equals the bulk build ----------
+    inc2 = str(tmp_path / "inc2")
+    pipeline.write_dedup_clusters(spark, a, inc2)
+    staging2 = os.path.join(inc2, "dedup__staging")
+    for t, sub in [("dedup_clusters", "clusters"), ("dedup_pairs", "pairs")]:
+        spark.read.parquet(f"{bulk}/{t}").write.parquet(f"{staging2}/{sub}")
+    # staged bands = the batch docs' band rows from the bulk build
+    bulk_bands = spark.read.parquet(f"{bulk}/dedup_bands")
+    batch_ids = {r.doc_id for r in b.select("doc_id").collect()}
+    bulk_bands.filter(F.col("doc_id").isin(list(batch_ids))) \
+        .write.parquet(f"{staging2}/bands")
+    open(os.path.join(staging2, "_COMMIT"), "w").close()
+    assert sorted(map(tuple,
+                      pipeline.load_dedup_clusters(spark, inc2).collect())) == want
+    pipeline.append_dedup_clusters(spark, b, docs, inc2)   # recovers, then no-ops
+    assert not os.path.exists(staging2)
+    for t in ["dedup_clusters", "dedup_pairs", "dedup_bands"]:
+        gi = sorted(map(tuple, spark.read.parquet(f"{inc2}/{t}").collect()))
+        gb = sorted(map(tuple, spark.read.parquet(f"{bulk}/{t}").collect()))
+        assert gi == gb, t
