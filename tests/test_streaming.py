@@ -343,3 +343,46 @@ def test_streaming_quality_filter_equals_batch(spark, sf_dir, tmp_path):
             classifier.quality_classifier_scores(docs, w, b)
             .filter(F.col("prob") >= 0.5).select("doc_id").collect()}
     assert got == want and 0 < len(want) < docs.count()
+
+
+def test_streaming_lm_maintenance_equals_bulk(spark, tmp_path):
+    """Micro-batched KN-LM maintenance converges to the bulk-trained
+    model exactly, across a restart that replays a batch (stream
+    checkpoint ∘ replay ledger ∘ staged commit = exactly-once folds)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        streaming_lm_maintenance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    out = str(tmp_path / "lm")
+    ckpt = str(tmp_path / "ckpt")
+    # seed the artifact empty-ish: bulk-build over the first slice, then
+    # stream the remainder in two files (two-ish micro-batches)
+    first = docs.filter(F.col("doc_id") % 4 == 0)
+    pipeline.write_kn_lm(spark, first, out)
+    docs.filter(F.col("doc_id") % 4 == 1).write.parquet(str(in_dir / "b1.parquet"))
+    docs.filter(F.col("doc_id") % 4 > 1).write.parquet(str(in_dir / "b2.parquet"))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("recursiveFileLookup", "true").parquet(str(in_dir)))
+    q = streaming_lm_maintenance(stream, out, ckpt)
+    q.awaitTermination(120)
+    # restart on the same checkpoint: nothing new -> no state change
+    q2 = streaming_lm_maintenance(stream, out, ckpt)
+    q2.awaitTermination(120)
+    # a FRESH checkpoint replays everything -> the replay ledger no-ops it
+    q3 = streaming_lm_maintenance(stream, out, str(tmp_path / "ckpt2"))
+    q3.awaitTermination(120)
+
+    bulk = str(tmp_path / "bulk")
+    pipeline.write_kn_lm(spark, docs, bulk)
+    a = sorted(map(tuple, pipeline.load_kn_lm(spark, out).collect()))
+    b = sorted(map(tuple, pipeline.load_kn_lm(spark, bulk).collect()))
+    assert a == b and len(a) > 0
