@@ -2662,13 +2662,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_resolution": q_query_resolution,       # C4+G4/G5
         "seeded_sample": q_seeded_sample,             # F2
         "stratified_sample": q_stratified_sample,     # F2 ext: per-stratum
-        "weighted_sample": q_weighted_sample,         # F2 ext: A-ES importance
+        # r8 rotation: weighted_sample (A-ES importance sampling — same
+        # seeded-md5 mechanics as the two F2 entries above) → extras,
+        # freeing a slot for the winsorize quantile-capping op
+        "winsorize": q_winsorize,
         # --- similarity / ANN extensions ---
         # r7 rotation: lsh_topk (single-probe special case of the multi-
         # probe path below) → extras, freeing a driver slot for the r6
-        # SCD2 validity-interval builder
+        # SCD2 validity-interval builder; r8 rotation: scd2_intervals and
+        # psi_drift (both driver-proven green in CORRECTNESS_r07) → extras,
+        # freeing slots for the r8 association-rule miner and the exact
+        # per-group quantile op
         "lsh_topk_mp": q_lsh_topk_mp,
-        "scd2_intervals": q_scd2_intervals,
+        "association_rules": q_association_rules,
+        "grouped_quantiles": q_grouped_quantiles,
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "cluster_centroids": q_cluster_centroids,
@@ -2676,17 +2683,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_topk_gemm": q_content_topk_gemm,
         # --- dedup extensions ---
         "dedup_exact": q_dedup_exact,
-        # r7 rotation: minhash_dup_pairs (the band-link stage riding inside
-        # the driver-checked minhash_jaccard_neardup chain) → extras,
-        # freeing a slot for the Shannon char-entropy signal (full oracle)
-        "char_entropy": q_char_entropy,
+        # r8 rotation: char_entropy (driver-proven in r7; map-only Shannon
+        # entropy) → extras, freeing a slot for the asymmetric
+        # doc-inside-doc containment tier — the near-dup geometry the
+        # Jaccard entries below cannot catch
+        "containment_neardup": q_containment_neardup,
         "minhash_jaccard_neardup": q_minhash_jaccard_neardup,
         "simhash_neardup": q_simhash_neardup,
         # r7 rotation: dedup_clusters (min-label CC over the same banded
         # chain as dedup_clusters_chained — shared oracle) → extras, so a
         # driver slot covers the r6 PSI drift monitor instead
         "dedup_clusters_chained": q_dedup_clusters_chained,
-        "psi_drift": q_psi_drift,
         # r6 rotation: token_stats → extras (its map-only stats are
         # embedded in quality_scores' blended score, still driver-checked)
         # to put the ExactSubstr span detector under the driver gate
@@ -2695,8 +2702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
         "doc_fingerprints": q_fingerprints,
-        "text_scrub": q_text_scrub,
-        "vocab_topk": q_vocab_topk,
+        # r8 rotation: text_scrub (driver-proven green in r6 and r7;
+        # map-only PII regex scrub) → extras
+        # r8 rotation: vocab_topk (global TakeOrdered over the same
+        # tokenize+agg chain as the driver-checked tfidf_top_terms) →
+        # extras, freeing a slot for TPC-H Q4 (EXISTS → left-semi)
+        "tpch_q4": q_tpch_q4,
         "split_assign": q_split_assign,
         "pack_sequences": q_pack_sequences,
         "kmv_distinct": q_kmv_distinct,
@@ -2713,7 +2724,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,                         # product-quantized ADC search
         # --- generic relational + streaming operators ---
         "tpch_q1": q_tpch_q1,
-        "orders_running_total": q_orders_running_total,
+        # r8 rotation: orders_running_total (plain cumulative window; the
+        # window mechanics stay driver-checked via session_windows and the
+        # r8 EWMA entry below) → extras, freeing a slot for TPC-H Q18
+        "tpch_q18": q_tpch_q18,
+        "ewma_revenue": q_ewma_revenue,
         # r7 rotation: events_hourly (the batch twin of the driver-checked
         # streaming_hourly aggregation) → extras, freeing a slot for the
         # KN word-bigram perplexity filter (full oracle)
@@ -2856,14 +2871,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mechanics stay pinned by neighbouring driver entries
         "parts_unindexed": q_parts_unindexed,         # broadcast anti-join
         "doc_length_stats": q_doc_length_stats,       # groupBy + ntile stats
-        # r8 additions — full oracles, pytest-pinned
-        "grouped_quantiles": q_grouped_quantiles,     # exact nearest-rank percentiles
-        "ewma_revenue": q_ewma_revenue,               # bounded-window EWMA smoothing
-        "association_rules": q_association_rules,     # support/confidence/lift rules
-        "containment_neardup": q_containment_neardup, # asymmetric doc-in-doc dedup
-        "winsorize": q_winsorize,                     # per-group quantile capping
-        "tpch_q4": q_tpch_q4,                         # EXISTS → left-semi + residual
-        "tpch_q18": q_tpch_q18,                       # having-prune before joins
+        # r8 rotation out of the driver 50 (all driver-proven green in
+        # CORRECTNESS_r06/r07) to put the seven r8 additions — winsorize,
+        # grouped_quantiles, association_rules, containment_neardup,
+        # ewma_revenue, TPC-H Q4/Q18 — under the hard driver gate instead;
+        # every one stays oracle-pinned here in CI
+        "weighted_sample": q_weighted_sample,         # A-ES importance sampling
+        "scd2_intervals": q_scd2_intervals,           # SCD2 validity intervals
+        "psi_drift": q_psi_drift,                     # PSI drift monitor
+        "char_entropy": q_char_entropy,               # Shannon char entropy
+        "text_scrub": q_text_scrub,                   # PII regex scrub
+        "vocab_topk": q_vocab_topk,                   # global top-k vocabulary
+        "orders_running_total": q_orders_running_total,  # cumulative window
     }
 
 
