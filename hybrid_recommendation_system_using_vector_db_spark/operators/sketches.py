@@ -72,15 +72,18 @@ def cms_heavy_hitters(df: DataFrame, value_col: str,
     therefore the approximate answer itself — is a pure function of the
     input multiset that a DuckDB oracle reproduces bit-for-bit.
 
-    Scale shape: the build explodes each row into ``depth`` (row, bucket)
-    keys whose partial aggregation collapses to ≤ depth·width entries PER
-    PARTITION before the shuffle — the sketch table is bounded at
-    depth·width rows regardless of corpus size (the bounded-state claim
-    CMS exists for).  The probe joins the DISTINCT values (O(distinct),
-    the same honesty note as ``kmv_distinct``) against the broadcast
-    sketch; the production point-query form holds the depth·width table
-    driver-side and answers lookups without a job.  NULL values are
-    dropped (no meaningful count key).
+    Scale shape: ONE corpus scan and ONE exchange. The emit-all-heavy-
+    hitters form needs the distinct-value table anyway (the probe side —
+    same honesty note as ``kmv_distinct``), so the per-value counts are
+    aggregated first (wordcount partial agg, keyed on the value) and
+    checkpointed; the depth·width sketch, the probe, and N are all
+    derived from that bounded-by-distinct table without touching the
+    corpus again (previously the sketch/probe/N branches re-scanned and
+    re-hashed the corpus 3× per action). The production point-query form
+    keeps the classic bounded-state build: fold the (row, bucket) partial
+    aggregation straight off the scan — ≤ depth·width entries per
+    partition — hold the table driver-side, answer lookups without a
+    job. NULL values are dropped (no meaningful count key).
     """
     v = (df.filter(F.col(value_col).isNotNull())
          .select(F.col(value_col).alias("val"),
@@ -90,18 +93,26 @@ def cms_heavy_hitters(df: DataFrame, value_col: str,
          % F.lit(width)).alias(f"b{r}")
         for r in range(depth)
     ]
-    keyed = v.select("val", *buckets)
-    expl = keyed.select(
-        "val",
+    # buckets are pure functions of val, so grouping by (val, b0..bd) is
+    # grouping by val; cnt_by_val feeds three tiny branches — checkpoint
+    # so the scan+shuffle runs once per call (the re-execution class)
+    cnt_by_val = (v.select("val", *buckets)
+                  .groupBy("val", *[f"b{r}" for r in range(depth)])
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .localCheckpoint(eager=True))
+    expl = cnt_by_val.select(
+        "val", "cnt",
         F.explode(F.array(*[
             F.struct(F.lit(r).alias("r"), F.col(f"b{r}").alias("b"))
             for r in range(depth)])).alias("rb"),
-    ).select("val", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
-    sketch = expl.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
-    n = v.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    probe = expl.distinct()
+    ).select("val", "cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    sketch = expl.groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+    # every value lands in hash row 0 exactly once, so row 0's bucket
+    # counters sum to N — no extra corpus pass
+    n = (sketch.filter(F.col("r") == 0)
+         .agg(F.sum("cnt").cast("double").alias("n")))
     est = (
-        probe.join(F.broadcast(sketch), ["r", "b"])
+        expl.drop("cnt").join(F.broadcast(sketch), ["r", "b"])
         .groupBy("val")
         .agg(F.min("cnt").alias("est_count"))
     )
