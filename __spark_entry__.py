@@ -1202,6 +1202,75 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    PROMO-type parts — a single fact⋈dim join plus a conditional
+    aggregate. The date window prunes at the lineitem scan (pushed
+    filter); part joins broadcast at driver scale and AQE-sized beyond
+    (in real TPC-H part is fact-scale: ~1/5 of lineitem's rows — never
+    force the hint); both sums are rounded before the ratio so the
+    division is over engine-agreed inputs."""
+    _pin_utc(spark)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-03-01") &
+                  (F.col("l_shipdate") < "1997-04-01"))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (li.join(part, li["l_partkey"] == part["p_partkey"])
+           .agg(fround(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                             .otherwise(F.lit(0.0))), 2).alias("promo_rev"),
+                fround(F.sum(rev), 2).alias("total_rev")))
+    return agg.select(
+        fround(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"),
+               6).alias("promo_revenue_pct"),
+        "promo_rev", "total_rev")
+
+
+def q_temporal_split(spark, sf_dir):
+    """Purged walk-forward temporal split over the event stream: 80 %
+    train by exact event-time quantile, a 1-day purge gap, the rest
+    test — the time-based complement of the hash split (split_assign)
+    and the cluster-keyed split (leakage_safe_split); see
+    operators/sampling.py::temporal_split for the boundary mechanics."""
+    _pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return sampling.temporal_split(ev, "ts", train_frac=0.8,
+                                   purge_seconds=86400, id_col="event_id")
+
+
+def q_streaming_enrich(spark, sf_dir):
+    """Stream-static enrichment: the event stream joined per micro-batch
+    against the broadcast customer dimension (no state store — the
+    canonical attach-attributes-to-a-clickstream shape), then a streaming
+    aggregate by market segment × event type. Complete mode over static
+    files equals the batch join+agg, which is the SQL oracle
+    (streaming/events.py::stream_static_enrich)."""
+    _pin_utc(spark)
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_static_enrich,
+    )
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_enrich_mem":
+            q.stop()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    enriched = stream_static_enrich(read_events_stream(spark, sf_dir), cust,
+                                    "user_id", "c_custkey")
+    agg = (enriched.groupBy("c_mktsegment", "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                fround(F.sum("value"), 2).alias("total_value")))
+    sq = run_stream_to_memory(agg, "q_streaming_enrich_mem",
+                              output_mode="complete")
+    sq.stop()
+    return (spark.table("q_streaming_enrich_mem")
+            .select(F.col("c_mktsegment").alias("mktsegment"),
+                    "event_type", "n_events", "total_value"))
+
+
 def q_top_parts_by_revenue(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -2876,6 +2945,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouped_quantiles, association_rules, containment_neardup,
         # ewma_revenue, TPC-H Q4/Q18 — under the hard driver gate instead;
         # every one stays oracle-pinned here in CI
+        # r8 additions (second wave) — full oracles, pytest-pinned
+        "tpch_q14": q_tpch_q14,                       # promo-share conditional agg
+        "temporal_split": q_temporal_split,           # purged walk-forward split
+        "streaming_enrich": q_streaming_enrich,       # stream-static broadcast join
         "weighted_sample": q_weighted_sample,         # A-ES importance sampling
         "scd2_intervals": q_scd2_intervals,           # SCD2 validity intervals
         "psi_drift": q_psi_drift,                     # PSI drift monitor
@@ -4197,6 +4270,48 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
   AND l_discount BETWEEN 0.02 AND 0.04
   AND l_quantity < 25
+""",
+
+        "tpch_q14": """
+WITH j AS (
+  SELECT p_type, l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+), a AS (
+  SELECT floor((sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END)) * 100 + 0.5) / 100 AS promo_rev,
+         floor((sum(rev)) * 100 + 0.5) / 100 AS total_rev
+  FROM j
+)
+SELECT floor((100.0 * promo_rev / total_rev) * 1000000 + 0.5) / 1000000 AS promo_revenue_pct,
+       promo_rev, total_rev
+FROM a
+""",
+
+        "temporal_split": """
+WITH e AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+), c AS (
+  SELECT s, count(*) AS c FROM e GROUP BY s
+), cum AS (
+  SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM c
+), b AS (
+  SELECT min(s) AS b FROM cum
+  WHERE cum >= ceil(0.8 * (SELECT count(*) FROM events))
+)
+SELECT event_id,
+  CASE WHEN s <= (SELECT b FROM b) THEN 'train'
+       WHEN s <= (SELECT b FROM b) + 86400 THEN 'purge'
+       ELSE 'test' END AS split
+FROM e
+""",
+
+        "streaming_enrich": """
+SELECT c_mktsegment AS mktsegment, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
 """,
 
         "top_parts_by_revenue": """

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hex8_u32, seeded_key, uniform01
-from ..functions.portable import fround
+from ..functions.portable import epoch_seconds, fround
 
 
 def seeded_sample(df: DataFrame, n: int, key_col: str, seed: int = 42) -> DataFrame:
@@ -298,3 +298,48 @@ def negative_samples(edges: DataFrame, items: DataFrame, n_neg: int = 4,
                          F.col(dst_col).alias("pos_dst"))
             .join(negs, "src")
             .select("src", "pos_dst", "neg_dst"))
+
+
+def temporal_split(df: DataFrame, ts_col: str, train_frac: float = 0.8,
+                   purge_seconds: int = 86400,
+                   id_col: str = "event_id") -> DataFrame:
+    """Walk-forward temporal split with a purge gap: rows are labeled
+    ``train`` / ``purge`` / ``test`` by EVENT TIME, never by hash — the
+    split a forecasting/attribution model needs, where hash splits leak
+    the future into training. The purge window between train and test
+    drops rows whose targets could straddle the boundary (the standard
+    purged walk-forward protocol from financial CV, e.g. de Prado 2018).
+
+    Boundary = the exact nearest-rank ``train_frac`` quantile of the
+    event time at WHOLE-SECOND granularity (floor of epoch seconds — an
+    exact integer in both engines): the smallest second s with
+    |rows at ≤ s| ≥ ceil(train_frac·N). Computed from the per-second
+    count table (one exchange keyed on the second; the ordered cumulative
+    sum runs over |distinct seconds| rows, not |rows|), then collected as
+    ONE bounded driver scalar so the labeling pass is map-only with
+    literal thresholds. At 100 TB the boundary does not need to be
+    exact — swap in the sketch tier (``percentile_approx``) and keep the
+    identical labeling pass; the exact form here is what the
+    cross-engine oracle can replicate.
+
+    Returns (id_col, split) for every input row.
+    """
+    from pyspark.sql import Window
+
+    sec = F.floor(epoch_seconds(F.col(ts_col))).cast("long")
+    counts = (df.select(sec.alias("__s"))
+              .groupBy("__s").agg(F.count(F.lit(1)).alias("__c")))
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("__cum", F.sum("__c").over(w))
+    import math
+
+    n = df.count()  # one scalar — bounded driver state
+    rank = math.ceil(n * train_frac)
+    boundary = (cum.filter(F.col("__cum") >= F.lit(rank))
+                .agg(F.min("__s").alias("b")).head())["b"]
+    purge_end = boundary + purge_seconds
+    return df.select(
+        F.col(id_col),
+        F.when(sec <= F.lit(boundary), F.lit("train"))
+        .when(sec <= F.lit(purge_end), F.lit("purge"))
+        .otherwise(F.lit("test")).alias("split"))

@@ -193,6 +193,25 @@ def stream_stream_attribution(triggers: DataFrame, outcomes: DataFrame,
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame,
+                         stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream is
+    joined against a STATIC dimension table (Structured Streaming re-plans
+    the static side per batch; with the broadcast hint the dim ships once
+    per executor and the join is map-only — no stream-side shuffle, no
+    state store at all, unlike stream-stream joins).
+
+    This is the canonical "attach catalog/user attributes to a click
+    stream" production shape. At 100 TB-of-stream scale the static side
+    must stay broadcastable (dimension-sized); a fact-sized static side
+    belongs to a stream-stream join or a pre-bucketed storage join
+    instead. Inner join: events without a dimension row are dropped
+    (the batch SQL oracle is the plain inner join).
+    """
+    d = dim.withColumnRenamed(dim_key, stream_key)
+    return events.join(F.broadcast(d), stream_key, "inner")
+
+
 def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming aggregation to completion over static files
     (memory sink; ``processAllAvailable`` makes it synchronous for tests)."""

@@ -3050,3 +3050,63 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert "__skew_salt" in plan
     with pytest.raises(ValueError, match="salted_join supports"):
         salted_join(li, orders, "l_orderkey", how="right")
+
+
+def test_temporal_split_purge_gap_and_order(spark):
+    """Temporal split: labels are monotone in event time (train before
+    purge before test), the purge gap is exactly purge_seconds wide, and
+    the train boundary is the exact nearest-rank quantile second."""
+    import math
+
+    from pyspark.sql import Row
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sampling import temporal_split
+
+    rows = [Row(event_id=i,
+                ts=__import__("datetime").datetime(2024, 1, 1, 0, 0, 0)
+                + __import__("datetime").timedelta(seconds=i * 3600))
+            for i in range(100)]
+    df = spark.createDataFrame(rows)
+    out = temporal_split(df, "ts", train_frac=0.7, purge_seconds=2 * 3600,
+                         id_col="event_id")
+    got = {r["event_id"]: r["split"] for r in out.collect()}
+    # nearest-rank boundary: the ceil(0.7*100)=70th smallest second is
+    # event 69's timestamp; the 2h purge then covers events 70 and 71
+    assert all(got[i] == "train" for i in range(70))
+    assert got[70] == "purge" and got[71] == "purge"
+    assert all(got[i] == "test" for i in range(72, 100))
+    # labels are a partition of the input
+    assert len(got) == 100
+    # monotone: no train after a purge/test, no purge after a test
+    order = [got[i] for i in range(100)]
+    assert order == sorted(order, key=["train", "purge", "test"].index)
+
+
+def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
+    """The stream-static broadcast enrichment (complete run over static
+    files) emits exactly the batch inner join's rows."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_static_enrich,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    for q in spark.streams.active:
+        if q.name == "t_enrich_mem":
+            q.stop()
+    enriched = stream_static_enrich(
+        read_events_stream(spark, sf_dir), cust, "user_id", "c_custkey") \
+        .select("event_id", "user_id", "c_mktsegment")
+    sq = run_stream_to_memory(enriched, "t_enrich_mem", output_mode="append")
+    sq.stop()
+    got = sorted(map(tuple, spark.table("t_enrich_mem").collect()))
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(map(tuple,
+                      ev.join(cust.withColumnRenamed("c_custkey", "user_id"),
+                              "user_id")
+                      .select("event_id", "user_id", "c_mktsegment")
+                      .collect()))
+    assert got == want and len(want) > 0
