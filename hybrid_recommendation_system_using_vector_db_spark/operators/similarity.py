@@ -146,7 +146,7 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
 def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     q_local=None) -> DataFrame:
+                     q_local=None, exclude: dict | None = None) -> DataFrame:
     """Exact cosine top-k via NumPy GEMM in ``mapInPandas`` (fast path).
 
     The query matrix is captured in the closure (broadcast by Spark's task
@@ -158,9 +158,18 @@ def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
     side — serving chains that answer the same query set repeatedly
     collect it once and skip this call's driver job (the reference holds
     its query vectors in process for the same reason).
+
+    ``exclude``: optional {qid: array-of-cand-ids} masked out BEFORE the
+    local top-k, so per-query exclusion costs nothing downstream (no
+    k+headroom over-fetch, no anti-join, no re-rank — the masked top-k IS
+    the final ranking). Sized like the query side (one entry per query),
+    so the same ≤ ~10⁵-queries closure bound applies.
     """
     import numpy as np
 
+    if exclude:
+        exclude = {int(q): np.asarray(sorted(c), dtype=np.int64)
+                   for q, c in exclude.items()}
     if q_local is None:
         q_rows = queries.select(id_col, vec_col).collect()
         if not q_rows:
@@ -193,6 +202,10 @@ def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
             for j, qid in enumerate(q_ids):
                 col = sims[:, j]
                 mask = c_ids != qid  # B4 self-exclusion
+                if exclude is not None:
+                    excl = exclude.get(int(qid))
+                    if excl is not None and excl.size:
+                        mask &= ~np.isin(c_ids, excl)
                 idx = np.nonzero(mask)[0]
                 if idx.size == 0:
                     continue
