@@ -22,9 +22,17 @@ from pyspark.sql import DataFrame
 EMBED_DIM = 64
 
 
-def _hash_embed_texts(texts, dim: int = EMBED_DIM):
+def _hash_embed_texts(texts, dim: int = EMBED_DIM, memo: dict | None = None):
     import numpy as np
 
+    # token → (bucket, sign) memo: md5 is a pure function of the token,
+    # so each distinct token hashes once per task instead of once per
+    # occurrence — on chunked corpora (64-token windows, 16 overlap) the
+    # same words recur constantly and this is most of the kernel's time.
+    # State is bounded by the partition's vocabulary (words, not rows);
+    # the caller may pass a dict to share it across Arrow batches.
+    if memo is None:
+        memo = {}
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for i, t in enumerate(texts):
         # split on single spaces (the repo-wide _TOKS convention), NOT
@@ -34,10 +42,13 @@ def _hash_embed_texts(texts, dim: int = EMBED_DIM):
         for tok in str(t).lower().split(" "):
             if not tok:
                 continue
-            h = hashlib.md5(tok.encode("utf-8")).hexdigest()
-            bucket = int(h[:8], 16) % dim
-            sign = 1.0 if int(h[8], 16) >= 8 else -1.0
-            out[i, bucket] += sign
+            bs = memo.get(tok)
+            if bs is None:
+                h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                bs = (int(h[:8], 16) % dim,
+                      1.0 if int(h[8], 16) >= 8 else -1.0)
+                memo[tok] = bs
+            out[i, bs[0]] += bs[1]
         n = np.linalg.norm(out[i])
         if n > 0:
             out[i] /= n
@@ -61,10 +72,11 @@ def hashing_embedder(documents: DataFrame, id_col: str | list[str] = "doc_id",
         + [T.StructField("embedding", T.ArrayType(T.FloatType()))])
 
     def encode(batches: Iterator) -> Iterator:
+        memo: dict = {}  # shared across this task's Arrow batches
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = _hash_embed_texts(list(pdf[text_col]), dim)
+            mat = _hash_embed_texts(list(pdf[text_col]), dim, memo=memo)
             out = pdf[id_cols].copy()
             out["embedding"] = [row.astype("float32").tolist() for row in mat]
             yield out
