@@ -1227,6 +1227,76 @@ def q_tpch_q14(spark, sf_dir):
         "promo_rev", "total_rev")
 
 
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue under a three-band
+    disjunction): each OR branch conjoins part-side attributes with a
+    lineitem-side quantity band — the disjunctive-predicate plan the
+    optimizer cannot split across the join, but CAN partially push: the
+    union of the per-branch single-side ranges prunes each scan before
+    the join (adapted: the testdata schema carries no
+    shipmode/shipinstruct columns)."""
+    _pin_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(20, 40)))
+    return (j.filter(band)
+            .agg(fround(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship count): distinct
+    suppliers able to supply each qualifying part spec, EXCLUDING an
+    anti-joined supplier blacklist. Adapted to the testdata schema: the
+    supply relation comes from observed lineitem (part, supplier) pairs
+    (no partsupp table) and the blacklist is negative-balance suppliers
+    (no s_comment column). Plan: dim-side filters prune the part scan,
+    the blacklist is a broadcast anti-join, the distinct-count aggregates
+    the deduplicated pair table — one exchange keyed on the part spec."""
+    _pin_utc(spark)
+    part = (load_table(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != "Brand#1")
+                    & (~F.col("p_type").startswith("PROMO"))
+                    & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    pairs = (load_table(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (pairs
+            .join(F.broadcast(bad),
+                  pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+            .join(F.broadcast(part),
+                  pairs["l_partkey"] == part["p_partkey"])
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+                     F.col("p_type").asc(), F.col("p_size").asc()))
+
+
+def q_robust_zscore(spark, sf_dir):
+    """Per-priority robust (median/MAD) z-scores over order prices with
+    modified-z outlier flags — the outlier rule that survives its own
+    outliers (operators/profiling.py::robust_zscore; classic-z tier is
+    activity_anomalies)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.robust_zscore(orders, "o_orderpriority",
+                                   "o_totalprice", "o_orderkey")
+
+
 def q_temporal_split(spark, sf_dir):
     """Purged walk-forward temporal split over the event stream: 80 %
     train by exact event-time quantile, a 1-day purge gap, the rest
@@ -2947,6 +3017,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every one stays oracle-pinned here in CI
         # r8 additions (second wave) — full oracles, pytest-pinned
         "tpch_q14": q_tpch_q14,                       # promo-share conditional agg
+        "tpch_q16": q_tpch_q16,                       # distinct-supplier spec counts
+        "tpch_q19": q_tpch_q19,                       # three-band disjunctive filter
+        "robust_zscore": q_robust_zscore,             # median/MAD outlier flags
         "temporal_split": q_temporal_split,           # purged walk-forward split
         "streaming_enrich": q_streaming_enrich,       # stream-static broadcast join
         "weighted_sample": q_weighted_sample,         # A-ES importance sampling
@@ -4312,6 +4385,66 @@ SELECT c_mktsegment AS mktsegment, event_type,
   floor((sum(value)) * 100 + 0.5) / 100 AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
+""",
+
+        "tpch_q19": """
+SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100
+         AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+
+        "tpch_q16": """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), ok AS (
+  SELECT l_partkey, l_suppkey FROM pairs
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p_brand, p_type, p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ok JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+""",
+
+        "robust_zscore": """
+WITH base AS (
+  SELECT o_orderkey AS id, o_orderpriority AS grp,
+         o_totalprice::DOUBLE AS v
+  FROM orders
+), rmed AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM base
+), med AS (
+  SELECT grp, v AS med FROM rmed WHERE rn = ceil(0.5 * n)
+), rres AS (
+  SELECT b.grp, abs(b.v - m.med) AS r,
+         row_number() OVER (PARTITION BY b.grp
+                            ORDER BY abs(b.v - m.med)) AS rn,
+         count(*) OVER (PARTITION BY b.grp) AS n
+  FROM base b JOIN med m USING (grp)
+), mad AS (
+  SELECT grp, r AS mad FROM rres WHERE rn = ceil(0.5 * n)
+)
+SELECT id, grp, v,
+  CASE WHEN mad > 0
+       THEN floor((0.6745 * (v - med) / mad) * 1000000 + 0.5) / 1000000
+       END AS z,
+  coalesce(abs(CASE WHEN mad > 0
+                    THEN floor((0.6745 * (v - med) / mad) * 1000000 + 0.5)
+                         / 1000000 END) >= 3.5, false) AS is_outlier
+FROM base JOIN med USING (grp) JOIN mad USING (grp)
 """,
 
         "top_parts_by_revenue": """

@@ -297,3 +297,39 @@ def winsorize(df: DataFrame, group_col: str, value_col: str,
                 F.when(F.col("v") < F.col("lo"), F.lit(-1))
                  .when(F.col("v") > F.col("hi"), F.lit(1))
                  .otherwise(F.lit(0)).alias("clipped")))
+
+
+def robust_zscore(df: DataFrame, group_col: str, value_col: str,
+                  id_col: str, z_thresh: float = 3.5) -> DataFrame:
+    """Per-group robust (median/MAD) z-scores with outlier flags:
+    (id, grp, v, z, is_outlier), z = 0.6745·(v − med) / MAD — the
+    Iglewicz–Hoaglin modified z-score, the outlier rule that survives
+    the outliers themselves (mean/stddev z-scores get dragged by the
+    very points they're meant to flag; cf. activity_anomalies, which is
+    the classic-z streaming-friendly tier).
+
+    Median and MAD are exact nearest-rank medians (rank ⌈n/2⌉ — actual
+    data values, engine-portable with no interpolation convention), via
+    two ``grouped_quantiles`` passes: one over the values, one over the
+    absolute residuals. Scale shape: two per-group ranking exchanges +
+    a map-only scoring pass against the broadcast |groups|×2 stats
+    table. Degenerate groups (MAD = 0: over half the group shares the
+    median) emit NULL z and flag false — stated, not hidden.
+    """
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(group_col).alias("grp"),
+                     F.col(value_col).cast("double").alias("v"))
+    med = (grouped_quantiles(base, "grp", "v", ps=(0.5,))
+           .select("grp", F.col("q").alias("med")))
+    resid = (base.join(F.broadcast(med), "grp")
+             .select("grp", F.abs(F.col("v") - F.col("med")).alias("r")))
+    mad = (grouped_quantiles(resid, "grp", "r", ps=(0.5,))
+           .select("grp", F.col("q").alias("mad")))
+    z = F.when(F.col("mad") > 0,
+               fround(F.lit(0.6745) * (F.col("v") - F.col("med"))
+                      / F.col("mad"), 6))
+    return (base.join(F.broadcast(med), "grp")
+            .join(F.broadcast(mad), "grp")
+            .select("id", "grp", "v", z.alias("z"),
+                    F.coalesce(F.abs(z) >= F.lit(z_thresh), F.lit(False))
+                    .alias("is_outlier")))

@@ -550,3 +550,42 @@ def test_tpch_q18_having_prunes_before_joins_and_broadcasts_customer(spark, sf_d
     # as a post-agg Filter, and the agg must be present (partial+final)
     assert plan.count("HashAggregate") >= 2, plan
     assert "sum_qty" in plan and "Filter" in plan, plan
+
+
+def test_tpch_q19_disjunction_partially_pushes_to_both_scans(spark, sf_dir):
+    """Q19's three-band OR spans both join sides, so it cannot split —
+    but the union of each side's single-side ranges MUST reach that
+    side's parquet scan: quantity bands at the lineitem scan, brand/size
+    bands at the part scan, with the full disjunction as a join-level
+    residual."""
+    import __spark_entry__ as m
+
+    df = m.q_tpch_q19(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    li_scan = next(ln for ln in scans if "lineitem" in ln)
+    part_scan = next(ln for ln in scans if "part.parquet" in ln)
+    assert "l_quantity" in li_scan and (
+        " OR " in li_scan or "Or(" in li_scan), li_scan
+    assert "p_brand" in part_scan and (
+        " OR " in part_scan or "Or(" in part_scan), part_scan
+
+
+def test_robust_zscore_flags_planted_outlier(spark):
+    """A planted far point gets flagged; the z of the median itself is 0;
+    a constant group (MAD = 0) yields NULL z and no flags."""
+    from pyspark.sql import Row
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import robust_zscore
+
+    rows = [Row(id=i, g="a", v=float(x))
+            for i, x in enumerate([10, 11, 12, 13, 14, 1000])]
+    rows += [Row(id=100 + i, g="b", v=5.0) for i in range(4)]
+    out = {r["id"]: r for r in
+           robust_zscore(spark.createDataFrame(rows), "g", "v", "id")
+           .collect()}
+    assert out[5]["is_outlier"] and out[5]["z"] > 100
+    assert not any(out[i]["is_outlier"] for i in range(5))
+    # nearest-rank median of [10..14, 1000] at rank ceil(6*0.5)=3 → 12
+    assert out[2]["z"] == 0.0
+    for i in range(4):
+        assert out[100 + i]["z"] is None and not out[100 + i]["is_outlier"]
