@@ -606,7 +606,14 @@ def _eval_rank_tables(spark, sf_dir):
     edges_all = _served_edges(spark, sf_dir)
     redges = copurchase.restrict_to_universe(edges_all, universe)
     queries = _eval_queries(universe)
-    eligible = queries.join(redges.select(F.col("src").alias("vec_id")), "vec_id", "left_semi")
+    # eligible is the tiny eval-query table feeding FOUR consumers (the
+    # GEMM ranking, the hybrid chain, the ground-truth restriction, and
+    # the output query list) — materialize it once or every metric branch
+    # re-derives the sample+semi-join chain (the whole-surface scan sweep
+    # measured 164 parquet scans in ranking_eval's single plan)
+    eligible = (queries.join(redges.select(F.col("src").alias("vec_id")),
+                             "vec_id", "left_semi")
+                .localCheckpoint(eager=True))
     max_k = 50
     # reference-faithful pools (Hybrid_Recom_vecdb.py:254-256): the eval
     # builds BOTH candidate pools with top_n = maxK, not the serving-path
@@ -628,13 +635,19 @@ def _eval_rank_tables(spark, sf_dir):
     # cf pool depth must cover cf_top_n=max_k: ask for max(CF_TOP_N, max_k)
     # explicitly instead of relying on CF_TOP_N >= max_k (ADVICE r3 — a
     # raised max_k would otherwise silently truncate the CF pool)
+    # hyb and gt are each |Q|·k / bounded-neighbor tables consumed by
+    # multiple metric-grid branches (hits + per-query grid per model, ×2
+    # metric families) — checkpoint both so the fusion chain and the
+    # edge restriction run once per eval call, not once per branch
     hyb = hybrid.hybrid_recommend(eligible, universe, edges_all, None, k=max_k,
                                   content_top_n=max_k, cf_top_n=max_k,
                                   content_candidates=ranked,
                                   cf_candidates=_served_cf(
                                       spark, sf_dir, max(CF_TOP_N, max_k))) \
-        .select("qid", "cand", "rank")
-    gt = redges.join(eligible.select(F.col("vec_id").alias("src")), "src", "left_semi")
+        .select("qid", "cand", "rank").localCheckpoint(eager=True)
+    gt = (redges.join(eligible.select(F.col("vec_id").alias("src")),
+                      "src", "left_semi")
+          .localCheckpoint(eager=True))
     return ({"content": content, "hybrid": hyb}, gt,
             eligible.select(F.col("vec_id").alias("qid")))
 
