@@ -360,8 +360,12 @@ def q_diversity_eval(spark, sf_dir):
     Precision/NDCG grids (a popularity-collapsed recommender scores high
     accuracy and terrible coverage; this row catches it)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # the served top-k feeds several metric branches inside
+    # diversity_eval (pair ILD, coverage distinct, query count) —
+    # checkpoint the |Q|·k table so the ranking chain runs once
     topk = similarity.cosine_topk(
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K, dim=VEC_DIM)
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
+        dim=VEC_DIM).localCheckpoint(eager=True)
     return evaluate.diversity_eval(topk, emb, dim=VEC_DIM)
 
 
@@ -506,8 +510,12 @@ def q_ann_recall(spark, sf_dir):
     regression in either ANN path fails the round gate, not just a doc."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    exact = similarity.cosine_topk(qs, emb, TOP_K, dim=VEC_DIM).select("qid", "cand")
-    qid_df = qs.select(F.col("vec_id").alias("qid"))
+    # exact and the query list feed every one of the seven method
+    # branches — checkpoint both (|Q|·k and |Q| rows) so the exact
+    # ranking runs once per call, not once per method (scan-sweep class)
+    exact = (similarity.cosine_topk(qs, emb, TOP_K, dim=VEC_DIM)
+             .select("qid", "cand").localCheckpoint(eager=True))
+    qid_df = qs.select(F.col("vec_id").alias("qid")).localCheckpoint(eager=True)
     outs = []
     for method, ann in [
         ("lsh", similarity.lsh_topk(qs, emb, TOP_K, n_bits=5, n_tables=8,

@@ -589,3 +589,26 @@ def test_robust_zscore_flags_planted_outlier(spark):
     assert out[2]["z"] == 0.0
     for i in range(4):
         assert out[100 + i]["z"] is None and not out[100 + i]["is_outlier"]
+
+
+def test_whole_surface_scan_budget(spark, sf_dir):
+    """Re-execution guard over EVERY query: a derived DataFrame feeding
+    2+ plan branches re-executes its upstream chain per branch (the
+    simhash r5 / funnel r6 / ranking_eval r8 defect class — ranking_eval
+    hit 164 parquet scans in ONE plan before its shared tables were
+    checkpointed). Each query's physical plan must stay under a scan
+    budget; legitimately multi-branch plans (7-method ann_recall) fit
+    well inside it, the pathological class does not. Streaming entries
+    are skipped: their returned plan is a memory-sink read, not the
+    stream pipeline."""
+    import __spark_entry__ as m
+
+    budget = 30
+    over = []
+    for name, q in sorted({**m.extra_queries(), **m.queries()}.items()):
+        if name.startswith("streaming_"):
+            continue
+        n = formatted_plan(q(spark, sf_dir)).count("Scan parquet")
+        if n > budget:
+            over.append((name, n))
+    assert not over, f"plans over the {budget}-scan budget: {over}"
