@@ -365,7 +365,7 @@ def q_diversity_eval(spark, sf_dir):
     # checkpoint the |Q|·k table so the ranking chain runs once
     topk = similarity.cosine_topk(
         emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
-        dim=VEC_DIM).localCheckpoint(eager=True)
+        dim=VEC_DIM).localCheckpoint(eager=False)
     return evaluate.diversity_eval(topk, emb, dim=VEC_DIM)
 
 
@@ -514,8 +514,8 @@ def q_ann_recall(spark, sf_dir):
     # branches — checkpoint both (|Q|·k and |Q| rows) so the exact
     # ranking runs once per call, not once per method (scan-sweep class)
     exact = (similarity.cosine_topk(qs, emb, TOP_K, dim=VEC_DIM)
-             .select("qid", "cand").localCheckpoint(eager=True))
-    qid_df = qs.select(F.col("vec_id").alias("qid")).localCheckpoint(eager=True)
+             .select("qid", "cand").localCheckpoint(eager=False))
+    qid_df = qs.select(F.col("vec_id").alias("qid")).localCheckpoint(eager=False)
     outs = []
     for method, ann in [
         ("lsh", similarity.lsh_topk(qs, emb, TOP_K, n_bits=5, n_tables=8,
@@ -621,7 +621,7 @@ def _eval_rank_tables(spark, sf_dir):
     # measured 164 parquet scans in ranking_eval's single plan)
     eligible = (queries.join(redges.select(F.col("src").alias("vec_id")),
                              "vec_id", "left_semi")
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     max_k = 50
     # reference-faithful pools (Hybrid_Recom_vecdb.py:254-256): the eval
     # builds BOTH candidate pools with top_n = maxK, not the serving-path
@@ -652,10 +652,10 @@ def _eval_rank_tables(spark, sf_dir):
                                   content_candidates=ranked,
                                   cf_candidates=_served_cf(
                                       spark, sf_dir, max(CF_TOP_N, max_k))) \
-        .select("qid", "cand", "rank").localCheckpoint(eager=True)
+        .select("qid", "cand", "rank").localCheckpoint(eager=False)
     gt = (redges.join(eligible.select(F.col("vec_id").alias("src")),
                       "src", "left_semi")
-          .localCheckpoint(eager=True))
+          .localCheckpoint(eager=False))
     return ({"content": content, "hybrid": hyb}, gt,
             eligible.select(F.col("vec_id").alias("qid")))
 
@@ -1316,6 +1316,27 @@ def q_robust_zscore(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return profiling.robust_zscore(orders, "o_orderpriority",
                                    "o_totalprice", "o_orderkey")
+
+
+def q_band_recall(spark, sf_dir):
+    """Measured banding S-curve: recall/precision of all-pairs banded
+    MinHash candidates vs exact shingle Jaccard on a deterministic doc
+    sample — the dedup twin of the ann_recall gate (a banding regression
+    fails the hash check, not just a doc claim). See
+    operators/dedup.py::band_recall_metrics for the chain-vs-all-pairs
+    honesty note."""
+    return dedup.band_recall_metrics(load_table(spark, sf_dir, "documents"),
+                                     thresholds=(0.2, 0.5, 0.8))
+
+
+def q_idf_jaccard_neardup(spark, sf_dir):
+    """IDF-weighted Jaccard near-dup pairs: shared boilerplate barely
+    counts, shared rare content counts a lot — the weighting that
+    separates same-template from same-document where binary Jaccard
+    scores both alike (operators/dedup.py::idf_weighted_jaccard_pairs;
+    integer-scaled weights make every sum engine-exact)."""
+    return dedup.idf_weighted_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.35)
 
 
 def q_temporal_split(spark, sf_dir):
@@ -3041,6 +3062,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,                       # distinct-supplier spec counts
         "tpch_q19": q_tpch_q19,                       # three-band disjunctive filter
         "robust_zscore": q_robust_zscore,             # median/MAD outlier flags
+        "idf_jaccard_neardup": q_idf_jaccard_neardup,  # idf-weighted Jaccard pairs
+        "band_recall": q_band_recall,                 # measured banding S-curve
         "temporal_split": q_temporal_split,           # purged walk-forward split
         "streaming_enrich": q_streaming_enrich,       # stream-static broadcast join
         "weighted_sample": q_weighted_sample,         # A-ES importance sampling
@@ -6127,6 +6150,80 @@ scored AS (
 )
 SELECT src_id, dst_id, n_common, containment
 FROM scored WHERE containment >= 0.6
+"""
+    sql["idf_jaccard_neardup"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh0 AS (SELECT doc_id, unnest({shingles}) AS sh FROM tk),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM sh0),
+idf AS (
+  SELECT sh, df, CAST(floor(ln(1.0 + n_docs / df) * 1000000 + 0.5) AS BIGINT) AS w
+  FROM (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1) CROSS JOIN nd
+),
+shw AS (SELECT doc_id, sh0.sh, df, w FROM sh0 JOIN idf ON sh0.sh = idf.sh),
+totals AS (SELECT doc_id, sum(w) AS t FROM shw GROUP BY 1),
+shk AS (SELECT doc_id, sh, w FROM shw WHERE df BETWEEN 2 AND 200),
+common AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+         CAST(sum(a.w) AS BIGINT) AS w_common
+  FROM shk a JOIN shk b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT src_id, dst_id, w_common,
+         floor((w_common::DOUBLE / (ta + tb - w_common)::DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS jw
+  FROM common
+  JOIN (SELECT doc_id AS src_id, t AS ta FROM totals) USING (src_id)
+  JOIN (SELECT doc_id AS dst_id, t AS tb FROM totals) USING (dst_id)
+)
+SELECT src_id, dst_id, w_common, jw FROM scored WHERE jw >= 0.35
+"""
+    mh_cols_s = ",\n    ".join(
+        f"list_min(list_transform(toks, x -> md5('{i}:' || x))) AS mh{i}"
+        for i in range(8))
+    band_case_s = " ".join(
+        "WHEN {i} THEN concat_ws('|', ".format(i=i)
+        + ", ".join(f"mh{j}" for j in range(i * 2, (i + 1) * 2)) + ")"
+        for i in range(4))
+    sql["band_recall"] = f"""
+WITH ds AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+t2 AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM ds),
+truth AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         floor((len(list_intersect(a.toks, b.toks))::DOUBLE
+                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
+               * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM t2 a JOIN t2 b ON a.doc_id < b.doc_id
+  WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) > 0
+    AND floor((len(list_intersect(a.toks, b.toks))::DOUBLE
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
+              * 1000000 + 0.5) / 1000000 >= 0.2
+),
+s AS (SELECT doc_id, {mh_cols_s} FROM t2),
+bands AS (
+  SELECT doc_id, bk.band, CASE bk.band {band_case_s} END AS key
+  FROM s CROSS JOIN (SELECT unnest(range(4)) AS band) bk
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+nc AS (SELECT count(*) AS n_cand FROM cand),
+hits AS (SELECT t.* FROM truth t JOIN cand c ON t.id1 = c.id1 AND t.id2 = c.id2),
+tg AS (SELECT unnest([0.2, 0.5, 0.8]) AS t),
+nt AS (SELECT t, count(*) AS n_truth FROM truth JOIN tg ON jaccard >= t GROUP BY t),
+nh AS (SELECT t, count(*) AS n_hit FROM hits JOIN tg ON jaccard >= t GROUP BY t)
+SELECT tg.t, coalesce(n_truth, 0) AS n_truth, n_cand,
+       coalesce(n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(n_truth, 0) > 0
+            THEN floor((coalesce(n_hit, 0)::DOUBLE / n_truth) * 1000000 + 0.5)
+                 / 1000000 END AS recall,
+       CASE WHEN n_cand > 0
+            THEN floor((coalesce(n_hit, 0)::DOUBLE / n_cand) * 1000000 + 0.5)
+                 / 1000000 END AS precision
+FROM tg LEFT JOIN nt USING (t) LEFT JOIN nh USING (t) CROSS JOIN nc
 """
     return sql
 

@@ -978,3 +978,155 @@ def containment_neardup_pairs(documents: DataFrame, threshold: float = 0.6,
                                / F.col("sz").cast("double"), ROUND_SCORE))
             .filter(F.col("containment") >= threshold)
             .select("src_id", "dst_id", "n_common", "containment"))
+
+
+def idf_weighted_jaccard_pairs(documents: DataFrame, threshold: float = 0.35,
+                               shingle_n: int = 3, df_cap: int = 200,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """IDF-WEIGHTED Jaccard near-dup pairs: shared boilerplate shingles
+    (high df → low idf) barely count, shared rare content counts a lot —
+    the weighting that separates "same template" from "same document"
+    where the binary Jaccard tiers score both alike.
+
+        J_w(A,B) = Σ_{sh∈A∩B} w(sh) / (T(A) + T(B) − Σ_{sh∈A∩B} w(sh)),
+        w(sh) = ln(1 + N/df(sh)),  T(X) = Σ_{sh∈X} w(sh)
+
+    (for binary shingle membership, Σ min = the intersection's weight
+    and Σ max = T(A)+T(B)−intersection, so this IS weighted Jaccard).
+
+    Determinism: weights are floored to 1e-6-scaled LONGs before any
+    aggregation, so every sum is an exact integer — no float-summation-
+    order hazard (the ``ranking_metrics`` trick) — and the single final
+    division is rounded. Returns (src_id, dst_id, w_common, jw) for
+    unordered pairs (src_id < dst_id) with jw ≥ threshold.
+
+    Scale shape: identical to ``containment_neardup_pairs`` — one
+    shingle explode (checkpointed before its three consumers), one df
+    aggregation doubling as the idf table, a semi-join prune to
+    df ∈ [2, df_cap], and the inverted-index self-join whose fan-out is
+    bounded by Σ_sh df(sh)² ≤ df_cap·|postings|. df=1 shingles cannot
+    co-occur, so dropping them from the JOIN is lossless, but they DO
+    carry idf mass — the totals are computed over the FULL shingle set;
+    df > df_cap shingles lose only their (tiny, 1/df-scaled) weight from
+    the numerator, so the reported J_w is a conservative lower bound.
+    """
+    sh = _spread(documents.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col).alias(text_col))) \
+        .select("doc_id",
+                F.explode(F.array_distinct(
+                    TT.word_ngrams(TT.tokens(F.col(text_col)), shingle_n)))
+                .alias("sh"))
+    sh = sh.localCheckpoint(eager=True)
+    n_docs = sh.select("doc_id").distinct() \
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # integer-scaled idf: exact LONG weights from the one ln() call
+    idf = (dfs.crossJoin(F.broadcast(n_docs))
+           .select("sh", "df",
+                   F.floor(F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
+                           * 1000000 + 0.5).cast("long").alias("w")))
+    shw = sh.join(idf, "sh").localCheckpoint(eager=True)
+    totals = shw.groupBy("doc_id").agg(F.sum("w").alias("t"))
+    shk = shw.filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+    a = shk.select(F.col("doc_id").alias("src_id"), "sh", "w")
+    b = shk.select(F.col("doc_id").alias("dst_id"), "sh")
+    common = (a.join(b, "sh")
+              .filter(F.col("src_id") < F.col("dst_id"))
+              .groupBy("src_id", "dst_id")
+              .agg(F.sum("w").alias("w_common")))
+    return (common
+            .join(totals.select(F.col("doc_id").alias("src_id"),
+                                F.col("t").alias("ta")), "src_id")
+            .join(totals.select(F.col("doc_id").alias("dst_id"),
+                                F.col("t").alias("tb")), "dst_id")
+            .withColumn("jw", fround(
+                F.col("w_common").cast("double")
+                / (F.col("ta") + F.col("tb") - F.col("w_common"))
+                .cast("double"), ROUND_SCORE))
+            .filter(F.col("jw") >= threshold)
+            .select("src_id", "dst_id", "w_common", "jw"))
+
+
+def band_recall_metrics(documents: DataFrame,
+                        thresholds: tuple = (0.2, 0.5, 0.8),
+                        n_hashes: int = 8, n_bands: int = 4,
+                        sample_mod: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Gated recall/precision of banded-MinHash candidate generation vs
+    EXACT shingle Jaccard — the dedup twin of the ANN tier's
+    ``ann_recall`` gate: the banding S-curve (P(candidate) = 1−(1−j^r)^b)
+    is usually quoted from theory; this measures it on the corpus and
+    hash-checks the measurement, so a banding regression fails the
+    correctness gate, not just a doc.
+
+    One row per threshold t: (t, n_truth, n_cand, n_hit, recall,
+    precision) where truth = all document pairs with exact DISTINCT-TOKEN
+    Jaccard ≥ t — the similarity space the MinHash signatures actually
+    estimate (truth in shingle space would grade the bands against a
+    quantity they never hash) — cand = ALL within-bucket band pairs (the
+    theory object — NOT the linear chain links the production pipeline
+    emits, whose pair-level recall is deliberately lower while
+    cluster-level connectivity is identical), hit = their intersection.
+
+    Truth is all-pairs and therefore quadratic — this is an EVAL metric
+    over a deterministic doc sample (``id % sample_mod == 0``), the
+    ``ann_recall`` convention; never run it unsampled at corpus scale.
+    """
+    spark = documents.sparkSession
+    docs_s = documents.filter(F.col(id_col) % sample_mod == 0)
+    min_t = float(min(thresholds))
+    toks = docs_s.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(TT.tokens(F.col(text_col))).alias("tk"))
+    a_t = toks.select(F.col("doc_id").alias("id1"), F.col("tk").alias("t1"))
+    b_t = toks.select(F.col("doc_id").alias("id2"), F.col("tk").alias("t2"))
+    inter = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
+    union = F.size("t1") + F.size("t2") - inter
+    truth = (a_t.crossJoin(b_t)
+             .filter(F.col("id1") < F.col("id2"))
+             .withColumn("jaccard",
+                         F.when(union > 0, fround(inter / union, ROUND_SCORE))
+                         .otherwise(F.lit(0.0)))
+             .filter(F.col("jaccard") >= min_t)
+             .select("id1", "id2", "jaccard")
+             .localCheckpoint(eager=True))
+    sigs = minhash_signatures(docs_s, n_hashes, id_col, text_col)
+    bands = sigs.select(
+        F.col("doc_id"),
+        F.explode(_band_key_structs(n_hashes, n_bands)).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"), ["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id1"),
+                    F.col("b.doc_id").alias("id2"))
+            .distinct()
+            .localCheckpoint(eager=True))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    hits = truth.join(cand, ["id1", "id2"], "left_semi")
+    tgrid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(t)) for t in thresholds])).alias("t"))
+    n_truth = (truth.crossJoin(F.broadcast(tgrid))
+               .filter(F.col("jaccard") >= F.col("t"))
+               .groupBy("t").agg(F.count(F.lit(1)).alias("n_truth")))
+    n_hit = (hits.crossJoin(F.broadcast(tgrid))
+             .filter(F.col("jaccard") >= F.col("t"))
+             .groupBy("t").agg(F.count(F.lit(1)).alias("n_hit")))
+    return (tgrid.join(n_truth, "t", "left").join(n_hit, "t", "left")
+            .crossJoin(F.broadcast(n_cand))
+            .select(
+                "t",
+                F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+                F.col("n_cand"),
+                F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                F.when(F.coalesce("n_truth", F.lit(0)) > 0,
+                       fround(F.coalesce("n_hit", F.lit(0)).cast("double")
+                              / F.col("n_truth"), ROUND_SCORE))
+                .alias("recall"),
+                F.when(F.col("n_cand") > 0,
+                       fround(F.coalesce("n_hit", F.lit(0)).cast("double")
+                              / F.col("n_cand"), ROUND_SCORE))
+                .alias("precision")))

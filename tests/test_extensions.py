@@ -3110,3 +3110,28 @@ def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
                       .select("event_id", "user_id", "c_mktsegment")
                       .collect()))
     assert got == want and len(want) > 0
+
+
+def test_idf_weighted_jaccard_downweights_boilerplate(spark):
+    """Two pairs with the SAME raw shingle overlap: one shares corpus-wide
+    boilerplate, one shares rare content. Binary Jaccard scores them
+    alike; the IDF weighting must score the rare-content pair higher."""
+    from pyspark.sql import Row
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import idf_weighted_jaccard_pairs
+
+    boiler = "accept all cookies to continue reading"
+    rows = []
+    # boilerplate appears in EVERY doc (high df -> low idf)
+    for i in range(8):
+        rows.append(Row(doc_id=i, text=f"{boiler} unique filler {i} alpha beta"))
+    # pair (10, 11): share ONLY the boilerplate
+    rows.append(Row(doc_id=10, text=f"{boiler} red green blue"))
+    rows.append(Row(doc_id=11, text=f"{boiler} cyan magenta yellow"))
+    # pair (20, 21): share rare content of the same token length
+    rare = "quantum entanglement decoherence experiment results"
+    rows.append(Row(doc_id=20, text=f"{rare} first variant one two"))
+    rows.append(Row(doc_id=21, text=f"{rare} second variant three four"))
+    out = {(r["src_id"], r["dst_id"]): r["jw"]
+           for r in idf_weighted_jaccard_pairs(
+               spark.createDataFrame(rows), threshold=0.0).collect()}
+    assert out[(20, 21)] > out[(10, 11)], out
