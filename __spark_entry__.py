@@ -1318,6 +1318,34 @@ def q_robust_zscore(spark, sf_dir):
                                    "o_totalprice", "o_orderkey")
 
 
+def q_bfs_distances(spark, sf_dir):
+    """Multi-source BFS hop distances (≤3 hops) from the deterministic
+    seed set src%100==0 over the co-purchase graph — frontier relaxation
+    with per-round checkpoints; fixed hop budget makes the oracle an
+    unrolled 3-step SQL relaxation (operators/graph.py::bfs_distances)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase.copurchase_edges(li)
+    seeds = (edges.filter(F.col("src") % 100 == 0)
+             .select(F.col("src").alias("node")).distinct())
+    return graph.bfs_distances(edges, seeds, max_hops=3)
+
+
+def q_k_core(spark, sf_dir):
+    """k-core membership (k=4) of the co-purchase graph: iterative
+    simultaneous peel to the unique fixpoint — the dense-region
+    extractor degree filtering gets wrong. Rows-only at the oracle layer
+    (data-dependent round count isn't SQL); exactness pinned against an
+    independent pure-Python peeler in pytest
+    (operators/graph.py::k_core)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase.copurchase_edges(li)
+    return graph.k_core(edges, k=4)
+
+
 def q_band_recall(spark, sf_dir):
     """Measured banding S-curve: recall/precision of all-pairs banded
     MinHash candidates vs exact shingle Jaccard on a deterministic doc
@@ -3064,6 +3092,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_zscore": q_robust_zscore,             # median/MAD outlier flags
         "idf_jaccard_neardup": q_idf_jaccard_neardup,  # idf-weighted Jaccard pairs
         "band_recall": q_band_recall,                 # measured banding S-curve
+        "bfs_distances": q_bfs_distances,             # multi-source hop distances
+        "k_core": q_k_core,                           # iterative k-core peel
+                                                      # (rows-only: data-dependent
+                                                      # rounds; python-ref pinned)
         "temporal_split": q_temporal_split,           # purged walk-forward split
         "streaming_enrich": q_streaming_enrich,       # stream-static broadcast join
         "weighted_sample": q_weighted_sample,         # A-ES importance sampling
@@ -6178,6 +6210,30 @@ scored AS (
   JOIN (SELECT doc_id AS dst_id, t AS tb FROM totals) USING (dst_id)
 )
 SELECT src_id, dst_id, w_common, jw FROM scored WHERE jw >= 0.35
+"""
+    sql["bfs_distances"] = f"""
+WITH {_EDGES_CTE.strip()},
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+v0 AS (SELECT DISTINCT src AS node, 0 AS dist FROM edges WHERE src % 100 = 0),
+f1 AS (
+  SELECT DISTINCT b AS node FROM v0 JOIN und ON v0.node = und.a
+  WHERE b NOT IN (SELECT node FROM v0)
+),
+v1 AS (SELECT node, dist FROM v0 UNION ALL SELECT node, 1 FROM f1),
+f2 AS (
+  SELECT DISTINCT b AS node FROM f1 JOIN und ON f1.node = und.a
+  WHERE b NOT IN (SELECT node FROM v1)
+),
+v2 AS (SELECT node, dist FROM v1 UNION ALL SELECT node, 2 FROM f2),
+f3 AS (
+  SELECT DISTINCT b AS node FROM f2 JOIN und ON f2.node = und.a
+  WHERE b NOT IN (SELECT node FROM v2)
+)
+SELECT node, dist FROM v2 UNION ALL SELECT node, 3 FROM f3
 """
     mh_cols_s = ",\n    ".join(
         f"list_min(list_transform(toks, x -> md5('{i}:' || x))) AS mh{i}"

@@ -232,3 +232,93 @@ def adamic_adar_links(edges: DataFrame, k: int = 10,
     return (new_links.withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k)
             .select("u", "v", "score", "n_common", "rank"))
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
+                  src_col: str = "src", dst_col: str = "dst",
+                  seed_col: str = "node") -> DataFrame:
+    """Multi-source BFS: exact hop distance from the nearest seed for
+    every node within ``max_hops`` (undirected traversal) — the
+    neighborhood-expansion primitive behind influence radii, taint/
+    blast-radius analysis, and seed-labeled semi-supervised propagation.
+
+    Frontier-relaxation rounds: dist_{h+1} = min(dist_h, frontier ⋈
+    edges + 1). Each round is ONE join keyed on the node + an anti-join
+    against the visited set (both hash-partitioned on the node id), and
+    the frontier/visited tables are ``localCheckpoint``ed per round —
+    the pagerank iterative lifecycle. Rounds are FIXED at ``max_hops``
+    (not run-to-fixpoint), so the DuckDB oracle unrolls the same number
+    of relaxations and the result is engine-exact. At 100 TB the
+    per-round shuffle is |frontier ⋈ edges| — bounded by the hop-h
+    neighborhood, the quantity the analysis is asking about anyway.
+
+    Returns (node, dist), dist ∈ [0, max_hops]; unreachable-within-
+    budget nodes are absent (their distance is unknown, not ∞ — stated).
+    """
+    und = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+           .unionByName(
+               edges.select(F.col(dst_col).alias("a"),
+                            F.col(src_col).alias("b")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    visited = (seeds.select(F.col(seed_col).alias("node"))
+               .distinct()
+               .withColumn("dist", F.lit(0))
+               .localCheckpoint(eager=True))
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(und, frontier["node"] == und["a"])
+               .select(F.col("b").alias("node"))
+               .distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(h)))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.localCheckpoint(eager=True)
+    return visited
+
+
+def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 20,
+           src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which
+    every node keeps degree ≥ k — the standard dense-region extractor
+    (spam rings, bot cliques, community cores) that simple degree
+    filtering gets wrong (dropping a low-degree node can demote its
+    neighbors, recursively).
+
+    Iterative peel: each round computes degrees within the surviving
+    subgraph (one partial-agg shuffle) and drops nodes below k
+    (broadcast-able survivor semi-joins); stops at the fixpoint (no row
+    dropped — detected by the per-round count action, bounded driver
+    state) or ``max_rounds``. Surviving edge set is checkpointed per
+    round — the pagerank lifecycle. The peel is ORDER-FREE (all below-k
+    nodes drop simultaneously), so the fixpoint is the unique k-core and
+    the result is deterministic regardless of partitioning.
+
+    Not SQL-expressible without recursion (round count is
+    data-dependent) — rows-only at the oracle layer, exactness pinned
+    against an independent pure-Python peeler in pytest.
+
+    Returns (node, degree) for k-core members, degree = within-core.
+    """
+    und = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+           .unionByName(
+               edges.select(F.col(dst_col).alias("a"),
+                            F.col(src_col).alias("b")))
+           .distinct()
+           .filter(F.col("a") != F.col("b"))
+           .localCheckpoint(eager=True))
+    n_prev = und.count()  # one scalar per round — bounded driver state
+    for _ in range(max_rounds):
+        keep = (und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("a"))
+        und2 = (und.join(keep, "a", "left_semi")
+                .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+                .localCheckpoint(eager=True))
+        n = und2.count()
+        und = und2
+        if n == n_prev:
+            break
+        n_prev = n
+    return (und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.col("a").alias("node"), "degree"))

@@ -3135,3 +3135,52 @@ def test_idf_weighted_jaccard_downweights_boilerplate(spark):
            for r in idf_weighted_jaccard_pairs(
                spark.createDataFrame(rows), threshold=0.0).collect()}
     assert out[(20, 21)] > out[(10, 11)], out
+
+
+def test_k_core_matches_python_peeler(spark, sf_dir):
+    """The distributed simultaneous peel must reach the same unique
+    k-core (members AND within-core degrees) as an independent pure-
+    Python peeler on the real co-purchase graph."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import copurchase
+    from hybrid_recommendation_system_using_vector_db_spark.operators.graph import k_core
+
+    edges = copurchase.copurchase_edges(
+        load_table(spark, sf_dir, "lineitem"))
+    got = {r["node"]: r["degree"]
+           for r in k_core(edges, k=4).collect()}
+    # independent reference: adjacency sets, peel until fixpoint
+    adj: dict = {}
+    for r in edges.select("src", "dst").collect():
+        a, b = r["src"], r["dst"]
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < 4}
+        if not drop:
+            break
+        alive -= drop
+    want = {n: len(adj[n] & alive) for n in alive}
+    assert got == want and len(want) > 0
+
+
+def test_bfs_distances_ring_graph(spark):
+    """On a 6-ring with one seed, hop distances are exact and the
+    max_hops budget truncates: the antipodal node (dist 3) appears at
+    max_hops=3 but not at max_hops=2."""
+    from pyspark.sql import Row
+    from hybrid_recommendation_system_using_vector_db_spark.operators.graph import bfs_distances
+
+    ring = spark.createDataFrame(
+        [Row(src=i, dst=(i + 1) % 6) for i in range(6)])
+    seeds = spark.createDataFrame([Row(node=0)])
+    got3 = {r["node"]: r["dist"]
+            for r in bfs_distances(ring, seeds, max_hops=3).collect()}
+    assert got3 == {0: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}
+    got2 = {r["node"]: r["dist"]
+            for r in bfs_distances(ring, seeds, max_hops=2).collect()}
+    assert 3 not in got2 and len(got2) == 5
