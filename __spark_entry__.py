@@ -1318,6 +1318,18 @@ def q_robust_zscore(spark, sf_dir):
                                    "o_totalprice", "o_orderkey")
 
 
+def q_seasonal_anomalies(spark, sf_dir):
+    """Seasonal-naive hourly volume anomalies per event type: each hour
+    vs the same hour yesterday, baseline looked up by equi-join (not a
+    row-offset lag — gapped series would misalign); flags outside
+    [0.5, 2.0] (operators/profiling.py::seasonal_anomalies)."""
+    _pin_utc(spark)
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    ev = load_table(spark, sf_dir, "events")
+    return profiling.seasonal_anomalies(ev)
+
+
 def q_bfs_distances(spark, sf_dir):
     """Multi-source BFS hop distances (≤3 hops) from the deterministic
     seed set src%100==0 over the co-purchase graph — frontier relaxation
@@ -3093,6 +3105,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_jaccard_neardup": q_idf_jaccard_neardup,  # idf-weighted Jaccard pairs
         "band_recall": q_band_recall,                 # measured banding S-curve
         "bfs_distances": q_bfs_distances,             # multi-source hop distances
+        "seasonal_anomalies": q_seasonal_anomalies,   # same-hour-yesterday ratios
         "k_core": q_k_core,                           # iterative k-core peel
                                                       # (rows-only: data-dependent
                                                       # rounds; python-ref pinned)
@@ -6210,6 +6223,20 @@ scored AS (
   JOIN (SELECT doc_id AS dst_id, t AS tb FROM totals) USING (dst_id)
 )
 SELECT src_id, dst_id, w_common, jw FROM scored WHERE jw >= 0.35
+"""
+    sql["seasonal_anomalies"] = """
+WITH h AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.grp AS event_type, a.bucket, a.n, p.n AS n_prev,
+  floor((a.n::DOUBLE / p.n) * 1000000 + 0.5) / 1000000 AS ratio,
+  (floor((a.n::DOUBLE / p.n) * 1000000 + 0.5) / 1000000 < 0.5
+   OR floor((a.n::DOUBLE / p.n) * 1000000 + 0.5) / 1000000 > 2.0)
+    AS is_anomaly
+FROM h a JOIN h p ON a.grp = p.grp AND a.bucket = p.bucket + 86400
 """
     sql["bfs_distances"] = f"""
 WITH {_EDGES_CTE.strip()},

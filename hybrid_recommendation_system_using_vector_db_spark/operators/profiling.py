@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import ROUND_SCORE
-from ..functions.portable import fround
+from ..functions.portable import epoch_seconds, fround
 
 
 def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
@@ -333,3 +333,40 @@ def robust_zscore(df: DataFrame, group_col: str, value_col: str,
             .select("id", "grp", "v", z.alias("z"),
                     F.coalesce(F.abs(z) >= F.lit(z_thresh), F.lit(False))
                     .alias("is_outlier")))
+
+
+def seasonal_anomalies(events: DataFrame, ts_col: str = "ts",
+                       group_col: str = "event_type",
+                       period_seconds: int = 86400,
+                       bucket_seconds: int = 3600,
+                       lo: float = 0.5, hi: float = 2.0) -> DataFrame:
+    """Seasonal-naive volume anomalies: each (group, hour) bucket is
+    compared against the SAME bucket one period earlier (default: same
+    hour yesterday) — the monitoring baseline that doesn't false-alarm
+    on daily rhythm the way a global mean does (complement of the
+    rolling-window ``activity_anomalies`` and the distributional
+    ``psi_drift``).
+
+    Buckets are integer epoch arithmetic (floor(epoch/bucket)·bucket —
+    engine-portable, no timezone/format hazard); the baseline lookup is
+    an equi-join on (group, bucket − period), NOT a lag-N-rows window —
+    gapped series would silently misalign a row-offset lag. Scale
+    shape: one partial-agg shuffle keyed by (group, bucket), then a
+    self-join on the same key layout. Emits only buckets with a
+    baseline; ratio = n/n_prev (rounded), flagged outside [lo, hi].
+    """
+    b = (F.floor(epoch_seconds(F.col(ts_col)) / bucket_seconds)
+         .cast("long") * bucket_seconds)
+    hourly = (events.select(F.col(group_col).alias("grp"),
+                            b.alias("bucket"))
+              .groupBy("grp", "bucket")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .localCheckpoint(eager=False))  # feeds both join sides
+    prev = hourly.select(
+        "grp", (F.col("bucket") + period_seconds).alias("bucket"),
+        F.col("n").alias("n_prev"))
+    ratio = fround(F.col("n").cast("double") / F.col("n_prev"), 6)
+    return (hourly.join(prev, ["grp", "bucket"])
+            .select(F.col("grp").alias(group_col), "bucket", "n", "n_prev",
+                    ratio.alias("ratio"),
+                    ((ratio < lo) | (ratio > hi)).alias("is_anomaly")))
