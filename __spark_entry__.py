@@ -6270,7 +6270,7 @@ SELECT node, dist FROM v2 UNION ALL SELECT node, 3 FROM f3
         + ", ".join(f"mh{j}" for j in range(i * 2, (i + 1) * 2)) + ")"
         for i in range(4))
     sql["band_recall"] = f"""
-WITH ds AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+WITH ds AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
 t2 AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM ds),
 truth AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2,

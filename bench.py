@@ -148,6 +148,17 @@ HEADLINE = [
     "winsorize",
     "tpch_q4",
     "tpch_q18",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q19",
+    "robust_zscore",
+    "temporal_split",
+    "streaming_enrich",
+    "idf_jaccard_neardup",
+    "band_recall",
+    "bfs_distances",
+    "k_core",
+    "seasonal_anomalies",
 ]
 
 

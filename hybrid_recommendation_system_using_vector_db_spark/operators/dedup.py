@@ -1051,7 +1051,7 @@ def idf_weighted_jaccard_pairs(documents: DataFrame, threshold: float = 0.35,
 def band_recall_metrics(documents: DataFrame,
                         thresholds: tuple = (0.2, 0.5, 0.8),
                         n_hashes: int = 8, n_bands: int = 4,
-                        sample_mod: int = 5,
+                        sample_mod: int = 10,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """Gated recall/precision of banded-MinHash candidate generation vs
