@@ -603,6 +603,14 @@ def test_whole_surface_scan_budget(spark, sf_dir):
     stream pipeline."""
     import __spark_entry__ as m
 
+    # earlier suite tests leave persisted relations whose lineage
+    # plan-matches sweep subtrees — the InMemoryRelation dump then NESTS
+    # the cached plan's own Scan nodes into the formatted output and
+    # inflates the count (the lsh multitable test's documented effect).
+    # Sweep from a cold cache so the measured shape is the plan's own.
+    m._reset_serving_caches()
+    spark.catalog.clearCache()
+
     budget = 30
     over = []
     for name, q in sorted({**m.extra_queries(), **m.queries()}.items()):
