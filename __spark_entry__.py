@@ -1318,6 +1318,18 @@ def q_robust_zscore(spark, sf_dir):
                                    "o_totalprice", "o_orderkey")
 
 
+def q_path_ngrams(spark, sf_dir):
+    """Top-50 three-step event-type paths across per-user journeys —
+    the n-step generalization of event_transitions (journey mining);
+    one user-keyed window sort, |types|ⁿ-bounded aggregation state
+    (operators/funnels.py::path_ngrams)."""
+    _pin_utc(spark)
+    from hybrid_recommendation_system_using_vector_db_spark.operators import funnels
+
+    return funnels.path_ngrams(load_table(spark, sf_dir, "events"),
+                               n=3, top_k=50)
+
+
 def q_seasonal_anomalies(spark, sf_dir):
     """Seasonal-naive hourly volume anomalies per event type: each hour
     vs the same hour yesterday, baseline looked up by equi-join (not a
@@ -3106,6 +3118,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_recall": q_band_recall,                 # measured banding S-curve
         "bfs_distances": q_bfs_distances,             # multi-source hop distances
         "seasonal_anomalies": q_seasonal_anomalies,   # same-hour-yesterday ratios
+        "path_ngrams": q_path_ngrams,                 # top 3-step journey paths
         "k_core": q_k_core,                           # iterative k-core peel
                                                       # (rows-only: data-dependent
                                                       # rounds; python-ref pinned)
@@ -6223,6 +6236,21 @@ scored AS (
   JOIN (SELECT doc_id AS dst_id, t AS tb FROM totals) USING (dst_id)
 )
 SELECT src_id, dst_id, w_common, jw FROM scored WHERE jw >= 0.35
+"""
+    sql["path_ngrams"] = """
+WITH s AS (
+  SELECT event_type AS s0,
+         lead(event_type, 1) OVER w AS s1,
+         lead(event_type, 2) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT concat_ws(' > ', s0, s1, s2) AS path,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+GROUP BY 1
+ORDER BY n_paths DESC, path ASC
+LIMIT 50
 """
     sql["seasonal_anomalies"] = """
 WITH h AS (

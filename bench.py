@@ -159,6 +159,7 @@ HEADLINE = [
     "bfs_distances",
     "k_core",
     "seasonal_anomalies",
+    "path_ngrams",
 ]
 
 

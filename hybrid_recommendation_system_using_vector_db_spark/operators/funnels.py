@@ -85,3 +85,39 @@ def funnel_steps(events: DataFrame, steps: list[str],
         "step", "event_type", "users",
         fround(F.when(entry > 0, F.col("users").cast("double") / entry)
                .otherwise(F.lit(0.0)), ROUND_SCORE).alias("conv_rate"))
+
+
+def path_ngrams(events: DataFrame, n: int = 3, top_k: int = 50,
+                group_col: str = "user_id", type_col: str = "event_type",
+                ts_col: str = "ts", tie_col: str = "event_id") -> DataFrame:
+    """Top-k most common length-``n`` event-type paths across per-user
+    journeys — the n-step generalization of the first-order
+    ``event_transitions`` matrix (journey mining: which 3-step flows
+    dominate, where do they detour).
+
+    One user-keyed window sort produces all sliding windows via n−1
+    ``lead()``s (map-only after the sort — no self-joins, no explode of
+    per-user arrays into driver-bounded state), then a partial-agg count
+    keyed on the path and a TakeOrdered top-k (no global sort). Paths
+    are total-ordered by (count desc, path asc) — the repo-wide pinned
+    tiebreak. State is bounded by |distinct paths| ≤ |types|ⁿ per
+    aggregation, corpus-independent for a fixed event vocabulary.
+    """
+    w = Window.partitionBy(group_col).orderBy(ts_col, tie_col)
+    # window exprs must land as columns before the completeness filter
+    # (predicates can't hold window functions)
+    stepped = events.select(
+        F.col(type_col).alias("__s0"),
+        *[F.lead(type_col, i).over(w).alias(f"__s{i}")
+          for i in range(1, n)])
+    complete = F.lit(True)
+    for i in range(1, n):
+        complete = complete & F.col(f"__s{i}").isNotNull()
+    return (stepped
+            .filter(complete)
+            .select(F.concat_ws(" > ", *[F.col(f"__s{i}")
+                                         for i in range(n)]).alias("path"))
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_paths"))
+            .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+            .limit(top_k))
