@@ -3184,3 +3184,94 @@ def test_bfs_distances_ring_graph(spark):
     got2 = {r["node"]: r["dist"]
             for r in bfs_distances(ring, seeds, max_hops=2).collect()}
     assert 3 not in got2 and len(got2) == 5
+
+
+def test_idf_weighted_jaccard_exact_dup_scores_one(spark):
+    """An exact duplicate pair (every shared shingle at df=2 ≤ cap)
+    must score jw = 1.0; a disjoint doc pairs with neither."""
+    from pyspark.sql import Row
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import idf_weighted_jaccard_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [Row(doc_id=1, text=text), Row(doc_id=2, text=text),
+            Row(doc_id=3, text="one two three four five six seven")]
+    out = {(r["src_id"], r["dst_id"]): r["jw"]
+           for r in idf_weighted_jaccard_pairs(
+               spark.createDataFrame(rows), threshold=0.0).collect()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_band_recall_grid_invariants(spark, sf_dir):
+    """n_truth is non-increasing in t; hits never exceed either side;
+    ratios stay in [0, 1]."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import band_recall_metrics
+
+    rows = sorted((r["t"], r["n_truth"], r["n_cand"], r["n_hit"],
+                   r["recall"], r["precision"])
+                  for r in band_recall_metrics(
+                      load_table(spark, sf_dir, "documents"),
+                      thresholds=(0.2, 0.5, 0.8)).collect())
+    truths = [r[1] for r in rows]
+    assert truths == sorted(truths, reverse=True)
+    for t, n_truth, n_cand, n_hit, recall, precision in rows:
+        assert n_hit <= n_truth and n_hit <= n_cand
+        if recall is not None:
+            assert 0.0 <= recall <= 1.0
+        if precision is not None:
+            assert 0.0 <= precision <= 1.0
+
+
+def test_seasonal_anomalies_fixture(spark):
+    """Hand-built two-day series: a tripled hour flags high, a halved
+    hour flags low, a steady hour does not flag; day-one buckets (no
+    baseline) are absent."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import seasonal_anomalies
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    eid = 0
+
+    def add(day, hour_offset, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(Row(event_id=eid, event_type="click",
+                            ts=base + dt.timedelta(days=day,
+                                                   hours=hour_offset)))
+            eid += 1
+
+    add(0, 0, 2); add(1, 0, 6)   # tripled -> high anomaly
+    add(0, 1, 4); add(1, 1, 1)   # quartered -> low anomaly
+    add(0, 2, 3); add(1, 2, 3)   # steady -> no flag
+    out = seasonal_anomalies(spark.createDataFrame(rows), ts_col="ts")
+    got = {(r["bucket"], r["ratio"]): r["is_anomaly"] for r in out.collect()}
+    assert len(got) == 3
+    ratios = sorted(r for _, r in got.keys())
+    assert ratios == [0.25, 1.0, 3.0]
+    assert got[[k for k in got if k[1] == 3.0][0]] is True
+    assert got[[k for k in got if k[1] == 0.25][0]] is True
+    assert got[[k for k in got if k[1] == 1.0][0]] is False
+
+
+def test_path_ngrams_fixture(spark):
+    """Known journeys produce exactly the expected 3-gram counts; paths
+    never cross user boundaries."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from hybrid_recommendation_system_using_vector_db_spark.operators.funnels import path_ngrams
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u, seq in [(1, "abcd"), (2, "abc"), (3, "ab")]:
+        for i, t in enumerate(seq):
+            rows.append(Row(user_id=u, event_type=t, event_id=i,
+                            ts=base + dt.timedelta(minutes=i)))
+    got = {r["path"]: r["n_paths"]
+           for r in path_ngrams(spark.createDataFrame(rows), n=3).collect()}
+    # user 1 contributes a>b>c and b>c>d; user 2 a>b>c; user 3 nothing
+    assert got == {"a > b > c": 2, "b > c > d": 1}
