@@ -1318,6 +1318,21 @@ def q_robust_zscore(spark, sf_dir):
                                    "o_totalprice", "o_orderkey")
 
 
+def q_sampled_quantiles(spark, sf_dir):
+    """Bounded-state quantile sketch: seeded bottom-k uniform sample →
+    nearest-rank estimates per priority — the quantile member of the
+    hash-checkable sketch family (KMV/CMS/HLL/Bloom); the estimate
+    itself is oracle-exact, and its rank error vs the exact
+    grouped_quantiles table is test-bounded
+    (operators/sketches.py::sampled_quantiles)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    return sketches.sampled_quantiles(orders, "o_orderpriority",
+                                      "o_totalprice", "o_orderkey",
+                                      k=256, seed=SEED)
+
+
 def q_path_ngrams(spark, sf_dir):
     """Top-50 three-step event-type paths across per-user journeys —
     the n-step generalization of event_transitions (journey mining);
@@ -3119,6 +3134,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,             # multi-source hop distances
         "seasonal_anomalies": q_seasonal_anomalies,   # same-hour-yesterday ratios
         "path_ngrams": q_path_ngrams,                 # top 3-step journey paths
+        "sampled_quantiles": q_sampled_quantiles,     # bottom-k quantile sketch
         "k_core": q_k_core,                           # iterative k-core peel
                                                       # (rows-only: data-dependent
                                                       # rounds; python-ref pinned)
@@ -6236,6 +6252,26 @@ scored AS (
   JOIN (SELECT doc_id AS dst_id, t AS tb FROM totals) USING (dst_id)
 )
 SELECT src_id, dst_id, w_common, jw FROM scored WHERE jw >= 0.35
+"""
+    sql["sampled_quantiles"] = f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS v,
+         md5('{SEED}:' || CAST(o_orderkey AS VARCHAR)) AS u
+  FROM orders
+), samp AS (
+  SELECT grp, v FROM (
+    SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY u, v) AS rk
+    FROM base
+  ) WHERE rk <= 256
+), r AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM samp
+)
+SELECT grp, p, v AS q_est, n AS n_sample
+FROM r CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p) ps
+WHERE rn = ceil(p * n)
 """
     sql["path_ngrams"] = """
 WITH s AS (

@@ -160,6 +160,7 @@ HEADLINE = [
     "k_core",
     "seasonal_anomalies",
     "path_ngrams",
+    "sampled_quantiles",
 ]
 
 

@@ -265,3 +265,47 @@ def bloom_probe(df: DataFrame, value_col: str, bits: DataFrame,
     # _spread: per-row md5 work needs parallelism even from few input
     # files (a local-mode artifact — a no-op on a many-partition corpus)
     return _spread(df.filter(F.col(value_col).isNotNull())).filter(cond)
+
+
+def sampled_quantiles(df: DataFrame, group_col: str, value_col: str,
+                      id_col: str, k: int = 256,
+                      ps: tuple = (0.5, 0.9, 0.99),
+                      seed: int = 42) -> DataFrame:
+    """Bounded-state per-group quantile ESTIMATES from a seeded bottom-k
+    uniform row sample — the quantile member of the hash-checkable
+    sketch family (KMV distinct / CMS frequency / HLL / Bloom): because
+    the sample is the k smallest md5 keys (a pure function of the data,
+    like KMV's bottom-k value hashes), the approximate answer itself is
+    reproducible bit-for-bit by the DuckDB oracle — which Spark's
+    built-in ``percentile_approx`` register layout never can be.
+
+    Estimate: nearest-rank quantile of the sample; for a uniform sample
+    of size k the rank error concentrates at O(n·√(ln(1/δ)/k)) (DKW),
+    test-bounded against the exact table. State is k rows per group
+    through both windows — corpus-size-independent, mergeable (union of
+    bottom-k sets → re-take bottom-k), the property that lets 100 TB
+    profiles run as partial aggregations. For exact answers on bounded
+    groups use ``profiling.grouped_quantiles``; this is the tier for
+    unbounded ones.
+
+    Returns (grp, p, q_est, n_sample).
+    """
+    from ..functions.hashing import seeded_key
+
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(value_col).alias("v"),
+                     seeded_key(F.col(id_col), seed).alias("__u"))
+    wk = Window.partitionBy("grp").orderBy("__u", "v")
+    sample = (base.withColumn("__rk", F.row_number().over(wk))
+              .filter(F.col("__rk") <= k)
+              .select("grp", "v"))
+    wq = Window.partitionBy("grp").orderBy("v")
+    ranked = (sample
+              .withColumn("rn", F.row_number().over(wq))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("grp"))))
+    pexp = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    return (ranked.select("grp", "v", "rn", "n", pexp)
+            .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")))
+            .select("grp", "p", F.col("v").alias("q_est"),
+                    F.col("n").alias("n_sample")))

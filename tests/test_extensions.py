@@ -3275,3 +3275,29 @@ def test_path_ngrams_fixture(spark):
            for r in path_ngrams(spark.createDataFrame(rows), n=3).collect()}
     # user 1 contributes a>b>c and b>c>d; user 2 a>b>c; user 3 nothing
     assert got == {"a > b > c": 2, "b > c > d": 1}
+
+
+def test_sampled_quantiles_error_bounded_vs_exact(spark, sf_dir):
+    """The bottom-k quantile sketch's estimates must sit within the DKW
+    sampling band of the exact distribution: for k=256 and δ=0.01 the
+    empirical-CDF deviation bound is √(ln(2/δ)/2k) ≈ 0.102 — assert the
+    estimated quantile's true rank is within 0.12·n of p·n per group."""
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sketches import sampled_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    est = {(r["grp"], r["p"]): r["q_est"]
+           for r in sampled_quantiles(orders, "o_orderpriority",
+                                      "o_totalprice", "o_orderkey",
+                                      k=256).collect()}
+    rows = orders.select("o_orderpriority", "o_totalprice").collect()
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    assert est
+    for (grp, p), q in est.items():
+        vals = sorted(by_grp[grp])
+        n = len(vals)
+        import bisect
+        true_rank = bisect.bisect_right(vals, q)
+        assert abs(true_rank / n - p) <= 0.12, (grp, p, true_rank / n)
