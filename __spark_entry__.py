@@ -4488,7 +4488,7 @@ WITH e AS (
   SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM c
 ), b AS (
   SELECT min(s) AS b FROM cum
-  WHERE cum >= ceil(0.8 * (SELECT count(*) FROM events))
+  WHERE cum >= ceil(0.8 * (SELECT count(*) FROM events) - 1e-9)
 )
 SELECT event_id,
   CASE WHEN s <= (SELECT b FROM b) THEN 'train'
@@ -4545,7 +4545,7 @@ WITH base AS (
          count(*) OVER (PARTITION BY grp) AS n
   FROM base
 ), med AS (
-  SELECT grp, v AS med FROM rmed WHERE rn = ceil(0.5 * n)
+  SELECT grp, v AS med FROM rmed WHERE rn = ceil(0.5 * n - 1e-9)
 ), rres AS (
   SELECT b.grp, abs(b.v - m.med) AS r,
          row_number() OVER (PARTITION BY b.grp
@@ -4553,7 +4553,7 @@ WITH base AS (
          count(*) OVER (PARTITION BY b.grp) AS n
   FROM base b JOIN med m USING (grp)
 ), mad AS (
-  SELECT grp, r AS mad FROM rres WHERE rn = ceil(0.5 * n)
+  SELECT grp, r AS mad FROM rres WHERE rn = ceil(0.5 * n - 1e-9)
 )
 SELECT id, grp, v,
   CASE WHEN mad > 0
@@ -6104,7 +6104,7 @@ WITH r AS (
 )
 SELECT grp, p, v AS q
 FROM r CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p) ps
-WHERE rn = ceil(p * n)
+WHERE rn = ceil(p * n - 1e-9)
 """
     # bounded-window EWMA: identical python-literal weights, identical
     # left-fold order (list_reduce == Spark aggregate HOF: 0.0+x1 == x1)
@@ -6185,7 +6185,7 @@ WITH r AS (
 qv AS (
   SELECT grp, p, v AS q
   FROM r CROSS JOIN (SELECT unnest([0.01, 0.99]) AS p) ps
-  WHERE rn = ceil(p * n)
+  WHERE rn = ceil(p * n - 1e-9)
 ),
 caps AS (
   SELECT grp, min(CASE WHEN p = 0.01 THEN q END) AS lo,
@@ -6271,7 +6271,7 @@ WITH base AS (
 )
 SELECT grp, p, v AS q_est, n AS n_sample
 FROM r CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p) ps
-WHERE rn = ceil(p * n)
+WHERE rn = ceil(p * n - 1e-9)
 """
     sql["path_ngrams"] = """
 WITH s AS (

@@ -285,20 +285,46 @@ def main() -> None:
     # in-process). A 40-query Spark total is dominated by the per-action
     # scheduling floor, so measure ~500 queries through the memoized serve
     # chain in ONE batched action and report ms/query (VERDICT r6 next #6).
+    #
+    # Measurement discipline (VERDICT r8 What's-wrong #1): the r8 driver
+    # record came in 4x slower than an identical-code snapshot three hours
+    # earlier (8.65 vs 2.11 ms/q) — BOTH serve iterations slow, so not
+    # cold-start; the serve batch ran last, after the 126-entry sweep had
+    # accumulated ~30 persisted memo DataFrames and their cached blocks
+    # (GC/memory-pressure suspects). Three changes: (1) quiesce the
+    # session first — drop every sweep memo + cached relation and force a
+    # JVM GC, so serving starts from the same state a fresh session has;
+    # (2) >=5 timed iterations; (3) report the MEDIAN as the canonical
+    # ms/q (min recorded alongside) so one noisy iteration cannot set the
+    # round's number. Observed spread after quiescing at sf0.1/local[32]:
+    # iters within ~±15% of median (vs the 4x run-to-run swing in r8).
     serve_per_q_ms = None
+    serve_per_q_ms_min = None
     serve_iters: list[float] = []
     n_serve_q = 0
     try:
+        entry_mod._reset_serving_caches()   # drop sweep-phase memos
+        spark.catalog.clearCache()          # and any stray cached plans
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         sdf = entry_mod.hybrid_serve_batch(spark, SF_DIR)
         n_serve_q = sdf.select("qid").distinct().count()  # warm run
         if n_serve_q:
-            for _ in range(max(iters, 2)):
+            sdf.count()                     # second warm: indexes persisted
+            for _ in range(max(iters, 5)):
                 t0 = time.perf_counter()
                 sdf.count()
                 serve_iters.append(round(time.perf_counter() - t0, 3))
-            serve_per_q_ms = round(min(serve_iters) / n_serve_q * 1000, 3)
+            srt = sorted(serve_iters)
+            median = srt[len(srt) // 2] if len(srt) % 2 else \
+                (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2.0
+            serve_per_q_ms = round(median / n_serve_q * 1000, 3)
+            serve_per_q_ms_min = round(min(serve_iters) / n_serve_q * 1000, 3)
         print(f"# hybrid_serve_batch: {n_serve_q} queries, "
-              f"{serve_per_q_ms} ms/q iters={serve_iters}", file=sys.stderr)
+              f"median {serve_per_q_ms} ms/q, min {serve_per_q_ms_min} ms/q "
+              f"iters={serve_iters}", file=sys.stderr)
     except Exception as e:
         print(f"# hybrid_serve_batch: FAILED {type(e).__name__}: "
               f"{str(e)[:120]}", file=sys.stderr)
@@ -322,6 +348,7 @@ def main() -> None:
     }
     if serve_per_q_ms is not None:
         headline["hybrid_serve_per_query_ms"] = serve_per_q_ms
+        headline["hybrid_serve_per_query_ms_min"] = serve_per_q_ms_min
         headline["hybrid_serve_n_queries"] = n_serve_q
     full = {**headline, "iters": all_iters, "builds": build_timings,
             "serve_iters": serve_iters, "load_avg": load_avg}

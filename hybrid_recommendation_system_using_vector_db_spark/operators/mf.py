@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 from ..functions.portable import fround
 from .. import ROUND_SCORE
 
+# largest fold-in interaction list shipped driver-side for in-kernel GEMM
+# exclusion masking; above this als_fold_in_recommend switches to the
+# distributed anti-join shape (same result, no driver collect — ADVICE r8)
+EXCLUDE_CLOSURE_MAX_PAIRS = 2_000_000
+
 
 def _als(edges: DataFrame, rank: int, iters: int, reg: float, alpha: float,
          seed: int, src_col: str, dst_col: str, weight_col: str):
@@ -297,7 +302,27 @@ def als_fold_in_recommend(new_edges: DataFrame, item_factors: DataFrame,
         .localCheckpoint(eager=True)
     corpus = mips_augment(item_factors)
     qs = mips_augment_queries(users)
-    if exclude_seen:
+    n_pairs = new_edges.count() if exclude_seen else 0
+    if exclude_seen and n_pairs > EXCLUDE_CLOSURE_MAX_PAIRS:
+        # the closure path collects the whole batch interaction list to
+        # the driver — fine for a fold-in batch (bounded like the GEMM
+        # query matrix), unbounded if a caller feeds the full history
+        # (ADVICE r8). Past the bound, fall back to the distributed
+        # shape: over-fetch k + max(per-user seen), anti-join the seen
+        # pairs, re-rank — same result by construction (the masked GEMM
+        # and the anti-join remove exactly the batch's (src, dst) pairs
+        # before the same (score desc, cand asc) ranking).
+        max_s = (new_edges.groupBy(src_col).count()
+                 .agg(F.max("count")).head()[0] or 0)
+        seen = new_edges.select(F.col(src_col).cast("long").alias("qid"),
+                                F.col(dst_col).cast("long").alias("cand"))
+        out = (sim.cosine_topk_gemm(qs, corpus, k + int(max_s))
+               .join(seen, ["qid", "cand"], "left_anti")
+               .withColumn("rank", F.row_number().over(
+                   Window.partitionBy("qid")
+                   .orderBy(F.desc("score"), F.asc("cand"))))
+               .filter(F.col("rank") <= k))
+    elif exclude_seen:
         # exclusion masked INSIDE the GEMM kernel: the seen set for a
         # fold-in batch is the batch's own interaction list — the same
         # bounded, query-side-sized state the GEMM query matrix already

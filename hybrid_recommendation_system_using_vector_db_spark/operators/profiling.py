@@ -218,8 +218,13 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
               .withColumn("n", F.count(F.lit(1)).over(
                   Window.partitionBy("grp"))))
     pexp = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    # epsilon guard on the rank product: p·n computed in doubles can land
+    # just ABOVE an exact integer (0.1·30 → 3.0000000000000004 → ceil 4),
+    # violating the documented ⌈p·n⌉ for such p/n pairs (ADVICE r8). The
+    # 1e-9 slack is far below any representable p·n gap at realistic n
+    # and is mirrored verbatim in the DuckDB oracle.
     return (ranked.select("grp", "v", "rn", "n", pexp)
-            .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")))
+            .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n") - 1e-9))
             .select("grp", "p", F.col("v").alias("q")))
 
 

@@ -334,9 +334,16 @@ def temporal_split(df: DataFrame, ts_col: str, train_frac: float = 0.8,
     import math
 
     n = df.count()  # one scalar — bounded driver state
-    rank = math.ceil(n * train_frac)
+    # 1e-9 rank-product epsilon, mirrored in the oracle: n·frac in
+    # doubles can land just above an exact integer (ADVICE r8)
+    rank = math.ceil(n * train_frac - 1e-9)
     boundary = (cum.filter(F.col("__cum") >= F.lit(rank))
                 .agg(F.min("__s").alias("b")).head())["b"]
+    if boundary is None:
+        # empty input (rank ≤ n guarantees a boundary otherwise): emit
+        # the labeled schema with zero rows instead of None-arithmetic
+        # TypeError (ADVICE r8)
+        return df.select(F.col(id_col), F.lit("test").alias("split"))
     purge_end = boundary + purge_seconds
     return df.select(
         F.col(id_col),

@@ -305,7 +305,9 @@ def sampled_quantiles(df: DataFrame, group_col: str, value_col: str,
               .withColumn("n", F.count(F.lit(1)).over(
                   Window.partitionBy("grp"))))
     pexp = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    # same 1e-9 rank-product epsilon as profiling.grouped_quantiles
+    # (p·n in doubles can land just above an exact integer; ADVICE r8)
     return (ranked.select("grp", "v", "rn", "n", pexp)
-            .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")))
+            .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n") - 1e-9))
             .select("grp", "p", F.col("v").alias("q_est"),
                     F.col("n").alias("n_sample")))

@@ -518,13 +518,18 @@ def _finish_dedup_commit(spark: SparkSession, out_dir: str) -> None:
 def load_dedup_clusters(spark: SparkSession, out_dir: str) -> DataFrame:
     """(doc_id, cluster_id) written by :func:`write_dedup_clusters` —
     the table keep-best canonicalization / decontamination serve from.
-    Resolves the committed truth through the staging marker (a
-    committed-but-unpublished append already serves the new labels)."""
+
+    A committed-but-unpublished stage is rolled FORWARD first, then the
+    stable live directory is read: serving the lazy DataFrame straight
+    off ``__staging`` left it bound to a directory the next append
+    renames away, failing the reader's next action (ADVICE r8). An
+    UNcommitted stage is left untouched (it may belong to an in-flight
+    append; only append paths discard those), and the live dir is the
+    committed truth by the staging invariant."""
     staging = f"{out_dir}/dedup__staging"
     fs, P = _hadoop_fs(spark, out_dir)
-    if fs.exists(P(f"{staging}/_COMMIT")) \
-            and fs.exists(P(f"{staging}/clusters")):
-        return spark.read.parquet(f"{staging}/clusters")
+    if fs.exists(P(f"{staging}/_COMMIT")):
+        _finish_dedup_commit(spark, out_dir)
     return spark.read.parquet(f"{out_dir}/dedup_clusters")
 
 
@@ -699,9 +704,16 @@ def _finish_staging(spark: SparkSession, staging: str,
     - ``swaps``: {staging-subdir → live dir} — atomic-rename
       replacement (skipped if the subdir is already renamed away).
     - ``appends``: {staging-subdir → (live dir, key col)} — append
-      staged rows whose key is absent from the live table (replay-safe;
-      torn in-flight appends are covered by the FileOutputCommitter's
-      _temporary staging, which never exposes partial part files).
+      staged rows not already present in the live table. The replay
+      guard is FULL-ROW (null-safe) identity, not the key column alone:
+      the v1 FileOutputCommitter's job commit renames task files
+      sequentially, so a crash mid-publish can expose SOME of a key's
+      rows — a keyed anti-join would then drop the key's remaining
+      staged rows for good (ADVICE r8). Staged tables are row-distinct
+      (bands: one row per (doc_id, band); ledgers: one row per doc_id),
+      so exact-row anti-join appends exactly the missing rows and a
+      replay of a fully-landed batch is a no-op. ``key`` documents the
+      table's nominal append key for callers/tests.
 
     Invariant readers rely on: ``_COMMIT`` present AND the staged
     subdir present → the staged table is the committed truth; otherwise
@@ -722,9 +734,13 @@ def _finish_staging(spark: SparkSession, staging: str,
     for sub, (live, key) in appends.items():
         spath = f"{staging}/{sub}"
         if fs.exists(P(spath)):
-            fresh = (spark.read.parquet(spath)
-                     .join(spark.read.parquet(live).select(key).distinct(),
-                           key, "left_anti")
+            staged = spark.read.parquet(spath).alias("s")
+            livedf = spark.read.parquet(live).alias("l")
+            cond = None
+            for c in staged.columns:   # full-row, null-safe identity
+                eq = F.col(f"s.{c}").eqNullSafe(F.col(f"l.{c}"))
+                cond = eq if cond is None else (cond & eq)
+            fresh = (staged.join(livedf, cond, "left_anti")
                      .localCheckpoint(eager=True))
             if not fresh.isEmpty():    # idempotent: replay-safe append
                 fresh.write.mode("append").parquet(live)
@@ -742,15 +758,20 @@ def _staged_commit_finish(spark: SparkSession, out_dir: str,
         appends={"docs": (f"{out_dir}/{docs_name}", "doc_id")})
 
 
-def _committed_counts_path(spark: SparkSession, out_dir: str,
-                           counts_name: str) -> str:
-    """Resolve the committed counts dir per the staging invariant."""
+def _committed_counts(spark: SparkSession, out_dir: str,
+                      counts_name: str, docs_name: str) -> DataFrame:
+    """Read the committed counts table per the staging invariant.
+
+    Rolls a committed-but-unpublished stage forward FIRST and reads the
+    stable live dir — previously this returned the ``__staging/counts``
+    path, leaving the caller's lazy DataFrame bound to a directory the
+    next append deletes (ADVICE r8). An uncommitted stage is left
+    untouched (may belong to an in-flight append)."""
     staging = f"{out_dir}/{counts_name}__staging"
     fs, P = _hadoop_fs(spark, out_dir)
-    if fs.exists(P(f"{staging}/_COMMIT")) \
-            and fs.exists(P(f"{staging}/counts")):
-        return f"{staging}/counts"
-    return f"{out_dir}/{counts_name}"
+    if fs.exists(P(f"{staging}/_COMMIT")):
+        _staged_commit_finish(spark, out_dir, counts_name, docs_name)
+    return spark.read.parquet(f"{out_dir}/{counts_name}")
 
 
 def _staged_commit_write(spark: SparkSession, out_dir: str,
@@ -786,8 +807,8 @@ def load_kn_lm(spark: SparkSession, out_dir: str) -> DataFrame:
     vocab²-bounded pass, no corpus re-read."""
     from .operators.textops import kn_model_from_counts
 
-    return kn_model_from_counts(spark.read.parquet(
-        _committed_counts_path(spark, out_dir, "kn_counts")))
+    return kn_model_from_counts(
+        _committed_counts(spark, out_dir, "kn_counts", "kn_docs"))
 
 
 def append_kn_lm(spark: SparkSession, new_documents: DataFrame,
@@ -842,8 +863,7 @@ def load_lid_profiles(spark: SparkSession, out_dir: str,
     from .operators.textops import lid_profiles_from_counts
 
     return lid_profiles_from_counts(
-        spark.read.parquet(
-            _committed_counts_path(spark, out_dir, "lid_counts")),
+        _committed_counts(spark, out_dir, "lid_counts", "lid_docs"),
         alpha, max_grams_per_lang)
 
 

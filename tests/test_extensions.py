@@ -2909,7 +2909,7 @@ def test_grouped_quantiles_exact_and_approx_tier(spark, sf_dir):
     for g, vs in by.items():
         vs.sort()
         for p in (0.5, 0.9, 0.99):
-            want = vs[math.ceil(p * len(vs)) - 1]
+            want = vs[math.ceil(p * len(vs) - 1e-9) - 1]
             assert got[(g, p)] == want, (g, p)
     # sketch tier: percentile_approx with accuracy A has rank error
     # <= n/A; assert the returned value sits within that rank window
@@ -3301,3 +3301,63 @@ def test_sampled_quantiles_error_bounded_vs_exact(spark, sf_dir):
         import bisect
         true_rank = bisect.bisect_right(vals, q)
         assert abs(true_rank / n - p) <= 0.12, (grp, p, true_rank / n)
+
+
+def test_nearest_rank_epsilon_guard(spark):
+    """ADVICE r8: p·n in IEEE doubles can land just above an exact
+    integer (0.1·30 → 3.0000000000000004 → ceil 4), off-by-one from the
+    documented ⌈p·n⌉. The 1e-9 epsilon restores nearest-rank semantics
+    for exactly those p/n pairs — pinned on the canonical 0.1·30 case
+    for both the exact and the sampled tier."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import (
+        profiling, sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v), v) for v in range(1, 31)], "grp string, v double, id int")
+    got = {r.p: r.q for r in profiling.grouped_quantiles(
+        df, "grp", "v", ps=(0.1,)).collect()}
+    assert got == {0.1: 3.0}  # rank ⌈0.1·30⌉ = 3, not the float-drift 4
+    got_s = {r.p: r.q_est for r in sketches.sampled_quantiles(
+        df, "grp", "v", "id", k=64, ps=(0.1,)).collect()}
+    assert got_s == {0.1: 3.0}  # sample = full group at k ≥ n
+
+
+def test_temporal_split_empty_input_returns_empty_labeling(spark):
+    """ADVICE r8: empty input used to raise TypeError (None + int) at the
+    boundary scalar; now it returns an empty (id, split) frame."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sampling
+
+    empty = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp")
+    out = sampling.temporal_split(empty, "ts", id_col="event_id")
+    assert out.columns == ["event_id", "split"]
+    assert out.count() == 0
+
+
+def test_als_fold_in_exclusion_fallback_matches_closure_path(spark, monkeypatch):
+    """ADVICE r8: exclude_seen collects the batch pair list driver-side —
+    bounded for a fold-in batch, unbounded if a caller feeds full history.
+    Past EXCLUDE_CLOSURE_MAX_PAIRS the distributed anti-join shape takes
+    over; both shapes must produce the identical ranking."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import mf
+
+    rows = []
+    for u in range(20):
+        for j in range(10):
+            item = 100 + (u + j) % 25
+            if (u * 7 + j) % 3:
+                rows.append((u, item, float(1 + (u + j) % 4)))
+    edges = spark.createDataFrame(rows, ["src", "dst", "weight"]) \
+        .dropDuplicates(["src", "dst"])
+    items = mf.als_item_factors(edges, rank=4, iters=3, seed=11) \
+        .localCheckpoint(eager=True)
+    closure = sorted(map(tuple,
+                         mf.als_fold_in_recommend(edges, items, k=5).collect()))
+    monkeypatch.setattr(mf, "EXCLUDE_CLOSURE_MAX_PAIRS", 0)
+    fallback = sorted(map(tuple,
+                          mf.als_fold_in_recommend(edges, items, k=5).collect()))
+    assert closure == fallback
+    # and no recommended item was in the user's seen set
+    seen = {(u, i) for u, i, _ in rows}
+    assert all((r[0], r[1]) not in seen for r in fallback)

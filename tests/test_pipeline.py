@@ -906,3 +906,96 @@ def test_dedup_append_staged_commit_crash_windows(spark, tmp_path):
         gi = sorted(map(tuple, spark.read.parquet(f"{inc2}/{t}").collect()))
         gb = sorted(map(tuple, spark.read.parquet(f"{bulk}/{t}").collect()))
         assert gi == gb, t
+
+
+def test_load_rolls_committed_stage_forward_and_serves_live_dir(spark, tmp_path):
+    """ADVICE r8 (medium): loaders must not hand out DataFrames bound to
+    ``__staging`` — a later append/finish renames that directory away and
+    the held DataFrame fails at its next action. The load path now rolls
+    a COMMITTED stage forward first and reads the stable live dir; an
+    UNcommitted stage (possibly an in-flight append) is left untouched."""
+    import os
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import (
+        kn_bigram_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    out = str(tmp_path / "kn")
+    pipeline.write_kn_lm(spark, a, out)
+    want = sorted(map(tuple, pipeline.load_kn_lm(
+        spark, str(tmp_path / "kn")).collect()))
+
+    # stage a committed-but-unpublished append of batch b (crash window)
+    staging = os.path.join(out, "kn_counts__staging")
+    merged = (spark.read.parquet(f"{out}/kn_counts")
+              .unionByName(kn_bigram_counts(b, "text"))
+              .groupBy("w1", "w2").agg(F.sum("c").alias("c")))
+    b.select("doc_id").write.mode("overwrite").parquet(f"{staging}/docs")
+    merged.write.mode("overwrite").parquet(f"{staging}/counts")
+    open(os.path.join(staging, "_COMMIT"), "w").close()
+
+    model = pipeline.load_kn_lm(spark, out)
+    # the load itself published the stage: staging gone, live dir is truth
+    assert not os.path.exists(staging)
+    got = sorted(map(tuple, model.collect()))
+    # a replay of the same batch is a no-op and must not invalidate the
+    # previously-loaded DataFrame (it is bound to the live dir now)
+    pipeline.append_kn_lm(spark, b, out)
+    assert sorted(map(tuple, model.collect())) == got
+    assert got != want  # the staged batch b really was published
+
+    # an UNCOMMITTED stage is not discarded (may be an in-flight append)
+    out2 = str(tmp_path / "kn2")
+    pipeline.write_kn_lm(spark, a, out2)
+    staging2 = os.path.join(out2, "kn_counts__staging")
+    spark.read.parquet(f"{out2}/kn_counts") \
+        .write.mode("overwrite").parquet(f"{staging2}/counts")
+    assert sorted(map(tuple, pipeline.load_kn_lm(spark, out2).collect())) \
+        == want
+    assert os.path.exists(staging2)
+
+    # same invariant for the dedup-cluster loader
+    dd = str(tmp_path / "dd")
+    pipeline.write_dedup_clusters(spark, a, dd)
+    dstage = os.path.join(dd, "dedup__staging")
+    spark.read.parquet(f"{dd}/dedup_clusters").write.parquet(f"{dstage}/clusters")
+    assert os.path.exists(dstage)  # uncommitted: left in place
+    pipeline.load_dedup_clusters(spark, dd).count()
+    assert os.path.exists(dstage)
+    open(os.path.join(dstage, "_COMMIT"), "w").close()
+    held = pipeline.load_dedup_clusters(spark, dd)
+    assert not os.path.exists(dstage)  # committed: rolled forward on load
+    held.count()
+
+
+def test_staged_append_replay_guard_is_row_level(spark, tmp_path):
+    """ADVICE r8: a crashed publish can expose SOME of a key's appended
+    rows (the v1 committer renames task files sequentially). The replay
+    guard anti-joins on full-row identity, so re-running the publish
+    appends exactly the missing rows — a keyed guard dropped ALL of the
+    key's remaining staged rows permanently."""
+    import os
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+
+    live = str(tmp_path / "live")
+    staging = str(tmp_path / "staging")
+    rows = [(1, 0, "a"), (1, 1, "b"), (2, 0, "c"), (2, 1, "d")]
+    base = [(9, 0, "z")]
+    schema = "doc_id int, band int, key string"
+    spark.createDataFrame(base, schema).write.parquet(live)
+    spark.createDataFrame(rows, schema).write.parquet(f"{staging}/bands")
+    # simulate the torn prior publish: one of doc 1's two band rows landed
+    spark.createDataFrame(rows[:1], schema).write.mode("append").parquet(live)
+    open(os.path.join(staging, "_COMMIT"), "w").close()
+    pipeline._finish_staging(spark, staging, swaps={},
+                             appends={"bands": (live, "doc_id")})
+    got = sorted(map(tuple, spark.read.parquet(live).collect()))
+    assert got == sorted(base + rows)  # nothing lost, nothing doubled
+    assert not os.path.exists(staging)
