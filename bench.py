@@ -43,6 +43,7 @@ HEADLINE = [
     "precision_eval",
     "query_resolution",
     "seeded_sample",
+    "amazon_meta_ingest",
     "dedup_exact",
     "minhash_dup_pairs",
     "minhash_jaccard_neardup",

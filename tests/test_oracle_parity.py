@@ -43,11 +43,20 @@ def test_extra_oracle_parity(name, spark, sf_dir, con):
     assert not problems, "\n".join(problems)
 
 
+# driver entries deliberately shipped WITHOUT an oracle (the driver then
+# records its weaker rows-only check): genuinely non-SQL-expressible ops
+# only, each pinned by an independent python-reference test instead.
+ROWS_ONLY_DRIVER = {
+    "k_core",   # data-dependent peel rounds; python-ref pinned in pytest
+}
+
+
 def test_driver_surface_within_budget():
     """The driver checks at most 50 queries() entries per round; more than
     50 silently rotates entries out of the checked window (VERDICT r4)."""
     assert len(QUERIES) <= 50
-    assert set(QUERIES) == set(ORACLES), "every driver entry needs a same-named oracle"
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY_DRIVER, \
+        "every driver entry needs a same-named oracle (or a documented rows-only slot)"
     assert not (set(QUERIES) & set(EXTRA_QUERIES)), "a key must live in exactly one surface"
 
 

@@ -999,3 +999,52 @@ def test_staged_append_replay_guard_is_row_level(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(live).collect()))
     assert got == sorted(base + rows)  # nothing lost, nothing doubled
     assert not os.path.exists(staging)
+
+
+def test_lsh_index_incremental_append_equals_bulk(spark, tmp_path):
+    """write_lsh_index(A) + append_lsh_index(B) == a bulk build over
+    A ∪ B (bucketing is a pure map of the stored hyperplane params, so
+    incremental growth cannot drift), the probed layout prunes at the
+    partition level, a replayed batch is a no-op, and serving through
+    the loaded index reproduces the in-memory index exactly."""
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity as sim
+    from hybrid_recommendation_system_using_vector_db_spark.plans import formatted_plan
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = str(tmp_path / "lsh")
+    pipeline.write_lsh_index(spark, a, out, n_bits=5, n_tables=4)
+    pipeline.append_lsh_index(spark, b, out)
+    loaded = pipeline.load_lsh_index(spark, out)
+    bulk = sim.lsh_build_index(emb, n_bits=5, n_tables=4)
+    key = lambda t: (t[0], t[1])
+    got = sorted([(r.cand, r.t, r.bucket, [round(x, 9) for x in r.c_vec],
+                   round(r.c_nrm, 9)) for r in loaded.collect()], key=key)
+    want = sorted([(r.cand, r.t, r.bucket, [round(x, 9) for x in r.c_vec],
+                    round(r.c_nrm, 9)) for r in bulk.collect()], key=key)
+    assert got == want
+    # params metadata re-attached: a mismatched serve call fails loudly
+    import pytest as _pytest
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    with _pytest.raises(ValueError):
+        sim.lsh_topk(qs, emb, 5, n_bits=8, n_tables=4, index=loaded, dim=64)
+    # partition pruning at the file level on the (t, bucket) layout
+    probed = loaded.filter((F.col("t") == 0) & (F.col("bucket") == 1))
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    assert probed.count() < loaded.count()
+    # replayed batch is a no-op
+    n0 = loaded.count()
+    pipeline.append_lsh_index(spark, b, out)
+    assert pipeline.load_lsh_index(spark, out).count() == n0
+    # serving parity: loaded index == in-memory index
+    served = sim.lsh_topk(qs, emb, 5, n_bits=5, n_tables=4,
+                          index=loaded, dim=64).collect()
+    direct = sim.lsh_topk(qs, emb, 5, n_bits=5, n_tables=4,
+                          index=bulk, dim=64).collect()
+    srt = lambda rows: sorted((r.qid, r.rank, r.cand, r.score) for r in rows)
+    assert srt(served) == srt(direct)

@@ -651,3 +651,67 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     want = (orders.join(dim, "o_orderpriority")
             .select("o_orderpriority").distinct().count())
     assert joined.count() == want and want >= 1
+
+
+def test_vec_dim_probe_never_fires_building_query_plans(spark, sf_dir):
+    """VERDICT r8 next #4: every serve-path entry threads ``dim`` from
+    index metadata / EMBED_DIM, so the per-lineage dimensionality probe
+    (a ~0.5 s driver job) must never fire while building ANY query plan.
+    Encoded as a spy so a probe sneaking back into a q_* entry breaks CI
+    instead of showing up as bench first-iteration noise."""
+    import __spark_entry__ as m
+    from hybrid_recommendation_system_using_vector_db_spark.operators import (
+        linalg, similarity as sim)
+
+    calls: list[str] = []
+    orig = sim._vec_dim
+
+    def spy(df, vec_col):
+        calls.append(vec_col)
+        return orig(df, vec_col)
+
+    sim._vec_dim = spy
+    linalg._vec_dim = spy          # linalg imported the symbol by name
+    try:
+        for name, q in sorted({**m.extra_queries(), **m.queries()}.items()):
+            q(spark, sf_dir)       # plan build only — probes fire eagerly
+    finally:
+        sim._vec_dim = orig
+        linalg._vec_dim = orig
+    assert not calls, f"_vec_dim probe fired {len(calls)}x during plan build"
+
+
+def test_hybrid_serve_batch_warm_jobs_and_scans_bounded(spark):
+    """VERDICT r8 next #7: the amortized serve batch (the bench's
+    headline unit) must stay a FIXED small number of warm jobs riding
+    the memoized indexes — a per-call probe/collect or a broken memo
+    multiplies jobs/scans and previously surfaced only as bench noise
+    (the r8 8.65 ms/q record). Job budget pins the action count; the
+    scan budget pins the plan (memoized sides read from InMemoryScan;
+    the only live parquet above them is the small names dim)."""
+    import __spark_entry__ as m
+    from hybrid_recommendation_system_using_vector_db_spark.plans import formatted_plan
+
+    sf = "/root/testdata/sf0.001"
+    m._reset_serving_caches()
+    m.hybrid_serve_batch(spark, sf).count()   # warm: builds + persists
+    st = spark.sparkContext.statusTracker()
+    j0 = max(st.getJobIdsForGroup() or [0])
+    m.hybrid_serve_batch(spark, sf).count()
+    jobs = max(st.getJobIdsForGroup() or [0]) - j0
+    assert jobs <= 8, f"warm hybrid_serve_batch used {jobs} jobs (expected <= 8)"
+    # plan shape: the fusion tail serves the CF/universe sides from the
+    # session-persisted indexes, not by re-running their lineage. The
+    # InMemoryRelation dump re-prints its cached plan's Scan nodes at
+    # every cache reference (36 occurrences of 4 nodes here), so budget
+    # DISTINCT scan node ids: cache nesting repeats ids, while the
+    # re-execution defect class (ranking_eval's 164-scan plan, r8)
+    # duplicates subtrees under FRESH ids and a broken memo adds live
+    # scans — both raise the distinct count.
+    import re
+
+    plan = formatted_plan(m.hybrid_serve_batch(spark, sf))
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
+    assert len(scan_ids) <= 6, \
+        f"warm serve plan has {len(scan_ids)} distinct parquet scans: {sorted(scan_ids)}"
