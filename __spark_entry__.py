@@ -1916,8 +1916,13 @@ def q_quantized_topk(spark, sf_dir):
         # view); per-query cost is the scoring pass only
         params = _sq_params(spark, sf_dir, emb)
         codes = similarity.scalar_quantize(emb, params)
-        _ANN_INDEXES[key] = similarity.dequantize(
-            codes, params).localCheckpoint(eager=True)
+        # widen BEFORE the checkpoint: a small parquet scan is one
+        # partition, and a 1-partition checkpoint serializes every
+        # scoring pass (the old per-call _spread repartition hid this by
+        # paying a shuffle on every serve call; stored-layout widening
+        # pays it once at build — r9)
+        _ANN_INDEXES[key] = similarity._spread(similarity.dequantize(
+            codes, params)).localCheckpoint(eager=True)
     return similarity.cosine_topk(
         emb.filter(F.col("vec_id") % QUERY_MOD == 0),
         _ANN_INDEXES[key], TOP_K, dim=VEC_DIM)
@@ -2294,8 +2299,10 @@ def q_whitened_topk(spark, sf_dir):
         # persisted projected table) — memoize it like the PQ/SQ recons;
         # per-query cost is the scoring pass, not re-projecting the corpus
         comps, offs = _whitening(spark, sf_dir)
-        _ANN_INDEXES[key] = linalg.pca_project(
-            emb, comps, offsets=offs, out_col="w").localCheckpoint(eager=True)
+        # widened before the checkpoint so serving scores 32-way with no
+        # per-call shuffle (see the sq_recon memo note)
+        _ANN_INDEXES[key] = similarity._spread(linalg.pca_project(
+            emb, comps, offsets=offs, out_col="w")).localCheckpoint(eager=True)
     proj = _ANN_INDEXES[key]
     q = proj.filter(F.col("vec_id") % QUERY_MOD == 0)
     return similarity.cosine_topk(q, proj, TOP_K, vec_col="w", dim=VEC_DIM)
@@ -2610,8 +2617,10 @@ def q_pq_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     key = (spark.sparkContext.applicationId, sf_dir, "pq_recon")
     if key not in _ANN_INDEXES:
-        _ANN_INDEXES[key] = similarity.pq_reconstruct(
-            emb, _pq_books(spark, sf_dir, emb)).localCheckpoint(eager=True)
+        # widened before the checkpoint so serving scores 32-way with no
+        # per-call shuffle (see the sq_recon memo note)
+        _ANN_INDEXES[key] = similarity._spread(similarity.pq_reconstruct(
+            emb, _pq_books(spark, sf_dir, emb))).localCheckpoint(eager=True)
     return similarity.cosine_topk(
         emb.filter(F.col("vec_id") % QUERY_MOD == 0),
         _ANN_INDEXES[key], TOP_K, dim=VEC_DIM)
@@ -2977,6 +2986,57 @@ def _render_meta_blob(spark: SparkSession, sf_dir: str) -> str:
     return _META_FILE_CACHE[key]
 
 
+_JSONL_FILE_CACHE: dict[tuple, str] = {}
+
+
+def _render_jsonl_blob(spark: SparkSession, sf_dir: str) -> str:
+    """Render a deterministic JSONL .gz shard from the documents table
+    (memoized per session+dataset), with planted bad lines: doc_id % 89
+    → malformed JSON (parse failure → ``_corrupt_record``), doc_id % 83
+    → parses but misses the required doc_id/text fields. Round-tripping
+    it through ``read_jsonl_documents`` pins the PERMISSIVE corrupt-
+    record gate against the plain relational projection."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _JSONL_FILE_CACHE:
+        import gzip
+        import json
+        import tempfile
+
+        rows = sorted(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source", "text").collect(),
+            key=lambda r: int(r[0]))
+        lines: list[str] = []
+        for r in rows:
+            k = int(r[0])
+            if k % 89 == 0:
+                lines.append('{"doc_id": %d, "lang": "xx", "text": "trunc' % k)
+            elif k % 83 == 0:
+                lines.append(json.dumps({"lang": r[1], "source": r[2]},
+                                        ensure_ascii=False))
+            else:
+                lines.append(json.dumps(
+                    {"doc_id": k, "lang": r[1], "source": r[2], "text": r[3]},
+                    ensure_ascii=False))
+        d = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+        path = os.path.join(d, "documents.jsonl.gz")
+        with gzip.open(path, "wt", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+        _JSONL_FILE_CACHE[key] = path
+    return _JSONL_FILE_CACHE[key]
+
+
+def q_jsonl_ingest(spark, sf_dir):
+    """JSONL corpus ingest round-trip: explicit-schema PERMISSIVE read,
+    corrupt/missing-required lines dropped by the validity gate, the
+    survivors hash-checked against the relational projection."""
+    from hybrid_recommendation_system_using_vector_db_spark.sources import jsonl
+
+    return jsonl.read_jsonl_documents(
+        spark, _render_jsonl_blob(spark, sf_dir)) \
+        .select("doc_id", "lang", "source", "text")
+
+
 def q_amazon_meta_ingest(spark, sf_dir):
     """A1 gzip scan + A2 record-delimited parse, round-tripped under the
     hash gate: ingest the rendered blob and flatten the array fields to
@@ -3186,6 +3246,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,         # quality-aware survivor policy
         "pretrain_corpus": q_pretrain_corpus,         # e2e LID→quality→dedup→split
                                                       # composition, one oracle
+        "jsonl_ingest": q_jsonl_ingest,               # PERMISSIVE JSONL corpus
+                                                      # read, corrupt-line gate
         "leakage_safe_split": q_leakage_safe_split,   # cluster-keyed split (no near-
                                                       # dup leakage across train/test)
         "lang_confusion": q_lang_confusion,           # label-grounded lang-ID eval
@@ -6565,6 +6627,12 @@ SELECT doc_id, quality_score,
             < '{int(0.99 * 0xFFFFFFFF):08x}' THEN 'val'
        ELSE 'test' END AS split
 FROM keep WHERE rn = 1
+"""
+    # JSONL ingest round-trip: parse(render(documents)) = identity on the
+    # valid rows; the planted bad-line mod classes are excluded exactly.
+    sql["jsonl_ingest"] = """
+SELECT doc_id, lang, source, text FROM documents
+WHERE doc_id % 89 <> 0 AND doc_id % 83 <> 0
 """
     return sql
 

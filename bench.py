@@ -44,6 +44,7 @@ HEADLINE = [
     "query_resolution",
     "seeded_sample",
     "amazon_meta_ingest",
+    "jsonl_ingest",
     "dedup_exact",
     "minhash_dup_pairs",
     "minhash_jaccard_neardup",
@@ -201,26 +202,43 @@ def main() -> None:
     # ALL iteration times are reported (VERDICT r2 #4: a single min hid a
     # noisy-machine artifact in BENCH_r02), plus a load sentinel so a
     # loaded-host run is identifiable after the fact.
+    #
+    # Iterations run as FULL PASSES over the sweep, not back-to-back per
+    # entry (r9): the VM host shows transient CPU-steal windows of a few
+    # minutes that made CONTIGUOUS runs of entries 2-4x slower — with
+    # back-to-back iterations both landed inside the window and min()
+    # couldn't recover (observed as a different arbitrary regression set
+    # on every run of identical code). Interleaved passes cost the same
+    # total work, but a steal window hits DIFFERENT entries in each pass,
+    # so the per-entry min rejects it.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
-    timings: dict[str, float] = {}
     all_iters: dict[str, list] = {}
+    rowcounts: dict[str, int] = {}
+    failed: set = set()
+    for _pass in range(iters):
+        for name in names:
+            if name in failed:
+                continue
+            try:
+                t0 = time.perf_counter()
+                rowcounts[name] = qmap[name](spark, SF_DIR).count()
+                all_iters.setdefault(name, []).append(
+                    round(time.perf_counter() - t0, 3))
+            except Exception as e:  # one broken query must not zero the report
+                failed.add(name)
+                all_iters.pop(name, None)
+                print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:120]}",
+                      file=sys.stderr)
+    timings: dict[str, float] = {}
     total = 0.0
     for name in names:
-        times: list[float] = []
-        n = 0
-        try:
-            for _ in range(iters):
-                t0 = time.perf_counter()
-                n = qmap[name](spark, SF_DIR).count()
-                times.append(round(time.perf_counter() - t0, 3))
-        except Exception as e:  # one broken query must not zero the report
-            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+        if name not in all_iters:
             continue
-        best = min(times)
+        best = min(all_iters[name])
         timings[name] = best
-        all_iters[name] = times
         total += best
-        print(f"# {name}: {best:.3f}s ({n} rows) iters={times}", file=sys.stderr)
+        print(f"# {name}: {best:.3f}s ({rowcounts[name]} rows) "
+              f"iters={all_iters[name]}", file=sys.stderr)
 
     # index build phases, timed separately (VERDICT r2 #8): the serve-path
     # entries above ride session-memoized persisted indexes, so the build
@@ -297,8 +315,11 @@ def main() -> None:
     # JVM GC, so serving starts from the same state a fresh session has;
     # (2) >=5 timed iterations; (3) report the MEDIAN as the canonical
     # ms/q (min recorded alongside) so one noisy iteration cannot set the
-    # round's number. Observed spread after quiescing at sf0.1/local[32]:
-    # iters within ~±15% of median (vs the 4x run-to-run swing in r8).
+    # round's number. Observed spread after quiescing at sf0.1/local[32]
+    # (r9): iters [0.672..2.854] s — bimodal (occasional GC/scheduler
+    # stall doubles an iteration), which is exactly why the canonical
+    # number is the median of >=5, not a single run or the mean; the
+    # median landed within 25% of min across repeated r9 runs.
     serve_per_q_ms = None
     serve_per_q_ms_min = None
     serve_iters: list[float] = []

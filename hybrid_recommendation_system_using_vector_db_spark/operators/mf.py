@@ -302,27 +302,7 @@ def als_fold_in_recommend(new_edges: DataFrame, item_factors: DataFrame,
         .localCheckpoint(eager=True)
     corpus = mips_augment(item_factors)
     qs = mips_augment_queries(users)
-    n_pairs = new_edges.count() if exclude_seen else 0
-    if exclude_seen and n_pairs > EXCLUDE_CLOSURE_MAX_PAIRS:
-        # the closure path collects the whole batch interaction list to
-        # the driver — fine for a fold-in batch (bounded like the GEMM
-        # query matrix), unbounded if a caller feeds the full history
-        # (ADVICE r8). Past the bound, fall back to the distributed
-        # shape: over-fetch k + max(per-user seen), anti-join the seen
-        # pairs, re-rank — same result by construction (the masked GEMM
-        # and the anti-join remove exactly the batch's (src, dst) pairs
-        # before the same (score desc, cand asc) ranking).
-        max_s = (new_edges.groupBy(src_col).count()
-                 .agg(F.max("count")).head()[0] or 0)
-        seen = new_edges.select(F.col(src_col).cast("long").alias("qid"),
-                                F.col(dst_col).cast("long").alias("cand"))
-        out = (sim.cosine_topk_gemm(qs, corpus, k + int(max_s))
-               .join(seen, ["qid", "cand"], "left_anti")
-               .withColumn("rank", F.row_number().over(
-                   Window.partitionBy("qid")
-                   .orderBy(F.desc("score"), F.asc("cand"))))
-               .filter(F.col("rank") <= k))
-    elif exclude_seen:
+    if exclude_seen:
         # exclusion masked INSIDE the GEMM kernel: the seen set for a
         # fold-in batch is the batch's own interaction list — the same
         # bounded, query-side-sized state the GEMM query matrix already
@@ -333,11 +313,41 @@ def als_fold_in_recommend(new_edges: DataFrame, item_factors: DataFrame,
         # pairs, re-rank — paid |Q|·(k+max_s) intermediate rows and two
         # extra operators when one user with a long history inflated
         # max_s for everyone; measured 6.1 s → ~2.5 s warm at sf0.1.)
-        excl: dict[int, list] = {}
-        for r in (new_edges.select(F.col(src_col).cast("long"),
-                                   F.col(dst_col).cast("long")).collect()):
-            excl.setdefault(r[0], []).append(r[1])
-        out = sim.cosine_topk_gemm(qs, corpus, k, exclude=excl)
+        #
+        # Driver-memory bound (ADVICE r8), at zero cost to the common
+        # case: collect plainly (a pre-count re-runs the batch's
+        # upstream lineage — measured +4.8 s on the fold-in bench entry;
+        # a limit-collect pays CollectLimit's sequential scale-up scan
+        # rounds), relying on Spark's own ``spark.driver.maxResultSize``
+        # fence to abort a truly unbounded collect, then check the
+        # explicit row bound post-hoc. Either trip (abort or over-cap)
+        # falls back to the distributed shape: over-fetch k +
+        # max(per-user seen), anti-join the seen pairs, re-rank — same
+        # result by construction (the masked GEMM and the anti-join
+        # remove exactly the batch's (src, dst) pairs before the same
+        # (score desc, cand asc) ranking).
+        cap = EXCLUDE_CLOSURE_MAX_PAIRS
+        try:
+            pairs = new_edges.select(F.col(src_col).cast("long"),
+                                     F.col(dst_col).cast("long")).collect()
+        except Exception:   # maxResultSize fence tripped
+            pairs = None
+        if pairs is not None and len(pairs) <= cap:
+            excl: dict[int, list] = {}
+            for r in pairs:
+                excl.setdefault(r[0], []).append(r[1])
+            out = sim.cosine_topk_gemm(qs, corpus, k, exclude=excl)
+        else:
+            max_s = (new_edges.groupBy(src_col).count()
+                     .agg(F.max("count")).head()[0] or 0)
+            seen = new_edges.select(F.col(src_col).cast("long").alias("qid"),
+                                    F.col(dst_col).cast("long").alias("cand"))
+            out = (sim.cosine_topk_gemm(qs, corpus, k + int(max_s))
+                   .join(seen, ["qid", "cand"], "left_anti")
+                   .withColumn("rank", F.row_number().over(
+                       Window.partitionBy("qid")
+                       .orderBy(F.desc("score"), F.asc("cand"))))
+                   .filter(F.col("rank") <= k))
     else:
         out = sim.cosine_topk_gemm(qs, corpus, k)
     return out.withColumnRenamed("qid", "src") \

@@ -92,3 +92,37 @@ def test_roundtrip_edges(spark, products):
     assert ("0486287785", "B00004W3V5") in pairs
     assert ("0486287785", "0486287785") not in pairs  # self-loop dropped
     assert all(dst in {r.asin for r in products} for _, dst in pairs)
+
+
+def test_jsonl_ingest_gate_and_rejects(spark, tmp_path):
+    """JSONL source (sources/jsonl.py): explicit-schema PERMISSIVE read —
+    malformed lines land in _corrupt_record instead of aborting the scan,
+    missing-required lines are gated, valid rows round-trip exactly, and
+    the rejects view accounts for every dropped line by reason."""
+    import gzip as _gzip
+    import json
+
+    from hybrid_recommendation_system_using_vector_db_spark.sources import jsonl
+
+    lines = [
+        json.dumps({"doc_id": 1, "lang": "en", "source": "web",
+                    "text": 'quote " and \\ backslash\nnewline'}),
+        '{"doc_id": 2, "lang": "en", "text": "trunc',         # malformed
+        json.dumps({"lang": "de", "source": "web"}),          # no doc_id/text
+        json.dumps({"doc_id": 4, "text": "minimal"}),         # optional nulls ok
+        "not json at all",                                    # malformed
+    ]
+    path = str(tmp_path / "docs.jsonl.gz")
+    with _gzip.open(path, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    got = {r.doc_id: r for r in jsonl.read_jsonl_documents(spark, path).collect()}
+    assert set(got) == {1, 4}
+    # exact payload round-trip incl. escaped quote/backslash/newline
+    assert got[1].text == 'quote " and \\ backslash\nnewline'
+    assert got[4].lang is None and got[4].source is None
+    rej = jsonl.read_jsonl_rejects(spark, path).collect()
+    reasons = sorted(r.reason for r in rej)
+    assert reasons == ["malformed", "malformed", "missing_required"]
+    # every line is either served or accounted for
+    assert len(got) + len(rej) == len(lines)
