@@ -988,6 +988,28 @@ def q_pretrain_corpus(spark, sf_dir):
                         seed=SEED).alias("split")))
 
 
+def q_token_budget_mix(spark, sf_dir):
+    """Per-domain token-budget selection (sampling.budgeted_select): fill
+    each source's 800-token budget with its highest-quality documents —
+    the greedy-prefix primitive a pretraining mixture runs after the
+    quality/dedup gates fix the candidate pool. Order: blended quality
+    score desc, doc_id asc (a pinned total order); weight: whitespace
+    token count (the same portable token definition as the oracle).
+    Output: (doc_id, source, n_tokens, cum_tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = textops.quality_scores(docs).select("doc_id", "quality_score")
+    base = (docs.select(
+        "doc_id", "source",
+        F.size(F.filter(F.split(F.lower("text"), " "),
+                        lambda t: t != "")).cast("long").alias("n_tokens"))
+        .join(q, "doc_id"))
+    return (sampling.budgeted_select(
+        base, "source", "n_tokens", 800,
+        [F.col("quality_score").desc(), F.col("doc_id").asc()])
+        .select("doc_id", "source", "n_tokens",
+                F.col("cum_w").cast("long").alias("cum_tokens")))
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Near-dup-aware 80/10/10 split (dedup.leakage_safe_split): split
     label keyed on the served cluster artifact's cluster_id, so whole
@@ -3248,6 +3270,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                       # composition, one oracle
         "jsonl_ingest": q_jsonl_ingest,               # PERMISSIVE JSONL corpus
                                                       # read, corrupt-line gate
+        "token_budget_mix": q_token_budget_mix,       # per-domain token-budget
+                                                      # greedy-prefix selection
         "leakage_safe_split": q_leakage_safe_split,   # cluster-keyed split (no near-
                                                       # dup leakage across train/test)
         "lang_confusion": q_lang_confusion,           # label-grounded lang-ID eval
@@ -6633,6 +6657,40 @@ FROM keep WHERE rn = 1
     sql["jsonl_ingest"] = """
 SELECT doc_id, lang, source, text FROM documents
 WHERE doc_id % 89 <> 0 AND doc_id % 83 <> 0
+"""
+    # per-domain token-budget greedy prefix: same qual CTE, cumulative
+    # token sum over (quality desc, doc_id) within source, prefix filter.
+    sql["token_budget_mix"] = f"""
+WITH qc AS (
+  SELECT doc_id,
+    len({_TOKS}) AS n_tok,
+    len(list_filter({_TOKS}, t -> t IN {_stop_list_sql()})) AS n_stop,
+    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+    length(text) AS n_char
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+    floor((0.4 * least(1.0, n_char / 500.0)
+        + 0.3 * least(1.0, (CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END) * 5)
+        + 0.3 * (1.0 - least(1.0, (CASE WHEN n_char > 0 THEN n_punct::DOUBLE / n_char ELSE 0.0 END) * 10))) * 1000000 + 0.5) / 1000000 AS quality_score
+  FROM qc
+),
+base AS (
+  SELECT d.doc_id, d.source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         q.quality_score
+  FROM documents d JOIN qual q ON d.doc_id = q.doc_id
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality_score DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM base
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 800
 """
     return sql
 

@@ -45,6 +45,8 @@ HEADLINE = [
     "seeded_sample",
     "amazon_meta_ingest",
     "jsonl_ingest",
+    "pretrain_corpus",
+    "token_budget_mix",
     "dedup_exact",
     "minhash_dup_pairs",
     "minhash_jaccard_neardup",

@@ -350,3 +350,34 @@ def temporal_split(df: DataFrame, ts_col: str, train_frac: float = 0.8,
         F.when(sec <= F.lit(boundary), F.lit("train"))
         .when(sec <= F.lit(purge_end), F.lit("purge"))
         .otherwise(F.lit("test")).alias("split"))
+
+
+def budgeted_select(df: DataFrame, group_col: str, weight_col: str,
+                    budget: float, order_cols: list) -> DataFrame:
+    """Greedy prefix selection under a per-group additive budget: within
+    each group, rank rows by ``order_cols`` and keep the longest prefix
+    whose cumulative ``weight_col`` stays ≤ ``budget`` — the "fill each
+    domain's token budget with its best documents" primitive of a
+    pretraining data mixture (the group is a domain/source, the weight a
+    token count, the order a quality ranking). Prefix semantics (the
+    cumulative sum is monotone for non-negative weights, so the filter
+    selects a contiguous prefix) make the output a pure function of the
+    ordering — engine-portable, no knapsack search.
+
+    Returns every selected row with ``cum_w`` (the running total at that
+    row) appended.
+
+    Scale shape: ONE exchange — the per-group sort that the cumulative
+    window needs — then a map-only filter; no second pass, no collect.
+    At 100 TB the group count (domains) is large and the exchange hashes
+    on the group key, so skew mirrors domain skew: salt or pre-cap giant
+    domains upstream (e.g. ``domain_mix_sample``) if one domain
+    dominates a partition.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(F.col(group_col))
+         .orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("cum_w", F.sum(F.col(weight_col)).over(w))
+            .filter(F.col("cum_w") <= budget))

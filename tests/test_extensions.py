@@ -3361,3 +3361,26 @@ def test_als_fold_in_exclusion_fallback_matches_closure_path(spark, monkeypatch)
     # and no recommended item was in the user's seen set
     seen = {(u, i) for u, i, _ in rows}
     assert all((r[0], r[1]) not in seen for r in fallback)
+
+
+def test_budgeted_select_prefix_semantics(spark):
+    """budgeted_select: per-group greedy prefix under an additive budget —
+    the cumulative sum is monotone, so the kept set is a contiguous
+    prefix of the ordering; an over-budget row stops the group even if a
+    later, smaller row would still fit (pinned deliberately: prefix
+    semantics are what make the op a pure function of the ordering)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sampling import (
+        budgeted_select,
+    )
+
+    rows = [("a", 1, 5), ("a", 2, 4), ("a", 3, 3), ("a", 4, 1),
+            ("b", 5, 10), ("b", 6, 11), ("c", 7, 100)]
+    df = spark.createDataFrame(rows, "grp string, id int, w int")
+    got = {r.id: r.cum_w for r in budgeted_select(
+        df, "grp", "w", 10, [F.col("id").asc()]).collect()}
+    # a: 5, 9 kept; id=3 would reach 12 > 10 and STOPS the prefix — id=4
+    # (would fit alone) is excluded by prefix semantics
+    # b: 10 kept exactly at the budget; c: first row alone over budget
+    assert got == {1: 5, 2: 9, 5: 10}
