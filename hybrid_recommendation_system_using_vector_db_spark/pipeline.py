@@ -1012,3 +1012,94 @@ def compact_parquet(spark: SparkSession, in_dir: str, out_dir: str,
     out.write.mode("overwrite").parquet(out_dir)
     files_out = len(spark.read.parquet(out_dir).inputFiles())
     return {"files_in": files_in, "files_out": files_out, "rows": rows}
+
+
+# ---------------------------------------------------------------------------
+# dataset maintenance: staging vacuum + index health stats
+# ---------------------------------------------------------------------------
+
+
+def vacuum_staging(spark: SparkSession, out_dir: str,
+                   ttl_seconds: int = 86400) -> dict:
+    """Garbage-collect orphaned ``*__staging`` directories under an
+    artifact root.
+
+    COMMITTED stages are rolled forward (published), never deleted —
+    they are the committed truth of an interrupted append. UNcommitted
+    stages older than ``ttl_seconds`` (by directory modification time)
+    are deleted: they are debris from a writer that crashed before its
+    commit point and will never be published; the TTL keeps a vacuum
+    from racing a LIVE writer that has staged but not yet committed
+    (the same reason Delta's VACUUM defaults to a retention window).
+    Returns {published, deleted, kept}.
+
+    Driver-side metadata only — no Spark job beyond the publish reads a
+    committed stage itself needs."""
+    import time as _time
+
+    fs, P = _hadoop_fs(spark, out_dir)
+    root = P(out_dir)
+    published = deleted = kept = 0
+    if not fs.exists(root):
+        return {"published": 0, "deleted": 0, "kept": 0}
+    now_ms = int(_time.time() * 1000)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.endswith("__staging")):
+            continue
+        staging = f"{out_dir}/{name}"
+        if fs.exists(P(f"{staging}/_COMMIT")):
+            # committed: publish through the matching protocol
+            if name == "dedup__staging":
+                _finish_dedup_commit(spark, out_dir)
+            else:
+                counts_name = name[: -len("__staging")]
+                docs_name = counts_name.replace("_counts", "_docs")
+                _staged_commit_finish(spark, out_dir, counts_name, docs_name)
+            published += 1
+        elif now_ms - st.getModificationTime() > ttl_seconds * 1000:
+            fs.delete(st.getPath(), True)
+            deleted += 1
+        else:
+            kept += 1            # possibly a live writer — leave it
+    return {"published": published, "deleted": deleted, "kept": kept}
+
+
+def index_stats(spark: SparkSession, index: DataFrame,
+                key_cols: list[str]) -> DataFrame:
+    """Health profile of a persisted index's bucket/list layout:
+    (n_keys, total_rows, min_rows, max_rows, avg_rows, p99_rows,
+    skew = max/avg) over the ``key_cols`` grouping — the number an
+    operator reads before choosing nprobe / deciding a rebuild (a
+    skewed IVF list or LSH bucket turns a probe into a scan; at 100 TB
+    this table IS the retrain trigger).
+
+    Scale shape: one partial-aggregated exchange on the key columns to
+    |keys| rows, then a single-row global aggregate; the nearest-rank
+    p99 runs on the bounded per-key count table."""
+    per_key = index.groupBy(*[F.col(c) for c in key_cols]) \
+        .agg(F.count(F.lit(1)).alias("rows"))
+    from pyspark.sql import Window
+
+    ranked = (per_key
+              .withColumn("rn", F.row_number().over(
+                  Window.orderBy(F.col("rows").asc())))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy(F.lit(1)))))
+    p99 = (ranked.filter(F.col("rn") == F.ceil(F.col("n") * 0.99 - 1e-9))
+           .select(F.col("rows").alias("p99_rows")))
+    from .functions.portable import fround
+
+    agg = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("rows").alias("total_rows"),
+        F.min("rows").alias("min_rows"),
+        F.max("rows").alias("max_rows"))
+    return (agg.crossJoin(p99)
+            .select("n_keys", "total_rows", "min_rows", "max_rows",
+                    "p99_rows",
+                    fround(F.col("total_rows").cast("double")
+                           / F.col("n_keys"), 6).alias("avg_rows"),
+                    fround(F.col("max_rows").cast("double")
+                           * F.col("n_keys") / F.col("total_rows"), 6)
+                    .alias("skew")))

@@ -1048,3 +1048,69 @@ def test_lsh_index_incremental_append_equals_bulk(spark, tmp_path):
                           index=bulk, dim=64).collect()
     srt = lambda rows: sorted((r.qid, r.rank, r.cand, r.score) for r in rows)
     assert srt(served) == srt(direct)
+
+
+def test_vacuum_staging_and_index_stats(spark, tmp_path):
+    """vacuum_staging: a COMMITTED stage is published (never deleted), an
+    uncommitted stage inside the TTL is kept (possible live writer), an
+    uncommitted stage past the TTL is deleted. index_stats: the layout
+    health numbers match a hand-computed histogram."""
+    import os
+    import time
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import (
+        kn_bigram_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    out = str(tmp_path / "art")
+    pipeline.write_kn_lm(spark, a, out)
+
+    # committed stage -> vacuum publishes it
+    staging = os.path.join(out, "kn_counts__staging")
+    merged = (spark.read.parquet(f"{out}/kn_counts")
+              .unionByName(kn_bigram_counts(b, "text"))
+              .groupBy("w1", "w2").agg(F.sum("c").alias("c"))
+              .localCheckpoint(eager=True))
+    b.select("doc_id").write.mode("overwrite").parquet(f"{staging}/docs")
+    merged.write.mode("overwrite").parquet(f"{staging}/counts")
+    open(os.path.join(staging, "_COMMIT"), "w").close()
+    want = sorted(map(tuple, merged.collect()))
+    # plus an uncommitted FRESH stage (simulated live writer: another
+    # artifact family's staging dir with no commit marker)
+    spark.createDataFrame([(1, 2)], "a int, b int") \
+        .write.parquet(f"{out}/lid_counts__staging/counts")
+    r = pipeline.vacuum_staging(spark, out, ttl_seconds=3600)
+    assert r == {"published": 1, "deleted": 0, "kept": 1}
+    assert not os.path.exists(staging)
+    assert os.path.exists(f"{out}/lid_counts__staging")
+    got = sorted(map(tuple,
+                     spark.read.parquet(f"{out}/kn_counts").collect()))
+    assert got == want
+
+    # past the TTL the orphan is deleted
+    time.sleep(1.1)
+    r2 = pipeline.vacuum_staging(spark, out, ttl_seconds=1)
+    assert r2 == {"published": 0, "deleted": 1, "kept": 0}
+    assert not os.path.exists(f"{out}/lid_counts__staging")
+
+    # index_stats over the LSH bucket layout vs a hand histogram
+    emb = load_table(spark, sf, "embeddings")
+    lsh_dir = str(tmp_path / "lsh")
+    pipeline.write_lsh_index(spark, emb, lsh_dir, n_bits=4, n_tables=2)
+    idx = pipeline.load_lsh_index(spark, lsh_dir)
+    stats = pipeline.index_stats(spark, idx, ["t", "bucket"]).collect()[0]
+    from collections import Counter
+    hand = Counter((r.t, r.bucket) for r in idx.select("t", "bucket").collect())
+    import math
+    counts = sorted(hand.values())
+    assert stats.n_keys == len(hand)
+    assert stats.total_rows == sum(counts)
+    assert stats.min_rows == counts[0] and stats.max_rows == counts[-1]
+    assert stats.p99_rows == counts[math.ceil(len(counts) * 0.99 - 1e-9) - 1]
+    assert abs(stats.skew - stats.max_rows * stats.n_keys / stats.total_rows) < 1e-6
