@@ -42,6 +42,17 @@ def document_schema() -> StructType:
     return StructType(fields)
 
 
+def _validity_gate(raw: DataFrame) -> DataFrame:
+    """The format's B1-style gate: parsed (``_corrupt_record`` null) AND
+    the two non-optional fields present. Stateless/map-only, so the
+    batch and streaming readers share it verbatim and are
+    batch-equivalent by construction."""
+    return (raw.filter(F.col(_CORRUPT_COL).isNull()
+                       & F.col("doc_id").isNotNull()
+                       & F.col("text").isNotNull())
+            .drop(_CORRUPT_COL))
+
+
 def read_jsonl_documents(spark: SparkSession, path: str) -> DataFrame:
     """Parsed + validated document rows from a JSONL path (plain or .gz).
 
@@ -59,10 +70,23 @@ def read_jsonl_documents(spark: SparkSession, path: str) -> DataFrame:
            .option("mode", "PERMISSIVE")
            .option("columnNameOfCorruptRecord", _CORRUPT_COL)
            .json(path))
-    return (raw.filter(F.col(_CORRUPT_COL).isNull()
-                       & F.col("doc_id").isNotNull()
-                       & F.col("text").isNotNull())
-            .drop(_CORRUPT_COL))
+    return _validity_gate(raw)
+
+
+def read_jsonl_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl_documents`: the same explicit
+    schema + PERMISSIVE corrupt-record gate over a file-source stream —
+    the shape a continuous corpus ingest runs (JSONL shards landing in a
+    directory, each micro-batch gated statelessly). No state store, no
+    watermark, no shuffle: every micro-batch filters independently, and
+    the union of micro-batch outputs equals the batch read of the same
+    files (the gate is a pure row predicate — the ``streaming_dedup_keys``
+    batch-equivalence argument, degenerate case)."""
+    raw = (spark.readStream.schema(document_schema())
+           .option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+           .json(path))
+    return _validity_gate(raw)
 
 
 def read_jsonl_rejects(spark: SparkSession, path: str) -> DataFrame:

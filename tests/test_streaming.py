@@ -386,3 +386,48 @@ def test_streaming_lm_maintenance_equals_bulk(spark, tmp_path):
     a = sorted(map(tuple, pipeline.load_kn_lm(spark, out).collect()))
     b = sorted(map(tuple, pipeline.load_kn_lm(spark, bulk).collect()))
     assert a == b and len(a) > 0
+
+
+def test_streaming_jsonl_gate_equals_batch(spark, tmp_path):
+    """The streaming JSONL reader gates each micro-batch with the same
+    stateless validity predicate as the batch reader, so the streamed
+    output over a directory of shards equals the batch read of the same
+    files — corrupt and missing-required lines dropped identically."""
+    import gzip as _gzip
+    import json
+
+    from hybrid_recommendation_system_using_vector_db_spark.sources import jsonl
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    # two shards -> the file source can deliver them across micro-batches
+    shard1 = [
+        json.dumps({"doc_id": 1, "lang": "en", "source": "web", "text": "one"}),
+        '{"doc_id": 2, "text": "trunc',                        # malformed
+        json.dumps({"doc_id": 3, "text": "three"}),
+    ]
+    shard2 = [
+        json.dumps({"lang": "de", "source": "web"}),           # missing required
+        json.dumps({"doc_id": 5, "lang": "de", "source": "x", "text": "five"}),
+    ]
+    for name, lines in [("a.jsonl.gz", shard1), ("b.jsonl.gz", shard2)]:
+        with _gzip.open(d / name, "wt", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    stream = jsonl.read_jsonl_documents_stream(spark, str(d))
+    assert stream.isStreaming
+    q = run_stream_to_memory(stream, "jsonl_stream", output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.sql(
+            "SELECT doc_id, lang, source, text FROM jsonl_stream").collect()))
+    finally:
+        q.stop()
+    want = sorted(map(tuple,
+                      jsonl.read_jsonl_documents(spark, str(d))
+                      .select("doc_id", "lang", "source", "text").collect()))
+    assert got == want
+    assert [r[0] for r in got] == [1, 3, 5]
