@@ -3163,6 +3163,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
         "tfidf_top_terms": q_tfidf_top_terms,
+        # r9 correction: hash_embeddings is §2 H1's ONLY direct row (the
+        # Arrow batch-embedding UDF with its full DuckDB oracle) — it
+        # stays under the driver gate; coactivity rotates out instead
+        # (its events co-occurrence is the same D1 self-join+count shape
+        # as the driver-checked copurchase_edges; driver-proven r6-r8)
+        "hash_embeddings": q_hash_embeddings,
         # --- lexical + hybrid-search fusion (new in r6) ---
         "bm25_topk": q_bm25_topk,                     # BM25 lexical ranker
         "rrf_hybrid_topk": q_rrf_hybrid_topk,         # RRF(BM25, dense) fusion
@@ -3173,7 +3179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": q_streaming_hourly,  # Structured Streaming path
         "streaming_dedup": q_streaming_dedup,  # streaming dropDuplicates state
         "asof_attribution": q_asof_attribution,
-        "coactivity": q_coactivity,
         "cube_revenue": q_cube_revenue,
     }
 
@@ -3326,7 +3331,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_centroids": q_cluster_centroids,     # k-means codebook table
         "quantized_topk": q_quantized_topk,           # int8 SQ-ADC search
         "pq_topk": q_pq_topk,                         # product-quantized ADC
-        "hash_embeddings": q_hash_embeddings,         # Arrow batch embedder
+        "coactivity": q_coactivity,                   # events co-occurrence
+                                                      # (D1 self-join shape)
         "doc_fingerprints": q_fingerprints,           # rolling-hash fingerprints
         "multimodal_features": q_multimodal_features, # binary-payload features
         "split_assign": q_split_assign,               # hash split assignment
