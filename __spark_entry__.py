@@ -2907,6 +2907,61 @@ def q_tpch_q4(spark, sf_dir):
             .orderBy("o_orderpriority"))
 
 
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders, suppliers from one nation whose line was LATE while (a) at
+    least one OTHER supplier also supplied the order and (b) NO other
+    supplier's line was late — the sole-blame double correlation.
+    Adapted to this schema: "late" = shipped ≥90 days after the order
+    date (no commit/receipt dates in the testdata; same adaptation
+    convention as Q4's EXISTS).
+
+    The interesting plan: the EXISTS and NOT EXISTS compile to ONE
+    left-semi and ONE left-anti hash join against the same fact table
+    keyed on the order — no aggregation detour, no row explosion; the
+    supplier/nation dims broadcast; the top-100 is TakeOrdered."""
+    _pin_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    sup = (load_table(spark, sf_dir, "supplier")
+           .join(F.broadcast(load_table(spark, sf_dir, "nation")
+                             .filter(F.col("n_name") == "NATION_1")),
+                 F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+           .select("s_suppkey", "s_name"))
+    l1 = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+          .filter(F.col("l_shipdate")
+                  >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+          .select("l_orderkey", "l_suppkey", "o_orderdate"))
+    # (a) some OTHER supplier on the order: semi join, supplier-inequality
+    # as the join residual
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_suppkey").alias("s2"))
+    cand = l1.join(
+        l2, (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+    # (b) no OTHER supplier was late on the order: anti join on the same
+    # late-line predicate
+    l3 = (li.join(orders.select(F.col("o_orderkey").alias("o3k"),
+                                F.col("o_orderdate").alias("d3")),
+                  F.col("l_orderkey") == F.col("o3k"))
+          .filter(F.col("l_shipdate") >= F.col("d3")
+                  + F.expr("INTERVAL 90 DAYS"))
+          .select(F.col("l_orderkey").alias("o3"),
+                  F.col("l_suppkey").alias("s3")))
+    sole = cand.join(
+        l3, (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    return (sole.join(F.broadcast(sup),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(100))
+
+
 def q_tpch_q18(spark, sf_dir):
     """TPC-H Q18 (large-volume customers): orders whose total line
     quantity exceeds 150, with customer enrichment, top-100 by order
@@ -3342,6 +3397,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_revenue": q_ewma_revenue,               # bounded-window EWMA
         "tpch_q4": q_tpch_q4,                         # EXISTS → left-semi
         "tpch_q18": q_tpch_q18,                       # HAVING-pruned big orders
+        "tpch_q21": q_tpch_q21,                       # sole-late-supplier
+                                                      # semi+anti double corr.
         "scd2_intervals": q_scd2_intervals,           # SCD2 validity intervals
         "psi_drift": q_psi_drift,                     # PSI drift monitor
         "char_entropy": q_char_entropy,               # Shannon char entropy
@@ -6697,6 +6754,30 @@ c AS (
 )
 SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= 800
+"""
+    # Q21 shape: semi (another supplier) + anti (no other LATE supplier)
+    # against the same fact, mirrored with EXISTS / NOT EXISTS
+    sql["tpch_q21"] = """
+WITH f AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+l1 AS (
+  SELECT l.l_orderkey, l.l_suppkey, f.o_orderdate
+  FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+  WHERE l.l_shipdate >= f.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_1'
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate >= l1.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
 """
     return sql
 

@@ -155,6 +155,7 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q16",
     "tpch_q19",
+    "tpch_q21",
     "robust_zscore",
     "temporal_split",
     "streaming_enrich",

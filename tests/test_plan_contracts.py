@@ -715,3 +715,20 @@ def test_hybrid_serve_batch_warm_jobs_and_scans_bounded(spark):
     scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
     assert len(scan_ids) <= 6, \
         f"warm serve plan has {len(scan_ids)} distinct parquet scans: {sorted(scan_ids)}"
+
+
+def test_tpch_q21_semi_and_anti_against_same_fact(spark, sf_dir):
+    """Q21's double correlation must compile to ONE LeftSemi (another
+    supplier exists) and ONE LeftAnti (no other LATE supplier) against
+    the lineitem fact, each carrying the supplier-inequality as a join
+    residual — not an aggregation detour or a row-exploding inner join."""
+    import __spark_entry__ as m
+
+    plan = m.q_tpch_q21(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    semis = [ln for ln in joins if "LeftSemi" in ln and "suppkey" in ln]
+    antis = [ln for ln in joins if "LeftAnti" in ln]
+    assert len(antis) == 1 and "NOT (l_suppkey" in antis[0], antis
+    assert any("NOT (l_suppkey" in ln for ln in semis), semis
+    assert "Cross" not in plan
