@@ -3114,6 +3114,60 @@ def q_jsonl_ingest(spark, sf_dir):
         .select("doc_id", "lang", "source", "text")
 
 
+_CSV_FILE_CACHE: dict[tuple, str] = {}
+
+_CSV_ORDERS_DDL = ("o_orderkey bigint, o_custkey bigint, "
+                   "o_orderstatus string, o_totalprice double, "
+                   "o_orderdate date, o_orderpriority string")
+
+
+def _render_csv_blob(spark: SparkSession, sf_dir: str) -> str:
+    """Render a deterministic header-CSV .gz of the orders table
+    (memoized per session+dataset), with planted bad lines: orderkey %
+    97 → un-castable key (cast failure → corrupt), % 89 → broken
+    quoting (parse failure → corrupt). Doubles render via ``repr`` —
+    Python's shortest round-trip form, which Java's parseDouble maps
+    back to the identical IEEE bits, so parse(render(orders)) compares
+    exactly against the parquet originals."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CSV_FILE_CACHE:
+        import gzip
+        import tempfile
+
+        rows = sorted(
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice", "o_orderdate", "o_orderpriority")
+            .collect(), key=lambda r: int(r[0]))
+        lines = ["o_orderkey,o_custkey,o_orderstatus,o_totalprice,"
+                 "o_orderdate,o_orderpriority"]
+        for r in rows:
+            k = int(r[0])
+            if k % 97 == 0:
+                lines.append(f"notakey,{r[1]},{r[2]},{r[3]!r},{r[4]},{r[5]}")
+            elif k % 89 == 0:
+                lines.append(f'{k},"{r[1]},{r[2]}')   # unterminated quote
+            else:
+                lines.append(f"{k},{r[1]},{r[2]},{r[3]!r},{r[4]},{r[5]}")
+        d = tempfile.mkdtemp(prefix="spark_graft_csv_")
+        path = os.path.join(d, "orders.csv.gz")
+        with gzip.open(path, "wt", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+        _CSV_FILE_CACHE[key] = path
+    return _CSV_FILE_CACHE[key]
+
+
+def q_csv_ingest(spark, sf_dir):
+    """Header-CSV ingest round-trip (sources/csv_table.py): explicit
+    schema, PERMISSIVE corrupt gate over planted cast/quoting failures,
+    survivors hash-checked against the relational projection."""
+    from hybrid_recommendation_system_using_vector_db_spark.sources import csv_table
+
+    return csv_table.read_csv_table(
+        spark, _render_csv_blob(spark, sf_dir), _CSV_ORDERS_DDL,
+        required=["o_orderkey", "o_totalprice"])
+
+
 def q_amazon_meta_ingest(spark, sf_dir):
     """A1 gzip scan + A2 record-delimited parse, round-tripped under the
     hash gate: ingest the rendered blob and flatten the array fields to
@@ -3332,6 +3386,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                       # read, corrupt-line gate
         "token_budget_mix": q_token_budget_mix,       # per-domain token-budget
                                                       # greedy-prefix selection
+        "csv_ingest": q_csv_ingest,                   # header-CSV PERMISSIVE
+                                                      # read, cast/quote gate
         "leakage_safe_split": q_leakage_safe_split,   # cluster-keyed split (no near-
                                                       # dup leakage across train/test)
         "lang_confusion": q_lang_confusion,           # label-grounded lang-ID eval
@@ -6778,6 +6834,14 @@ WHERE EXISTS (SELECT 1 FROM lineitem l2
 GROUP BY s.s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 100
+"""
+    # CSV ingest round-trip: parse(render(orders)) = identity on valid
+    # rows; the planted cast-failure / broken-quote mod classes excluded.
+    sql["csv_ingest"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
 """
     return sql
 

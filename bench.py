@@ -45,6 +45,7 @@ HEADLINE = [
     "seeded_sample",
     "amazon_meta_ingest",
     "jsonl_ingest",
+    "csv_ingest",
     "pretrain_corpus",
     "token_budget_mix",
     "dedup_exact",

@@ -126,3 +126,32 @@ def test_jsonl_ingest_gate_and_rejects(spark, tmp_path):
     assert reasons == ["malformed", "malformed", "missing_required"]
     # every line is either served or accounted for
     assert len(got) + len(rej) == len(lines)
+
+
+def test_csv_ingest_gate_and_rejects(spark, tmp_path):
+    """CSV source (sources/csv_table.py): explicit-schema PERMISSIVE
+    read — broken quoting and un-castable values funnel into the gate
+    (corrupt column or nulled required field), valid rows round-trip
+    with exact types, and the rejects view accounts for every drop."""
+    from hybrid_recommendation_system_using_vector_db_spark.sources import csv_table
+
+    ddl = "id bigint, price double, day date, note string"
+    lines = [
+        "id,price,day,note",
+        "1,12.5,2024-01-02,plain",
+        '2,3.25,2024-01-03,"quoted, comma"',
+        "notanint,9.0,2024-01-04,badkey",       # cast failure on required id
+        '4,"1.0,2024-01-05,unterminated',       # broken quoting
+        "5,,2024-01-06,missing price",          # required price absent
+    ]
+    path = str(tmp_path / "t.csv")
+    open(path, "w").write("\n".join(lines) + "\n")
+    got = {r.id: r for r in csv_table.read_csv_table(
+        spark, path, ddl, required=["id", "price"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[2].note == "quoted, comma" and got[2].price == 3.25
+    assert str(got[1].day) == "2024-01-02"
+    rej = csv_table.read_csv_rejects(spark, path, ddl,
+                                     required=["id", "price"]).collect()
+    assert len(got) + len(rej) == 5
+    assert sorted(r.reason for r in rej).count("malformed") >= 1
