@@ -71,3 +71,15 @@ def test_all_queries_run(spark, sf_dir):
 def test_entry_smoke(spark):
     out = entrymod.entry(spark)
     assert out.count() >= 0
+
+
+def test_bench_headline_names_all_resolve():
+    """bench.py silently filters HEADLINE to names present in the query
+    surface — a typo'd or rotated-away name would quietly drop an entry
+    from the measured sweep. Every HEADLINE name must resolve."""
+    import bench
+
+    surface = set(QUERIES) | set(EXTRA_QUERIES)
+    missing = [n for n in bench.HEADLINE if n not in surface]
+    assert not missing, f"bench HEADLINE names not in the query surface: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate HEADLINE names"
