@@ -996,12 +996,13 @@ def q_token_budget_mix(spark, sf_dir):
     score desc, doc_id asc (a pinned total order); weight: whitespace
     token count (the same portable token definition as the oracle).
     Output: (doc_id, source, n_tokens, cum_tokens)."""
+    from hybrid_recommendation_system_using_vector_db_spark.functions import texttools as TT
+
     docs = load_table(spark, sf_dir, "documents")
     q = textops.quality_scores(docs).select("doc_id", "quality_score")
     base = (docs.select(
         "doc_id", "source",
-        F.size(F.filter(F.split(F.lower("text"), " "),
-                        lambda t: t != "")).cast("long").alias("n_tokens"))
+        F.size(TT.tokens(F.col("text"))).cast("long").alias("n_tokens"))
         .join(q, "doc_id"))
     return (sampling.budgeted_select(
         base, "source", "n_tokens", 800,

@@ -90,11 +90,16 @@ def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     unsupported under Spark Connect — VERDICT r8 wrong #2). Two tiers:
 
     1. Map-only scans (the common corpus input): ``inputFiles()`` +
-       Hadoop file sizes estimate the scan's partition count the same
-       way Spark's FilePartition packer does (ceil(size /
-       maxPartitionBytes) per file) — pure driver metadata, memoized,
-       no planning at all. ≥128 files short-circuits to pass-through
-       (that many files is already parallel enough for scoring).
+       Hadoop file sizes estimate the scan's partition count with
+       Spark's OWN FilePartition sizing — maxSplitBytes =
+       min(maxPartitionBytes, max(openCostInBytes, bytesPerCore)) with
+       bytesPerCore = (totalBytes + openCost·nFiles) / parallelism —
+       pure driver metadata, memoized, no planning at all. Reproducing
+       the bytesPerCore shrink matters: a plain ceil(size/128MB) over a
+       1 GB file estimates 8 partitions where Spark actually plans ~32,
+       and the underestimate would inject a spurious full-corpus
+       shuffle into every per-call operator. ≥128 files short-circuits
+       to pass-through (already parallel enough for scoring).
     2. Everything else (checkpoints, broadcast-join outputs — which
        PRESERVE the possibly-1-partition stream side, the case this
        helper exists for): probe the physical partitioning via
@@ -120,18 +125,23 @@ def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
             try:
                 jvm = spark._jvm
                 conf = spark._jsc.hadoopConfiguration()
-                max_split = int(jvm.org.apache.spark.network.util.JavaUtils
-                                .byteStringAsBytes(
-                                    spark.conf.get(
-                                        "spark.sql.files.maxPartitionBytes",
-                                        "128MB")))
-                est = 0
+                as_bytes = jvm.org.apache.spark.network.util.JavaUtils \
+                    .byteStringAsBytes
+                max_part = int(as_bytes(spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "128MB")))
+                open_cost = int(as_bytes(spark.conf.get(
+                    "spark.sql.files.openCostInBytes", "4MB")))
+                sizes = []
                 for f in files:
                     p = jvm.org.apache.hadoop.fs.Path(f)
-                    sz = p.getFileSystem(conf).getFileStatus(p).getLen()
-                    est += max(1, -(-sz // max(1, max_split)))   # ceil div
-                    if est >= target:
-                        break
+                    sizes.append(p.getFileSystem(conf)
+                                 .getFileStatus(p).getLen())
+                total = sum(sizes) + open_cost * len(sizes)
+                parallelism = spark.sparkContext.defaultParallelism
+                bytes_per_core = total // max(1, parallelism)
+                max_split = min(max_part, max(open_cost, bytes_per_core))
+                est = sum(max(1, -(-sz // max(1, max_split)))   # ceil div
+                          for sz in sizes)
                 _SPREAD_CACHE[key] = est < target
             except Exception:
                 _SPREAD_CACHE[key] = False

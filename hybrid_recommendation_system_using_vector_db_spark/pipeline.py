@@ -790,6 +790,18 @@ def _finish_staging(spark: SparkSession, staging: str,
     Invariant readers rely on: ``_COMMIT`` present AND the staged
     subdir present → the staged table is the committed truth; otherwise
     the live dir is.
+
+    Concurrency contract: ONE publisher per artifact root at a time.
+    Load paths roll committed stages forward (ADVICE r8 — serving a
+    lazy frame bound to ``__staging`` broke when the next append
+    renamed it), which makes every reader a potential publisher; the
+    publish steps are idempotent under crash-RETRY but not under
+    concurrent INTERLEAVING (two publishers can interleave the
+    delete-live/rename swap and drop the table, or double-run the
+    anti-join append). On a generic filesystem this needs an external
+    mutex (a rename-claimed ``__publishing`` work dir is the upgrade
+    path); deployments with concurrent readers should route loads
+    through one maintenance actor.
     """
     fs, P = _hadoop_fs(spark, staging)
     commit = P(f"{staging}/_COMMIT")
@@ -858,6 +870,17 @@ def _staged_commit_write(spark: SparkSession, out_dir: str,
     batch_ids.write.mode("overwrite").parquet(f"{staging}/docs")
     merged_counts.write.mode("overwrite").parquet(f"{staging}/counts")
     fs, P = _hadoop_fs(spark, out_dir)
+    # both staged tables must still exist at the commit point: a
+    # concurrent vacuum/cleanup that deleted the stage mid-write would
+    # otherwise be papered over by create() recreating parent dirs,
+    # leaving a _COMMIT over an empty stage — the finish step would then
+    # "publish" nothing and silently drop the batch. Fail loudly instead.
+    for sub in ("docs", "counts"):
+        if not fs.exists(P(f"{staging}/{sub}")):
+            raise RuntimeError(
+                f"staged table vanished before commit: {staging}/{sub} "
+                "(concurrent cleanup? one maintenance actor per artifact "
+                "root at a time)")
     fs.create(P(f"{staging}/_COMMIT")).close()   # the commit point
     _staged_commit_finish(spark, out_dir, counts_name, docs_name)
 
@@ -1024,17 +1047,24 @@ def vacuum_staging(spark: SparkSession, out_dir: str,
     """Garbage-collect orphaned ``*__staging`` directories under an
     artifact root.
 
-    COMMITTED stages are rolled forward (published), never deleted —
-    they are the committed truth of an interrupted append. UNcommitted
-    stages older than ``ttl_seconds`` (by directory modification time)
-    are deleted: they are debris from a writer that crashed before its
-    commit point and will never be published; the TTL keeps a vacuum
-    from racing a LIVE writer that has staged but not yet committed
-    (the same reason Delta's VACUUM defaults to a retention window).
-    Returns {published, deleted, kept}.
+    COMMITTED stages of a RECOGNIZED protocol are rolled forward
+    (published), never deleted — they are the committed truth of an
+    interrupted append. A committed stage whose layout matches no known
+    protocol (neither the dedup triple nor a counts/docs pair) is KEPT,
+    loudly counted under ``kept`` — publishing it through the wrong
+    protocol would delete the marker without moving anything and erase
+    that family's committed truth. UNcommitted stages older than
+    ``ttl_seconds`` are deleted: debris from a writer that crashed
+    before its commit point. The age is the stage's RECURSIVE max
+    modification time — task writes land in grandchild files
+    (``subdir/_temporary/...``) that never refresh the staging dir's
+    own mtime, so a top-level-mtime TTL would delete a stage mid-write
+    under a slow live writer. Returns {published, deleted, kept}.
 
     Driver-side metadata only — no Spark job beyond the publish reads a
-    committed stage itself needs."""
+    committed stage itself needs. Like the staged-commit protocol it
+    cleans up after, vacuum assumes ONE maintenance actor per artifact
+    root at a time (see ``_finish_staging``)."""
     import time as _time
 
     fs, P = _hadoop_fs(spark, out_dir)
@@ -1043,21 +1073,40 @@ def vacuum_staging(spark: SparkSession, out_dir: str,
     if not fs.exists(root):
         return {"published": 0, "deleted": 0, "kept": 0}
     now_ms = int(_time.time() * 1000)
+
+    def _max_mtime(path) -> int:
+        newest = 0
+        stack = [path]
+        while stack:
+            cur = stack.pop()
+            for child in fs.listStatus(cur):
+                newest = max(newest, child.getModificationTime())
+                if child.isDirectory():
+                    stack.append(child.getPath())
+        return newest
+
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.endswith("__staging")):
             continue
         staging = f"{out_dir}/{name}"
         if fs.exists(P(f"{staging}/_COMMIT")):
-            # committed: publish through the matching protocol
-            if name == "dedup__staging":
+            if name == "dedup__staging" and any(
+                    fs.exists(P(f"{staging}/{sub}"))
+                    for sub in ("clusters", "pairs", "bands")):
                 _finish_dedup_commit(spark, out_dir)
-            else:
+                published += 1
+            elif name.endswith("_counts__staging") and (
+                    fs.exists(P(f"{staging}/counts"))
+                    or fs.exists(P(f"{staging}/docs"))):
                 counts_name = name[: -len("__staging")]
                 docs_name = counts_name.replace("_counts", "_docs")
                 _staged_commit_finish(spark, out_dir, counts_name, docs_name)
-            published += 1
-        elif now_ms - st.getModificationTime() > ttl_seconds * 1000:
+                published += 1
+            else:
+                kept += 1        # committed but unrecognized: never touch
+        elif now_ms - max(st.getModificationTime(),
+                          _max_mtime(st.getPath())) > ttl_seconds * 1000:
             fs.delete(st.getPath(), True)
             deleted += 1
         else:
@@ -1095,7 +1144,10 @@ def index_stats(spark: SparkSession, index: DataFrame,
         F.sum("rows").alias("total_rows"),
         F.min("rows").alias("min_rows"),
         F.max("rows").alias("max_rows"))
-    return (agg.crossJoin(p99)
+    # LEFT join, not crossJoin: an EMPTY index yields one global-agg row
+    # (n_keys=0) with a null p99 — a crossJoin against the empty p99 side
+    # returned ZERO rows, vanishing exactly when the index is at its worst
+    return (agg.join(p99, F.lit(True), "left")
             .select("n_keys", "total_rows", "min_rows", "max_rows",
                     "p99_rows",
                     fround(F.col("total_rows").cast("double")

@@ -1093,11 +1093,20 @@ def test_vacuum_staging_and_index_stats(spark, tmp_path):
                      spark.read.parquet(f"{out}/kn_counts").collect()))
     assert got == want
 
-    # past the TTL the orphan is deleted
+    # a COMMITTED stage whose layout matches no known protocol is never
+    # touched (publishing it through the wrong protocol would delete the
+    # marker without moving anything) — kept even past the TTL
+    spark.createDataFrame([(1,)], "x int") \
+        .write.parquet(f"{out}/foo__staging/data")
+    open(os.path.join(out, "foo__staging", "_COMMIT"), "w").close()
+
+    # past the TTL the uncommitted orphan is deleted; the unrecognized
+    # committed stage survives
     time.sleep(1.1)
     r2 = pipeline.vacuum_staging(spark, out, ttl_seconds=1)
-    assert r2 == {"published": 0, "deleted": 1, "kept": 0}
+    assert r2 == {"published": 0, "deleted": 1, "kept": 1}
     assert not os.path.exists(f"{out}/lid_counts__staging")
+    assert os.path.exists(f"{out}/foo__staging/data")
 
     # index_stats over the LSH bucket layout vs a hand histogram
     emb = load_table(spark, sf, "embeddings")
@@ -1114,3 +1123,8 @@ def test_vacuum_staging_and_index_stats(spark, tmp_path):
     assert stats.min_rows == counts[0] and stats.max_rows == counts[-1]
     assert stats.p99_rows == counts[math.ceil(len(counts) * 0.99 - 1e-9) - 1]
     assert abs(stats.skew - stats.max_rows * stats.n_keys / stats.total_rows) < 1e-6
+    # an EMPTY index still yields exactly one stats row (null p99), so
+    # monitoring reads n_keys=0 instead of vanishing
+    empty = idx.filter(F.lit(False))
+    erow = pipeline.index_stats(spark, empty, ["t", "bucket"]).collect()
+    assert len(erow) == 1 and erow[0].n_keys == 0 and erow[0].p99_rows is None
