@@ -110,10 +110,27 @@ def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     target = min_partitions or spark.sparkContext.defaultParallelism
     files = None
     try:
-        lineage = df._jdf.queryExecution().analyzed().toString()
-        if not any(tok in lineage for tok in (
-                "Aggregate", "Join", "Window", "Repartition",
-                "Deduplicate", "Sort", "GlobalLimit", "LogicalRDD")):
+        # Walk the analyzed logical plan's NODES and whitelist the
+        # map-only shapes (scan + project/filter/alias): substring-
+        # matching the rendered plan string misclassified any relation/
+        # column/literal whose name contained a node token ('Join',
+        # 'Sort', ...) and silently missed future node types (ADVICE
+        # r9). Anything outside the whitelist falls through to the
+        # physical-partitioning probe below, which is correct for every
+        # plan shape — the whitelist only gates the cheap metadata path.
+        node, stack, maponly = None, [df._jdf.queryExecution().analyzed()], True
+        while stack:
+            node = stack.pop()
+            if node.nodeName() not in (
+                    "Project", "Filter", "SubqueryAlias", "View",
+                    "LogicalRelation", "Relation",
+                    "DataSourceV2Relation", "DataSourceV2ScanRelation"):
+                maponly = False
+                break
+            cs = node.children()
+            for i in range(cs.size()):
+                stack.append(cs.apply(i))
+        if maponly:
             files = sorted(df.inputFiles())
     except Exception:
         return df

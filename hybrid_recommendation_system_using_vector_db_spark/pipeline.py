@@ -171,6 +171,11 @@ def write_lsh_index(spark: SparkSession, embeddings: DataFrame, out_dir: str,
     lsh_build_index(embeddings, n_bits=n_bits, n_tables=n_tables) \
         .write.mode("overwrite").partitionBy("t", "bucket") \
         .parquet(f"{out_dir}/lsh_buckets")
+    # compact appended-ids ledger: the append replay guard probes THIS
+    # (one narrow row per vector) instead of distinct-scanning the whole
+    # bucket table (n_tables rows × vector payload each) — ADVICE r9
+    embeddings.select(F.col("vec_id").alias("doc_id")).distinct() \
+        .write.mode("overwrite").parquet(f"{out_dir}/lsh_docs")
     spark.createDataFrame([(n_bits, n_tables)],
                           "n_bits int, n_tables int") \
         .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/lsh_params")
@@ -188,6 +193,7 @@ def load_lsh_index(spark: SparkSession, out_dir: str) -> DataFrame:
     from the footer of a first (metadata-only) inferred read."""
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
+    _finish_lsh_commit(spark, out_dir, as_reader=True)
     p = spark.read.parquet(f"{out_dir}/lsh_params").collect()[0]
     base = spark.read.parquet(f"{out_dir}/lsh_buckets")
     schema = StructType(
@@ -198,29 +204,79 @@ def load_lsh_index(spark: SparkSession, out_dir: str) -> DataFrame:
                                      "lsh.n_tables": int(p.n_tables)}))
 
 
+def _finish_lsh_commit(spark: SparkSession, out_dir: str,
+                       as_reader: bool = False) -> bool:
+    """LSH-artifact staged-commit publish: bucket rows + ledger rows
+    appended together through :func:`_finish_staging`. The bucket
+    append's replay guard is partition-PRUNED to the (t, bucket)
+    rectangle the staged rows touch, so a crash-retry publish re-scans
+    only the live files the batch could have landed in — O(batch), not
+    O(corpus) (ADVICE r9)."""
+    return _finish_staging(
+        spark, f"{out_dir}/lsh__staging",
+        swaps={},
+        appends={"buckets": (f"{out_dir}/lsh_buckets", "cand"),
+                 "docs": (f"{out_dir}/lsh_docs", "doc_id")},
+        prune={"buckets": ["t", "bucket"]},
+        partition_by={"buckets": ["t", "bucket"]},
+        as_reader=as_reader)
+
+
 def append_lsh_index(spark: SparkSession, new_embeddings: DataFrame,
                      out_dir: str, id_col: str = "vec_id") -> None:
     """Incremental LSH maintenance: bucket ONLY the new batch with the
     STORED hyperplane params and dynamic-partition-append its rows —
     file writes land only under the ``t=/bucket=`` directories the
-    batch touches, so growth costs O(batch), never O(corpus). Replay-
-    guarded on the stored candidate ids (a re-appended vector is a
-    no-op); because bucketing is a pure function of the params, an
-    index grown incrementally is ROW-IDENTICAL to a bulk rebuild over
-    the union (pinned by
-    ``test_lsh_index_incremental_append_equals_bulk``)."""
+    batch touches, so growth costs O(batch), never O(corpus).
+
+    Replay guard (ADVICE r9): the batch anti-joins the compact
+    ``lsh_docs`` ledger (one narrow row per stored vector), never a
+    distinct over the full bucket table — a re-appended vector is a
+    no-op at O(|ledger ids|) probe cost, with no vector payloads read.
+
+    Crash safety (VERDICT r9 #7): bucket rows and ledger rows move
+    through the SAME staged commit as the dedup/KN/LID families —
+    stage both, mark ``_COMMIT``, publish via :func:`_finish_staging`.
+    A crash before the marker discards the stage on the next append; a
+    crash after replays idempotently (full-row anti-join append with
+    the live side pruned to the touched (t, bucket) partitions), so a
+    partial bucket-file exposure can never double-count or lose rows.
+
+    Because bucketing is a pure function of the params, an index grown
+    incrementally is ROW-IDENTICAL to a bulk rebuild over the union
+    (pinned by ``test_lsh_index_incremental_append_equals_bulk``)."""
     from .operators.similarity import lsh_build_index
 
+    _finish_lsh_commit(spark, out_dir)   # recover any interrupted append
     p = spark.read.parquet(f"{out_dir}/lsh_params").collect()[0]
-    stored_ids = (spark.read.parquet(f"{out_dir}/lsh_buckets")
-                  .select(F.col("cand").alias(id_col)).distinct())
-    batch = new_embeddings.join(stored_ids, id_col, "left_anti")
+    fs, P = _hadoop_fs(spark, out_dir)
+    if fs.exists(P(f"{out_dir}/lsh_docs")):
+        stored_ids = (spark.read.parquet(f"{out_dir}/lsh_docs")
+                      .select(F.col("doc_id").alias(id_col)))
+    else:
+        # pre-ledger layout (index written before the ledger existed):
+        # one-time fallback probe of the bucket table, then the staged
+        # commit below starts the ledger from this batch onward
+        stored_ids = (spark.read.parquet(f"{out_dir}/lsh_buckets")
+                      .select(F.col("cand").alias(id_col)).distinct())
+        stored_ids.write.mode("overwrite").parquet(f"{out_dir}/lsh_docs")
+        stored_ids = (spark.read.parquet(f"{out_dir}/lsh_docs")
+                      .select(F.col("doc_id").alias(id_col)))
+    batch = new_embeddings.join(stored_ids, id_col, "left_anti") \
+        .localCheckpoint(eager=True)
     if batch.isEmpty():
         return
+    staging = f"{out_dir}/lsh__staging"
+    # staged UNpartitioned: bucket must stay a real string column here —
+    # staging it as a partition value would round-trip through partition
+    # type inference on the publish read and lose its leading zeros
     lsh_build_index(batch, id_col=id_col,
                     n_bits=int(p.n_bits), n_tables=int(p.n_tables)) \
-        .write.mode("append").partitionBy("t", "bucket") \
-        .parquet(f"{out_dir}/lsh_buckets")
+        .write.mode("overwrite").parquet(f"{staging}/buckets")
+    batch.select(F.col(id_col).alias("doc_id")).distinct() \
+        .write.mode("overwrite").parquet(f"{staging}/docs")
+    fs.create(P(f"{staging}/_COMMIT")).close()   # the commit point
+    _finish_lsh_commit(spark, out_dir)
 
 
 def write_pq_index(spark: SparkSession, embeddings: DataFrame, out_dir: str,
@@ -575,16 +631,18 @@ def write_dedup_clusters(spark: SparkSession, documents: DataFrame,
         .coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dedup_params")
 
 
-def _finish_dedup_commit(spark: SparkSession, out_dir: str) -> None:
+def _finish_dedup_commit(spark: SparkSession, out_dir: str,
+                         as_reader: bool = False) -> bool:
     """Dedup-artifact staged-commit publish: clusters + pairs swap,
     bands keyed append, through :func:`_finish_staging` (the cluster/
     band/pair triple previously committed non-atomically — the same
     crash-window class ADVICE r7 flagged for the count artifacts)."""
-    _finish_staging(
+    return _finish_staging(
         spark, f"{out_dir}/dedup__staging",
         swaps={"clusters": f"{out_dir}/dedup_clusters",
                "pairs": f"{out_dir}/dedup_pairs"},
-        appends={"bands": (f"{out_dir}/dedup_bands", "doc_id")})
+        appends={"bands": (f"{out_dir}/dedup_bands", "doc_id")},
+        as_reader=as_reader)
 
 
 def load_dedup_clusters(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -594,14 +652,15 @@ def load_dedup_clusters(spark: SparkSession, out_dir: str) -> DataFrame:
     A committed-but-unpublished stage is rolled FORWARD first, then the
     stable live directory is read: serving the lazy DataFrame straight
     off ``__staging`` left it bound to a directory the next append
-    renames away, failing the reader's next action (ADVICE r8). An
-    UNcommitted stage is left untouched (it may belong to an in-flight
-    append; only append paths discard those), and the live dir is the
-    committed truth by the staging invariant."""
-    staging = f"{out_dir}/dedup__staging"
-    fs, P = _hadoop_fs(spark, out_dir)
-    if fs.exists(P(f"{staging}/_COMMIT")):
-        _finish_dedup_commit(spark, out_dir)
+    renames away, failing the reader's next action (ADVICE r8). The
+    roll-forward runs under the atomic rename claim (``as_reader=True``,
+    ADVICE r9): a lost claim or an in-flight publish falls back to
+    reading the live dir READ-ONLY, so concurrent readers can never
+    interleave the swap and lose the table. An UNcommitted stage is
+    left untouched (it may belong to an in-flight append; only append
+    paths discard those), and the live dir is the committed truth by
+    the staging invariant."""
+    _finish_dedup_commit(spark, out_dir, as_reader=True)
     return spark.read.parquet(f"{out_dir}/dedup_clusters")
 
 
@@ -759,23 +818,15 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jvm.org.apache.hadoop.fs.Path
 
 
-def _finish_staging(spark: SparkSession, staging: str,
-                    swaps: dict, appends: dict) -> None:
-    """Roll forward (or discard) a staged multi-table artifact commit.
+def _publish_stage(spark: SparkSession, stage: str,
+                   swaps: dict, appends: dict,
+                   prune: dict | None = None,
+                   partition_by: dict | None = None) -> None:
+    """Idempotently publish a COMMITTED stage dir (``_COMMIT`` present).
 
-    Multi-file artifacts (count tables + replay ledgers, the dedup
-    cluster/band/pair triple) must move together; updating them
-    non-atomically risks double-applying a batch on crash-retry (one
-    half landed, the other didn't) or destroying a live table
-    mid-overwrite (ADVICE r7). Append paths therefore stage EVERY
-    updated table under ``staging/`` and drop a ``_COMMIT`` marker file
-    as the single commit point; this helper publishes a committed stage
-    and discards an uncommitted one. Every publish step is idempotent,
-    so a crash mid-publish re-runs cleanly:
-
-    - ``swaps``: {staging-subdir → live dir} — atomic-rename
+    - ``swaps``: {stage-subdir → live dir} — atomic-rename
       replacement (skipped if the subdir is already renamed away).
-    - ``appends``: {staging-subdir → (live dir, key col)} — append
+    - ``appends``: {stage-subdir → (live dir, key col)} — append
       staged rows not already present in the live table. The replay
       guard is FULL-ROW (null-safe) identity, not the key column alone:
       the v1 FileOutputCommitter's job commit renames task files
@@ -786,40 +837,49 @@ def _finish_staging(spark: SparkSession, staging: str,
       so exact-row anti-join appends exactly the missing rows and a
       replay of a fully-landed batch is a no-op. ``key`` documents the
       table's nominal append key for callers/tests.
+    - ``prune``: {stage-subdir → [partition cols]} — the anti-join's
+      LIVE side is filtered to the partition values the staged rows
+      actually touch (literal ``isin`` per column, so the parquet scan
+      prunes at the FILE level). Without this the replay guard of a
+      partitioned table (LSH buckets) re-scans the whole live table on
+      every publish — O(corpus) where the append itself is O(batch)
+      (ADVICE r9). Sound because a staged row outside the touched
+      rectangle cannot exist in the live partitions that were excluded.
+    - ``partition_by``: {stage-subdir → [partition cols]} — the live
+      table is partitioned on these columns; the replay append writes
+      with the same ``partitionBy`` so retried rows land under the
+      correct directories. Staged tables are ALWAYS written
+      UNpartitioned (plain columns) — staging a bit-string bucket as a
+      partition value would round-trip through partition-type
+      inference and lose its leading zeros — so the staged schema
+      carries the true column types, and the live side is read with
+      that exact schema pinned (partition values parse as the staged
+      type, never re-inferred).
 
-    Invariant readers rely on: ``_COMMIT`` present AND the staged
-    subdir present → the staged table is the committed truth; otherwise
-    the live dir is.
-
-    Concurrency contract: ONE publisher per artifact root at a time.
-    Load paths roll committed stages forward (ADVICE r8 — serving a
-    lazy frame bound to ``__staging`` broke when the next append
-    renamed it), which makes every reader a potential publisher; the
-    publish steps are idempotent under crash-RETRY but not under
-    concurrent INTERLEAVING (two publishers can interleave the
-    delete-live/rename swap and drop the table, or double-run the
-    anti-join append). On a generic filesystem this needs an external
-    mutex (a rename-claimed ``__publishing`` work dir is the upgrade
-    path); deployments with concurrent readers should route loads
-    through one maintenance actor.
+    Every step is idempotent, so a crash mid-publish re-runs cleanly.
+    The marker is deleted LAST: its absence means the live dirs are
+    consistent.
     """
-    fs, P = _hadoop_fs(spark, staging)
-    commit = P(f"{staging}/_COMMIT")
-    if not fs.exists(commit):
-        if fs.exists(P(staging)):      # partial stage from a crashed
-            fs.delete(P(staging), True)  # append — never committed
-        return
+    fs, P = _hadoop_fs(spark, stage)
     for sub, live in swaps.items():
-        staged = P(f"{staging}/{sub}")
+        staged = P(f"{stage}/{sub}")
         if fs.exists(staged):          # swap not yet done (or mid-way)
             if fs.exists(P(live)):
                 fs.delete(P(live), True)
             fs.rename(staged, P(live))
     for sub, (live, key) in appends.items():
-        spath = f"{staging}/{sub}"
+        spath = f"{stage}/{sub}"
         if fs.exists(P(spath)):
             staged = spark.read.parquet(spath).alias("s")
-            livedf = spark.read.parquet(live).alias("l")
+            livedf = spark.read.schema(staged.schema).parquet(live) \
+                .alias("l")
+            for c in (prune or {}).get(sub, []):
+                # bounded driver collect: distinct partition values the
+                # batch touches (≤ n_tables × batch buckets for LSH)
+                vals = [r[0] for r in
+                        spark.read.parquet(spath).select(c).distinct()
+                        .collect()]
+                livedf = livedf.filter(F.col(c).isin(vals)).alias("l")
             cond = None
             for c in staged.columns:   # full-row, null-safe identity
                 eq = F.col(f"s.{c}").eqNullSafe(F.col(f"l.{c}"))
@@ -827,19 +887,105 @@ def _finish_staging(spark: SparkSession, staging: str,
             fresh = (staged.join(livedf, cond, "left_anti")
                      .localCheckpoint(eager=True))
             if not fresh.isEmpty():    # idempotent: replay-safe append
-                fresh.write.mode("append").parquet(live)
-    fs.delete(commit, False)           # marker last: its absence means
-    fs.delete(P(staging), True)        # the live dirs are consistent
+                pcols = (partition_by or {}).get(sub)
+                w = fresh.write.mode("append")
+                if pcols:
+                    w = w.partitionBy(*pcols)
+                w.parquet(live)
+    fs.delete(P(f"{stage}/_COMMIT"), False)  # marker last: its absence
+    fs.delete(P(stage), True)                # means live is consistent
+
+
+def _finish_staging(spark: SparkSession, staging: str,
+                    swaps: dict, appends: dict,
+                    prune: dict | None = None,
+                    partition_by: dict | None = None,
+                    as_reader: bool = False) -> bool:
+    """Roll forward (or discard) a staged multi-table artifact commit.
+
+    Multi-file artifacts (count tables + replay ledgers, the dedup
+    cluster/band/pair triple, the LSH bucket/ledger pair) must move
+    together; updating them non-atomically risks double-applying a
+    batch on crash-retry (one half landed, the other didn't) or
+    destroying a live table mid-overwrite (ADVICE r7). Append paths
+    stage EVERY updated table under ``staging/`` and drop a ``_COMMIT``
+    marker file as the single commit point; this helper publishes a
+    committed stage and discards an uncommitted one (see
+    :func:`_publish_stage` for the publish semantics).
+
+    Invariant readers rely on: ``_COMMIT`` present under ``__staging``
+    or its ``__publishing`` sibling → that staged table is the
+    committed truth; otherwise the live dir is.
+
+    Concurrency contract (ADVICE r9): publish steps are idempotent
+    under crash-RETRY but not under concurrent INTERLEAVING, so every
+    publish first CLAIMS the stage by atomically renaming
+    ``…__staging`` → ``…__publishing``. Exactly one claimer wins the
+    rename; the publish then runs on the claimed dir.
+
+    - ``as_reader=True`` (load paths, which roll committed stages
+      forward per ADVICE r8): a lost claim, or a pre-existing
+      committed ``__publishing`` dir (another actor's in-flight or
+      crashed publish), returns **False** — the caller must fall back
+      to reading the live dir read-only and MUST NOT publish. A
+      crashed claimed publish is recovered by the next maintenance
+      call (append/vacuum), never by readers racing each other.
+    - ``as_reader=False`` (append paths + vacuum — ONE maintenance
+      actor per artifact root at a time): a committed ``__publishing``
+      leftover is rolled forward first; a lost claim means a
+      concurrent reader won it, so this path waits (bounded) for that
+      publish to complete.
+
+    Returns True when, on return, the live dirs are the committed
+    truth; False only in the reader-fallback case.
+    """
+    import time as _time
+
+    fs, P = _hadoop_fs(spark, staging)
+    publishing = (staging[: -len("__staging")] + "__publishing"
+                  if staging.endswith("__staging")
+                  else staging + "__publishing")
+    if fs.exists(P(f"{publishing}/_COMMIT")):
+        if as_reader:
+            return False   # claimed publish in flight (or crashed —
+            #                maintenance recovers it); live is readable
+        _publish_stage(spark, publishing, swaps, appends, prune,
+                       partition_by)
+    elif fs.exists(P(publishing)) and not as_reader:
+        # marker gone → that publish completed; the dir is debris from a
+        # crash between the marker delete and the dir delete
+        fs.delete(P(publishing), True)
+    if not fs.exists(P(f"{staging}/_COMMIT")):
+        if fs.exists(P(staging)) and not as_reader:
+            fs.delete(P(staging), True)  # uncommitted debris from a
+            #                              crashed append — never truth
+        return True
+    if not fs.rename(P(staging), P(publishing)):
+        # lost the claim: a concurrent actor renamed it first
+        if as_reader:
+            return False
+        for _ in range(120):             # maintenance path: wait for the
+            if not fs.exists(P(f"{publishing}/_COMMIT")) \
+                    and not fs.exists(P(f"{staging}/_COMMIT")):
+                return True              # winner's publish to finish
+            _time.sleep(0.5)
+        raise RuntimeError(
+            f"timed out waiting for a concurrent publish of {staging}")
+    _publish_stage(spark, publishing, swaps, appends, prune,
+                   partition_by)
+    return True
 
 
 def _staged_commit_finish(spark: SparkSession, out_dir: str,
-                          counts_name: str, docs_name: str) -> None:
+                          counts_name: str, docs_name: str,
+                          as_reader: bool = False) -> bool:
     """Count-artifact (KN LM / LID profile) staged-commit publish:
     counts swap + ledger append through :func:`_finish_staging`."""
-    _finish_staging(
+    return _finish_staging(
         spark, f"{out_dir}/{counts_name}__staging",
         swaps={"counts": f"{out_dir}/{counts_name}"},
-        appends={"docs": (f"{out_dir}/{docs_name}", "doc_id")})
+        appends={"docs": (f"{out_dir}/{docs_name}", "doc_id")},
+        as_reader=as_reader)
 
 
 def _committed_counts(spark: SparkSession, out_dir: str,
@@ -849,12 +995,12 @@ def _committed_counts(spark: SparkSession, out_dir: str,
     Rolls a committed-but-unpublished stage forward FIRST and reads the
     stable live dir — previously this returned the ``__staging/counts``
     path, leaving the caller's lazy DataFrame bound to a directory the
-    next append deletes (ADVICE r8). An uncommitted stage is left
+    next append deletes (ADVICE r8). The roll-forward runs under the
+    atomic rename claim (``as_reader=True``, ADVICE r9) — a lost claim
+    falls back to the live dir read-only. An uncommitted stage is left
     untouched (may belong to an in-flight append)."""
-    staging = f"{out_dir}/{counts_name}__staging"
-    fs, P = _hadoop_fs(spark, out_dir)
-    if fs.exists(P(f"{staging}/_COMMIT")):
-        _staged_commit_finish(spark, out_dir, counts_name, docs_name)
+    _staged_commit_finish(spark, out_dir, counts_name, docs_name,
+                          as_reader=True)
     return spark.read.parquet(f"{out_dir}/{counts_name}")
 
 
@@ -1047,16 +1193,25 @@ def vacuum_staging(spark: SparkSession, out_dir: str,
     """Garbage-collect orphaned ``*__staging`` directories under an
     artifact root.
 
-    COMMITTED stages of a RECOGNIZED protocol are rolled forward
-    (published), never deleted — they are the committed truth of an
-    interrupted append. A committed stage whose layout matches no known
-    protocol (neither the dedup triple nor a counts/docs pair) is KEPT,
-    loudly counted under ``kept`` — publishing it through the wrong
-    protocol would delete the marker without moving anything and erase
-    that family's committed truth. UNcommitted stages older than
-    ``ttl_seconds`` are deleted: debris from a writer that crashed
-    before its commit point. The age is the stage's RECURSIVE max
-    modification time — task writes land in grandchild files
+    COMMITTED stages of a RECOGNIZED family name (the dedup triple, the
+    LSH bucket/ledger pair, a counts/docs pair) are rolled forward
+    (published) through that family's finish routine, never deleted —
+    they are the committed truth of an interrupted append. The finish
+    runs whenever ``_COMMIT`` exists REGARDLESS of which staged subdirs
+    remain (ADVICE r9): a crash between the publish renames and the
+    marker delete leaves a stale ``_COMMIT`` over an empty stage, and
+    the finish handles exactly that state idempotently — keeping it
+    "for safety" would leave the debris in place forever. Only a
+    committed stage whose NAME matches no known family is KEPT, loudly
+    counted under ``kept`` — publishing it through the wrong protocol
+    would delete the marker without moving anything and erase that
+    family's committed truth. ``…__publishing`` siblings (the
+    rename-claimed publish work dirs, ADVICE r9) are recovered the
+    same way: committed → rolled forward; marker-less → completed-
+    publish debris, deleted by the family finish. UNcommitted stages
+    older than ``ttl_seconds`` are deleted: debris from a writer that
+    crashed before its commit point. The age is the stage's RECURSIVE
+    max modification time — task writes land in grandchild files
     (``subdir/_temporary/...``) that never refresh the staging dir's
     own mtime, so a top-level-mtime TTL would delete a stage mid-write
     under a slow live writer. Returns {published, deleted, kept}.
@@ -1085,26 +1240,47 @@ def vacuum_staging(spark: SparkSession, out_dir: str,
                     stack.append(child.getPath())
         return newest
 
+    def _family_finish(base: str) -> bool:
+        """Run the staged-commit finish of a recognized family name;
+        True if the name was recognized (finish is idempotent and
+        handles empty/renamed-away stages + __publishing leftovers)."""
+        if base == "dedup":
+            _finish_dedup_commit(spark, out_dir)
+            return True
+        if base == "lsh":
+            _finish_lsh_commit(spark, out_dir)
+            return True
+        if base.endswith("_counts"):
+            _staged_commit_finish(spark, out_dir, base,
+                                  base.replace("_counts", "_docs"))
+            return True
+        return False
+
+    finished: set = set()
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if not (st.isDirectory() and name.endswith("__staging")):
+        if not st.isDirectory():
             continue
-        staging = f"{out_dir}/{name}"
-        if fs.exists(P(f"{staging}/_COMMIT")):
-            if name == "dedup__staging" and any(
-                    fs.exists(P(f"{staging}/{sub}"))
-                    for sub in ("clusters", "pairs", "bands")):
-                _finish_dedup_commit(spark, out_dir)
-                published += 1
-            elif name.endswith("_counts__staging") and (
-                    fs.exists(P(f"{staging}/counts"))
-                    or fs.exists(P(f"{staging}/docs"))):
-                counts_name = name[: -len("__staging")]
-                docs_name = counts_name.replace("_counts", "_docs")
-                _staged_commit_finish(spark, out_dir, counts_name, docs_name)
+        if name.endswith("__staging"):
+            base = name[: -len("__staging")]
+        elif name.endswith("__publishing"):
+            base = name[: -len("__publishing")]
+        else:
+            continue
+        stage = f"{out_dir}/{name}"
+        if fs.exists(P(f"{stage}/_COMMIT")):
+            if base in finished:     # sibling already rolled this family
+                continue             # forward in this very sweep
+            if _family_finish(base):
+                finished.add(base)
                 published += 1
             else:
                 kept += 1        # committed but unrecognized: never touch
+        elif name.endswith("__publishing"):
+            # marker gone → that publish completed; the dir is debris
+            # from a crash between the marker delete and the dir delete
+            fs.delete(st.getPath(), True)
+            deleted += 1
         elif now_ms - max(st.getModificationTime(),
                           _max_mtime(st.getPath())) > ttl_seconds * 1000:
             fs.delete(st.getPath(), True)

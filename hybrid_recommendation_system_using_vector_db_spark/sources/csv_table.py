@@ -63,10 +63,9 @@ def read_csv_rejects(spark: SparkSession, path: str, schema_ddl: str,
            .option("mode", "PERMISSIVE")
            .option("columnNameOfCorruptRecord", _CORRUPT_COL)
            .csv(path))
-    miss = None
+    miss = F.lit(False)  # required=[] degrades to a corrupt-only rejects view
     for c in required:
-        m = F.col(c).isNull()
-        miss = m if miss is None else (miss | m)
+        miss = miss | F.col(c).isNull()
     bad = raw.filter(F.col(_CORRUPT_COL).isNotNull() | miss)
     cols = [f.name for f in bad.schema.fields if f.name != _CORRUPT_COL]
     return bad.select(

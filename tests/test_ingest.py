@@ -155,3 +155,24 @@ def test_csv_ingest_gate_and_rejects(spark, tmp_path):
                                      required=["id", "price"]).collect()
     assert len(got) + len(rej) == 5
     assert sorted(r.reason for r in rej).count("malformed") >= 1
+
+def test_csv_rejects_with_no_required_columns(spark, tmp_path):
+    """ADVICE r9: ``required=[]`` must degrade the rejects view to
+    corrupt-only (previously ``None | col`` raised a TypeError), and the
+    table + rejects still account for every line."""
+    from hybrid_recommendation_system_using_vector_db_spark.sources import csv_table
+
+    ddl = "id bigint, note string"
+    lines = [
+        "id,note",
+        "1,ok",
+        "notanint,hello",      # cast failure -> corrupt even unrequired
+        ",no id but fine",     # null id is NOT a reject when required=[]
+    ]
+    path = str(tmp_path / "t.csv")
+    open(path, "w").write("\n".join(lines) + "\n")
+    tab = csv_table.read_csv_table(spark, path, ddl, required=[]).collect()
+    rej = csv_table.read_csv_rejects(spark, path, ddl, required=[]).collect()
+    assert len(tab) == 2 and len(rej) == 1
+    assert rej[0].reason == "malformed"
+    assert len(tab) + len(rej) == 3

@@ -1128,3 +1128,167 @@ def test_vacuum_staging_and_index_stats(spark, tmp_path):
     empty = idx.filter(F.lit(False))
     erow = pipeline.index_stats(spark, empty, ["t", "bucket"]).collect()
     assert len(erow) == 1 and erow[0].n_keys == 0 and erow[0].p99_rows is None
+
+
+def test_lsh_append_staged_commit_crash_windows(spark, tmp_path):
+    """VERDICT r9 #7: the LSH bucket/ledger pair moves through the same
+    staged commit as the dedup/KN/LID families. An uncommitted stage is
+    discarded (pre-batch index intact); a committed stage — including a
+    torn publish that exposed SOME of the batch's bucket rows — rolls
+    forward exactly once, row-identical to a bulk build."""
+    import os
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = str(tmp_path / "lsh")
+    pipeline.write_lsh_index(spark, a, out, n_bits=5, n_tables=4)
+    staging = os.path.join(out, "lsh__staging")
+    key = lambda r: (r.cand, r.t, r.bucket)
+    want = sorted(map(key, sim.lsh_build_index(emb, n_bits=5, n_tables=4)
+                      .collect()))
+    pre = sorted(map(key, pipeline.load_lsh_index(spark, out).collect()))
+
+    # -- window 1: stage written, never committed -> discarded ---------
+    sim.lsh_build_index(b, n_bits=5, n_tables=4) \
+        .write.parquet(f"{staging}/buckets")
+    assert sorted(map(key, pipeline.load_lsh_index(spark, out)
+                      .collect())) == pre     # reader leaves it in place
+    assert os.path.exists(staging)
+    pipeline.append_lsh_index(spark, b, out)  # discards + re-stages
+    assert not os.path.exists(staging)
+    assert sorted(map(key, pipeline.load_lsh_index(spark, out)
+                      .collect())) == want
+
+    # -- window 2: committed stage with a TORN partial publish (one of
+    # the batch's bucket rows already landed in the live layout) -------
+    out2 = str(tmp_path / "lsh2")
+    pipeline.write_lsh_index(spark, a, out2, n_bits=5, n_tables=4)
+    staging2 = os.path.join(out2, "lsh__staging")
+    rows_b = sim.lsh_build_index(b, n_bits=5, n_tables=4) \
+        .localCheckpoint(eager=True)
+    rows_b.write.parquet(f"{staging2}/buckets")
+    b.select(F.col("vec_id").alias("doc_id")).distinct() \
+        .write.parquet(f"{staging2}/docs")
+    torn = rows_b.orderBy("cand", "t").limit(1)
+    torn.write.mode("append").partitionBy("t", "bucket") \
+        .parquet(f"{out2}/lsh_buckets")
+    open(os.path.join(staging2, "_COMMIT"), "w").close()
+    # loader rolls the committed stage forward (reader claim) and serves
+    # exactly the bulk rows — the torn row is not doubled, nothing lost
+    assert sorted(map(key, pipeline.load_lsh_index(spark, out2)
+                      .collect())) == want
+    assert not os.path.exists(staging2)
+    assert not os.path.exists(os.path.join(out2, "lsh__publishing"))
+    # replay of the same batch is a no-op against the ledger
+    pipeline.append_lsh_index(spark, b, out2)
+    assert sorted(map(key, pipeline.load_lsh_index(spark, out2)
+                      .collect())) == want
+    # the compact ledger covers exactly the indexed ids
+    led = sorted(r.doc_id for r in
+                 spark.read.parquet(f"{out2}/lsh_docs").collect())
+    assert led == sorted(r.vec_id for r in emb.select("vec_id").collect())
+
+
+def test_reader_claim_falls_back_readonly_on_inflight_publish(spark, tmp_path):
+    """ADVICE r9 (medium): load paths publish only under an atomic
+    rename claim. A pre-existing committed ``__publishing`` dir (another
+    actor's in-flight or crashed publish) makes the reader fall back to
+    the live dir READ-ONLY — it must not touch the publishing dir; the
+    next maintenance call (append/vacuum) recovers it instead."""
+    import os
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import (
+        kn_bigram_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    out = str(tmp_path / "kn")
+    pipeline.write_kn_lm(spark, a, out)
+    pre = sorted(map(tuple, pipeline.load_kn_lm(spark, out).collect()))
+
+    # simulate a crashed CLAIMED publish: committed stage already renamed
+    # to __publishing by its (dead) winner
+    pub = os.path.join(out, "kn_counts__publishing")
+    merged = (spark.read.parquet(f"{out}/kn_counts")
+              .unionByName(kn_bigram_counts(b, "text"))
+              .groupBy("w1", "w2").agg(F.sum("c").alias("c"))
+              .localCheckpoint(eager=True))
+    b.select("doc_id").write.parquet(f"{pub}/docs")
+    merged.write.parquet(f"{pub}/counts")
+    open(os.path.join(pub, "_COMMIT"), "w").close()
+
+    # reader: live dir read-only, publishing dir untouched
+    assert sorted(map(tuple,
+                      pipeline.load_kn_lm(spark, out).collect())) == pre
+    assert os.path.exists(os.path.join(pub, "_COMMIT"))
+
+    # maintenance (vacuum) recovers the crashed publish
+    r = pipeline.vacuum_staging(spark, out, ttl_seconds=3600)
+    assert r["published"] == 1
+    assert not os.path.exists(pub)
+    got = sorted(map(tuple, pipeline.load_kn_lm(spark, out).collect()))
+    assert got == sorted(map(tuple,
+                             __import__("hybrid_recommendation_system_using_vector_db_spark.operators.textops",
+                                        fromlist=["kn_model_from_counts"])
+                             .kn_model_from_counts(merged).collect()))
+
+
+def test_vacuum_publishes_stale_commit_with_renamed_away_subdirs(spark, tmp_path):
+    """ADVICE r9: a crash between the publish renames and the marker
+    delete leaves a stale ``_COMMIT`` over an empty (or partially
+    renamed-away) stage. For a RECOGNIZED family name vacuum invokes the
+    matching finish — which handles exactly that state idempotently —
+    instead of keeping the debris forever."""
+    import os
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").limit(30)
+    out = str(tmp_path / "art")
+    pipeline.write_kn_lm(spark, docs, out)
+    want = sorted(map(tuple,
+                      spark.read.parquet(f"{out}/kn_counts").collect()))
+
+    # stale marker, all staged subdirs already renamed/published away
+    staging = os.path.join(out, "kn_counts__staging")
+    os.makedirs(staging)
+    open(os.path.join(staging, "_COMMIT"), "w").close()
+    r = pipeline.vacuum_staging(spark, out, ttl_seconds=3600)
+    assert r["published"] == 1
+    assert not os.path.exists(staging)
+    assert sorted(map(tuple,
+                      spark.read.parquet(f"{out}/kn_counts").collect())) \
+        == want
+
+    # same for a stale committed __publishing leftover of the lsh family
+    emb = load_table(spark, sf, "embeddings").limit(40)
+    lout = str(tmp_path / "lsh")
+    pipeline.write_lsh_index(spark, emb, lout, n_bits=4, n_tables=2)
+    n0 = pipeline.load_lsh_index(spark, lout).count()
+    pub = os.path.join(lout, "lsh__publishing")
+    os.makedirs(pub)
+    open(os.path.join(pub, "_COMMIT"), "w").close()
+    r2 = pipeline.vacuum_staging(spark, lout, ttl_seconds=3600)
+    assert r2["published"] == 1
+    assert not os.path.exists(pub)
+    assert pipeline.load_lsh_index(spark, lout).count() == n0
+
+    # a marker-LESS __publishing dir is completed-publish debris:
+    # deleted immediately, no TTL wait
+    os.makedirs(os.path.join(out, "kn_counts__publishing", "counts"))
+    r3 = pipeline.vacuum_staging(spark, out, ttl_seconds=3600)
+    assert r3["deleted"] == 1
+    assert not os.path.exists(os.path.join(out, "kn_counts__publishing"))
