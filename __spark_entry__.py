@@ -397,6 +397,53 @@ def q_lsh_topk_mp(spark, sf_dir):
                                index=_lsh_index(spark, sf_dir))
 
 
+def q_index_lifecycle(spark, sf_dir):
+    """A3 (vector-index sink) + A4 (incremental maintenance replacing
+    destroy-and-recreate) under the driver hash gate (VERDICT r9 #2):
+    the persisted LSH index lifecycle end-to-end — WRITE the index for
+    half the corpus (`pipeline.write_lsh_index`, the partition-prunable
+    (t, bucket) layout + param sidecar + id ledger), APPEND the other
+    half O(batch) through the staged commit (`append_lsh_index`), LOAD
+    it back from disk with the partition-schema pin
+    (`load_lsh_index`), and SERVE `lsh_topk(index=...)` through the
+    loaded table. Bucketing is a pure function of the stored hyperplane
+    params, so the served rows are hash-identical to the inline-build
+    "lsh_topk" oracle — the write→append→load→serve chain and the param
+    round-trip all sit inside one gated row, the same way
+    amazon_meta_ingest gated A1/A2 in r9 (mirrors the reference's
+    ChromaDB ingest-then-query split, Hybrid_Recom_vecdb.py:150-165).
+
+    The on-disk artifact is a temp dir: the loaded index is
+    localCheckpoint'ed (eager) before cleanup, so the returned plan
+    serves from block-manager state, not the deleted files. The
+    lifecycle build runs once per (session, dataset) — the offline
+    build-once/serve-many split every other persisted index entry uses
+    (deterministic: same data + params → byte-identical artifact, so
+    memoization cannot change results)."""
+    import shutil
+    import tempfile
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, "lsh_lifecycle")
+    if key not in _ANN_INDEXES:
+        out = tempfile.mkdtemp(prefix="spark_graft_lsh_lifecycle_")
+        try:
+            pipeline.write_lsh_index(
+                spark, emb.filter(F.col("vec_id") % 2 == 0), out,
+                n_bits=5, n_tables=8)
+            pipeline.append_lsh_index(
+                spark, emb.filter(F.col("vec_id") % 2 == 1), out)
+            _ANN_INDEXES[key] = pipeline.load_lsh_index(spark, out) \
+                .localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    return similarity.lsh_topk(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, TOP_K,
+        n_bits=5, n_tables=8, dim=VEC_DIM, index=_ANN_INDEXES[key])
+
+
 _IVF_CODEBOOKS: dict[tuple, list] = {}
 _ANN_INDEXES: dict[tuple, DataFrame] = {}
 
@@ -1434,9 +1481,10 @@ def q_bfs_distances(spark, sf_dir):
 def q_k_core(spark, sf_dir):
     """k-core membership (k=4) of the co-purchase graph: iterative
     simultaneous peel to the unique fixpoint — the dense-region
-    extractor degree filtering gets wrong. Rows-only at the oracle layer
-    (data-dependent round count isn't SQL); exactness pinned against an
-    independent pure-Python peeler in pytest
+    extractor degree filtering gets wrong. Oracle: the peel unrolled to
+    a FIXED max_rounds CTE rounds (idempotent past the fixpoint, so the
+    fixed unroll is exact for any data — ``_k_core_sql``); exactness
+    also pinned against an independent pure-Python peeler in pytest
     (operators/graph.py::k_core)."""
     from hybrid_recommendation_system_using_vector_db_spark.operators import graph
 
@@ -3246,7 +3294,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,                           # iterative k-core peel
         "sampled_quantiles": q_sampled_quantiles,     # bottom-k sketch tier
         "path_ngrams": q_path_ngrams,                 # 3-step journey paths
-        "seasonal_anomalies": q_seasonal_anomalies,   # same-hour-yesterday
+        # r10 rotation (VERDICT r9 next #2): seasonal_anomalies (driver-
+        # proven green r8-r9; its same-hour-yesterday equi-join shape is
+        # also exercised by the driver-checked streaming_hourly window
+        # aggregates) → extras, freeing the slot for the A3/A4 persisted
+        # index write→append→load→serve lifecycle under the hash gate
+        "index_lifecycle": q_index_lifecycle,         # A3+A4 sink lifecycle
         "temporal_split": q_temporal_split,           # purged walk-forward
         "streaming_enrich": q_streaming_enrich,       # stream-static join
         "tpch_q14": q_tpch_q14,                       # promo-share agg
@@ -3308,6 +3361,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-probe path — both stay oracle-pinned here every CI run
         "dedup_clusters": q_dedup_clusters,
         "lsh_topk": q_lsh_topk,
+        # r10 rotation out of the driver 50 (for index_lifecycle): the
+        # same-hour-yesterday ratio join, driver-proven green in r8-r9
+        "seasonal_anomalies": q_seasonal_anomalies,
         # r7 second rotation (for kn_perplexity / char_entropy): the batch
         # hourly agg is streaming_hourly's exact twin (shared oracle
         # semantics), and the band-link stage is embedded in the chained
@@ -4056,6 +4112,41 @@ r{t} AS (
   CROSS JOIN nn CROSS JOIN dg{t} dg)""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, rank FROM r{n_iters}")
+
+
+def _k_core_sql(k: int = 4, rounds: int = 20) -> str:
+    """k-core peel unrolled to a FIXED ``rounds`` CTE rounds over the
+    co-purchase graph (VERDICT r9 #1) — the ``_pagerank_sql`` pattern.
+
+    Exact regardless of data: the Spark side
+    (operators/graph.py::k_core) applies the same simultaneous
+    below-k drop at most ``max_rounds`` times and stops early at the
+    fixpoint; the peel is IDEMPOTENT past its fixpoint, so a fixed
+    unroll of exactly ``max_rounds`` rounds computes the identical
+    edge set whether the fixpoint lands at round 3 or never (both
+    sides then cap at the same round count). Per round: within-
+    subgraph degrees (GROUP BY), keep nodes with degree ≥ k, retain
+    edges whose BOTH endpoints survive. Every round CTE is
+    MATERIALIZED: each is referenced twice, and DuckDB's default
+    inlining doubles the subtree per round — 2^20 scans exhausts file
+    descriptors before it exhausts patience."""
+    parts = [f"""{_EDGES_CTE},
+und0 AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst AS a, src AS b FROM edges)
+  WHERE a <> b)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""keep{t} AS MATERIALIZED (
+  SELECT a FROM und{t - 1} GROUP BY a HAVING count(*) >= {k}),
+und{t} AS MATERIALIZED (
+  SELECT u.a, u.b FROM und{t - 1} u
+  JOIN keep{t} ka ON u.a = ka.a
+  JOIN keep{t} kb ON u.b = kb.a)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT a AS node, CAST(count(*) AS BIGINT) AS degree"
+            + f"\nFROM und{rounds} GROUP BY a")
 
 
 def _sq_recon_ctes() -> str:
@@ -5460,6 +5551,8 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 
         "pagerank": _pagerank_sql(n_iters=3, damping=0.85),
 
+        "k_core": _k_core_sql(k=4, rounds=20),
+
         "mmr_topk": _mmr_sql(k=TOP_K, pool_k=MMR_POOL, lam=MMR_LAMBDA),
 
         "filtered_topk": f"""
@@ -6844,6 +6937,12 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
 FROM orders
 WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
 """
+    # index_lifecycle serves lsh_topk THROUGH the persisted write→
+    # append→load artifact; bucketing is a pure function of the stored
+    # hyperplane params, so the inline-build LSH oracle is exact for
+    # the lifecycle path too (incremental == bulk is separately pinned
+    # by test_lsh_index_incremental_append_equals_bulk)
+    sql["index_lifecycle"] = sql["lsh_topk"]
     return sql
 
 

@@ -294,9 +294,11 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 20,
     nodes drop simultaneously), so the fixpoint is the unique k-core and
     the result is deterministic regardless of partitioning.
 
-    Not SQL-expressible without recursion (round count is
-    data-dependent) — rows-only at the oracle layer, exactness pinned
-    against an independent pure-Python peeler in pytest.
+    The data-dependent round count needs no SQL recursion at the oracle
+    layer: the peel is idempotent past its fixpoint, so a FIXED unroll
+    of ``max_rounds`` filter rounds (``__spark_entry__._k_core_sql``)
+    is exact for any data; exactness is also pinned against an
+    independent pure-Python peeler in pytest.
 
     Returns (node, degree) for k-core members, degree = within-core.
     """

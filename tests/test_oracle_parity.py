@@ -46,9 +46,9 @@ def test_extra_oracle_parity(name, spark, sf_dir, con):
 # driver entries deliberately shipped WITHOUT an oracle (the driver then
 # records its weaker rows-only check): genuinely non-SQL-expressible ops
 # only, each pinned by an independent python-reference test instead.
-ROWS_ONLY_DRIVER = {
-    "k_core",   # data-dependent peel rounds; python-ref pinned in pytest
-}
+# r10: empty for the first time — k_core got a fixed-unroll CTE oracle
+# (idempotent past its fixpoint, the _pagerank_sql pattern).
+ROWS_ONLY_DRIVER: set = set()
 
 
 def test_driver_surface_within_budget():
