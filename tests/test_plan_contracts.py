@@ -732,3 +732,27 @@ def test_tpch_q21_semi_and_anti_against_same_fact(spark, sf_dir):
     assert len(antis) == 1 and "NOT (l_suppkey" in antis[0], antis
     assert any("NOT (l_suppkey" in ln for ln in semis), semis
     assert "Cross" not in plan
+
+
+def test_eval_tables_build_once(spark):
+    """VERDICT r9 wrong #2: the shared eval rank tables (GEMM ranking,
+    hybrid fusion, ground truth) must build once per (session, dataset)
+    — a warm precision_eval call pays only the bounded metric grid, not
+    a fresh GEMM+fusion pass. Pinned two ways: the memo returns the
+    same table objects, and a warm call stays within a small job
+    budget."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    m._reset_serving_caches()
+    t1 = m._eval_rank_tables(spark, sf)
+    t2 = m._eval_rank_tables(spark, sf)
+    assert t1[0]["content"] is t2[0]["content"]
+    assert t1[0]["hybrid"] is t2[0]["hybrid"] and t1[1] is t2[1]
+
+    m.queries()["precision_eval"](spark, sf).count()   # warm: builds memo
+    st = spark.sparkContext.statusTracker()
+    j0 = max(st.getJobIdsForGroup() or [0])
+    m.queries()["precision_eval"](spark, sf).count()
+    jobs = max(st.getJobIdsForGroup() or [0]) - j0
+    assert jobs <= 6, f"warm precision_eval used {jobs} jobs (expected <= 6)"
