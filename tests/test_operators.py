@@ -177,3 +177,32 @@ def test_seeded_sample_stable(spark, sf_dir):
     f2 = {r.doc_id for r in seeded_fraction_sample(docs.repartition(4), 0.2, "doc_id").collect()}
     assert f1 == f2
     assert 0.05 < len(f1) / docs.count() < 0.4
+
+
+def test_spread_classifies_by_plan_nodes_not_rendered_text(spark, tmp_path):
+    """ADVICE r9: _spread's map-only detection walks the logical plan
+    NODES against a whitelist. A relation alias containing node tokens
+    ('JoinSortWindow...') must still take the file-metadata fast path
+    (the old substring match on the rendered plan bounced it to the
+    planning probe), and a genuinely non-map-only plan (aggregate)
+    must never enter the file-estimate path."""
+    p = str(tmp_path / "one")
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS v") \
+        .coalesce(1).write.parquet(p)
+
+    # map-only scan with an adversarial alias: fast path, widened
+    df = (spark.read.parquet(p).alias("JoinSortWindowAggregateData")
+          .filter(F.col("id") > 1))
+    similarity._SPREAD_CACHE.clear()
+    out = similarity._spread(df, min_partitions=8)
+    assert any(isinstance(k, tuple) and any(p in f for f in k[1])
+               for k in similarity._SPREAD_CACHE), \
+        "map-only scan did not take the file-metadata fast path"
+    assert out.rdd.getNumPartitions() == 8
+
+    # aggregate: not map-only -> physical probe, no file-estimate entry
+    agg = spark.read.parquet(p).groupBy("id").count()
+    similarity._SPREAD_CACHE.clear()
+    similarity._spread(agg, min_partitions=8)
+    assert not similarity._SPREAD_CACHE, \
+        "aggregate plan wrongly classified map-only"
