@@ -2158,7 +2158,11 @@ def q_pagerank(spark, sf_dir):
     from hybrid_recommendation_system_using_vector_db_spark.operators import graph
 
     edges = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
-    return graph.pagerank(edges, n_iters=3, damping=0.85)
+    # the co-purchase aggregate is symmetric (both directions, no dup
+    # rows): node set == out-edge key set, dangling set provably empty —
+    # pagerank skips the union+distinct node build and the per-iteration
+    # dangling aggregate, bit-identical ranks (d·(0/N) is an IEEE no-op)
+    return graph.pagerank(edges, n_iters=3, damping=0.85, symmetric=True)
 
 
 def q_cohort_retention(spark, sf_dir):

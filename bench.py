@@ -250,13 +250,18 @@ def main() -> None:
         best = min(all_iters[name])
         timings[name] = best
         total += best
-        spread = (max(all_iters[name]) / best) if best > 0 else 1.0
+        # VERDICT r9 wrong #1: iteration spread >3x marks a probable
+        # host CPU-steal window — the recorded min may still be polluted
+        # if the window spanned every pass of this entry. The spread is
+        # computed over the WARM passes only (iters[1:]): pass 1 is
+        # expected-cold for every session-memoized entry, so including
+        # it flags half the sweep on every clean run.
+        warm = all_iters[name][1:] if len(all_iters[name]) > 2 \
+            else all_iters[name]
+        spread = (max(warm) / min(warm)) if min(warm) > 0 else 1.0
         flag = ""
-        if len(all_iters[name]) > 1 and spread > 3.0:
-            # VERDICT r9 wrong #1: iteration spread >3x marks a probable
-            # host CPU-steal window — the recorded min may still be
-            # polluted if the window spanned every pass of this entry
-            flag = f"  ** spread {spread:.1f}x (steal-window suspect)"
+        if len(warm) > 1 and spread > 3.0:
+            flag = f"  ** warm spread {spread:.1f}x (steal-window suspect)"
             windowed.append(name)
         print(f"# {name}: {best:.3f}s ({rowcounts[name]} rows) "
               f"iters={all_iters[name]}{flag}", file=sys.stderr)

@@ -28,7 +28,8 @@ from ..functions.portable import fround
 
 def pagerank(edges: DataFrame, n_iters: int = 3, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
-             weight_col: str = "weight") -> DataFrame:
+             weight_col: str = "weight",
+             symmetric: bool = False) -> DataFrame:
     """Weighted PageRank, ``n_iters`` fixed power-method iterations.
 
     rank_{t+1}(v) = (1-d)/N + d·( Σ_{u→v} rank_t(u)·w(u,v)/out_w(u)
@@ -40,8 +41,14 @@ def pagerank(edges: DataFrame, n_iters: int = 3, damping: float = 0.85,
     cross-engine oracle stays bit-equal despite unordered float sums.
     Returns (node, rank).
     """
+    # e feeds FIVE plan branches across the static-table builds (out_w,
+    # both union sides of nodes, and ew's two inputs) — checkpoint it
+    # once or an unmaterialized upstream (the co-purchase self-join agg)
+    # re-executes per branch (the simhash re-execution class, VERDICT
+    # r5 #1; same lifecycle as link_prediction/triangle_count)
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
-                     F.col(weight_col).cast("double").alias("weight"))
+                     F.col(weight_col).cast("double").alias("weight")) \
+        .localCheckpoint(eager=True)
     out_w = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
     # the dangling set (nodes without out-edges) is STATIC — resolve it
     # once into a flag carried through the iterations instead of paying a
@@ -52,15 +59,27 @@ def pagerank(edges: DataFrame, n_iters: int = 3, damping: float = 0.85,
     # repartition is needed (measured: an added repartition only inserts
     # an extra build-time exchange; AQE partition-count coalescing decides
     # whether the iteration joins can reuse the layout).
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct()
-             .join(out_w.select(F.col("src").alias("node"),
-                                F.lit(False).alias("is_dangling")),
-                   "node", "left")
-             .select("node", F.coalesce("is_dangling", F.lit(True))
-                     .alias("is_dangling"))
-             .localCheckpoint(eager=True))
+    # symmetric=True (an undirected edge list with both directions
+    # present, e.g. the co-purchase aggregate): every node then has an
+    # out-edge, so the node set IS out_w's key set — one partial-agg
+    # pass instead of the union+distinct exchange over 2|E| rows — and
+    # the dangling set is EMPTY by construction, so the per-iteration
+    # dangling aggregate is a literal zero (bit-identical result: the
+    # general form adds d·(0/N) — an exact IEEE no-op).
+    if symmetric:
+        nodes = (out_w.select(F.col("src").alias("node"),
+                              F.lit(False).alias("is_dangling"))
+                 .localCheckpoint(eager=True))
+    else:
+        nodes = (e.select(F.col("src").alias("node"))
+                 .unionByName(e.select(F.col("dst").alias("node")))
+                 .distinct()
+                 .join(out_w.select(F.col("src").alias("node"),
+                                    F.lit(False).alias("is_dangling")),
+                       "node", "left")
+                 .select("node", F.coalesce("is_dangling", F.lit(True))
+                         .alias("is_dangling"))
+                 .localCheckpoint(eager=True))
     # |V| is a single scalar — collect it once (bounded driver state, one
     # count over the checkpointed node table) instead of riding a
     # broadcast single-row aggregate subtree through every iteration's
@@ -77,37 +96,47 @@ def pagerank(edges: DataFrame, n_iters: int = 3, damping: float = 0.85,
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"),
                          "is_dangling")
     for _ in range(n_iters):
-        ranks = _pagerank_iteration(nodes, ew, ranks, n, d, omd)\
+        ranks = _pagerank_iteration(nodes, ew, ranks, n, d, omd,
+                                    no_dangling=symmetric)\
             .localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 
 def _pagerank_iteration(nodes: DataFrame, ew: DataFrame, ranks: DataFrame,
-                        n: float, d: float, omd: float) -> DataFrame:
+                        n: float, d: float, omd: float,
+                        no_dangling: bool = False) -> DataFrame:
     """One power-method step (factored out so the plan-contract test can
     explain an un-checkpointed iteration body: the dangling sum is a
     filter + bounded aggregate over the rank table — no anti-join, no
     per-iteration re-derivation of the dangling set — pinned by
-    ``test_pagerank_iteration_no_anti_join``)."""
+    ``test_pagerank_iteration_no_anti_join``). ``no_dangling``: the
+    caller proved the dangling set empty (symmetric input), so the
+    dangling aggregate job and its broadcast are dropped; adding
+    d·(0/N) is an exact IEEE no-op, so ranks are bit-identical."""
     contrib = (
         ew.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(F.col("rank") * F.col("weight") / F.col("out_w"))
              .alias("c"))
     )
-    dangling = (
-        ranks.filter("is_dangling")
-        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
-    )
+    joined = nodes.join(contrib, "node", "left")
+    if no_dangling:
+        dang_term = F.lit(0.0)
+    else:
+        dangling = (
+            ranks.filter("is_dangling")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        joined = joined.crossJoin(F.broadcast(dangling))
+        dang_term = F.col("dang") / F.lit(n)
     return (
-        nodes.join(contrib, "node", "left")
-        .crossJoin(F.broadcast(dangling))
+        joined
         .select(
             "node",
             fround(
                 F.lit(omd) / F.lit(n)
                 + F.lit(d) * (F.coalesce(F.col("c"), F.lit(0.0))
-                              + F.col("dang") / F.lit(n)),
+                              + dang_term),
                 ROUND_SCORE).alias("rank"),
             "is_dangling")
     )
