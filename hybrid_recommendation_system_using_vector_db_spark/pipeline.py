@@ -168,7 +168,15 @@ def write_lsh_index(spark: SparkSession, embeddings: DataFrame, out_dir: str,
     """
     from .operators.similarity import lsh_build_index
 
+    # cluster by the partition columns before the dynamic-partition
+    # write: without it every write task opens a file in every (t,
+    # bucket) dir it sees — tasks × dirs tiny files (measured 45 s of
+    # filesystem ops for a 16k-row index at sf0.1). Hash-clustered,
+    # each (t, bucket) group lands in exactly one task → one file per
+    # dir. At very large scale add a salt column to the repartition
+    # for intra-bucket parallelism; the layout is unchanged.
     lsh_build_index(embeddings, n_bits=n_bits, n_tables=n_tables) \
+        .repartition(F.col("t"), F.col("bucket")) \
         .write.mode("overwrite").partitionBy("t", "bucket") \
         .parquet(f"{out_dir}/lsh_buckets")
     # compact appended-ids ledger: the append replay guard probes THIS
@@ -888,10 +896,14 @@ def _publish_stage(spark: SparkSession, stage: str,
                      .localCheckpoint(eager=True))
             if not fresh.isEmpty():    # idempotent: replay-safe append
                 pcols = (partition_by or {}).get(sub)
-                w = fresh.write.mode("append")
                 if pcols:
-                    w = w.partitionBy(*pcols)
-                w.parquet(live)
+                    # cluster by the partition cols first: one file per
+                    # touched dir instead of tasks × dirs tiny files
+                    fresh = fresh.repartition(*[F.col(c) for c in pcols])
+                    fresh.write.mode("append").partitionBy(*pcols) \
+                        .parquet(live)
+                else:
+                    fresh.write.mode("append").parquet(live)
     fs.delete(P(f"{stage}/_COMMIT"), False)  # marker last: its absence
     fs.delete(P(stage), True)                # means live is consistent
 
