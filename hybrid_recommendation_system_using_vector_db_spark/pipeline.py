@@ -74,8 +74,11 @@ def build_index(spark: SparkSession, meta_path: str, out_dir: str,
         .select("asin", "doc", "title", "group", "embedding")
     )
     index = with_lsh_bucket(index, "embedding", lsh_bits)
-    # A3 sink: partitioned by LSH bucket → ANN probes prune partitions
-    index.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/index")
+    # A3 sink: partitioned by LSH bucket → ANN probes prune partitions;
+    # clustered by the partition column first so each bucket dir gets
+    # one file per bucket, not one per write task (see write_lsh_index)
+    index.repartition(F.col("bucket")) \
+        .write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/index")
 
     return {
         "products": spark.read.parquet(f"{out_dir}/products").count(),
@@ -108,7 +111,10 @@ def write_ivf_index(spark: SparkSession, embeddings: DataFrame, out_dir: str,
 
     cents = kmeans_centroids_local(embeddings, n_centroids, n_iters)
     lists = ivf_build_lists(embeddings, cents)
-    lists.write.mode("overwrite").partitionBy("centroid_id") \
+    # clustered by the partition column: one file per centroid dir, not
+    # one per write task (see write_lsh_index)
+    lists.repartition(F.col("centroid_id")) \
+        .write.mode("overwrite").partitionBy("centroid_id") \
         .parquet(f"{out_dir}/ivf_lists")
     cdf = spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in cents],
@@ -147,7 +153,9 @@ def append_ivf_index(spark: SparkSession, new_embeddings: DataFrame,
     from .operators.similarity import ivf_build_lists
 
     _, cents = load_ivf_index(spark, out_dir)
-    ivf_build_lists(new_embeddings, cents).write.mode("append") \
+    ivf_build_lists(new_embeddings, cents) \
+        .repartition(F.col("centroid_id")) \
+        .write.mode("append") \
         .partitionBy("centroid_id").parquet(f"{out_dir}/ivf_lists")
 
 
@@ -363,7 +371,10 @@ def write_ivfpq_index(spark: SparkSession, embeddings: DataFrame,
     cents, books = ivfpq_train(embeddings, n_centroids, m, pq_centroids,
                                n_iters)
     codes = ivfpq_encode(embeddings, cents, books)
-    codes.write.mode("overwrite").partitionBy("centroid_id") \
+    # clustered by the partition column: one file per centroid dir, not
+    # one per write task (see write_lsh_index)
+    codes.repartition(F.col("centroid_id")) \
+        .write.mode("overwrite").partitionBy("centroid_id") \
         .parquet(f"{out_dir}/ivfpq_codes")
     spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in cents],
@@ -389,7 +400,9 @@ def append_ivfpq_index(spark: SparkSession, new_embeddings: DataFrame,
     from .operators.similarity import ivfpq_encode
 
     _, cents, books = load_ivfpq_index(spark, out_dir)
-    ivfpq_encode(new_embeddings, cents, books).write.mode("append") \
+    ivfpq_encode(new_embeddings, cents, books) \
+        .repartition(F.col("centroid_id")) \
+        .write.mode("append") \
         .partitionBy("centroid_id").parquet(f"{out_dir}/ivfpq_codes")
 
 
