@@ -1431,6 +1431,113 @@ def q_tpch_q16(spark, sf_dir):
                      F.col("p_type").asc(), F.col("p_size").asc()))
 
 
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority audit): conditional aggregation
+    over the orders⋈lineitem join — per shipping class, how many lines
+    belong to critical-priority vs other orders. Adapted to the testdata
+    schema: the class column is l_returnflag (no l_shipmode) and the
+    receipt-window filter is a one-year l_shipdate window (no
+    commit/receipt dates — the Q4/Q21 adaptation convention). Plan: the
+    date filter pushes to the lineitem scan, one hash join on the order
+    key, one partial-agg exchange on the class; the CASE counts are
+    map-side conditional sums, never two join branches."""
+    _pin_utc(spark)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01"))
+          .select("l_orderkey", "l_returnflag"))
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    customer←orders (zero-order customers must survive) with a residual
+    predicate ON the join (filtering WHERE would turn it inner), count
+    per customer, then histogram the counts — the canonical two-level
+    aggregate. Residual adapted to the schema: exclude unspecified-
+    priority orders (no o_comment). Plan: one join keyed on custkey,
+    per-customer count reuses the join's partitioning, the second
+    aggregate is over the bounded distinct-count domain."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey", "o_orderpriority"))
+    per_cust = (cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+        "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): lines of one
+    brand's parts whose quantity is below 20% of that part's average
+    quantity — the correlated-average subquery, expressed as a per-part
+    window average over the SAME joined rows (one lineitem pass, no
+    second scan: the window partition is exactly the correlation key).
+    The threshold is fround'ed in both engines — an unordered float
+    average sits on the comparison boundary otherwise. Brand filter
+    broadcasts; output is the classic single avg_yearly scalar."""
+    _pin_utc(spark)
+    from pyspark.sql import Window
+
+    parts = (load_table(spark, sf_dir, "part")
+             .filter(F.col("p_brand") == "Brand#23")
+             .select("p_partkey"))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    j = li.join(F.broadcast(parts),
+                F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    small = (j.withColumn("aq", F.avg("l_quantity").over(w))
+             .filter(F.col("l_quantity") < fround(F.lit(0.2) * F.col("aq"))))
+    return small.agg(
+        fround(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): well-funded customers
+    (balance above the positive-balance average — a broadcast scalar
+    aggregate, fround'ed so the threshold is engine-portable) from a
+    fixed country subset who have LAPSED (anti join against recent
+    orders — every testdata customer has ordered at least once, so the
+    classic never-ordered predicate is vacuous; the date residual rides
+    the anti-join, same shape), counted and summed per country.
+    Adapted: the country code is c_nationkey (no phone column). Plan:
+    scalar agg broadcasts as a 1-row crossJoin, the order check is one
+    left-anti hash join with the date predicate pushed to the order
+    scan, the final rollup is a bounded per-country aggregate."""
+    _pin_utc(spark)
+    codes = [0, 2, 4, 11, 13, 16, 22]
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_nationkey").isin(codes))
+            .select("c_custkey", "c_nationkey", "c_acctbal"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0) \
+        .agg(fround(F.avg("c_acctbal")).alias("ab"))
+    recent = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= "1998-01-01")
+              .select("o_custkey"))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab"))
+            .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 fround(F.sum("c_acctbal")).alias("totacctbal"))
+            .orderBy("cntrycode"))
+
+
 def q_robust_zscore(spark, sf_dir):
     """Per-priority robust (median/MAD) z-scores over order prices with
     modified-z outlier flags — the outlier rule that survives its own
@@ -3544,6 +3651,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,                       # HAVING-pruned big orders
         "tpch_q21": q_tpch_q21,                       # sole-late-supplier
                                                       # semi+anti double corr.
+        # r10: the remaining partsupp-free TPC-H shapes, full oracles
+        "tpch_q12": q_tpch_q12,                       # conditional-agg join
+        "tpch_q13": q_tpch_q13,                       # left-join count histo
+        "tpch_q17": q_tpch_q17,                       # correlated-avg window
+        "tpch_q22": q_tpch_q22,                       # scalar-avg + anti join
         "scd2_intervals": q_scd2_intervals,           # SCD2 validity intervals
         "psi_drift": q_psi_drift,                     # PSI drift monitor
         "char_entropy": q_char_entropy,               # Shannon char entropy
@@ -6960,6 +7072,68 @@ WHERE EXISTS (SELECT 1 FROM lineitem l2
 GROUP BY s.s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 100
+"""
+    # Q12 shape: conditional aggregation over the orders join (class
+    # column adapted to l_returnflag, window to l_shipdate — no
+    # shipmode/commit/receipt columns in the testdata)
+    sql["tpch_q12"] = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+    # Q13 shape: LEFT join with the residual ON the join (WHERE would
+    # drop the zero-order customers the query exists to count)
+    sql["tpch_q13"] = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+    # Q17 shape: the correlated per-part average as a window over the
+    # SAME joined rows; threshold fround'ed in both engines
+    sql["tpch_q17"] = """
+WITH j AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+w AS (SELECT *, avg(l_quantity) OVER (PARTITION BY l_partkey) AS aq FROM j)
+SELECT floor((sum(l_extendedprice) / 7.0) * 1000000 + 0.5) / 1000000
+         AS avg_yearly
+FROM w
+WHERE l_quantity < floor((0.2 * aq) * 1000000 + 0.5) / 1000000
+"""
+    # Q22 shape: scalar positive-balance average (fround'ed threshold) +
+    # NOT EXISTS recent orders (lapsed variant — every testdata customer
+    # has ordered at least once), per-country rollup (c_nationkey)
+    sql["tpch_q22"] = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_nationkey IN (0, 2, 4, 11, 13, 16, 22)
+),
+ab AS (SELECT floor(avg(c_acctbal) * 1000000 + 0.5) / 1000000 AS ab
+       FROM cust WHERE c_acctbal > 0.0)
+SELECT c_nationkey AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       floor(sum(c_acctbal) * 1000000 + 0.5) / 1000000 AS totacctbal
+FROM cust CROSS JOIN ab
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_nationkey
+ORDER BY cntrycode
 """
     # CSV ingest round-trip: parse(render(orders)) = identity on valid
     # rows; the planted cast-failure / broken-quote mod classes excluded.

@@ -169,6 +169,11 @@ HEADLINE = [
     "sampled_quantiles",
     # r10: persisted-index write→append→load→serve lifecycle (A3/A4)
     "index_lifecycle",
+    # r10: the remaining partsupp-free TPC-H shapes
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q22",
 ]
 
 
