@@ -954,7 +954,11 @@ def _finish_staging(spark: SparkSession, staging: str,
       crashed publish), returns **False** — the caller must fall back
       to reading the live dir read-only and MUST NOT publish. A
       crashed claimed publish is recovered by the next maintenance
-      call (append/vacuum), never by readers racing each other.
+      call (append/vacuum), never by readers racing each other. One
+      fail-LOUD window remains: a publisher that crashed between a
+      swap's delete-live and rename leaves the live dir missing until
+      maintenance rolls the claimed stage forward — readers then error
+      on the read (never serve stale/partial data silently).
     - ``as_reader=False`` (append paths + vacuum — ONE maintenance
       actor per artifact root at a time): a committed ``__publishing``
       leftover is rolled forward first; a lost claim means a
