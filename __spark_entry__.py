@@ -1634,9 +1634,19 @@ def q_band_recall(spark, sf_dir):
     sample — the dedup twin of the ann_recall gate (a banding regression
     fails the hash check, not just a doc claim). See
     operators/dedup.py::band_recall_metrics for the chain-vs-all-pairs
-    honesty note."""
-    return dedup.band_recall_metrics(load_table(spark, sf_dir, "documents"),
-                                     thresholds=(0.2, 0.5, 0.8))
+    honesty note.
+
+    The sampled exact-Jaccard TRUTH table is deterministic per dataset,
+    so it is built once per session (the eval-table memo convention,
+    VERDICT r9 wrong #2's fix applied here too) — each gate call then
+    pays the banding candidates + the metric grid, not the quadratic
+    truth pass; results identical by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, "band_truth_0.2")
+    if key not in _ANN_INDEXES:
+        _ANN_INDEXES[key] = dedup.band_recall_truth(docs, min_t=0.2)
+    return dedup.band_recall_metrics(docs, thresholds=(0.2, 0.5, 0.8),
+                                     truth=_ANN_INDEXES[key])
 
 
 def q_idf_jaccard_neardup(spark, sf_dir):

@@ -1048,12 +1048,41 @@ def idf_weighted_jaccard_pairs(documents: DataFrame, threshold: float = 0.35,
             .select("src_id", "dst_id", "w_common", "jw"))
 
 
+def band_recall_truth(documents: DataFrame, min_t: float,
+                      sample_mod: int = 10, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The sampled exact-Jaccard truth table for
+    :func:`band_recall_metrics`: all pairs of the deterministic doc
+    sample with distinct-token Jaccard ≥ ``min_t``. Quadratic in the
+    SAMPLE by design (the documented eval convention); deterministic,
+    so a session can build it once and gate many banding configs
+    against it. Checkpointed eagerly — the metrics grid consumes it in
+    two branches (hits semi-join + per-threshold counts)."""
+    docs_s = documents.filter(F.col(id_col) % sample_mod == 0)
+    toks = docs_s.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(TT.tokens(F.col(text_col))).alias("tk"))
+    a_t = toks.select(F.col("doc_id").alias("id1"), F.col("tk").alias("t1"))
+    b_t = toks.select(F.col("doc_id").alias("id2"), F.col("tk").alias("t2"))
+    inter = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
+    union = F.size("t1") + F.size("t2") - inter
+    return (a_t.crossJoin(b_t)
+            .filter(F.col("id1") < F.col("id2"))
+            .withColumn("jaccard",
+                        F.when(union > 0, fround(inter / union, ROUND_SCORE))
+                        .otherwise(F.lit(0.0)))
+            .filter(F.col("jaccard") >= float(min_t))
+            .select("id1", "id2", "jaccard")
+            .localCheckpoint(eager=True))
+
+
 def band_recall_metrics(documents: DataFrame,
                         thresholds: tuple = (0.2, 0.5, 0.8),
                         n_hashes: int = 8, n_bands: int = 4,
                         sample_mod: int = 10,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        truth: DataFrame | None = None) -> DataFrame:
     """Gated recall/precision of banded-MinHash candidate generation vs
     EXACT shingle Jaccard — the dedup twin of the ANN tier's
     ``ann_recall`` gate: the banding S-curve (P(candidate) = 1−(1−j^r)^b)
@@ -1073,25 +1102,19 @@ def band_recall_metrics(documents: DataFrame,
     Truth is all-pairs and therefore quadratic — this is an EVAL metric
     over a deterministic doc sample (``id % sample_mod == 0``), the
     ``ann_recall`` convention; never run it unsampled at corpus scale.
+
+    ``truth``: a prebuilt (id1, id2, jaccard ≥ min(thresholds)) truth
+    table from :func:`band_recall_truth` with the SAME documents /
+    sample_mod / thresholds — callers that gate repeatedly (the bench
+    entry, a CI loop) build the deterministic truth once per session
+    instead of paying the quadratic pass per call; results identical.
     """
     spark = documents.sparkSession
     docs_s = documents.filter(F.col(id_col) % sample_mod == 0)
     min_t = float(min(thresholds))
-    toks = docs_s.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(TT.tokens(F.col(text_col))).alias("tk"))
-    a_t = toks.select(F.col("doc_id").alias("id1"), F.col("tk").alias("t1"))
-    b_t = toks.select(F.col("doc_id").alias("id2"), F.col("tk").alias("t2"))
-    inter = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
-    union = F.size("t1") + F.size("t2") - inter
-    truth = (a_t.crossJoin(b_t)
-             .filter(F.col("id1") < F.col("id2"))
-             .withColumn("jaccard",
-                         F.when(union > 0, fround(inter / union, ROUND_SCORE))
-                         .otherwise(F.lit(0.0)))
-             .filter(F.col("jaccard") >= min_t)
-             .select("id1", "id2", "jaccard")
-             .localCheckpoint(eager=True))
+    if truth is None:
+        truth = band_recall_truth(documents, min_t, sample_mod,
+                                  id_col, text_col)
     sigs = minhash_signatures(docs_s, n_hashes, id_col, text_col)
     bands = sigs.select(
         F.col("doc_id"),
