@@ -1538,6 +1538,118 @@ def q_tpch_q22(spark, sf_dir):
             .orderBy("cntrycode"))
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bilateral trade revenue between
+    two nations per ship year. Both nation dims prune to two rows and
+    broadcast into supplier and customer; only the lineitem⋈orders fact
+    join and the customer join shuffle. The cross-pair (supp ≠ cust
+    nation) residual rides the final join — never a second fact pass.
+    The ship-year is extracted AFTER the date-range filter pushes to the
+    scan, so the group key costs no extra exchange beyond the bounded
+    (nation, nation, year) aggregate."""
+    _pin_utc(spark)
+    nat = (load_table(spark, sf_dir, "nation")
+           .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+           .select("n_nationkey", "n_name"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(fround(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's import volume for one part type, per order year. The
+    conditional-sum ratio (CASE inside sum / sum) folds the classic
+    two-branch subquery into ONE aggregate over the joined fact — no
+    second pass. Part (type-pruned), supplier⋈nation, and the
+    nation⋈region customer chain all broadcast; the only shuffles are
+    the two fact joins (order key, cust key) and the bounded per-year
+    aggregate. Share is fround'ed in both engines."""
+    _pin_utc(spark)
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(load_table(spark, sf_dir, "nation")
+                              .select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    asia_nat = (load_table(spark, sf_dir, "nation")
+                .join(F.broadcast(load_table(spark, sf_dir, "region")
+                                  .filter(F.col("r_name") == "ASIA")
+                                  .select("r_regionkey")),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                .select(F.col("n_nationkey").alias("cn_key")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(asia_nat),
+                  F.col("c_nationkey") == F.col("cn_key"))
+            .select("c_custkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1998-01-01"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(fround(F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                                     vol).otherwise(0.0))
+                        / F.sum(vol)).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    quarter, keeping the supplier(s) whose revenue equals the global
+    max. The max is a 1-row scalar aggregate broadcast back over the
+    SAME aggregated view (localCheckpoint-free: the agg is cheap and
+    Spark reuses the shuffle via the exchange-reuse rule) — never a
+    global sort. Revenue is fround'ed BEFORE the equality compare so
+    the float max matches across engines. Supplier names broadcast."""
+    _pin_utc(spark)
+    rev = (load_table(spark, sf_dir, "lineitem")
+           .filter((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy("l_suppkey")
+           .agg(fround(F.sum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
 def q_robust_zscore(spark, sf_dir):
     """Per-priority robust (median/MAD) z-scores over order prices with
     modified-z outlier flags — the outlier rule that survives its own
@@ -3661,11 +3773,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,                       # HAVING-pruned big orders
         "tpch_q21": q_tpch_q21,                       # sole-late-supplier
                                                       # semi+anti double corr.
-        # r10: the remaining partsupp-free TPC-H shapes, full oracles
+        # r10: the remaining partsupp-free TPC-H shapes, full oracles —
+        # with q7/q8/q15 this covers EVERY TPC-H query expressible on the
+        # testdata tables (only q2/q9/q11/q20 remain — all need partsupp,
+        # which the testdata does not ship)
         "tpch_q12": q_tpch_q12,                       # conditional-agg join
         "tpch_q13": q_tpch_q13,                       # left-join count histo
         "tpch_q17": q_tpch_q17,                       # correlated-avg window
         "tpch_q22": q_tpch_q22,                       # scalar-avg + anti join
+        "tpch_q7": q_tpch_q7,                         # bilateral nation trade
+        "tpch_q8": q_tpch_q8,                         # market-share ratio agg
+        "tpch_q15": q_tpch_q15,                       # argmax-revenue supplier
         "scd2_intervals": q_scd2_intervals,           # SCD2 validity intervals
         "psi_drift": q_psi_drift,                     # PSI drift monitor
         "char_entropy": q_char_entropy,               # Shannon char entropy
@@ -7144,6 +7262,76 @@ WHERE c_acctbal > ab
                     AND o_orderdate >= TIMESTAMP '1998-01-01')
 GROUP BY c_nationkey
 ORDER BY cntrycode
+"""
+    # Q7 shape: bilateral nation-pair trade volume per ship year; the
+    # nation-pair OR residual mirrors the Spark side's supp≠cust filter
+    # over the two-nation prune
+    sql["tpch_q7"] = """
+WITH j AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+SELECT supp_nation, cust_nation, l_year,
+       floor(sum(volume) * 100 + 0.5) / 100 AS revenue
+FROM j
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+    # Q8 shape: NATION_3's share of ASIA's ECONOMY-part import volume
+    # per order year — the two-branch subquery folded into one
+    # conditional-sum ratio, fround'ed in both engines
+    sql["tpch_q8"] = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       floor((sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                       ELSE 0.0 END) / sum(volume)) * 1000000 + 0.5)
+         / 1000000 AS mkt_share
+FROM j
+GROUP BY o_year
+ORDER BY o_year
+"""
+    # Q15 shape: suppliers whose quarter revenue equals the global max;
+    # revenue fround'ed BEFORE the equality so the float argmax is
+    # engine-portable
+    sql["tpch_q15"] = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
 """
     # CSV ingest round-trip: parse(render(orders)) = identity on valid
     # rows; the planted cast-failure / broken-quote mod classes excluded.

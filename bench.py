@@ -169,11 +169,15 @@ HEADLINE = [
     "sampled_quantiles",
     # r10: persisted-index write→append→load→serve lifecycle (A3/A4)
     "index_lifecycle",
-    # r10: the remaining partsupp-free TPC-H shapes
+    # r10: the remaining partsupp-free TPC-H shapes — with q7/q8/q15 the
+    # suite covers every TPC-H query expressible without partsupp
     "tpch_q12",
     "tpch_q13",
     "tpch_q17",
     "tpch_q22",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q15",
 ]
 
 
