@@ -2781,6 +2781,41 @@ def q_scd2_intervals(spark, sf_dir):
         "is_current")
 
 
+def q_cdc_apply(spark, sf_dir):
+    """MERGE-semantics CDC apply: a deterministic change batch derived
+    from orders (price-bump upserts on o_orderkey % 7, tombstones on
+    % 13 at a LATER ts — keys divisible by 91 get both, delete wins —
+    and key-shifted inserts on % 11) folded into the base snapshot.
+    Last writer wins per key; untouched keys pass through via one
+    left-anti join — O(batch) work against the O(corpus) base
+    (operators/snapshot.py::apply_changes)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import snapshot
+
+    orders = load_table(spark, sf_dir, "orders")
+    ups = (orders.filter(F.col("o_orderkey") % 7 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+           .withColumn("op", F.lit("U")).withColumn("ts", F.lit(1)))
+    dels = (orders.filter(F.col("o_orderkey") % 13 == 0)
+            .withColumn("op", F.lit("D")).withColumn("ts", F.lit(2)))
+    ins = (orders.filter(F.col("o_orderkey") % 11 == 0)
+           .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+           .withColumn("o_orderpriority", F.lit("9-NEW"))
+           .withColumn("op", F.lit("U")).withColumn("ts", F.lit(1)))
+    changes = ups.unionByName(dels).unionByName(ins)
+    return snapshot.apply_changes(orders, changes, ["o_orderkey"],
+                                  order_cols=["ts"])
+
+
+def q_edit_neardup(spark, sf_dir):
+    """Character-level near-dup verify: banded-MinHash candidates
+    re-scored with normalized edit similarity (1 − levenshtein/maxlen
+    over the first 200 chars) — the order-sensitive verify tier that
+    token-set Jaccard can't express (same words shuffled score 1.0
+    there, low here) (operators/dedup.py::edit_verified_pairs)."""
+    return dedup.edit_verified_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.3)
+
+
 def q_value_histogram(spark, sf_dir):
     """Equal-width 20-bin histogram of event values per event type
     (shared global edges for cross-group comparability) — two partial-agg
@@ -3785,6 +3820,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,                         # market-share ratio agg
         "tpch_q15": q_tpch_q15,                       # argmax-revenue supplier
         "scd2_intervals": q_scd2_intervals,           # SCD2 validity intervals
+        "cdc_apply": q_cdc_apply,                     # MERGE-semantics CDC apply
+        "edit_neardup": q_edit_neardup,               # levenshtein-verified near-dup
         "psi_drift": q_psi_drift,                     # PSI drift monitor
         "char_entropy": q_char_entropy,               # Shannon char entropy
         "text_scrub": q_text_scrub,                   # PII regex scrub
@@ -6583,6 +6620,57 @@ SELECT user_id, event_type,
        strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
        vt IS NULL AS is_current
 FROM f
+"""
+    # MERGE-semantics CDC apply: the same deterministic change batch
+    # (price-bump upserts %7, LATER-ts tombstones %13 — %91 keys get
+    # both and the delete wins — key-shifted inserts %11) folded into
+    # the orders base; last writer per key via row_number over ts DESC
+    sql["cdc_apply"] = """
+WITH ch AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice,
+         o_orderdate, o_orderpriority, 'U' AS op, 1 AS ts
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority, 'D', 2
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, '9-NEW', 'U', 1
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY ts DESC) AS rn
+    FROM ch) WHERE rn = 1
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderdate, o.o_orderpriority
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM latest l
+                  WHERE l.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM latest WHERE op = 'U'
+"""
+    # Levenshtein-verified near-dup: banded-MinHash candidates re-scored
+    # by normalized edit similarity over the first 200 chars; both
+    # engines count character-level unit-cost edits
+    sql["edit_neardup"] = f"""
+WITH {_minhash_cand_cte()},
+tx AS (SELECT doc_id, substr(text, 1, 200) AS t FROM documents),
+ver AS (
+  SELECT c.id1, c.id2,
+         CASE WHEN greatest(len(a.t), len(b.t)) = 0 THEN 1.0
+              ELSE 1.0 - levenshtein(a.t, b.t)::DOUBLE
+                         / greatest(len(a.t), len(b.t)) END AS sim
+  FROM cand c JOIN tx a ON c.id1 = a.doc_id JOIN tx b ON c.id2 = b.doc_id
+)
+SELECT id1, id2, floor(sim * 1000000 + 0.5) / 1000000 AS edit_sim
+FROM ver WHERE floor(sim * 1000000 + 0.5) / 1000000 >= 0.3
 """
     # Z-order key histogram: the SAME generated integer fragment
     # (clamp→scale→bit-spread→interleave) runs in both engines — `<<`,

@@ -196,6 +196,44 @@ def minhash_dup_pairs(documents: DataFrame, n_hashes: int = 8,
     )
 
 
+def edit_verified_pairs(documents: DataFrame, threshold: float = 0.3,
+                        max_chars: int = 200, n_hashes: int = 8,
+                        n_bands: int = 4, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Near-dup links verified by normalized edit similarity.
+
+    The character-level verify tier: banded-MinHash candidates (linear
+    output, same chain as :func:`minhash_dup_pairs`) re-scored with
+    ``1 - levenshtein(a, b) / max(len(a), len(b))`` over each document's
+    first ``max_chars`` characters. Token-set verifies (Jaccard,
+    signature overlap) are order-blind — two docs with the same words
+    shuffled score 1.0; edit similarity is the cheapest verify that
+    penalizes reordering, so it is the right gate when near-dups must
+    be *edits* of each other (template families, OCR variants).
+
+    Scale design: the pair space is the banded chain (never all-pairs);
+    texts join onto candidates pre-truncated to ``max_chars`` so the
+    shuffled payload is bounded per row, and the O(max_chars²) DP cost
+    per pair is a constant — raising ``max_chars`` trades verify
+    fidelity against per-pair CPU, never against memory. Both empty →
+    similarity 1.0 (identical), one empty → 0.0.
+    """
+    sigs = minhash_signatures(documents, n_hashes, id_col, text_col)
+    cand = minhash_band_links(sigs, n_hashes, n_bands)
+    txt = documents.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, max_chars).alias("__t"))
+    t1 = txt.select(F.col(id_col).alias("id1"), F.col("__t").alias("__t1"))
+    t2 = txt.select(F.col(id_col).alias("id2"), F.col("__t").alias("__t2"))
+    mx = F.greatest(F.length("__t1"), F.length("__t2"))
+    sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein("__t1", "__t2") / mx.cast("double"))
+    return (cand.join(t1, "id1").join(t2, "id2")
+            .withColumn("edit_sim", fround(sim, ROUND_SCORE))
+            .filter(F.col("edit_sim") >= threshold)
+            .select("id1", "id2", "edit_sim"))
+
+
 def simhash_fingerprints(documents: DataFrame, n_bits: int = 16,
                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash fingerprint: bit j = sign of Σ_tokens (±1 from md5 bit j).

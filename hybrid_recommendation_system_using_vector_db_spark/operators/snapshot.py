@@ -58,6 +58,46 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     )
 
 
+def apply_changes(base: DataFrame, changes: DataFrame, key_cols: list[str],
+                  op_col: str = "op", order_cols: list[str] = ("ts",),
+                  upsert_op: str = "U", delete_op: str = "D") -> DataFrame:
+    """Apply a CDC change batch to a keyed snapshot — MERGE semantics.
+
+    ``changes`` carries the base's key + value columns plus ``op_col``
+    (``upsert_op`` = insert-or-replace, ``delete_op`` = tombstone) and
+    ``order_cols`` (the change sequence — must totally order changes
+    within a key, add a sequence tiebreak if timestamps can collide).
+    Per key the LATEST change wins: an upsert replaces the base row (or
+    inserts a new key), a delete drops it; keys the batch never touches
+    pass through untouched. Returns the next snapshot state with exactly
+    the base's columns — the batch counterpart of ``MERGE INTO``, and
+    the operator that turns :func:`snapshot_diff`'s output back into a
+    table.
+
+    Scale design: O(batch) work against an O(corpus) base. The
+    last-writer window shuffles only the change batch; the base is
+    touched by ONE left-anti join on the keys — broadcastable while the
+    batch's key set fits an executor (AQE picks this up at typical
+    batch:corpus ratios), and with base + changes bucketed by key
+    (``pipeline.write_bucketed_edges``'s layout) even the fallback
+    shuffle join moves only the batch side. The union adds no exchange:
+    both branches already carry the base schema. Rewriting the base is
+    the sink's concern — pair with partitioned appends / dynamic
+    overwrite so only key-touched partitions rewrite at 100 TB.
+    """
+    value_cols = [c for c in base.columns if c not in set(key_cols)]
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols])
+    latest = (changes
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1))
+    untouched = base.join(latest.select(*key_cols), list(key_cols),
+                          "left_anti")
+    upserts = (latest.filter(F.col(op_col) == upsert_op)
+               .select(*key_cols, *value_cols))
+    return untouched.unionByName(upserts)
+
+
 def scd2_intervals(history: DataFrame, key_cols: list[str],
                    attr_cols: list[str], order_cols: list[str]) -> DataFrame:
     """Collapse a per-key version history into SCD-type-2 validity

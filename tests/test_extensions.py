@@ -1997,6 +1997,68 @@ def test_snapshot_diff_statuses_and_null_sentinel(spark):
     assert out == {1: "removed", 2: "changed", 3: "changed", 5: "added"}
 
 
+def test_apply_changes_merge_semantics(spark):
+    """Last writer wins per key: update-then-delete deletes, two updates
+    keep the later, inserts add new keys, untouched keys pass through,
+    and the output schema is exactly the base's."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import snapshot
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(2, "B2", "U", 1), (2, "B2", "D", 2),      # delete wins (later ts)
+         (3, "C1", "U", 1), (3, "C2", "U", 2),      # later update wins
+         (5, "e", "U", 1)],                          # insert
+        "k long, v string, op string, ts int")
+    out = snapshot.apply_changes(base, changes, ["k"])
+    assert out.columns == base.columns
+    assert {(r.k, r.v) for r in out.collect()} == {
+        (1, "a"), (3, "C2"), (4, "d"), (5, "e")}
+
+
+def test_edit_verified_pairs_order_sensitive_exact(spark):
+    """Edit similarity penalizes reordering that token-set verifies
+    can't see: all three docs share one distinct-token set (guaranteed
+    banded candidates), the append-edit pair scores high, the shuffled
+    pair low — each value pinned against a pure-python levenshtein."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = t1 + " zeta"                        # same distinct tokens, tiny edit
+    t3 = "zeta epsilon delta gamma beta alpha"  # same tokens, reordered
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def sim(a, b):
+        import math
+        s = 1.0 - lev(a, b) / max(len(a), len(b))
+        return math.floor(s * 1e6 + 0.5) / 1e6
+
+    got = {(r.id1, r.id2): r.edit_sim
+           for r in dedup.edit_verified_pairs(docs, threshold=0.0).collect()}
+    texts = {1: t1, 2: t2, 3: t3}
+    # candidates are CHAIN links (each doc to its bucket predecessor),
+    # so the 3-doc bucket yields (1,2),(2,3) — same components, linear
+    assert set(got) == {(1, 2), (2, 3)}
+    for (a, b), v in got.items():
+        assert v == sim(texts[a], texts[b]), (a, b)
+    assert got[(1, 2)] >= 0.8          # append edit: near-identical
+    assert got[(2, 3)] < 0.8           # reorder: token-Jaccard 1.0, edit low
+    kept = {(r.id1, r.id2) for r in
+            dedup.edit_verified_pairs(docs, threshold=0.8).collect()}
+    assert kept == {(1, 2)}
+
+
 def test_bloom_filter_one_sided_and_mapside(spark):
     """No false negatives ever; false positives exist at small m (and are
     deterministic); the probe plan is map-only — zero joins/exchanges on
