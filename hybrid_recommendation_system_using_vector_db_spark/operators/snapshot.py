@@ -88,9 +88,13 @@ def apply_changes(base: DataFrame, changes: DataFrame, key_cols: list[str],
     value_cols = [c for c in base.columns if c not in set(key_cols)]
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols])
+    # the deduped batch feeds TWO plan branches (anti-join keys and the
+    # upsert union arm) — checkpoint it so the change source is scanned
+    # and the last-writer window paid exactly once. O(batch) state.
     latest = (changes
               .withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1))
+              .filter(F.col("__rn") == 1)
+              .localCheckpoint(eager=True))
     untouched = base.join(latest.select(*key_cols), list(key_cols),
                           "left_anti")
     upserts = (latest.filter(F.col(op_col) == upsert_op)

@@ -756,3 +756,24 @@ def test_eval_tables_build_once(spark):
     m.queries()["precision_eval"](spark, sf).count()
     jobs = max(st.getJobIdsForGroup() or [0]) - j0
     assert jobs <= 6, f"warm precision_eval used {jobs} jobs (expected <= 6)"
+
+
+def test_apply_changes_anti_join_broadcasts_batch_keys(spark, sf_dir):
+    """The CDC merge must keep the O(corpus) base out of every shuffle:
+    exactly one Window (the last-writer dedup, over the CHANGE BATCH
+    only), the base touched by a broadcast left-anti join, and no sort
+    or exchange keyed on the base side."""
+    import __spark_entry__ as m
+
+    df = m.q_cdc_apply(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin LeftAnti") == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the deduped batch is checkpointed: its window/exchange ran once
+    # up front, so the served plan holds NO window, ONE parquet scan
+    # (the base), and no exchange at all (union adds none)
+    assert "Window" not in plan, plan
+    import re
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
+    assert len(scan_ids) == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
