@@ -3589,7 +3589,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,             # multi-source BFS
         "k_core": q_k_core,                           # iterative k-core peel
         "sampled_quantiles": q_sampled_quantiles,     # bottom-k sketch tier
-        "path_ngrams": q_path_ngrams,                 # 3-step journey paths
+        # r10 second rotation (VERDICT r9 next #2 named it the candidate):
+        # path_ngrams (driver-proven green r8-r9; its window-lead journey
+        # mechanics also ride the driver-checked session_windows /
+        # asof_attribution entries) → extras, freeing the slot for the
+        # MERGE-semantics CDC apply — the operator that closes the
+        # snapshot-diff → change-batch → next-snapshot loop
+        "cdc_apply": q_cdc_apply,                     # MERGE upsert/tombstone
         # r10 rotation (VERDICT r9 next #2): seasonal_anomalies (driver-
         # proven green r8-r9; its same-hour-yesterday equi-join shape is
         # also exercised by the driver-checked streaming_hourly window
@@ -3820,7 +3826,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,                         # market-share ratio agg
         "tpch_q15": q_tpch_q15,                       # argmax-revenue supplier
         "scd2_intervals": q_scd2_intervals,           # SCD2 validity intervals
-        "cdc_apply": q_cdc_apply,                     # MERGE-semantics CDC apply
+        # r10 second rotation: journey 3-grams driver-proven r8-r9, its
+        # window-lead mechanics ride the driver-checked session/asof rows
+        "path_ngrams": q_path_ngrams,
         "edit_neardup": q_edit_neardup,               # levenshtein-verified near-dup
         "psi_drift": q_psi_drift,                     # PSI drift monitor
         "char_entropy": q_char_entropy,               # Shannon char entropy
