@@ -1650,6 +1650,193 @@ def q_tpch_q15(spark, sf_dir):
             .orderBy("s_suppkey"))
 
 
+def _derived_partsupp(spark, sf_dir):
+    """Deterministic partsupp surrogate: the testdata ships no partsupp
+    table, so the supply relation is the observed DISTINCT lineitem
+    (part, supplier) pairs (the Q16 adaptation convention) extended with
+    two synthetic-but-deterministic attributes that are pure integer
+    functions of the pair — so Spark and the DuckDB oracle derive
+    bit-identical values with no float hazard:
+
+      ps_cost_cents = (partkey*7 + suppkey*13) % 10000 + 100   (long)
+      ps_availqty   = (partkey*31 + suppkey*17) % 9999 + 1      (long)
+      ps_supplycost = ps_cost_cents / 100.0                    (double)
+
+    Keeping the cost in integer cents lets Q11's HAVING run over exact
+    integer sums (float-order-free); ps_supplycost exists for Q2/Q9's
+    money output. At 100 TB partsupp would be a real table — this view
+    is one distinct over two long columns (partial-agg combine, key-
+    partitioned), strictly cheaper than any query consuming it."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    cents = (F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 10000 + 100
+    avail = (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 9999 + 1
+    return li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        avail.cast("long").alias("ps_availqty"),
+        cents.cast("long").alias("ps_cost_cents"),
+        (cents.cast("double") / F.lit(100.0)).alias("ps_supplycost"))
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the EUROPE supplier(s) offering the minimum supply cost — the classic
+    correlated-min subquery compiled to ONE window min over the already-
+    joined rows (no second supply pass; the correlation key IS the window
+    partition key). Supply relation = the derived partsupp view
+    (_derived_partsupp). The min compares integer cents, so the argmin
+    set is engine-exact. Part filter prunes the part scan; part and the
+    region-filtered supplier chain broadcast; the only shuffle is the
+    window's partkey exchange. Top-100 by account balance via
+    TakeOrdered (never a global sort), ps_suppkey as the final tiebreak
+    for a total order."""
+    from pyspark.sql import Window
+
+    _pin_utc(spark)
+    ps = _derived_partsupp(spark, sf_dir)
+    part = (load_table(spark, sf_dir, "part")
+            .filter((F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY"))
+            .select("p_partkey", "p_name"))
+    eur_nat = (load_table(spark, sf_dir, "nation")
+               .join(F.broadcast(load_table(spark, sf_dir, "region")
+                                 .filter(F.col("r_name") == "EUROPE")
+                                 .select("r_regionkey")),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .select("n_nationkey", "n_name"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(eur_nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    w = Window.partitionBy("ps_partkey")
+    return (ps
+            .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+            .withColumn("min_cents", F.min("ps_cost_cents").over(w))
+            .filter(F.col("ps_cost_cents") == F.col("min_cents"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                    fround(F.col("ps_supplycost"), 2).alias("ps_supplycost"),
+                    "ps_suppkey")
+            .orderBy(F.col("s_acctbal").desc(), F.col("n_name").asc(),
+                     F.col("s_name").asc(), F.col("p_partkey").asc(),
+                     F.col("ps_suppkey").asc())
+            .limit(100))
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): per supplier nation and
+    order year, profit = Σ(l_extendedprice·(1−l_discount) −
+    ps_supplycost·l_quantity) over parts named like '%bolt%'. Supply
+    cost joins from the derived partsupp view on BOTH keys (at real
+    scale partsupp is a table; here the derivation is one distinct over
+    the same fact — AQE sizes the pair join, never force-broadcast).
+    Part filter broadcasts and prunes the fact early; supplier⋈nation
+    broadcasts; the bounded (nation, year) aggregate is partial-agg'd
+    map-side. Profit fround'ed to cents in both engines."""
+    _pin_utc(spark)
+    ps = _derived_partsupp(spark, sf_dir) \
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("%bolt%")).select("p_partkey"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(load_table(spark, sf_dir, "nation")
+                              .select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("nation")))
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("ps_supplycost") * F.col("l_quantity"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+                  & (F.col("l_suppkey") == F.col("ps_suppkey")))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+            .agg(fround(F.sum(amount), 2).alias("sum_profit"))
+            .orderBy(F.col("nation").asc(), F.col("o_year").desc()))
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): parts whose in-region stock
+    value (Σ ps_cost_cents·ps_availqty over ASIA suppliers) exceeds 1.5×
+    the mean per-part value. The classic global-scalar HAVING — the
+    scalar (total, group count) is a 1-row aggregate OVER the per-part
+    table (shuffle reused) broadcast back via crossJoin. The fraction is
+    scale-FREE (1.5× mean, not TPC-H's fixed 0.0001/SF share) so the
+    result stays non-empty at any SF; the comparison runs entirely over
+    exact integer cents (sum·n·2 > total·3 — no float boundary exists).
+    Value emitted in fround'ed dollars; ordering on the integer sum."""
+    _pin_utc(spark)
+    ps = _derived_partsupp(spark, sf_dir)
+    asia_nat = (load_table(spark, sf_dir, "nation")
+                .join(F.broadcast(load_table(spark, sf_dir, "region")
+                                  .filter(F.col("r_name") == "ASIA")
+                                  .select("r_regionkey")),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(asia_nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    byp = (ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+           .groupBy("ps_partkey")
+           .agg(F.sum(F.col("ps_cost_cents") * F.col("ps_availqty"))
+                .alias("cents")))
+    tot = byp.agg(F.sum("cents").alias("total_cents"),
+                  F.count(F.lit(1)).alias("n_parts"))
+    return (byp.crossJoin(F.broadcast(tot))
+            .filter(F.col("cents") * F.col("n_parts") * 2
+                    > F.col("total_cents") * 3)
+            .select("ps_partkey",
+                    fround(F.col("cents").cast("double") / F.lit(100.0), 2)
+                    .alias("part_value"))
+            .orderBy(F.col("part_value").desc(), F.col("ps_partkey").asc()))
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): AFRICA suppliers
+    holding excess stock (ps_availqty > ½ of the 1996 shipped quantity)
+    of some '%bolt%' part — the classic nested-semi chain: the shipped-
+    quantity correlated subquery is ONE pair-keyed aggregate joined back
+    on both keys; the supplier list is a left-semi against the distinct
+    qualifying suppliers. Quantities compare as exact integers
+    (2·availqty > Σqty, quantities are integer-valued in the data).
+    Part filter broadcasts; the region-pruned supplier dim broadcasts;
+    shuffles: the pair aggregate + the pair join (same keys — one
+    exchange reused)."""
+    _pin_utc(spark)
+    ps = _derived_partsupp(spark, sf_dir) \
+        .select("ps_partkey", "ps_suppkey", "ps_availqty")
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("%bolt%")).select("p_partkey"))
+    shipped = (load_table(spark, sf_dir, "lineitem")
+               .filter((F.col("l_shipdate") >= "1996-01-01")
+                       & (F.col("l_shipdate") < "1997-01-01"))
+               .groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")))
+    cand = (ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+            .join(shipped, (F.col("ps_partkey") == F.col("l_partkey"))
+                  & (F.col("ps_suppkey") == F.col("l_suppkey")))
+            .filter(2 * F.col("ps_availqty") > F.col("sum_qty"))
+            .select("ps_suppkey").distinct())
+    afr_nat = (load_table(spark, sf_dir, "nation")
+               .join(F.broadcast(load_table(spark, sf_dir, "region")
+                                 .filter(F.col("r_name") == "AFRICA")
+                                 .select("r_regionkey")),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .select("n_nationkey"))
+    return (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(afr_nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey"))
+
+
 def q_robust_zscore(spark, sf_dir):
     """Per-priority robust (median/MAD) z-scores over order prices with
     modified-z outlier flags — the outlier rule that survives its own
@@ -3825,6 +4012,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,                         # bilateral nation trade
         "tpch_q8": q_tpch_q8,                         # market-share ratio agg
         "tpch_q15": q_tpch_q15,                       # argmax-revenue supplier
+        # r10 second wave: the four partsupp-DEPENDENT queries over the
+        # deterministic derived supply view (_derived_partsupp) — with
+        # these the engine covers ALL 22 TPC-H query shapes
+        "tpch_q2": q_tpch_q2,                         # correlated-min supplier
+        "tpch_q9": q_tpch_q9,                         # nation/year profit
+        "tpch_q11": q_tpch_q11,                       # scalar-HAVING stock value
+        "tpch_q20": q_tpch_q20,                       # nested-semi promotion
         "scd2_intervals": q_scd2_intervals,           # SCD2 validity intervals
         # r10 second rotation: journey 3-grams driver-proven r8-r9, its
         # window-lead mechanics ride the driver-checked session/asof rows
@@ -7427,6 +7621,97 @@ WITH revenue AS (
 SELECT s_suppkey, s_name, total_revenue
 FROM supplier JOIN revenue ON s_suppkey = l_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+    # The derived partsupp surrogate shared by the four partsupp-dependent
+    # shapes (q2/q9/q11/q20): distinct lineitem pairs + pure-integer
+    # synthetic attributes — bit-identical in both engines (see
+    # _derived_partsupp's docstring)
+    _PS = """
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         (l_partkey * 31 + l_suppkey * 17) % 9999 + 1 AS ps_availqty,
+         (l_partkey * 7 + l_suppkey * 13) % 10000 + 100 AS ps_cost_cents,
+         ((l_partkey * 7 + l_suppkey * 13) % 10000 + 100) / 100.0 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+)"""
+    # Q2 shape: minimum-cost EUROPE supplier per qualifying part — the
+    # correlated min as a window over the joined rows, argmin compared
+    # in exact integer cents
+    sql["tpch_q2"] = f"""
+WITH {_PS},
+eligible AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_suppkey,
+         ps_cost_cents, ps_supplycost,
+         min(ps_cost_cents) OVER (PARTITION BY ps_partkey) AS min_cents
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN part ON ps_partkey = p_partkey AND p_size <= 15 AND p_type = 'ECONOMY'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       floor(ps_supplycost * 100 + 0.5) / 100 AS ps_supplycost, ps_suppkey
+FROM eligible WHERE ps_cost_cents = min_cents
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+LIMIT 100
+"""
+    # Q9 shape: nation/year profit with the derived supply cost
+    sql["tpch_q9"] = f"""
+WITH {_PS}
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       floor(sum(l_extendedprice * (1 - l_discount)
+                 - ps_supplycost * l_quantity) * 100 + 0.5) / 100 AS sum_profit
+FROM lineitem
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+    # Q11 shape: per-part ASIA stock value above 1.5x the mean — the
+    # HAVING comparison entirely in exact integer cents
+    sql["tpch_q11"] = f"""
+WITH {_PS},
+byp AS (
+  SELECT ps_partkey, sum(ps_cost_cents * ps_availqty) AS cents
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+  GROUP BY ps_partkey
+),
+tot AS (SELECT sum(cents) AS total_cents, count(*) AS n_parts FROM byp)
+SELECT ps_partkey, floor(cents / 100.0 * 100 + 0.5) / 100 AS part_value
+FROM byp, tot
+WHERE cents * n_parts * 2 > total_cents * 3
+ORDER BY part_value DESC, ps_partkey
+"""
+    # Q20 shape: AFRICA suppliers with excess stock of a 1996-shipped
+    # bolt part — integer quantity comparison, nested-semi chain
+    sql["tpch_q20"] = f"""
+WITH {_PS},
+shipped AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+cand AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN part ON ps_partkey = p_partkey AND p_name LIKE '%bolt%'
+  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE 2 * ps_availqty > sum_qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'AFRICA'
+WHERE s_suppkey IN (SELECT ps_suppkey FROM cand)
 ORDER BY s_suppkey
 """
     # CSV ingest round-trip: parse(render(orders)) = identity on valid
