@@ -4001,10 +4001,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,                       # HAVING-pruned big orders
         "tpch_q21": q_tpch_q21,                       # sole-late-supplier
                                                       # semi+anti double corr.
-        # r10: the remaining partsupp-free TPC-H shapes, full oracles —
-        # with q7/q8/q15 this covers EVERY TPC-H query expressible on the
-        # testdata tables (only q2/q9/q11/q20 remain — all need partsupp,
-        # which the testdata does not ship)
+        # r10: the remaining partsupp-free TPC-H shapes, full oracles
         "tpch_q12": q_tpch_q12,                       # conditional-agg join
         "tpch_q13": q_tpch_q13,                       # left-join count histo
         "tpch_q17": q_tpch_q17,                       # correlated-avg window
