@@ -1927,6 +1927,21 @@ def q_k_core(spark, sf_dir):
     return graph.k_core(edges, k=4, symmetric=True)
 
 
+def q_label_propagation(spark, sf_dir):
+    """Label-propagation communities (4 synchronous rounds) over the
+    co-purchase graph — the near-linear community detector, made a pure
+    function of the graph (synchronous updates + smallest-label tie
+    break) so a FIXED unroll of the rounds in plain SQL is the exact
+    oracle (``_label_prop_sql``); the argmax sums integer weights, so
+    no float-order hazard exists
+    (operators/graph.py::label_propagation)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase.copurchase_edges(li)
+    return graph.label_propagation(edges, n_rounds=4, symmetric=True)
+
+
 def q_band_recall(spark, sf_dir):
     """Measured banding S-curve: recall/precision of all-pairs banded
     MinHash candidates vs exact shingle Jaccard on a deterministic doc
@@ -3922,6 +3937,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,       # PMI word-association mining
         "mutual_knn": q_mutual_knn,                   # reciprocal nearest-neighbor pairs
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
+        "label_propagation": q_label_propagation,     # LPA communities (fixed-
+                                                      # round unrolled oracle)
         "value_histogram": q_value_histogram,         # equal-width numeric profile
         "zorder_key": q_zorder_key,                   # Morton layout-key histogram
         "event_transitions": q_event_transitions,     # Markov next-event matrix
@@ -4655,6 +4672,34 @@ und{t} AS MATERIALIZED (
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT a AS node, CAST(count(*) AS BIGINT) AS degree"
             + f"\nFROM und{rounds} GROUP BY a")
+
+
+def _label_prop_sql(rounds: int = 4) -> str:
+    """Synchronous LPA unrolled to a FIXED ``rounds`` CTE rounds over
+    the co-purchase graph — the ``_k_core_sql`` pattern. Exact because
+    the Spark side (operators/graph.py::label_propagation) runs the
+    same synchronous update with the same (weight DESC, label ASC)
+    tie break for exactly ``rounds`` rounds; integer edge weights sum
+    exactly in both engines. Round CTEs are MATERIALIZED (each feeds
+    the next round's join; DuckDB inlining would double the subtree
+    per round otherwise)."""
+    parts = [f"""{_EDGES_CTE},
+lund AS MATERIALIZED (
+  SELECT src AS a, dst AS b, CAST(weight AS BIGINT) AS w
+  FROM edges WHERE src <> dst),
+lbl0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM lund)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""lbl{t} AS MATERIALIZED (
+  SELECT a AS node, label FROM (
+    SELECT u.a, l.label, sum(u.w) AS s,
+           row_number() OVER (PARTITION BY u.a
+                              ORDER BY sum(u.w) DESC, l.label ASC) AS rn
+    FROM lund u JOIN lbl{t - 1} l ON u.b = l.node
+    GROUP BY u.a, l.label)
+  WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, label FROM lbl{rounds}")
 
 
 def _sq_recon_ctes() -> str:
@@ -6060,6 +6105,7 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
         "pagerank": _pagerank_sql(n_iters=3, damping=0.85),
 
         "k_core": _k_core_sql(k=4, rounds=20),
+        "label_propagation": _label_prop_sql(rounds=4),
 
         "mmr_topk": _mmr_sql(k=TOP_K, pool_k=MMR_POOL, lam=MMR_LAMBDA),
 

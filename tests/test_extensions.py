@@ -3446,3 +3446,38 @@ def test_budgeted_select_prefix_semantics(spark):
     # (would fit alone) is excluded by prefix semantics
     # b: 10 kept exactly at the budget; c: first row alone over budget
     assert got == {1: 5, 2: 9, 5: 10}
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two 4-cliques joined by a single bridge edge: LPA must assign
+    each clique its own min-member label and never merge them across
+    the (weight-1) bridge; also pins the synchronous smallest-label
+    tie break on a symmetric pair."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.graph import label_propagation
+
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    bridge = [(3, 10), (10, 3)]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in cl1 + cl2 + bridge],
+        "src long, dst long, weight long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, n_rounds=4,
+                                      symmetric=True).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+    # deterministic tie break: an isolated symmetric pair (each node's
+    # only neighbor is the other) oscillates labels {20,21} under
+    # synchronous updates; after an EVEN round count each node is back
+    # on its own label — a pure function of n_rounds, never random
+    pair = spark.createDataFrame([(20, 21, 1), (21, 20, 1)],
+                                 "src long, dst long, weight long")
+    even = {r["node"]: r["label"]
+            for r in label_propagation(pair, n_rounds=4,
+                                       symmetric=True).collect()}
+    assert even == {20: 20, 21: 21}
+    odd = {r["node"]: r["label"]
+           for r in label_propagation(pair, n_rounds=3,
+                                      symmetric=True).collect()}
+    assert odd == {20: 21, 21: 20}
