@@ -1628,9 +1628,11 @@ def q_tpch_q15(spark, sf_dir):
     """TPC-H Q15 shape (top supplier): per-supplier revenue over one
     quarter, keeping the supplier(s) whose revenue equals the global
     max. The max is a 1-row scalar aggregate broadcast back over the
-    SAME aggregated view (localCheckpoint-free: the agg is cheap and
-    Spark reuses the shuffle via the exchange-reuse rule) — never a
-    global sort. Revenue is fround'ed BEFORE the equality compare so
+    SAME aggregated view — never a global sort. The per-supplier view
+    is bounded (|suppliers| rows) and feeds TWO plan branches, so it is
+    checkpointed: the static plan otherwise duplicates the fact scan
+    per branch (exchange reuse is a runtime maybe, not a plan
+    guarantee). Revenue is fround'ed BEFORE the equality compare so
     the float max matches across engines. Supplier names broadcast."""
     _pin_utc(spark)
     rev = (load_table(spark, sf_dir, "lineitem")
@@ -1639,7 +1641,8 @@ def q_tpch_q15(spark, sf_dir):
            .groupBy("l_suppkey")
            .agg(fround(F.sum(F.col("l_extendedprice")
                              * (1 - F.col("l_discount"))), 2)
-                .alias("total_revenue")))
+                .alias("total_revenue"))
+           .localCheckpoint(eager=True))
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     supp = load_table(spark, sf_dir, "supplier") \
         .select("s_suppkey", "s_name")
@@ -1785,7 +1788,11 @@ def q_tpch_q11(spark, sf_dir):
     byp = (ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
            .groupBy("ps_partkey")
            .agg(F.sum(F.col("ps_cost_cents") * F.col("ps_availqty"))
-                .alias("cents")))
+                .alias("cents"))
+           # bounded (one row per part) and consumed by TWO plan
+           # branches (the scalar + the filter) — checkpoint so the
+           # supply derivation runs once, not per branch
+           .localCheckpoint(eager=True))
     tot = byp.agg(F.sum("cents").alias("total_cents"),
                   F.count(F.lit(1)).alias("n_parts"))
     return (byp.crossJoin(F.broadcast(tot))

@@ -178,6 +178,16 @@ HEADLINE = [
     "tpch_q7",
     "tpch_q8",
     "tpch_q15",
+    # r10 second wave: the four partsupp-DEPENDENT shapes over the
+    # derived supply view (all 22 TPC-H shapes covered), CDC MERGE
+    # apply, edit-verified near-dup, and LPA communities
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
+    "cdc_apply",
+    "edit_neardup",
+    "label_propagation",
 ]
 
 
