@@ -2081,6 +2081,20 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_gap_fill(spark, sf_dir):
+    """Dense hourly grid per event type with LOCF + linear
+    interpolation — the hypertable ``time_bucket_gapfill`` primitive:
+    per-group spine generated distributed-side (sequence+explode from
+    each group's bounded min/max pair), observed rollup fround'ed so
+    both engines interpolate over identical doubles
+    (operators/timeseries.py::gap_fill)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.gap_fill(ev, "event_type", "ts", "value",
+                               bucket_seconds=3600)
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     sequences: P(next_type | event_type) from lead() pairs ordered by
@@ -3946,6 +3960,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
         "label_propagation": q_label_propagation,     # LPA communities (fixed-
                                                       # round unrolled oracle)
+        "gap_fill": q_gap_fill,                       # time_bucket_gapfill +
+                                                      # locf/interpolate
         "value_histogram": q_value_histogram,         # equal-width numeric profile
         "zorder_key": q_zorder_key,                   # Morton layout-key histogram
         "event_transitions": q_event_transitions,     # Markov next-event matrix
@@ -7763,6 +7779,53 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey AND r_name = 'AFRICA'
 WHERE s_suppkey IN (SELECT ps_suppkey FROM cand)
 ORDER BY s_suppkey
+"""
+    # time_bucket_gapfill + locf/interpolate: dense hourly spine per
+    # event type, observed rollup fround'ed so both engines interpolate
+    # over identical doubles; interpolation written with the SAME
+    # associativity as the Spark expression (IEEE bit-identical)
+    sql["gap_fill"] = """
+WITH obs AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events,
+         floor(sum(value) * 100 + 0.5) / 100 AS sval
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT grp, min(bucket) AS mn, max(bucket) AS mx FROM obs GROUP BY grp),
+spine AS (
+  SELECT grp, CAST(unnest(range(mn, mx + 3600, 3600)) AS BIGINT) AS bucket
+  FROM bounds
+),
+dense AS (
+  SELECT s.grp, s.bucket, o.n_events, o.sval
+  FROM spine s LEFT JOIN obs o ON s.grp = o.grp AND s.bucket = o.bucket
+),
+w AS (
+  SELECT *,
+    last_value(sval IGNORE NULLS) OVER
+      (PARTITION BY grp ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_val,
+    last_value(CASE WHEN sval IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+      (PARTITION BY grp ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+    first_value(sval IGNORE NULLS) OVER
+      (PARTITION BY grp ORDER BY bucket
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN sval IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+      (PARTITION BY grp ORDER BY bucket
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM dense
+)
+SELECT grp AS event_type, bucket,
+       COALESCE(n_events, 0) AS n_events, sval, locf_val,
+       CASE WHEN sval IS NOT NULL THEN sval
+            WHEN locf_val IS NOT NULL AND next_v IS NOT NULL THEN
+              floor((locf_val + (next_v - locf_val) * (bucket - prev_b)
+                     / (next_b - prev_b)) * 1000000 + 0.5) / 1000000
+            ELSE NULL END AS interp_val,
+       (sval IS NULL) AS is_gap
+FROM w
 """
     # CSV ingest round-trip: parse(render(orders)) = identity on valid
     # rows; the planted cast-failure / broken-quote mod classes excluded.

@@ -188,6 +188,7 @@ HEADLINE = [
     "cdc_apply",
     "edit_neardup",
     "label_propagation",
+    "gap_fill",
 ]
 
 

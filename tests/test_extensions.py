@@ -3481,3 +3481,41 @@ def test_label_propagation_planted_communities(spark):
            for r in label_propagation(pair, n_rounds=3,
                                       symmetric=True).collect()}
     assert odd == {20: 21, 21: 20}
+
+
+def test_gap_fill_locf_and_interp_semantics(spark):
+    """Planted gaps: leading gap (both fills NULL), interior gap
+    (locf = left value, interp = linear blend), trailing gap (locf
+    carries, interp NULL) — plus the dense spine covers exactly the
+    group's own [min, max] bucket range."""
+    import datetime as dt
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.timeseries import gap_fill
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h, 30)
+
+    rows = [  # group g: observed hours 1, 4 (values 10, 40); trailing gap at 5 via group h
+        ("g", t(1), 10.0), ("g", t(4), 40.0),
+        ("h", t(0), 5.0), ("h", t(2), 7.0), ("h", t(2), 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {(r["event_type"], r["bucket"]): r
+           for r in gap_fill(ev, "event_type", "ts", "value",
+                             bucket_seconds=3600).collect()}
+    base = int(dt.datetime(2024, 1, 1, 0, tzinfo=dt.timezone.utc).timestamp())
+    H = 3600
+    # g spans hours 1..4 — exactly 4 buckets, no leading hour-0 row
+    gb = sorted(b for (grp, b) in got if grp == "g")
+    assert gb == [base + H, base + 2 * H, base + 3 * H, base + 4 * H]
+    g2 = got[("g", base + 2 * H)]           # interior gap, 1/3 of the way
+    assert g2["is_gap"] and g2["sval"] is None
+    assert g2["locf_val"] == 10.0
+    assert abs(g2["interp_val"] - 20.0) < 1e-9
+    g3 = got[("g", base + 3 * H)]
+    assert abs(g3["interp_val"] - 30.0) < 1e-9
+    # h: hour-1 interior gap between 5.0 and 8.0 (two rows summed)
+    h1 = got[("h", base + H)]
+    assert h1["locf_val"] == 5.0 and abs(h1["interp_val"] - 6.5) < 1e-9
+    assert got[("h", base + 2 * H)]["n_events"] == 2
+    assert got[("h", base + 2 * H)]["sval"] == 8.0
