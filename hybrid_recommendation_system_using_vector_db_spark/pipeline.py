@@ -207,17 +207,24 @@ def load_lsh_index(spark: SparkSession, out_dir: str) -> DataFrame:
     type inference would silently parse it as the integer 1010 — losing
     the leading zeros that distinguish buckets. File-column types come
     from the footer of a first (metadata-only) inferred read."""
+    _finish_lsh_commit(spark, out_dir, as_reader=True)
+    _finish_lsh_compact(spark, out_dir, as_reader=True)
+    p = spark.read.parquet(f"{out_dir}/lsh_params").collect()[0]
+    return (_read_lsh_buckets(spark, out_dir)
+            .withMetadata("bucket", {"lsh.n_bits": int(p.n_bits),
+                                     "lsh.n_tables": int(p.n_tables)}))
+
+
+def _read_lsh_buckets(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The live bucket table with the partition-column schema pinned
+    (``bucket`` as STRING — see :func:`load_lsh_index`)."""
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-    _finish_lsh_commit(spark, out_dir, as_reader=True)
-    p = spark.read.parquet(f"{out_dir}/lsh_params").collect()[0]
     base = spark.read.parquet(f"{out_dir}/lsh_buckets")
     schema = StructType(
         [f for f in base.schema.fields if f.name not in ("t", "bucket")]
         + [StructField("t", IntegerType()), StructField("bucket", StringType())])
-    return (spark.read.schema(schema).parquet(f"{out_dir}/lsh_buckets")
-            .withMetadata("bucket", {"lsh.n_bits": int(p.n_bits),
-                                     "lsh.n_tables": int(p.n_tables)}))
+    return spark.read.schema(schema).parquet(f"{out_dir}/lsh_buckets")
 
 
 def _finish_lsh_commit(spark: SparkSession, out_dir: str,
@@ -236,6 +243,70 @@ def _finish_lsh_commit(spark: SparkSession, out_dir: str,
         prune={"buckets": ["t", "bucket"]},
         partition_by={"buckets": ["t", "bucket"]},
         as_reader=as_reader)
+
+
+def _finish_lsh_compact(spark: SparkSession, out_dir: str,
+                        as_reader: bool = False) -> bool:
+    """Compaction publish: the rewritten bucket layout SWAPS the live
+    dir wholesale (atomic rename, no append/replay semantics). A
+    separate stage family from ``lsh__staging``: the recovery routine
+    is chosen by stage NAME, and publishing a crashed compaction
+    through the append protocol would anti-join-append the entire
+    rewritten corpus onto itself."""
+    return _finish_staging(
+        spark, f"{out_dir}/lsh_compact__staging",
+        swaps={"buckets": f"{out_dir}/lsh_buckets",
+               "docs": f"{out_dir}/lsh_docs"},
+        appends={},
+        as_reader=as_reader)
+
+
+def compact_lsh_index(spark: SparkSession, out_dir: str,
+                      target_rows_per_file: int = 4_000_000) -> dict:
+    """OPTIMIZE the persisted LSH artifact in place: rewrite the bucket
+    table to ONE file per (t, bucket) directory and the docs ledger to
+    ~``target_rows_per_file``-row files, then atomically swap. Closes
+    the artifact lifecycle (write → append → load → serve → COMPACT →
+    vacuum): every ``append_lsh_index`` batch adds at least one file to
+    each touched partition dir, so after k appends a probe reads k
+    footers per bucket — at 100 TB scan planning is O(files), and this
+    rewrite resets it to O(dirs) while preserving the partition-pruned
+    layout exactly (``compact_parquet`` would flatten it).
+
+    Crash safety: the rewritten tables stage under
+    ``lsh_compact__staging`` with the ``_COMMIT`` marker protocol; the
+    publish is a pure directory swap (no replay read of the staged
+    partitioned data, so the bit-string bucket values never round-trip
+    through partition type inference — they become the live dirs by
+    rename). A crash before the marker discards; after, any
+    maintenance path (append/compact/vacuum) or reader claim rolls the
+    swap forward. Maintenance-actor contract as everywhere: ONE
+    append/compact/vacuum actor per artifact root at a time.
+
+    Returns {files_in, files_out, rows} for the bucket table.
+    """
+    import math
+
+    _finish_lsh_commit(spark, out_dir)    # fold pending appends first
+    _finish_lsh_compact(spark, out_dir)   # recover a crashed compaction
+    fs, P = _hadoop_fs(spark, out_dir)
+    staging = f"{out_dir}/lsh_compact__staging"
+    if fs.exists(P(staging)):             # uncommitted debris
+        fs.delete(P(staging), True)
+    df = _read_lsh_buckets(spark, out_dir)
+    files_in = len(df.inputFiles())
+    rows = df.count()
+    (df.repartition(F.col("t"), F.col("bucket"))
+       .write.mode("overwrite").partitionBy("t", "bucket")
+       .parquet(f"{staging}/buckets"))
+    docs = spark.read.parquet(f"{out_dir}/lsh_docs")
+    n_files = max(1, math.ceil(docs.count() / max(1, target_rows_per_file)))
+    docs.repartition(n_files).write.mode("overwrite") \
+        .parquet(f"{staging}/docs")
+    fs.create(P(f"{staging}/_COMMIT")).close()   # the commit point
+    _finish_lsh_compact(spark, out_dir)
+    files_out = len(_read_lsh_buckets(spark, out_dir).inputFiles())
+    return {"files_in": files_in, "files_out": files_out, "rows": rows}
 
 
 def append_lsh_index(spark: SparkSession, new_embeddings: DataFrame,
@@ -264,6 +335,7 @@ def append_lsh_index(spark: SparkSession, new_embeddings: DataFrame,
     from .operators.similarity import lsh_build_index
 
     _finish_lsh_commit(spark, out_dir)   # recover any interrupted append
+    _finish_lsh_compact(spark, out_dir)  # …or interrupted compaction
     p = spark.read.parquet(f"{out_dir}/lsh_params").collect()[0]
     fs, P = _hadoop_fs(spark, out_dir)
     if fs.exists(P(f"{out_dir}/lsh_docs")):
@@ -1278,6 +1350,9 @@ def vacuum_staging(spark: SparkSession, out_dir: str,
             return True
         if base == "lsh":
             _finish_lsh_commit(spark, out_dir)
+            return True
+        if base == "lsh_compact":
+            _finish_lsh_compact(spark, out_dir)
             return True
         if base.endswith("_counts"):
             _staged_commit_finish(spark, out_dir, base,

@@ -1292,3 +1292,106 @@ def test_vacuum_publishes_stale_commit_with_renamed_away_subdirs(spark, tmp_path
     r3 = pipeline.vacuum_staging(spark, out, ttl_seconds=3600)
     assert r3["deleted"] == 1
     assert not os.path.exists(os.path.join(out, "kn_counts__publishing"))
+
+
+def test_compact_lsh_index_preserves_layout_and_rows(spark, tmp_path):
+    """OPTIMIZE lifecycle: after three append batches the bucket dirs
+    hold multiple small files; compaction rewrites to one file per
+    (t, bucket) dir and swaps atomically — row set, served results,
+    partition pruning, and the params sidecar all unchanged; the docs
+    ledger still guards replays."""
+    import os
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+    from hybrid_recommendation_system_using_vector_db_spark.operators import similarity as sim
+    from hybrid_recommendation_system_using_vector_db_spark.plans import formatted_plan
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    parts = [emb.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+    out = str(tmp_path / "lsh")
+    pipeline.write_lsh_index(spark, parts[0], out, n_bits=4, n_tables=3)
+    for p in parts[1:]:
+        pipeline.append_lsh_index(spark, p, out)
+    key = lambda r: (r.cand, r.t, r.bucket)
+    pre_rows = sorted(map(key, pipeline.load_lsh_index(spark, out).collect()))
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    serve = lambda: sorted(
+        (r.qid, r.rank, r.cand, round(r.score, 9))
+        for r in sim.lsh_topk(qs, emb, 5, n_bits=4, n_tables=3,
+                              index=pipeline.load_lsh_index(spark, out),
+                              dim=64).collect())
+    pre_serve = serve()
+
+    stats = pipeline.compact_lsh_index(spark, out)
+    assert stats["rows"] == len(pre_rows)
+    assert stats["files_out"] < stats["files_in"], stats
+    # one file per (t, bucket) dir after the rewrite
+    n_dirs = pipeline._read_lsh_buckets(spark, out) \
+        .select("t", "bucket").distinct().count()
+    assert stats["files_out"] == n_dirs
+    # row set, serving, and pruning unchanged
+    post = pipeline.load_lsh_index(spark, out)
+    assert sorted(map(key, post.collect())) == pre_rows
+    assert serve() == pre_serve
+    plan = formatted_plan(post.filter((F.col("t") == 0)
+                                      & (F.col("bucket") == "0101")))
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    # replay guard still intact after the ledger rewrite
+    pipeline.append_lsh_index(spark, parts[1], out)
+    assert sorted(map(key,
+                      pipeline.load_lsh_index(spark, out).collect())) == pre_rows
+    # no staging debris
+    assert not os.path.exists(os.path.join(out, "lsh_compact__staging"))
+    assert not os.path.exists(os.path.join(out, "lsh_compact__publishing"))
+    # idempotent: compacting a compacted index is a no-op rewrite
+    again = pipeline.compact_lsh_index(spark, out)
+    assert again["files_out"] == stats["files_out"]
+    assert again["rows"] == stats["rows"]
+
+
+def test_compact_lsh_index_crash_windows(spark, tmp_path):
+    """Compaction crash safety: an UNcommitted compaction stage is
+    discarded by the next maintenance call; a COMMITTED one — even
+    after a torn swap that already deleted the live bucket dir — rolls
+    forward from any maintenance path, and the stage family name keeps
+    the append protocol from ever replay-appending a compaction."""
+    import os
+    import shutil
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+    from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = str(tmp_path / "lsh")
+    pipeline.write_lsh_index(spark, a, out, n_bits=4, n_tables=3)
+    pipeline.append_lsh_index(spark, b, out)
+    key = lambda r: (r.cand, r.t, r.bucket)
+    want = sorted(map(key, pipeline.load_lsh_index(spark, out).collect()))
+    staging = os.path.join(out, "lsh_compact__staging")
+
+    # window 1: staged rewrite, no marker -> next compact discards it
+    shutil.copytree(os.path.join(out, "lsh_buckets"),
+                    os.path.join(staging, "buckets"))
+    stats = pipeline.compact_lsh_index(spark, out)
+    assert stats["rows"] == len(want)
+    assert sorted(map(key,
+                      pipeline.load_lsh_index(spark, out).collect())) == want
+
+    # window 2: committed stage + torn swap (live bucket dir already
+    # deleted) -> vacuum rolls the swap forward; nothing lost
+    shutil.copytree(os.path.join(out, "lsh_buckets"),
+                    os.path.join(staging, "buckets"))
+    shutil.copytree(os.path.join(out, "lsh_docs"),
+                    os.path.join(staging, "docs"))
+    open(os.path.join(staging, "_COMMIT"), "w").close()
+    shutil.rmtree(os.path.join(out, "lsh_buckets"))
+    res = pipeline.vacuum_staging(spark, out)
+    assert res["published"] == 1, res
+    assert sorted(map(key,
+                      pipeline.load_lsh_index(spark, out).collect())) == want
+    assert not os.path.exists(staging)
