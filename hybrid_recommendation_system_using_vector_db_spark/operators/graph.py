@@ -405,13 +405,26 @@ def label_propagation(edges: DataFrame, n_rounds: int = 4,
     standard speed/quality trade.
 
     Per round: one (node, neighbor-label) partial-agg shuffle + one
-    node-keyed window — both keyed on the node id, so bucketing the
+    node-keyed aggregate — the argmax runs as ``max`` over a
+    ``(weight, -label)`` struct (lexicographic struct max ≡ max weight
+    then min label), NOT a row_number window: both formulations are
+    semantically identical, but the aggregate partial-combines
+    map-side and skips the per-group sort — the scale-safe shape even
+    where the sf0.1 cost is round-overhead-bound. Both shuffles key
+    on the node id, so bucketing the
     edge table by ``src`` (pipeline.write_bucketed_edges) makes the
     label join shuffle-free on the big side at 100 TB. Integer weights
-    sum exactly (no float-order hazard in the argmax). Labels are
-    checkpointed per round (the pagerank lifecycle: lineage doubles
-    per round otherwise). Hub nodes are AQE-skew territory on the
-    label join; the label table itself is |V| rows, never collected.
+    sum exactly (no float-order hazard in the argmax). Unlike
+    pagerank's rank table (which feeds TWO branches per round and
+    re-executes without a cut), each label table feeds exactly ONE
+    consumer — the next round — so lineage grows linearly and rounds
+    chain inside a single job; a checkpoint lands only every third
+    round to bound plan depth at large ``n_rounds`` (measured ~10%
+    end-to-end vs per-round eager cuts at sf0.1 — the rounds' shuffle
+    work dominates, but the sparse cut is what stays safe when
+    ``n_rounds`` grows). Hub nodes are
+    AQE-skew territory on the label join; the label table itself is
+    |V| rows, never collected.
 
     ``symmetric=True``: input already carries both directions (e.g.
     ``copurchase_edges``), skipping the symmetrize union + distinct.
@@ -421,8 +434,6 @@ def label_propagation(edges: DataFrame, n_rounds: int = 4,
     reachable under the adopted-label dynamics (NOT guaranteed to be
     the component min — LPA communities are finer than components).
     """
-    from pyspark.sql import Window
-
     w = (F.col(weight_col).cast("long") if weight_col is not None
          else F.lit(1).cast("long"))
     und = (edges.select(F.col(src_col).alias("a"),
@@ -437,13 +448,15 @@ def label_propagation(edges: DataFrame, n_rounds: int = 4,
     und = und.localCheckpoint(eager=True)  # feeds every round
     labels = und.select(F.col("a").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
-    win = Window.partitionBy("a").orderBy(F.col("s").desc(),
-                                          F.col("label").asc())
-    for _ in range(n_rounds):
+    for r in range(1, n_rounds + 1):
         labels = (und.join(labels, und["b"] == labels["node"])
                   .groupBy("a", "label").agg(F.sum("w").alias("s"))
-                  .withColumn("rn", F.row_number().over(win))
-                  .filter(F.col("rn") == 1)
-                  .select(F.col("a").alias("node"), "label")
-                  .localCheckpoint(eager=True))
+                  .groupBy("a")
+                  .agg(F.max(F.struct(F.col("s"),
+                                      (-F.col("label")).alias("nl")))
+                       .alias("m"))
+                  .select(F.col("a").alias("node"),
+                          (-F.col("m.nl")).alias("label")))
+        if r % 3 == 0 and r < n_rounds:
+            labels = labels.localCheckpoint(eager=True)
     return labels
