@@ -1735,7 +1735,11 @@ def q_tpch_q9(spark, sf_dir):
     the same fact — AQE sizes the pair join, never force-broadcast).
     Part filter broadcasts and prunes the fact early; supplier⋈nation
     broadcasts; the bounded (nation, year) aggregate is partial-agg'd
-    map-side. Profit fround'ed to cents in both engines."""
+    map-side. The profit terms cancel (revenue − cost), so a double
+    sum is shuffle-fetch-order dependent run to run; each term is
+    floored to integer MICROS before the sum — LONG sums are exact
+    and order-free in both engines — and the cent rounding happens
+    once on the exact total."""
     _pin_utc(spark)
     ps = _derived_partsupp(spark, sf_dir) \
         .select("ps_partkey", "ps_suppkey", "ps_supplycost")
@@ -1753,13 +1757,15 @@ def q_tpch_q9(spark, sf_dir):
         "l_extendedprice", "l_discount", "l_quantity")
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - F.col("ps_supplycost") * F.col("l_quantity"))
+    micros = F.floor(amount * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
             .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
                   & (F.col("l_suppkey") == F.col("ps_suppkey")))
             .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-            .agg(fround(F.sum(amount), 2).alias("sum_profit"))
+            .agg(fround(F.sum(micros).cast("double") / F.lit(1000000.0), 2)
+                 .alias("sum_profit"))
             .orderBy(F.col("nation").asc(), F.col("o_year").desc()))
 
 
@@ -3789,8 +3795,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # freeing slots for the r8 association-rule miner and the exact
         # per-group quantile op
         "lsh_topk_mp": q_lsh_topk_mp,
-        "association_rules": q_association_rules,
-        "grouped_quantiles": q_grouped_quantiles,
+        # r10 third rotation: association_rules + grouped_quantiles
+        # (both driver-proven green in CORRECTNESS_r08/r09; the exact
+        # nearest-rank quantile mechanics stay driver-checked inside
+        # sampled_quantiles' DKW-gated chain and the co-occurrence
+        # join shape inside copurchase_edges) → extras, freeing slots
+        # for the r10 second wave: deterministic LPA communities and
+        # the hypertable gap-fill primitive
+        "label_propagation": q_label_propagation,     # LPA communities
+        "gap_fill": q_gap_fill,                       # gapfill + locf/interp
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_recall": q_ann_recall,
@@ -3827,7 +3840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_lifecycle": q_index_lifecycle,         # A3+A4 sink lifecycle
         "temporal_split": q_temporal_split,           # purged walk-forward
         "streaming_enrich": q_streaming_enrich,       # stream-static join
-        "tpch_q14": q_tpch_q14,                       # promo-share agg
+        # r10 third rotation: tpch_q14 (driver-proven r8-r9; its
+        # conditional-ratio shape also rides the driver-checked
+        # tpch_q19 disjunction and cube_revenue aggregates) → extras,
+        # freeing the slot for the derived-partsupp Q9 — the classic
+        # profit join over the synthesized supply relation
+        "tpch_q9": q_tpch_q9,                         # derived-supply profit
         "tpch_q16": q_tpch_q16,                       # distinct-supplier counts
         "tpch_q19": q_tpch_q19,                       # disjunctive band filter
         # --- dedup extensions ---
@@ -3958,10 +3976,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,       # PMI word-association mining
         "mutual_knn": q_mutual_knn,                   # reciprocal nearest-neighbor pairs
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
-        "label_propagation": q_label_propagation,     # LPA communities (fixed-
-                                                      # round unrolled oracle)
-        "gap_fill": q_gap_fill,                       # time_bucket_gapfill +
-                                                      # locf/interpolate
+        # r10 third rotation out of the driver 50 (for label_propagation /
+        # gap_fill / tpch_q9): all three driver-proven green in
+        # CORRECTNESS_r08/r09 — stay oracle-pinned here every CI run
+        "association_rules": q_association_rules,
+        "grouped_quantiles": q_grouped_quantiles,
+        "tpch_q14": q_tpch_q14,
         "value_histogram": q_value_histogram,         # equal-width numeric profile
         "zorder_key": q_zorder_key,                   # Morton layout-key histogram
         "event_transitions": q_event_transitions,     # Markov next-event matrix
@@ -4049,11 +4069,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,                         # bilateral nation trade
         "tpch_q8": q_tpch_q8,                         # market-share ratio agg
         "tpch_q15": q_tpch_q15,                       # argmax-revenue supplier
-        # r10 second wave: the four partsupp-DEPENDENT queries over the
+        # r10 second wave: the partsupp-DEPENDENT queries over the
         # deterministic derived supply view (_derived_partsupp) — with
-        # these the engine covers ALL 22 TPC-H query shapes
+        # these the engine covers ALL 22 TPC-H query shapes (q9, the
+        # classic profit join, rotated INTO the driver 50)
         "tpch_q2": q_tpch_q2,                         # correlated-min supplier
-        "tpch_q9": q_tpch_q9,                         # nation/year profit
         "tpch_q11": q_tpch_q11,                       # scalar-HAVING stock value
         "tpch_q20": q_tpch_q20,                       # nested-semi promotion
         "scd2_intervals": q_scd2_intervals,           # SCD2 validity intervals
@@ -7722,12 +7742,17 @@ FROM eligible WHERE ps_cost_cents = min_cents
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
 LIMIT 100
 """
-    # Q9 shape: nation/year profit with the derived supply cost
+    # Q9 shape: nation/year profit with the derived supply cost — each
+    # profit term floored to integer micros pre-sum (LONG sums are
+    # order-free; a double sum of cancelling terms is shuffle-order
+    # dependent), cent rounding once on the exact total
     sql["tpch_q9"] = f"""
 WITH {_PS}
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       floor(sum(l_extendedprice * (1 - l_discount)
-                 - ps_supplycost * l_quantity) * 100 + 0.5) / 100 AS sum_profit
+       floor(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                             - ps_supplycost * l_quantity) * 1000000.0
+                            + 0.5) AS BIGINT)) / 1000000.0 * 100 + 0.5)
+         / 100 AS sum_profit
 FROM lineitem
 JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
 JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'

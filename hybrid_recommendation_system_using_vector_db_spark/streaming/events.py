@@ -150,7 +150,8 @@ def stream_stream_attribution(triggers: DataFrame, outcomes: DataFrame,
                               horizon: str = "1 hour",
                               by: str = "user_id",
                               event_time_col: str = "ts",
-                              state_watermark: str = "2 hours") -> DataFrame:
+                              state_watermark: str = "2 hours",
+                              join_type: str = "inner") -> DataFrame:
     """Stream-stream event-time interval join: attribute each outcome to
     every trigger by the same ``by`` key within ``horizon`` after it —
     the canonical watermarked two-stream join (click→purchase
@@ -166,9 +167,25 @@ def stream_stream_attribution(triggers: DataFrame, outcomes: DataFrame,
     watermark excepted), so the batch range join over the same files is
     the oracle.
 
+    ``join_type="left_outer"``: triggers that never attract an outcome
+    inside the horizon ALSO emit, with NULL outcome columns — the
+    "which clicks converted, which didn't" production shape. Outer
+    emission is watermark-gated: an unmatched trigger row leaves state
+    (and emits its NULL row) only once the outcome-side watermark
+    passes ``trigger.ts + horizon`` — nothing emits "unmatched" while a
+    matching outcome could still arrive. The batch oracle is the same
+    range join made LEFT; rows still buffered when a bounded run ends
+    are the documented streaming/batch delta (pinned in
+    ``test_stream_stream_left_outer_emits_unmatched_after_watermark``).
+
     Output: (``by``, trigger_id, outcome_id, trigger_ts, outcome_ts —
     epoch seconds, portable) + the outcome's ``value``.
     """
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError(
+            "stream_stream_attribution supports inner / left_outer "
+            f"(got {join_type!r}); right/full outers invert which side's "
+            "watermark gates emission — use swapped inputs instead")
     t = (triggers.withWatermark(event_time_col, state_watermark)
          .select(F.col(by).alias("k"),
                  F.col("event_id").alias("trigger_id"),
@@ -183,7 +200,7 @@ def stream_stream_attribution(triggers: DataFrame, outcomes: DataFrame,
         (F.col("k") == F.col("ok"))
         & (F.col("o_ts") >= F.col("t_ts"))
         & (F.col("o_ts") <= F.col("t_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner")
+        join_type)
     return joined.select(
         F.col("k").alias(by),
         "trigger_id", "outcome_id",

@@ -431,3 +431,73 @@ def test_streaming_jsonl_gate_equals_batch(spark, tmp_path):
                       .select("doc_id", "lang", "source", "text").collect()))
     assert got == want
     assert [r[0] for r in got] == [1, 3, 5]
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """left_outer stream-stream: matched pairs emit like the inner join;
+    an unmatched trigger emits its NULL-outcome row only after the
+    outcome-side watermark passes trigger.ts + horizon (forced here by a
+    far-future sentinel batch); and an out-of-horizon outcome does NOT
+    rescue the trigger from the unmatched set."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        stream_stream_attribution,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    batch1 = [
+        (1, t(1, 0), 10, "click", 0.0),
+        (2, t(1, 10), 10, "purchase", 5.0),   # matches click 1 (10 min)
+        (3, t(2, 0), 11, "click", 0.0),        # never purchases
+        (4, t(3, 0), 12, "click", 0.0),
+        (5, t(4, 30), 12, "purchase", 9.0),    # 90 min later: OUTSIDE 1h
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = stream_stream_attribution(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour", state_watermark="1 hour",
+        join_type="left_outer")
+    q = (joined.writeStream.format("memory")
+         .queryName("outer_attr").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # sentinel far-future batch advances BOTH watermarks past every
+        # batch-1 join window, flushing the unmatched triggers
+        sentinel = [(90, t(20, 0), 99, "click", 0.0),
+                    (91, t(20, 0), 99, "purchase", 1.0)]
+        spark.createDataFrame(sentinel, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {(r.user_id, r.trigger_id, r.outcome_id)
+                for r in spark.sql("SELECT * FROM outer_attr").collect()}
+    finally:
+        q.stop()
+    assert (10, 1, 2) in rows                 # matched, inner semantics
+    assert (11, 3, None) in rows              # unmatched → NULL row
+    assert (12, 4, None) in rows              # out-of-horizon ≠ matched
+    assert (12, 4, 5) not in rows
+    # the matched trigger never also emits an unmatched row
+    assert (10, 1, None) not in rows
+
+    # refused join types fail loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="left_outer"):
+        stream_stream_attribution(stream, stream, join_type="full_outer")
