@@ -54,7 +54,11 @@ def gap_fill(events: DataFrame, group_col: str, ts_col: str,
     obs = (events
            .groupBy(F.col(group_col).alias("grp"), bucket.alias("bucket"))
            .agg(F.count(F.lit(1)).alias("n_events"),
-                fround(F.sum(value_col), 2).alias("sval")))
+                fround(F.sum(value_col), 2).alias("sval"))
+           # bounded (|groups| × |buckets|) and consumed by TWO plan
+           # branches (the spine bounds + the dense join) — checkpoint
+           # so the event rollup runs once, not per branch
+           .localCheckpoint(eager=True))
     spine = (obs.groupBy("grp")
              .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
              .select("grp", F.explode(F.sequence(

@@ -777,3 +777,47 @@ def test_apply_changes_anti_join_broadcasts_batch_keys(spark, sf_dir):
     scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
     assert len(scan_ids) == 1, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_gap_fill_spine_is_distributed_no_cross_join(spark, sf_dir):
+    """The dense bucket spine must come from per-group sequence+explode
+    (a Generate over the bounded min/max table), never a calendar cross
+    join; and the event table is scanned exactly once — the fill
+    windows run over the joined spine, not fresh scans."""
+    import re
+
+    import __spark_entry__ as m
+
+    plan = formatted_plan(m.q_gap_fill(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "Generate" in plan, plan
+    # the event rollup is checkpointed (it feeds the spine AND the
+    # join), so the served plan re-scans NO parquet at all
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
+    assert len(scan_ids) == 0, plan
+
+
+def test_tpch_q9_broadcasts_dims_and_single_fact_agg(spark, sf_dir):
+    """Q9's part/supplier/nation chains must broadcast (only the supply
+    pair join and the (nation, year) aggregate may shuffle the fact),
+    and the profit sum must run over LONG micros — the exact,
+    shuffle-order-free formulation."""
+    import __spark_entry__ as m
+
+    plan = formatted_plan(m.q_tpch_q9(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "sum(micros" in plan or "FLOOR" in plan.upper(), plan
+    # schema: profit emitted as the cent-rounded double
+    df = m.q_tpch_q9(spark, sf_dir)
+    assert dict(df.dtypes)["sum_profit"] == "double"
+
+
+def test_label_propagation_rounds_use_aggregate_not_window(spark, sf_dir):
+    """The LPA argmax must compile to partial-combining aggregates (a
+    struct max), never a per-round row_number window sort."""
+    import __spark_entry__ as m
+
+    plan = formatted_plan(m.q_label_propagation(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "RunningWindowFunction" not in plan, plan
