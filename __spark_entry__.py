@@ -2087,6 +2087,30 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_weighted_sssp(spark, sf_dir):
+    """Multi-source weighted shortest paths (3 Bellman-Ford rounds)
+    over the co-purchase graph — edge cost = 11−weight clamped to
+    [1, 10] (popular links are cheaper), so a cheap popular 2-edge
+    route beats an expensive direct edge. Integer costs: every min/+
+    exact in both engines; the oracle is the relaxation unrolled to
+    the same fixed round count (``_sssp_sql``)
+    (operators/graph.py::weighted_sssp)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # checkpointed: feeds the cost projection AND the seed derivation
+    edges = copurchase.copurchase_edges(li).localCheckpoint(eager=True)
+    costed = edges.select(
+        "src", "dst",
+        F.when(F.col("weight") >= 10, F.lit(1))
+        .otherwise(11 - F.col("weight")).cast("long").alias("cost"))
+    seeds = (edges.filter(F.col("src") % 100 == 0)
+             .select(F.col("src").alias("node")).distinct())
+    # co-purchase emits both directions with symmetric weights, so the
+    # cost table is already an undirected edge list
+    return graph.weighted_sssp(costed, seeds, n_rounds=3, symmetric=True)
+
+
 def q_gap_fill(spark, sf_dir):
     """Dense hourly grid per event type with LOCF + linear
     interpolation — the hypertable ``time_bucket_gapfill`` primitive:
@@ -3976,6 +4000,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,       # PMI word-association mining
         "mutual_knn": q_mutual_knn,                   # reciprocal nearest-neighbor pairs
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
+        "weighted_sssp": q_weighted_sssp,             # Bellman-Ford rounds
+                                                      # (unrolled oracle)
         # r10 third rotation out of the driver 50 (for label_propagation /
         # gap_fill / tpch_q9): all three driver-proven green in
         # CORRECTNESS_r08/r09 — stay oracle-pinned here every CI run
@@ -4743,6 +4769,33 @@ lbl0 AS MATERIALIZED (
   WHERE rn = 1)""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, label FROM lbl{rounds}")
+
+
+def _sssp_sql(rounds: int = 3) -> str:
+    """Bellman-Ford relaxations unrolled to a FIXED ``rounds`` CTE
+    rounds over the cost-mapped co-purchase graph — the ``_k_core_sql``
+    pattern. Exact because the Spark side
+    (operators/graph.py::weighted_sssp) runs the same min/+ relaxation
+    over integer costs for exactly ``rounds`` rounds."""
+    parts = [f"""{_EDGES_CTE},
+wund AS MATERIALIZED (
+  SELECT src AS a, dst AS b,
+         CAST(CASE WHEN weight >= 10 THEN 1 ELSE 11 - weight END
+              AS BIGINT) AS cost
+  FROM edges WHERE src <> dst),
+sd0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+  FROM edges WHERE src % 100 = 0)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""sd{t} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM sd{t - 1}
+    UNION ALL
+    SELECT u.b AS node, d.dist + u.cost AS dist
+    FROM sd{t - 1} d JOIN wund u ON d.node = u.a)
+  GROUP BY node)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, dist FROM sd{rounds}")
 
 
 def _sq_recon_ctes() -> str:
@@ -6149,6 +6202,7 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 
         "k_core": _k_core_sql(k=4, rounds=20),
         "label_propagation": _label_prop_sql(rounds=4),
+        "weighted_sssp": _sssp_sql(rounds=3),
 
         "mmr_topk": _mmr_sql(k=TOP_K, pool_k=MMR_POOL, lam=MMR_LAMBDA),
 

@@ -189,6 +189,7 @@ HEADLINE = [
     "edit_neardup",
     "label_propagation",
     "gap_fill",
+    "weighted_sssp",
 ]
 
 

@@ -460,3 +460,60 @@ def label_propagation(edges: DataFrame, n_rounds: int = 4,
         if r % 3 == 0 and r < n_rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def weighted_sssp(edges: DataFrame, seeds: DataFrame, n_rounds: int = 3,
+                  src_col: str = "src", dst_col: str = "dst",
+                  cost_col: str = "cost", seed_col: str = "node",
+                  symmetric: bool = False) -> DataFrame:
+    """Multi-source weighted shortest paths — ``n_rounds`` Bellman-Ford
+    relaxations: dist_{t+1}(v) = min(dist_t(v), min over edges (u,v) of
+    dist_t(u) + cost(u,v)). The weighted complement of
+    :func:`bfs_distances` (hop counts): a cheap 3-edge route beats an
+    expensive direct edge, which hop-BFS gets wrong.
+
+    After round t every distance using ≤ t edges is exact, so a FIXED
+    round count is both the scale dial (the t-edge neighborhood is what
+    a bounded analysis asks for) and what makes the DuckDB oracle a
+    plain unrolled SQL relaxation (``_sssp_sql``, the ``_k_core_sql``
+    pattern). Costs are INTEGER — every min/+ is exact in both engines;
+    negative costs are the caller's responsibility to exclude
+    (Bellman-Ford tolerates them, shortest "paths" under negative
+    cycles do not exist).
+
+    Per round: ONE node-keyed join (dist ⋈ edges) + one min aggregate
+    over (existing ∪ relaxed) — both partial-combining, both keyed on
+    the node id (bucketed edge layouts make the join shuffle-free on
+    the big side). The dist table (≤|V| rows) feeds TWO branches per
+    round (the join and the union), so it is checkpointed each round —
+    the pagerank lifecycle, not the LPA single-consumer chain.
+
+    ``symmetric=True``: input already carries both directions (e.g.
+    ``copurchase_edges``-derived costs); skips the symmetrize union +
+    per-pair min exchange.
+
+    Returns (node, dist); nodes unreachable within ``n_rounds`` edges
+    are absent (unknown, not ∞ — same contract as bfs_distances).
+    """
+    c = F.col(cost_col).cast("long")
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"), c.alias("cost"))
+           .filter(F.col("a") != F.col("b")))
+    if not symmetric:
+        und = (und.unionByName(
+                   edges.select(F.col(dst_col).alias("a"),
+                                F.col(src_col).alias("b"), c.alias("cost"))
+                   .filter(F.col("a") != F.col("b")))
+               .groupBy("a", "b").agg(F.min("cost").alias("cost")))
+    und = und.localCheckpoint(eager=True)  # feeds every round
+    dist = (seeds.select(F.col(seed_col).alias("node")).distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    for _ in range(n_rounds):
+        relaxed = (dist.join(und, dist["node"] == und["a"])
+                   .select(F.col("b").alias("node"),
+                           (F.col("dist") + F.col("cost")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+    return dist

@@ -3519,3 +3519,28 @@ def test_gap_fill_locf_and_interp_semantics(spark):
     assert h1["locf_val"] == 5.0 and abs(h1["interp_val"] - 6.5) < 1e-9
     assert got[("h", base + 2 * H)]["n_events"] == 2
     assert got[("h", base + 2 * H)]["sval"] == 8.0
+
+
+def test_weighted_sssp_cheap_route_beats_direct_edge(spark):
+    """0→3 has a direct cost-9 edge AND a 1+1+1 three-hop route: after 3
+    Bellman-Ford rounds dist(3) must be 3, where hop-BFS would call the
+    direct edge 'closer'; a node needing 4 edges stays absent (fixed
+    round budget); round-2 state must not leak better-late answers."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.graph import weighted_sssp
+
+    und = [(0, 3, 9), (0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    edges = spark.createDataFrame(
+        [(a, b, c) for a, b, c in und] + [(b, a, c) for a, b, c in und],
+        "src long, dst long, cost long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in weighted_sssp(edges, seeds, n_rounds=3,
+                                  symmetric=True).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 10}
+    # 4's true distance is 4 (via the cheap chain) but that needs 4
+    # edges; within 3 rounds the best 3-edge route is 9+1 = 10 — the
+    # documented fixed-budget semantics, matching the unrolled oracle
+    two = {r["node"]: r["dist"]
+           for r in weighted_sssp(edges, seeds, n_rounds=2,
+                                  symmetric=True).collect()}
+    assert two == {0: 0, 1: 1, 2: 2, 3: 9, 4: 10}
