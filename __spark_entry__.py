@@ -2087,6 +2087,25 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_kmv_set_ops(spark, sf_dir):
+    """KMV set algebra (theta-sketch operation family): the part sets
+    shipped in 1996Q1 vs 1998Q1 (a genuinely partial overlap — exact
+    J ≈ 0.5 at sf0.01) — union / intersection / Jaccard estimated from
+    mergeable bottom-64 signatures, every output value a pure function
+    of the input sets and therefore hash-checkable
+    (operators/sketches.py::kmv_set_ops)."""
+    _pin_utc(spark)
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return sketches.kmv_set_ops(
+        li.filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01")),
+        li.filter((F.col("l_shipdate") >= "1998-01-01")
+                  & (F.col("l_shipdate") < "1998-04-01")),
+        "l_partkey", k=64)
+
+
 def q_weighted_sssp(spark, sf_dir):
     """Multi-source weighted shortest paths (3 Bellman-Ford rounds)
     over the co-purchase graph — edge cost = 11−weight clamped to
@@ -4002,6 +4021,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rnn_clusters": q_rnn_clusters,               # CC over the mutual-kNN graph
         "weighted_sssp": q_weighted_sssp,             # Bellman-Ford rounds
                                                       # (unrolled oracle)
+        "kmv_set_ops": q_kmv_set_ops,                 # theta-style sketch
+                                                      # union/intersect/J
         # r10 third rotation out of the driver 50 (for label_propagation /
         # gap_fill / tpch_q9): all three driver-proven green in
         # CORRECTNESS_r08/r09 — stay oracle-pinned here every CI run
@@ -5761,6 +5782,46 @@ p AS (SELECT grp, max(u) AS uk, count(*) AS m FROM r WHERE rn <= 32 GROUP BY grp
 SELECT grp AS event_type,
   CAST(CASE WHEN m < 32 THEN m ELSE floor(31.0 / uk + 0.5) END AS BIGINT) AS est_distinct
 FROM p
+""",
+
+        "kmv_set_ops": f"""
+WITH ha AS (
+  SELECT DISTINCT ({_hex8_u32("md5(CAST(l_partkey AS VARCHAR))")} + 1.0)
+         / 4294967296.0 AS u
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+),
+hb AS (
+  SELECT DISTINCT ({_hex8_u32("md5(CAST(l_partkey AS VARCHAR))")} + 1.0)
+         / 4294967296.0 AS u
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-04-01'
+),
+ta AS (SELECT max(u) AS uk, count(*) AS m
+       FROM (SELECT u FROM ha ORDER BY u LIMIT 64)),
+tb AS (SELECT max(u) AS uk, count(*) AS m
+       FROM (SELECT u FROM hb ORDER BY u LIMIT 64)),
+merged AS (
+  SELECT COALESCE(ha.u, hb.u) AS u,
+         ha.u IS NOT NULL AS in_a, hb.u IS NOT NULL AS in_b
+  FROM ha FULL JOIN hb ON ha.u = hb.u
+),
+tu AS (SELECT max(u) AS uk, count(*) AS m,
+              sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_both
+       FROM (SELECT * FROM merged ORDER BY u LIMIT 64))
+SELECT
+  CAST(CASE WHEN ta.m < 64 THEN CAST(ta.m AS DOUBLE)
+            ELSE floor(63.0 / ta.uk + 0.5) END AS BIGINT) AS est_a,
+  CAST(CASE WHEN tb.m < 64 THEN CAST(tb.m AS DOUBLE)
+            ELSE floor(63.0 / tb.uk + 0.5) END AS BIGINT) AS est_b,
+  CAST(CASE WHEN tu.m < 64 THEN CAST(tu.m AS DOUBLE)
+            ELSE floor(63.0 / tu.uk + 0.5) END AS BIGINT) AS est_union,
+  CAST(floor((n_both / tu.m)
+             * (CASE WHEN tu.m < 64 THEN CAST(tu.m AS DOUBLE)
+                     ELSE floor(63.0 / tu.uk + 0.5) END) + 0.5)
+       AS BIGINT) AS est_intersection,
+  floor((n_both / tu.m) * 1000000 + 0.5) / 1000000 AS jaccard_est
+FROM ta, tb, tu
 """,
 
         "split_assign": f"""

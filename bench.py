@@ -190,6 +190,7 @@ HEADLINE = [
     "label_propagation",
     "gap_fill",
     "weighted_sssp",
+    "kmv_set_ops",
 ]
 
 

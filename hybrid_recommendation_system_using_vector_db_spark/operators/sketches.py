@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hex8_u32
+from ..functions.portable import fround
 
 
 def _uniform_hash(col: F.Column) -> F.Column:
@@ -311,3 +312,71 @@ def sampled_quantiles(df: DataFrame, group_col: str, value_col: str,
             .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n") - 1e-9))
             .select("grp", "p", F.col("v").alias("q_est"),
                     F.col("n").alias("n_sample")))
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str,
+                k: int = 64) -> DataFrame:
+    """KMV set algebra over two element sets — the theta-sketch
+    operation family (union / intersection / Jaccard from mergeable
+    bottom-k signatures), hash-checkable because KMV on a portable
+    hash is a pure function of the input sets (HLL set ops never are).
+
+    Estimators (Beyer et al. 2007 / theta-sketch convention):
+      est_union        = KMV over the union's bottom-k
+      jaccard_est      = |both-members among the union's bottom-k| / m
+                         (m = |bottom-k| — the union sketch is a
+                         uniform sample of the union, so the fraction
+                         present in BOTH sets estimates J exactly the
+                         way a theta sketch does)
+      est_intersection = round(jaccard_est · est_union)
+    Sides with fewer than k distinct elements are exact by
+    construction (the "sketch" is the whole set).
+
+    Scale shape: each side contributes its DISTINCT (hash, flag) rows
+    (O(distinct) like the relational ``kmv_distinct``; the bounded-
+    state production form is the same k-element heap per side); the
+    bottom-k selections are TakeOrdered (no global sort, no
+    single-partition exchange) and every aggregate thereafter runs
+    over ≤ k rows. All comparisons are on integers or on doubles from
+    bit-identical arithmetic — the DuckDB oracle reproduces every
+    output value exactly.
+
+    Returns ONE row: (est_a, est_b, est_union, est_intersection,
+    jaccard_est).
+    """
+    ha = (a.select(_uniform_hash(F.col(value_col)).alias("u")).distinct()
+          .withColumn("in_a", F.lit(True)))
+    hb = (b.select(_uniform_hash(F.col(value_col)).alias("u")).distinct()
+          .withColumn("in_b", F.lit(True)))
+
+    def _est(m, uk):
+        return (F.when(m < k, m.cast("double"))
+                .otherwise(F.floor(F.lit(float(k - 1)) / uk + F.lit(0.5))))
+
+    def _side(h):
+        top = h.orderBy("u").limit(k) \
+            .agg(F.max("u").alias("uk"), F.count(F.lit(1)).alias("m"))
+        return top.select(_est(F.col("m"), F.col("uk")).cast("bigint")
+                          .alias("est"))
+
+    merged = (ha.join(hb, "u", "full")
+              .select("u",
+                      F.coalesce("in_a", F.lit(False)).alias("in_a"),
+                      F.coalesce("in_b", F.lit(False)).alias("in_b")))
+    utop = (merged.orderBy("u").limit(k)
+            .agg(F.max("u").alias("uk"), F.count(F.lit(1)).alias("m"),
+                 F.sum(F.when(F.col("in_a") & F.col("in_b"), 1)
+                       .otherwise(0)).alias("both")))
+    est_u = _est(F.col("m"), F.col("uk"))
+    jacc = F.col("both") / F.col("m")
+    out = utop.select(
+        est_u.cast("bigint").alias("est_union"),
+        F.floor(jacc * est_u + F.lit(0.5)).cast("bigint")
+        .alias("est_intersection"),
+        fround(jacc).alias("jaccard_est"))
+    return (_side(ha.select("u")).withColumnRenamed("est", "est_a")
+            .crossJoin(_side(hb.select("u"))
+                       .withColumnRenamed("est", "est_b"))
+            .crossJoin(out)
+            .select("est_a", "est_b", "est_union",
+                    "est_intersection", "jaccard_est"))

@@ -3544,3 +3544,26 @@ def test_weighted_sssp_cheap_route_beats_direct_edge(spark):
            for r in weighted_sssp(edges, seeds, n_rounds=2,
                                   symmetric=True).collect()}
     assert two == {0: 0, 1: 1, 2: 2, 3: 9, 4: 10}
+
+
+def test_kmv_set_ops_exact_below_k_and_error_bounded(spark):
+    """Sets smaller than k are exact by construction (union,
+    intersection, and Jaccard all recover the true values); at k below
+    the cardinality the estimates stay within the KMV error band of
+    the exact answers."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sketches import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(20)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(10, 40)], "v long")
+    r = kmv_set_ops(a, b, "v", k=64).collect()[0]
+    assert (r.est_a, r.est_b, r.est_union, r.est_intersection) == (20, 30, 40, 10)
+    assert abs(r.jaccard_est - 10 / 40) < 1e-9
+
+    big_a = spark.createDataFrame([(i,) for i in range(1000)], "v long")
+    big_b = spark.createDataFrame([(i,) for i in range(500, 2000)], "v long")
+    e = kmv_set_ops(big_a, big_b, "v", k=128).collect()[0]
+    # true: |A|=1000, |B|=1500, |U|=2000, |I|=500, J=0.25;
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 9% — allow 3 sigma
+    assert abs(e.est_union - 2000) < 2000 * 0.27, e
+    assert abs(e.est_a - 1000) < 1000 * 0.27, e
+    assert abs(e.jaccard_est - 0.25) < 0.15, e
