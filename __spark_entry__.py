@@ -2087,6 +2087,27 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_hopping_windows(spark, sf_dir):
+    """Hopping (sliding) event-time windows — 6-hour windows advancing
+    every 2 hours, the overlapping-window semantics tumbling/session
+    windows don't cover: each event contributes to exactly
+    duration/slide = 3 windows. Built-in ``F.window(slide)`` (JVM-side
+    Expand, no UDF); the oracle replicates the epoch-aligned window
+    set with a 3-offset cross join. Counts are integers; the value sum
+    is fround'ed."""
+    _pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours", "2 hours")
+    return (ev.groupBy(w.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 fround(F.sum("value"), 2).alias("total_value"))
+            .select(epoch_seconds(F.col("w.start")).cast("bigint")
+                    .alias("w_start"),
+                    epoch_seconds(F.col("w.end")).cast("bigint")
+                    .alias("w_end"),
+                    "event_type", "n_events", "total_value"))
+
+
 def q_kmv_set_ops(spark, sf_dir):
     """KMV set algebra (theta-sketch operation family): the part sets
     shipped in 1996Q1 vs 1998Q1 (a genuinely partial overlap — exact
@@ -4023,6 +4044,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                       # (unrolled oracle)
         "kmv_set_ops": q_kmv_set_ops,                 # theta-style sketch
                                                       # union/intersect/J
+        "hopping_windows": q_hopping_windows,         # sliding F.window
         # r10 third rotation out of the driver 50 (for label_propagation /
         # gap_fill / tpch_q9): all three driver-proven green in
         # CORRECTNESS_r08/r09 — stay oracle-pinned here every CI run
@@ -5782,6 +5804,25 @@ p AS (SELECT grp, max(u) AS uk, count(*) AS m FROM r WHERE rn <= 32 GROUP BY grp
 SELECT grp AS event_type,
   CAST(CASE WHEN m < 32 THEN m ELSE floor(31.0 / uk + 0.5) END AS BIGINT) AS est_distinct
 FROM p
+""",
+
+        "hopping_windows": """
+WITH offs AS (SELECT unnest([0, 1, 2]) AS i),
+e AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT) AS slide_start
+  FROM events
+),
+x AS (
+  SELECT event_type, value,
+         slide_start - i * 7200 AS w_start
+  FROM e CROSS JOIN offs
+)
+SELECT w_start, w_start + 21600 AS w_end, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(sum(value) * 100 + 0.5) / 100 AS total_value
+FROM x
+GROUP BY w_start, event_type
 """,
 
         "kmv_set_ops": f"""

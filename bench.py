@@ -191,6 +191,7 @@ HEADLINE = [
     "gap_fill",
     "weighted_sssp",
     "kmv_set_ops",
+    "hopping_windows",
 ]
 
 
