@@ -3795,6 +3795,38 @@ def _render_csv_blob(spark: SparkSession, sf_dir: str) -> str:
     return _CSV_FILE_CACHE[key]
 
 
+_ORC_DIR_CACHE: dict = {}
+
+
+def _render_orc_dataset(spark: SparkSession, sf_dir: str) -> str:
+    """Write the orders table as ORC once per session+dataset (UTC
+    pinned BEFORE the write: ORC timestamps store wall time, so writer
+    and reader must agree on the session zone)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ORC_DIR_CACHE:
+        import tempfile
+
+        _pin_utc(spark)
+        d = tempfile.mkdtemp(prefix="spark_graft_orc_") + "/orders"
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(d)
+        _ORC_DIR_CACHE[key] = d
+    return _ORC_DIR_CACHE[key]
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink round-trip: orders written to Spark's second
+    built-in columnar format and read back, hash-checked against the
+    parquet originals — read(write(orders)) must be the identity
+    (doubles bit-exact, timestamps same instant under the pinned
+    session zone, emitted as epoch seconds — timezone-free)."""
+    _pin_utc(spark)
+    df = spark.read.orc(_render_orc_dataset(spark, sf_dir))
+    return df.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        epoch_seconds("o_orderdate").cast("bigint").alias("odate_epoch"),
+        "o_orderpriority")
+
+
 def q_csv_ingest(spark, sf_dir):
     """Header-CSV ingest round-trip (sources/csv_table.py): explicit
     schema, PERMISSIVE corrupt gate over planted cast/quoting failures,
@@ -4045,6 +4077,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,                 # theta-style sketch
                                                       # union/intersect/J
         "hopping_windows": q_hopping_windows,         # sliding F.window
+        "orc_roundtrip": q_orc_roundtrip,             # ORC source/sink
         # r10 third rotation out of the driver 50 (for label_propagation /
         # gap_fill / tpch_q9): all three driver-proven green in
         # CORRECTNESS_r08/r09 — stay oracle-pinned here every CI run
@@ -5804,6 +5837,12 @@ p AS (SELECT grp, max(u) AS uk, count(*) AS m FROM r WHERE rn <= 32 GROUP BY grp
 SELECT grp AS event_type,
   CAST(CASE WHEN m < 32 THEN m ELSE floor(31.0 / uk + 0.5) END AS BIGINT) AS est_distinct
 FROM p
+""",
+
+        "orc_roundtrip": """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(epoch(o_orderdate) AS BIGINT) AS odate_epoch, o_orderpriority
+FROM orders
 """,
 
         "hopping_windows": """

@@ -192,6 +192,7 @@ HEADLINE = [
     "weighted_sssp",
     "kmv_set_ops",
     "hopping_windows",
+    "orc_roundtrip",
 ]
 
 
