@@ -1209,6 +1209,45 @@ def q_user_type_setops(spark, sf_dir):
     return clean.unionByName(both)
 
 
+def q_unpivot_measures(spark, sf_dir):
+    """UNPIVOT (melt) — the inverse of the events_pivot entry: the four
+    lineitem measures turned into (measure, value) rows via the native
+    ``DataFrame.unpivot`` (an Expand, no UDF, no union-of-scans), then
+    profiled per measure. One scan, one bounded aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select("l_orderkey", "l_quantity", "l_extendedprice",
+                       "l_discount", "l_tax") \
+        .unpivot("l_orderkey",
+                 ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                 "measure", "value")
+    return (melted.groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 fround(F.sum("value"), 2).alias("total"),
+                 fround(F.min("value"), 6).alias("mn"),
+                 fround(F.max("value"), 6).alias("mx"))
+            .orderBy("measure"))
+
+
+def q_bag_setops(spark, sf_dir):
+    """Bag-semantics set operations — exceptAll / intersectAll keep
+    MULTIPLICITY (a priority appearing 3× for customer A and 1× in the
+    compare set survives exceptAll twice), which the distinct-set
+    q_user_type_setops variants erase. Spark plans these as
+    count-tagged aggregates + Generate, never a distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0) \
+        .select("o_custkey", "o_orderpriority")
+    b = orders.filter(F.col("o_orderkey") % 2 == 0) \
+        .select("o_custkey", "o_orderpriority")
+    surplus = a.exceptAll(b).select(F.lit("surplus").alias("kind"),
+                                    "o_custkey", "o_orderpriority")
+    common = a.intersectAll(b).select(F.lit("common").alias("kind"),
+                                      "o_custkey", "o_orderpriority")
+    return (surplus.unionByName(common)
+            .groupBy("kind", "o_custkey", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -4078,6 +4117,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                       # union/intersect/J
         "hopping_windows": q_hopping_windows,         # sliding F.window
         "orc_roundtrip": q_orc_roundtrip,             # ORC source/sink
+        "unpivot_measures": q_unpivot_measures,       # melt (pivot inverse)
+        "bag_setops": q_bag_setops,                   # exceptAll/intersectAll
         # r10 third rotation out of the driver 50 (for label_propagation /
         # gap_fill / tpch_q9): all three driver-proven green in
         # CORRECTNESS_r08/r09 — stay oracle-pinned here every CI run
@@ -5837,6 +5878,34 @@ p AS (SELECT grp, max(u) AS uk, count(*) AS m FROM r WHERE rn <= 32 GROUP BY grp
 SELECT grp AS event_type,
   CAST(CASE WHEN m < 32 THEN m ELSE floor(31.0 / uk + 0.5) END AS BIGINT) AS est_distinct
 FROM p
+""",
+
+        "unpivot_measures": """
+WITH m AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure, CAST(count(*) AS BIGINT) AS n,
+       floor(sum(value) * 100 + 0.5) / 100 AS total,
+       floor(min(value) * 1000000 + 0.5) / 1000000 AS mn,
+       floor(max(value) * 1000000 + 0.5) / 1000000 AS mx
+FROM m GROUP BY measure ORDER BY measure
+""",
+
+        "bag_setops": """
+WITH a AS (SELECT o_custkey, o_orderpriority FROM orders
+           WHERE o_orderkey % 3 = 0),
+b AS (SELECT o_custkey, o_orderpriority FROM orders
+      WHERE o_orderkey % 2 = 0),
+s AS (SELECT 'surplus' AS kind, o_custkey, o_orderpriority
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)),
+c AS (SELECT 'common' AS kind, o_custkey, o_orderpriority
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+SELECT kind, o_custkey, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT * FROM s UNION ALL SELECT * FROM c)
+GROUP BY kind, o_custkey, o_orderpriority
 """,
 
         "orc_roundtrip": """

@@ -193,6 +193,8 @@ HEADLINE = [
     "kmv_set_ops",
     "hopping_windows",
     "orc_roundtrip",
+    "unpivot_measures",
+    "bag_setops",
 ]
 
 
