@@ -344,10 +344,8 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str,
     Returns ONE row: (est_a, est_b, est_union, est_intersection,
     jaccard_est).
     """
-    ha = (a.select(_uniform_hash(F.col(value_col)).alias("u")).distinct()
-          .withColumn("in_a", F.lit(True)))
-    hb = (b.select(_uniform_hash(F.col(value_col)).alias("u")).distinct()
-          .withColumn("in_b", F.lit(True)))
+    ha = a.select(_uniform_hash(F.col(value_col)).alias("u")).distinct()
+    hb = b.select(_uniform_hash(F.col(value_col)).alias("u")).distinct()
 
     def _est(m, uk):
         return (F.when(m < k, m.cast("double"))
@@ -359,10 +357,17 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str,
         return top.select(_est(F.col("m"), F.col("uk")).cast("bigint")
                           .alias("est"))
 
-    merged = (ha.join(hb, "u", "full")
-              .select("u",
-                      F.coalesce("in_a", F.lit(False)).alias("in_a"),
-                      F.coalesce("in_b", F.lit(False)).alias("in_b")))
+    # membership flags via union + max-flag aggregate, NOT a full-outer
+    # join: FullOuter can't broadcast, so the join form degrades to a
+    # SortMergeJoin (two sorts over the distinct-hash tables); the
+    # aggregate partial-combines map-side and shuffles one row per
+    # distinct hash
+    merged = (ha.select("u", F.lit(1).alias("fa"), F.lit(0).alias("fb"))
+              .unionByName(hb.select("u", F.lit(0).alias("fa"),
+                                     F.lit(1).alias("fb")))
+              .groupBy("u")
+              .agg((F.max("fa") == 1).alias("in_a"),
+                   (F.max("fb") == 1).alias("in_b")))
     utop = (merged.orderBy("u").limit(k)
             .agg(F.max("u").alias("uk"), F.count(F.lit(1)).alias("m"),
                  F.sum(F.when(F.col("in_a") & F.col("in_b"), 1)

@@ -821,3 +821,30 @@ def test_label_propagation_rounds_use_aggregate_not_window(spark, sf_dir):
     plan = formatted_plan(m.q_label_propagation(spark, sf_dir))
     assert "Window" not in plan, plan
     assert "RunningWindowFunction" not in plan, plan
+
+
+def test_unpivot_is_expand_single_scan(spark, sf_dir):
+    """The melt must be ONE Expand over ONE lineitem scan — never a
+    4-way union of per-measure scans."""
+    import re
+
+    import __spark_entry__ as m
+
+    plan = formatted_plan(m.q_unpivot_measures(spark, sf_dir))
+    assert "Expand" in plan, plan
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
+    assert len(scan_ids) == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_kmv_set_ops_take_ordered_no_global_sort(spark, sf_dir):
+    """Bottom-k selections must compile to TakeOrderedAndProject (or a
+    local limit), never a global Sort of the distinct-hash tables."""
+    import __spark_entry__ as m
+
+    plan = formatted_plan(m.q_kmv_set_ops(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # no full-table Sort outside the TakeOrdered operators
+    for line in plan.splitlines():
+        s = line.strip()
+        assert not s.startswith("+- Sort ") and not s.startswith(":- Sort "), plan
