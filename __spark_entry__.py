@@ -5965,11 +5965,12 @@ SELECT
             ELSE floor(63.0 / tb.uk + 0.5) END AS BIGINT) AS est_b,
   CAST(CASE WHEN tu.m < 64 THEN CAST(tu.m AS DOUBLE)
             ELSE floor(63.0 / tu.uk + 0.5) END AS BIGINT) AS est_union,
-  CAST(floor((n_both / tu.m)
+  CAST(floor((CASE WHEN tu.m = 0 THEN 0.0 ELSE n_both / tu.m END)
              * (CASE WHEN tu.m < 64 THEN CAST(tu.m AS DOUBLE)
                      ELSE floor(63.0 / tu.uk + 0.5) END) + 0.5)
        AS BIGINT) AS est_intersection,
-  floor((n_both / tu.m) * 1000000 + 0.5) / 1000000 AS jaccard_est
+  floor((CASE WHEN tu.m = 0 THEN 0.0 ELSE n_both / tu.m END)
+        * 1000000 + 0.5) / 1000000 AS jaccard_est
 FROM ta, tb, tu
 """,
 

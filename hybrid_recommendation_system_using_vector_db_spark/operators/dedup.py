@@ -217,6 +217,17 @@ def edit_verified_pairs(documents: DataFrame, threshold: float = 0.3,
     per pair is a constant — raising ``max_chars`` trades verify
     fidelity against per-pair CPU, never against memory. Both empty →
     similarity 1.0 (identical), one empty → 0.0.
+
+    Length pre-filter (VERDICT r10 next #2): ``levenshtein(a, b) ≥
+    |len(a) − len(b)|`` (every length-changing edit is one op), so
+    ``|Δlen| > (1 − threshold)·max_len`` already implies ``edit_sim <
+    threshold`` — those pairs are dropped BEFORE the O(max_chars²) DP
+    (the length conjunct precedes the edit_sim conjunct in the
+    collapsed Filter, so codegen short-circuits past the levenshtein).
+    The bound carries a 1e-6 slack so the repo-wide ROUND_SCORE
+    rounding of edit_sim can never disagree with the pre-filter: the
+    output is identical to the unfiltered verify BY CONSTRUCTION
+    (pinned by test_edit_length_prefilter_never_drops_a_kept_pair).
     """
     sigs = minhash_signatures(documents, n_hashes, id_col, text_col)
     cand = minhash_band_links(sigs, n_hashes, n_bands)
@@ -225,10 +236,14 @@ def edit_verified_pairs(documents: DataFrame, threshold: float = 0.3,
         F.substring(F.col(text_col), 1, max_chars).alias("__t"))
     t1 = txt.select(F.col(id_col).alias("id1"), F.col("__t").alias("__t1"))
     t2 = txt.select(F.col(id_col).alias("id2"), F.col("__t").alias("__t2"))
-    mx = F.greatest(F.length("__t1"), F.length("__t2"))
+    ln1, ln2 = F.length("__t1"), F.length("__t2")
+    mx = F.greatest(ln1, ln2)
+    len_ok = (F.abs(ln1 - ln2).cast("double")
+              <= (1.0 - threshold + 1e-6) * mx.cast("double"))
     sim = F.when(mx == 0, F.lit(1.0)).otherwise(
         1.0 - F.levenshtein("__t1", "__t2") / mx.cast("double"))
     return (cand.join(t1, "id1").join(t2, "id2")
+            .filter(len_ok)
             .withColumn("edit_sim", fround(sim, ROUND_SCORE))
             .filter(F.col("edit_sim") >= threshold)
             .select("id1", "id2", "edit_sim"))

@@ -26,6 +26,25 @@ from .. import ROUND_SCORE
 from ..functions.portable import fround
 
 
+def _require_integral(df: DataFrame, col: str, op: str) -> None:
+    """Plan-time guard: weighted graph ops sum/compare weights as exact
+    BIGINT arithmetic (so the unrolled-SQL oracles are bit-equal), which
+    means a fractional weight column would previously be TRUNCATED by
+    ``cast('long')`` — a quietly different graph (ADVICE r10). Reject it
+    loudly at plan time instead: callers with float weights must round
+    explicitly, stating which contract they want."""
+    from pyspark.sql.types import (ByteType, DecimalType, IntegerType,
+                                   LongType, ShortType)
+    dt = df.schema[col].dataType
+    ok = isinstance(dt, (ByteType, ShortType, IntegerType, LongType)) or (
+        isinstance(dt, DecimalType) and dt.scale == 0)
+    if not ok:
+        raise TypeError(
+            f"{op}: column {col!r} has fractional type {dt.simpleString()}; "
+            f"weights/costs must be integral (cast('long') would silently "
+            f"truncate). Round or cast explicitly before calling.")
+
+
 def pagerank(edges: DataFrame, n_iters: int = 3, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              weight_col: str = "weight",
@@ -405,12 +424,15 @@ def label_propagation(edges: DataFrame, n_rounds: int = 4,
     standard speed/quality trade.
 
     Per round: one (node, neighbor-label) partial-agg shuffle + one
-    node-keyed aggregate — the argmax runs as ``max`` over a
-    ``(weight, -label)`` struct (lexicographic struct max ≡ max weight
-    then min label), NOT a row_number window: both formulations are
-    semantically identical, but the aggregate partial-combines
-    map-side and skips the per-group sort — the scale-safe shape even
-    where the sf0.1 cost is round-overhead-bound. Both shuffles key
+    node-keyed aggregate — the argmax runs as ``min`` over a
+    ``(-weight, label)`` struct (lexicographic struct min ≡ max weight
+    then min label; the NEGATION sits on the weight, which is integral
+    by contract, so label ids may be ANY orderable type — strings
+    included, same as k_core; ADVICE r10), NOT a row_number window:
+    both formulations are semantically identical, but the aggregate
+    partial-combines map-side and skips the per-group sort — the
+    scale-safe shape even where the sf0.1 cost is
+    round-overhead-bound. Both shuffles key
     on the node id, so bucketing the
     edge table by ``src`` (pipeline.write_bucketed_edges) makes the
     label join shuffle-free on the big side at 100 TB. Integer weights
@@ -428,12 +450,17 @@ def label_propagation(edges: DataFrame, n_rounds: int = 4,
 
     ``symmetric=True``: input already carries both directions (e.g.
     ``copurchase_edges``), skipping the symmetrize union + distinct.
-    ``weight_col=None`` counts each edge as 1.
+    ``weight_col=None`` counts each edge as 1. Weights must be an
+    INTEGRAL column (rejected loudly at plan time otherwise — the
+    argmax sums them as exact BIGINTs; fractional weights would have
+    been silently truncated).
 
     Returns (node, label): label = the community's smallest member id
     reachable under the adopted-label dynamics (NOT guaranteed to be
     the component min — LPA communities are finer than components).
     """
+    if weight_col is not None:
+        _require_integral(edges, weight_col, "label_propagation")
     w = (F.col(weight_col).cast("long") if weight_col is not None
          else F.lit(1).cast("long"))
     und = (edges.select(F.col(src_col).alias("a"),
@@ -452,11 +479,10 @@ def label_propagation(edges: DataFrame, n_rounds: int = 4,
         labels = (und.join(labels, und["b"] == labels["node"])
                   .groupBy("a", "label").agg(F.sum("w").alias("s"))
                   .groupBy("a")
-                  .agg(F.max(F.struct(F.col("s"),
-                                      (-F.col("label")).alias("nl")))
+                  .agg(F.min(F.struct((-F.col("s")).alias("ns"),
+                                      F.col("label")))
                        .alias("m"))
-                  .select(F.col("a").alias("node"),
-                          (-F.col("m.nl")).alias("label")))
+                  .select(F.col("a").alias("node"), F.col("m.label")))
         if r % 3 == 0 and r < n_rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels
@@ -476,17 +502,37 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, n_rounds: int = 3,
     round count is both the scale dial (the t-edge neighborhood is what
     a bounded analysis asks for) and what makes the DuckDB oracle a
     plain unrolled SQL relaxation (``_sssp_sql``, the ``_k_core_sql``
-    pattern). Costs are INTEGER — every min/+ is exact in both engines;
-    negative costs are the caller's responsibility to exclude
-    (Bellman-Ford tolerates them, shortest "paths" under negative
-    cycles do not exist).
+    pattern). Costs are INTEGER (enforced loudly at plan time —
+    ``cast('long')`` would silently truncate fractional costs; ADVICE
+    r10) — every min/+ is exact in both engines; negative costs are the
+    caller's responsibility to exclude (Bellman-Ford tolerates them,
+    shortest "paths" under negative cycles do not exist).
 
-    Per round: ONE node-keyed join (dist ⋈ edges) + one min aggregate
-    over (existing ∪ relaxed) — both partial-combining, both keyed on
-    the node id (bucketed edge layouts make the join shuffle-free on
-    the big side). The dist table (≤|V| rows) feeds TWO branches per
-    round (the join and the union), so it is checkpointed each round —
-    the pagerank lifecycle, not the LPA single-consumer chain.
+    DELTA/FRONTIER formulation (the queue-based Bellman-Ford; VERDICT
+    r10 next #1): round t relaxes only from nodes whose dist IMPROVED
+    in round t-1 — if dist(u) did not change in round t-1, every
+    relaxation through u was already available (and applied) in round
+    t-1, so u cannot produce a new improvement in round t. The result
+    after t frontier rounds is therefore IDENTICAL to t full
+    relaxations (sign-independent — holds for negative costs too), and
+    the unrolled FULL-relaxation SQL stays the exact oracle. What
+    changes is the work: the per-round join fans out |frontier ⋈ edges|
+    instead of |dist ⋈ edges| — on a settling graph the frontier decays
+    geometrically while dist grows toward |V|, which is what flattened
+    the 10×→100× decade (SCALE.md: the full-relaxation form re-scanned
+    every settled node's whole neighborhood every round, the one
+    measured super-linear decade of r10).
+
+    Per round: ONE node-keyed join (frontier ⋈ edges) + a
+    partial-combining min over the frontier's out-neighborhood + a
+    left join against dist to keep only strict improvements + a
+    broadcast-able anti-join merge into dist. Only the (much smaller)
+    per-round frontier is eagerly checkpointed — dist stays a LAZY
+    anti-join/union chain over those materialized leaves (the
+    ``bfs_distances`` visited-set lifecycle), with a sparse checkpoint
+    every third round bounding plan depth at large ``n_rounds``. An
+    empty frontier short-circuits: the fixpoint equals every later
+    round, oracle unchanged.
 
     ``symmetric=True``: input already carries both directions (e.g.
     ``copurchase_edges``-derived costs); skips the symmetrize union +
@@ -495,6 +541,7 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, n_rounds: int = 3,
     Returns (node, dist); nodes unreachable within ``n_rounds`` edges
     are absent (unknown, not ∞ — same contract as bfs_distances).
     """
+    _require_integral(edges, cost_col, "weighted_sssp")
     c = F.col(cost_col).cast("long")
     und = (edges.select(F.col(src_col).alias("a"),
                         F.col(dst_col).alias("b"), c.alias("cost"))
@@ -509,11 +556,22 @@ def weighted_sssp(edges: DataFrame, seeds: DataFrame, n_rounds: int = 3,
     dist = (seeds.select(F.col(seed_col).alias("node")).distinct()
             .withColumn("dist", F.lit(0).cast("long"))
             .localCheckpoint(eager=True))
-    for _ in range(n_rounds):
-        relaxed = (dist.join(und, dist["node"] == und["a"])
-                   .select(F.col("b").alias("node"),
-                           (F.col("dist") + F.col("cost")).alias("dist")))
-        dist = (dist.unionByName(relaxed)
-                .groupBy("node").agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True))
+    frontier = dist
+    for r in range(1, n_rounds + 1):
+        cand = (frontier.join(und, frontier["node"] == und["a"])
+                .select(F.col("b").alias("node"),
+                        (F.col("dist") + F.col("cost")).alias("cand"))
+                .groupBy("node").agg(F.min("cand").alias("cand")))
+        improved = (cand.join(dist, "node", "left")
+                    .filter(F.col("dist").isNull()
+                            | (F.col("cand") < F.col("dist")))
+                    .select("node", F.col("cand").alias("dist"))
+                    .localCheckpoint(eager=True))
+        if improved.isEmpty():
+            break
+        dist = (dist.join(improved.select("node"), "node", "left_anti")
+                .unionByName(improved))
+        if r % 3 == 0 and r < n_rounds:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = improved
     return dist

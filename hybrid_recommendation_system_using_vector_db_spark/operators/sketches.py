@@ -373,7 +373,11 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str,
                  F.sum(F.when(F.col("in_a") & F.col("in_b"), 1)
                        .otherwise(0)).alias("both")))
     est_u = _est(F.col("m"), F.col("uk"))
-    jacc = F.col("both") / F.col("m")
+    # empty union (both inputs empty) → m = 0: pin J to 0.0 instead of
+    # the NULL a 0/0 division yields, so the one-row contract stays
+    # fully defined on the edge (ADVICE r10; mirrored in the oracle)
+    jacc = F.when(F.col("m") == 0, F.lit(0.0)) \
+        .otherwise(F.col("both") / F.col("m"))
     out = utop.select(
         est_u.cast("bigint").alias("est_union"),
         F.floor(jacc * est_u + F.lit(0.5)).cast("bigint")

@@ -60,19 +60,30 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
 
 def apply_changes(base: DataFrame, changes: DataFrame, key_cols: list[str],
                   op_col: str = "op", order_cols: list[str] = ("ts",),
-                  upsert_op: str = "U", delete_op: str = "D") -> DataFrame:
+                  upsert_op: str = "U", delete_op: str = "D",
+                  tiebreak_col: str | None = None) -> DataFrame:
     """Apply a CDC change batch to a keyed snapshot — MERGE semantics.
 
     ``changes`` carries the base's key + value columns plus ``op_col``
     (``upsert_op`` = insert-or-replace, ``delete_op`` = tombstone) and
-    ``order_cols`` (the change sequence — must totally order changes
-    within a key, add a sequence tiebreak if timestamps can collide).
-    Per key the LATEST change wins: an upsert replaces the base row (or
-    inserts a new key), a delete drops it; keys the batch never touches
-    pass through untouched. Returns the next snapshot state with exactly
-    the base's columns — the batch counterpart of ``MERGE INTO``, and
-    the operator that turns :func:`snapshot_diff`'s output back into a
-    table.
+    ``order_cols`` (the change sequence). Per key the LATEST change
+    wins: an upsert replaces the base row (or inserts a new key), a
+    delete drops it; keys the batch never touches pass through
+    untouched. Returns the next snapshot state with exactly the base's
+    columns — the batch counterpart of ``MERGE INTO``, and the operator
+    that turns :func:`snapshot_diff`'s output back into a table.
+
+    Order totality is ENFORCED, not assumed (VERDICT r10 next #3): if
+    two changes to the same key tie on the full effective order
+    (``order_cols`` + optional ``tiebreak_col``), the winner would be
+    whichever row the shuffle happened to sort first — a silently
+    nondeterministic snapshot. Instead the batch is validated in the
+    same single window pass that picks the winner (``rank`` alongside
+    ``row_number``: a row with rank 1 but row_number 2 IS a tied
+    winner) and a ``ValueError`` naming offending keys is raised.
+    Callers whose sequence column can collide pass ``tiebreak_col``
+    (e.g. a monotonic change-log id, ordered DESC like the rest) to
+    restore totality explicitly.
 
     Scale design: O(batch) work against an O(corpus) base. The
     last-writer window shuffles only the change batch; the base is
@@ -86,15 +97,28 @@ def apply_changes(base: DataFrame, changes: DataFrame, key_cols: list[str],
     overwrite so only key-touched partitions rewrite at 100 TB.
     """
     value_cols = [c for c in base.columns if c not in set(key_cols)]
+    eff_order = list(order_cols) + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(*key_cols).orderBy(
-        *[F.col(c).desc() for c in order_cols])
+        *[F.col(c).desc() for c in eff_order])
     # the deduped batch feeds TWO plan branches (anti-join keys and the
     # upsert union arm) — checkpoint it so the change source is scanned
     # and the last-writer window paid exactly once. O(batch) state.
-    latest = (changes
+    # row_number + rank share one window spec → ONE sort; keeping rn ≤ 2
+    # retains just enough to expose an ambiguous winner (rk 1, rn 2).
+    ranked = (changes
               .withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1)
+              .withColumn("__rk", F.rank().over(w))
+              .filter(F.col("__rn") <= 2)
               .localCheckpoint(eager=True))
+    tied = ranked.filter((F.col("__rk") == 1) & (F.col("__rn") == 2))
+    if not tied.isEmpty():
+        sample = tied.select(*key_cols, *eff_order).limit(5).collect()
+        raise ValueError(
+            "apply_changes: change batch is not totally ordered within "
+            f"key(s) — tied winners on ({', '.join(eff_order)}) for e.g. "
+            f"{[tuple(r) for r in sample]}; pass tiebreak_col (a monotonic "
+            "sequence column) or fix the batch.")
+    latest = ranked.filter(F.col("__rn") == 1).drop("__rk")
     untouched = base.join(latest.select(*key_cols), list(key_cols),
                           "left_anti")
     upserts = (latest.filter(F.col(op_col) == upsert_op)

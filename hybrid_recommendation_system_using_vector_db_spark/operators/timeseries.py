@@ -14,8 +14,9 @@ DISTRIBUTED-side from each group's bounded (min, max) bucket pair via
 a driver loop or a cross join against a calendar table); the two fill
 windows sort once per group and share the (group, bucket) partitioning
 of the join. Groups are assumed dashboard-scale in bucket count
-(|buckets| = span/width); a multi-year 1-second grid per group belongs
-in a chunked variant.
+(|buckets| = span/width); a group whose span/width exceeds the
+configurable ``max_buckets_per_group`` cap fails LOUDLY with the
+offending groups named instead of OOMing the explode stage.
 
 Determinism: the bucket aggregate is fround'ed (repo-wide 1e-6/1e-2
 convention) so both engines interpolate over identical doubles, and
@@ -32,7 +33,8 @@ from ..functions.portable import epoch_seconds, fround
 
 
 def gap_fill(events: DataFrame, group_col: str, ts_col: str,
-             value_col: str, bucket_seconds: int = 3600) -> DataFrame:
+             value_col: str, bucket_seconds: int = 3600,
+             max_buckets_per_group: int = 1_000_000) -> DataFrame:
     """Dense per-group time grid with LOCF and linear interpolation.
 
     Per group: buckets span the group's own observed [min, max] range
@@ -43,6 +45,17 @@ def gap_fill(events: DataFrame, group_col: str, ts_col: str,
     observed value on observed buckets, the linear blend between the
     straddling observations on interior gaps, NULL on trailing gaps
     (no right endpoint to blend toward).
+
+    Pathological spans fail LOUDLY (VERDICT r10 next #6): the spine is
+    |span/width| rows per group, so one group observed years apart on a
+    1-second grid would silently explode the sequence/explode stage
+    (Spark's own sequence cap aborts at 2.1 B elements, but far below
+    that the spine already dwarfs the data). Any group whose bucket
+    count would exceed ``max_buckets_per_group`` raises a ``ValueError``
+    naming the offending groups and their counts — the caller chooses a
+    coarser ``bucket_seconds``, filters the group, or raises the cap
+    deliberately. The check is one tiny aggregate over the
+    already-checkpointed per-group bounds, O(|groups|) rows.
 
     Returns (group, bucket, n_events, sval, locf_val, interp_val,
     is_gap) with ``bucket`` in epoch seconds (integer — timezone-free).
@@ -59,8 +72,21 @@ def gap_fill(events: DataFrame, group_col: str, ts_col: str,
            # branches (the spine bounds + the dense join) — checkpoint
            # so the event rollup runs once, not per branch
            .localCheckpoint(eager=True))
-    spine = (obs.groupBy("grp")
-             .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    bounds = (obs.groupBy("grp")
+              .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx")))
+    over = (bounds
+            .withColumn("n_buckets",
+                        ((F.col("mx") - F.col("mn")) / w + 1).cast("long"))
+            .filter(F.col("n_buckets") > int(max_buckets_per_group)))
+    offending = over.select("grp", "n_buckets").limit(5).collect()
+    if offending:
+        raise ValueError(
+            "gap_fill: bucket spine would exceed max_buckets_per_group="
+            f"{max_buckets_per_group} for group(s) "
+            f"{[(r.grp, r.n_buckets) for r in offending]} at "
+            f"bucket_seconds={w}; coarsen the bucket, filter the group, "
+            "or raise the cap explicitly.")
+    spine = (bounds
              .select("grp", F.explode(F.sequence(
                  F.col("mn"), F.col("mx"), F.lit(w).cast("long")))
                  .alias("bucket")))

@@ -2016,6 +2016,32 @@ def test_apply_changes_merge_semantics(spark):
         (1, "a"), (3, "C2"), (4, "d"), (5, "e")}
 
 
+def test_apply_changes_rejects_tied_winners(spark):
+    """Colliding order_cols within a key FAIL LOUDLY instead of letting
+    the shuffle pick an arbitrary winner (VERDICT r10 next #3); an
+    explicit tiebreak_col restores totality and picks its max; ties
+    BELOW the winner stay legal (they can't change the result)."""
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import snapshot
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    tied = spark.createDataFrame(
+        [(1, "X", "U", 5, 10), (1, "Y", "U", 5, 11),   # tied winners at ts=5
+         (2, "Z", "U", 3, 12)],
+        "k long, v string, op string, ts int, seq int")
+    with pytest.raises(ValueError, match="not totally ordered"):
+        snapshot.apply_changes(base, tied.drop("seq"), ["k"])
+    out = snapshot.apply_changes(base, tied, ["k"], tiebreak_col="seq")
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "Y"), (2, "Z")}
+    # a tie strictly below the winner is harmless and must NOT raise
+    below = spark.createDataFrame(
+        [(1, "old1", "U", 1), (1, "old2", "U", 1), (1, "new", "U", 9)],
+        "k long, v string, op string, ts int")
+    out2 = snapshot.apply_changes(base, below, ["k"])
+    assert {(r.k, r.v) for r in out2.collect()} == {(1, "new"), (2, "b")}
+
+
 def test_edit_verified_pairs_order_sensitive_exact(spark):
     """Edit similarity penalizes reordering that token-set verifies
     can't see: all three docs share one distinct-token set (guaranteed
@@ -2057,6 +2083,61 @@ def test_edit_verified_pairs_order_sensitive_exact(spark):
     kept = {(r.id1, r.id2) for r in
             dedup.edit_verified_pairs(docs, threshold=0.8).collect()}
     assert kept == {(1, 2)}
+
+
+def test_edit_length_prefilter_never_drops_a_kept_pair(spark):
+    """The |Δlen| pre-filter (VERDICT r10 next #2) is implied by the
+    threshold — levenshtein ≥ |Δlen| — so the verify's output must be
+    IDENTICAL to the unfiltered DP over the same banded candidates.
+    Docs share one distinct-token set (guaranteed banded candidates)
+    but differ in length via token REPEATS, placing pairs on both
+    sides of the bound, including one exactly AT it (len 23 vs 46 at
+    threshold 0.5: Δ = 23 = (1−0.5)·46, lev = 23, sim = exactly 0.5 —
+    kept; an off-by-strictness pre-filter drops it)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import dedup
+
+    a = "alpha beta gamma zeta q"                      # 23 chars
+    texts = {
+        1: a,
+        2: a + " alpha" * 2,                           # 35: inside bound
+        3: a + " alpha" * 8,                           # 71: far pair, pruned
+        4: a,                                          # exact dup of 1
+        # append exactly 23 chars of token repeats → len 46, lev = 23,
+        # sim = 1 - 23/46 = 0.5 EXACTLY: sits on the threshold-0.5 bound
+        5: a + " alpha beta zeta zeta q",
+    }
+    assert len(texts[5]) == 2 * len(a)
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string")
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, ca in enumerate(s, 1):
+            cur = [i]
+            for j, cb in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def sim(s, t):
+        import math
+        if not s and not t:
+            return 1.0
+        v = 1.0 - lev(s[:200], t[:200]) / max(len(s[:200]), len(t[:200]))
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import (
+        minhash_band_links, minhash_signatures)
+    cand = {(r.id1, r.id2) for r in minhash_band_links(
+        minhash_signatures(docs, 8, "doc_id", "text"), 8, 4).collect()}
+    assert len(cand) >= 4   # the shared token set really did band them
+    for th in (0.3, 0.5, 0.8):
+        want = {(i, j): sim(texts[i], texts[j]) for i, j in cand
+                if sim(texts[i], texts[j]) >= th}
+        got = {(r.id1, r.id2): r.edit_sim for r in
+               dedup.edit_verified_pairs(docs, threshold=th).collect()}
+        assert got == want, th
 
 
 def test_bloom_filter_one_sided_and_mapside(spark):
@@ -3483,6 +3564,67 @@ def test_label_propagation_planted_communities(spark):
     assert odd == {20: 21, 21: 20}
 
 
+def test_graph_weighted_ops_string_ids_and_fractional_rejection(spark):
+    """ADVICE r10: (a) LPA's tie-break no longer negates the label, so
+    STRING node ids work (same two-clique communities as the numeric
+    test, min label = lexicographic min member); (b) fractional
+    weight/cost columns are rejected LOUDLY at plan time instead of
+    being silently truncated by cast('long')."""
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.graph import (
+        label_propagation, weighted_sssp)
+
+    cl1 = [(f"n{a}", f"n{b}") for a in range(4) for b in range(4) if a != b]
+    cl2 = [(f"p{a}", f"p{b}") for a in range(4) for b in range(4) if a != b]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in cl1 + cl2 + [("n3", "p0"), ("p0", "n3")]],
+        "src string, dst string, weight long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, n_rounds=4,
+                                      symmetric=True).collect()}
+    assert {got[f"n{i}"] for i in range(4)} == {"n0"}
+    assert {got[f"p{i}"] for i in range(4)} == {"p0"}
+
+    frac = spark.createDataFrame([(1, 2, 1.5), (2, 1, 1.5)],
+                                 "src long, dst long, weight double")
+    with pytest.raises(TypeError, match="integral"):
+        label_propagation(frac, n_rounds=2, symmetric=True)
+    with pytest.raises(TypeError, match="integral"):
+        weighted_sssp(frac.withColumnRenamed("weight", "cost"),
+                      spark.createDataFrame([(1,)], "node long"),
+                      n_rounds=2, symmetric=True)
+
+
+def test_gap_fill_span_guard_names_offending_groups(spark):
+    """A multi-year span on a 1-second grid hits the configurable
+    bucket cap LOUDLY (groups + counts in the message) instead of
+    OOMing the sequence/explode stage (VERDICT r10 next #6); sane
+    groups in the same frame still fill once the bad group is gone."""
+    import datetime as dt
+
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.timeseries import gap_fill
+
+    rows = [("bad", dt.datetime(2020, 1, 1), 1.0),
+            ("bad", dt.datetime(2024, 1, 1), 2.0),     # ~126 M 1-s buckets
+            ("ok", dt.datetime(2024, 1, 1, 0), 1.0),
+            ("ok", dt.datetime(2024, 1, 1, 3), 4.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    with pytest.raises(ValueError, match="bad"):
+        gap_fill(df, "g", "ts", "v", bucket_seconds=1,
+                 max_buckets_per_group=1_000_000)
+    out = gap_fill(df.filter("g = 'ok'"), "g", "ts", "v",
+                   bucket_seconds=3600)
+    assert out.count() == 4                      # hours 0..3 dense
+    # and the cap is a dial, not a constant: the bad group passes when
+    # the caller raises it deliberately at a coarser grid
+    coarse = gap_fill(df.filter("g = 'bad'"), "g", "ts", "v",
+                      bucket_seconds=86400 * 365)
+    assert coarse.count() >= 2
+
+
 def test_gap_fill_locf_and_interp_semantics(spark):
     """Planted gaps: leading gap (both fills NULL), interior gap
     (locf = left value, interp = linear blend), trailing gap (locf
@@ -3567,3 +3709,18 @@ def test_kmv_set_ops_exact_below_k_and_error_bounded(spark):
     assert abs(e.est_union - 2000) < 2000 * 0.27, e
     assert abs(e.est_a - 1000) < 1000 * 0.27, e
     assert abs(e.jaccard_est - 0.25) < 0.15, e
+
+
+def test_kmv_set_ops_empty_inputs_fully_defined(spark):
+    """Empty union (m = 0) yields 0 everywhere — not the NULLs a 0/0
+    division produces (ADVICE r10): the one-row contract holds on the
+    edge, and one-sided emptiness recovers the exact non-empty side."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sketches import kmv_set_ops
+
+    empty = spark.createDataFrame([], "v long")
+    r = kmv_set_ops(empty, empty, "v", k=64).collect()[0]
+    assert tuple(r) == (0, 0, 0, 0, 0.0)
+    a = spark.createDataFrame([(i,) for i in range(5)], "v long")
+    s = kmv_set_ops(a, empty, "v", k=64).collect()[0]
+    assert (s.est_a, s.est_b, s.est_union, s.est_intersection) == (5, 0, 5, 0)
+    assert s.jaccard_est == 0.0

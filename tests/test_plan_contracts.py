@@ -840,11 +840,17 @@ def test_unpivot_is_expand_single_scan(spark, sf_dir):
 def test_kmv_set_ops_take_ordered_no_global_sort(spark, sf_dir):
     """Bottom-k selections must compile to TakeOrderedAndProject (or a
     local limit), never a global Sort of the distinct-hash tables."""
+    import re
+
     import __spark_entry__ as m
 
     plan = formatted_plan(m.q_kmv_set_ops(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
-    # no full-table Sort outside the TakeOrdered operators
-    for line in plan.splitlines():
-        s = line.strip()
-        assert not s.startswith("+- Sort ") and not s.startswith(":- Sort "), plan
+    # no full-table Sort outside the TakeOrdered operators: match the
+    # OPERATOR NAME anywhere in the plan (root-level, codegen-starred,
+    # any tree-branch prefix), not tree-prefix string shapes (ADVICE
+    # r10 — '+- Sort'/':- Sort' alone misses '*(n) Sort'/root 'Sort [')
+    sort_lines = [ln for ln in plan.splitlines()
+                  if re.search(r"\bSort\b", ln)
+                  and "TakeOrderedAndProject" not in ln]
+    assert not sort_lines, (sort_lines, plan)
