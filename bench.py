@@ -195,6 +195,40 @@ HEADLINE = [
     "orc_roundtrip",
     "unpivot_measures",
     "bag_setops",
+    # r11 (VERDICT r10 next #7): the previously-unbenched tail — every
+    # oracle-backed entry now has a recorded timing each sweep (most of
+    # these are building blocks whose cost also rides larger entries,
+    # which is why they were skipped before; a few are micro-benchmarks
+    # of streaming/one-batch paths)
+    "als_recommend",
+    "ann_recall",
+    "customer_order_topn",
+    "dedup_clusters",
+    "dedup_clusters_chained",
+    "dedup_clusters_star",
+    "events_pivot",
+    "fraction_sample",
+    "hash_embeddings",
+    "jaccard_neardup",
+    "language_id",
+    "media_frame_sample",
+    "media_resize",
+    "minhash_signatures",
+    "multimodal_features",
+    "orders_running_total",
+    "part_doc_projection",
+    "simhash_fingerprints",
+    "split_assign",
+    "streaming_attribution",
+    "streaming_dedup",
+    "streaming_hourly",
+    "streaming_neardup",
+    "streaming_sessions",
+    "text_scrub",
+    "vocab_topk",
+    # r11 second wave
+    "set_sim_join",
+    "k_truss",
 ]
 
 

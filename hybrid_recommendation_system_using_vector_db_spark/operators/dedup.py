@@ -1206,3 +1206,83 @@ def band_recall_metrics(documents: DataFrame,
                        fround(F.coalesce("n_hit", F.lit(0)).cast("double")
                               / F.col("n_cand"), ROUND_SCORE))
                 .alias("precision")))
+
+
+def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """EXACT all-pairs token-set Jaccard join via prefix filtering —
+    the PPJoin candidate family (Chaudhuri et al. 2006 "primitive
+    operator for similarity joins"; Xiao et al. 2008). Returns EVERY
+    unordered pair with distinct-token Jaccard ≥ ``threshold`` — the
+    deterministic-recall complement of the banded-MinHash chain
+    (``minhash_dup_pairs`` trades recall for candidate volume; this
+    trades candidate volume for recall=1, the right tier when a dedup
+    pass must certify "no near-dup above t survives").
+
+    Prefix-filter guarantee (why recall is exactly 1): order all tokens
+    by ascending global document frequency (rarest first, ties by
+    token); give each doc the prefix of its first
+    ``p = |d| − ⌈t·|d|⌉ + 1`` tokens under that order. J(x,y) ≥ t
+    implies overlap o ≥ t/(1+t)·(|x|+|y|) ≥ t·max(|x|,|y|), so
+    o ≥ ⌈t·|x|⌉ and o ≥ ⌈t·|y|⌉ — and two sets sharing o tokens under
+    a COMMON total order must share one inside both
+    (|·|−o+1)-prefixes. The ⌈·⌉ is computed as ``ceil(t·|d| − 1e-9)``:
+    float t·|d| can land a hair ABOVE the exact integer (0.7·10 →
+    7.000…001), and rounding the required overlap UP would shorten the
+    prefix below the guarantee — the epsilon makes the error direction
+    always SAFE (longer prefix, never shorter).
+
+    Scale shape: the inverted-index self-join runs on PREFIX tokens
+    only, and prefixes hold each doc's RAREST tokens — stopword
+    postings lists never enter the join, which is the whole trick
+    (fan-out Σ_tok df_prefix(tok)², concentrated on low-df tokens).
+    Candidates then pass the length filter (J ≥ t forces
+    t·|x| ≤ |y| ≤ |x|/t) before the verify join counts the exact
+    intersection — one (pair × |d1| tokens) ⋈ (id2, tok) equi-join,
+    linear in candidate volume. The token table feeds four branches
+    (freq, sizes, prefix, verify) and is checkpointed once. Every
+    count is an integer; the one division is fround'ed, so the plain
+    all-pairs SQL oracle is bit-equal.
+
+    Returns (id1, id2, n_common, jaccard), id1 < id2. Docs with zero
+    tokens pair with nothing (J undefined ≡ no emission).
+    """
+    tok = _spread(documents.select(F.col(id_col).alias("doc_id"),
+                                   F.col(text_col).alias(text_col))) \
+        .select("doc_id",
+                F.explode(TT.distinct_tokens(F.col(text_col))).alias("tok")) \
+        .localCheckpoint(eager=True)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_ord = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (tok.join(freq, "tok")
+              .withColumn("rn", F.row_number().over(w_ord))
+              .join(sizes, "doc_id"))
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz") - 1e-9) + 1)
+    a = prefix.select(F.col("doc_id").alias("id1"), "tok",
+                      F.col("sz").alias("sz1"))
+    b = prefix.select(F.col("doc_id").alias("id2"), "tok",
+                      F.col("sz").alias("sz2"))
+    cand = (a.join(b, "tok")
+            .filter(F.col("id1") < F.col("id2"))
+            .filter((F.col("sz2").cast("double")
+                     >= F.lit(float(threshold)) * F.col("sz1") - 1e-9)
+                    & (F.col("sz1").cast("double")
+                       >= F.lit(float(threshold)) * F.col("sz2") - 1e-9))
+            .select("id1", "id2", "sz1", "sz2")
+            .distinct())
+    t1 = tok.select(F.col("doc_id").alias("id1"), "tok")
+    t2 = tok.select(F.col("doc_id").alias("id2"), "tok")
+    inter = (cand.join(t1, "id1").join(t2, ["id2", "tok"])
+             .groupBy("id1", "id2", "sz1", "sz2")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    return (inter
+            .withColumn("jaccard", fround(
+                F.col("n_common").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_common"))
+                .cast("double"), ROUND_SCORE))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "n_common", "jaccard"))

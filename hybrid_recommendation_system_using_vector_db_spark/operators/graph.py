@@ -161,6 +161,44 @@ def _pagerank_iteration(nodes: DataFrame, ew: DataFrame, ranks: DataFrame,
     )
 
 
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """Enumerate each triangle of a CANONICAL undirected edge table
+    (u < v, distinct, materialized) exactly once, via degree-ordered
+    orientation (Suri & Vassilvitskii 2011): every edge points from its
+    (degree, node)-smaller endpoint to the larger; wedges generate only
+    at the lower-order endpoint, so wedge fanout is Σ_u outdeg(u)² with
+    outdeg(u) = O(√|E|) — the orientation is what stops a hub from
+    exploding the self-join. Returns (t1, t2, t3) node triples in
+    orientation rank order (NOT id order — canonicalize pairs with
+    least/greatest when edges are needed). Shared by
+    :func:`triangle_count` (per-node counts) and :func:`k_truss`
+    (per-edge support, re-run per peel round)."""
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    e2 = (und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+          .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"))
+    lower_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    # the oriented edge table feeds three branches too (both wedge sides
+    # + the closure semi-join) — same materialize-once lifecycle
+    oe = e2.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"))\
+        .localCheckpoint(eager=True)
+    a = oe.select("src", F.col("dst").alias("x"), F.col("ddst").alias("dx"))
+    b = oe.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
+    wedges = (a.join(b, "src")
+              .filter((F.col("dx") < F.col("dy")) |
+                      ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))))
+              .select(F.col("src").alias("t1"), F.col("x").alias("t2"),
+                      F.col("y").alias("t3")))
+    return wedges.join(
+        oe.select(F.col("src").alias("t2"), F.col("dst").alias("t3")),
+        ["t2", "t3"], "left_semi")
+
+
 def triangle_count(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Per-node triangle counts via degree-ordered edge orientation
@@ -191,34 +229,70 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
            .distinct()
            .localCheckpoint(eager=True))
-    deg = (und.select(F.col("u").alias("node"))
-           .unionByName(und.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-    e2 = (und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
-          .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"))
-    lower_first = (F.col("du") < F.col("dv")) | \
-        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    # the oriented edge table feeds three branches too (both wedge sides
-    # + the closure semi-join) — same materialize-once lifecycle
-    oe = e2.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"))\
-        .localCheckpoint(eager=True)
-    a = oe.select("src", F.col("dst").alias("x"), F.col("ddst").alias("dx"))
-    b = oe.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
-    wedges = (a.join(b, "src")
-              .filter((F.col("dx") < F.col("dy")) |
-                      ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))))
-              .select(F.col("src").alias("t1"), F.col("x").alias("t2"),
-                      F.col("y").alias("t3")))
-    tris = wedges.join(
-        oe.select(F.col("src").alias("t2"), F.col("dst").alias("t3")),
-        ["t2", "t3"], "left_semi")
+    tris = _oriented_triangles(und)
     return (tris.select(F.col("t1").alias("node"))
             .unionByName(tris.select(F.col("t2").alias("node")))
             .unionByName(tris.select(F.col("t3").alias("node")))
             .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def k_truss(edges: DataFrame, k: int = 4, max_rounds: int = 5,
+            src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-truss decomposition membership: the maximal subgraph in which
+    every EDGE sits in ≥ k−2 triangles (Cohen 2008) — the edge-level
+    sibling of :func:`k_core` and the stricter dense-region extractor
+    (a k-truss is always inside the (k−1)-core, but survives the
+    star-shaped false positives degree peeling keeps: a hub with many
+    degree-1 neighbors has high degree and zero triangles).
+
+    Iterative peel: each round enumerates the surviving subgraph's
+    triangles ONCE via degree-ordered orientation
+    (:func:`_oriented_triangles` — hub wedge fanout √|E|-bounded),
+    explodes each into its three canonical edges, counts per-edge
+    support in one partial-agg shuffle, and drops edges below k−2
+    (edges in no triangle never appear in the support table and drop
+    implicitly — sound for k ≥ 3). All below-threshold edges drop
+    SIMULTANEOUSLY, so the fixpoint is the unique k-truss and the
+    result is deterministic regardless of partitioning. Stops at the
+    fixpoint (per-round count action, bounded driver state) or
+    ``max_rounds``; like the k-core peel it is IDEMPOTENT past its
+    fixpoint, so a FIXED unroll of ``max_rounds`` support/filter
+    rounds in plain SQL is the exact oracle
+    (``__spark_entry__._k_truss_sql``, the ``_k_core_sql`` pattern).
+
+    Returns the truss's canonical edge list (u, v, support), u < v,
+    support = triangle count within the RETURNED subgraph (one final
+    support pass over the fixpoint; at a fixpoint every support is
+    ≥ k−2 by definition).
+    """
+    def _support(canon: DataFrame) -> DataFrame:
+        tris = _oriented_triangles(canon)
+        e3 = (tris.select(F.least("t1", "t2").alias("u"),
+                          F.greatest("t1", "t2").alias("v"))
+              .unionByName(tris.select(F.least("t1", "t3").alias("u"),
+                                       F.greatest("t1", "t3").alias("v")))
+              .unionByName(tris.select(F.least("t2", "t3").alias("u"),
+                                       F.greatest("t2", "t3").alias("v"))))
+        return e3.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+
+    und = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct()
+           .localCheckpoint(eager=True))
+    n_prev = und.count()  # one scalar per round — bounded driver state
+    for _ in range(max_rounds):
+        und2 = (_support(und)
+                .filter(F.col("support") >= k - 2)
+                .select("u", "v")
+                .localCheckpoint(eager=True))
+        n = und2.count()
+        und = und2
+        if n == n_prev:
+            break
+        n_prev = n
+    return _support(und)
 
 
 def adamic_adar_links(edges: DataFrame, k: int = 10,

@@ -235,14 +235,7 @@ def _finish_lsh_commit(spark: SparkSession, out_dir: str,
     rectangle the staged rows touch, so a crash-retry publish re-scans
     only the live files the batch could have landed in — O(batch), not
     O(corpus) (ADVICE r9)."""
-    return _finish_staging(
-        spark, f"{out_dir}/lsh__staging",
-        swaps={},
-        appends={"buckets": (f"{out_dir}/lsh_buckets", "cand"),
-                 "docs": (f"{out_dir}/lsh_docs", "doc_id")},
-        prune={"buckets": ["t", "bucket"]},
-        partition_by={"buckets": ["t", "bucket"]},
-        as_reader=as_reader)
+    return _LSH_FAMILY.finish(spark, out_dir, as_reader=as_reader)
 
 
 def _finish_lsh_compact(spark: SparkSession, out_dir: str,
@@ -253,12 +246,7 @@ def _finish_lsh_compact(spark: SparkSession, out_dir: str,
     is chosen by stage NAME, and publishing a crashed compaction
     through the append protocol would anti-join-append the entire
     rewritten corpus onto itself."""
-    return _finish_staging(
-        spark, f"{out_dir}/lsh_compact__staging",
-        swaps={"buckets": f"{out_dir}/lsh_buckets",
-               "docs": f"{out_dir}/lsh_docs"},
-        appends={},
-        as_reader=as_reader)
+    return _LSH_COMPACT_FAMILY.finish(spark, out_dir, as_reader=as_reader)
 
 
 def compact_lsh_index(spark: SparkSession, out_dir: str,
@@ -303,8 +291,7 @@ def compact_lsh_index(spark: SparkSession, out_dir: str,
     n_files = max(1, math.ceil(docs.count() / max(1, target_rows_per_file)))
     docs.repartition(n_files).write.mode("overwrite") \
         .parquet(f"{staging}/docs")
-    fs.create(P(f"{staging}/_COMMIT")).close()   # the commit point
-    _finish_lsh_compact(spark, out_dir)
+    _LSH_COMPACT_FAMILY.mark(spark, out_dir)     # the commit point
     files_out = len(_read_lsh_buckets(spark, out_dir).inputFiles())
     return {"files_in": files_in, "files_out": files_out, "rows": rows}
 
@@ -354,17 +341,15 @@ def append_lsh_index(spark: SparkSession, new_embeddings: DataFrame,
         .localCheckpoint(eager=True)
     if batch.isEmpty():
         return
-    staging = f"{out_dir}/lsh__staging"
-    # staged UNpartitioned: bucket must stay a real string column here —
-    # staging it as a partition value would round-trip through partition
-    # type inference on the publish read and lose its leading zeros
-    lsh_build_index(batch, id_col=id_col,
-                    n_bits=int(p.n_bits), n_tables=int(p.n_tables)) \
-        .write.mode("overwrite").parquet(f"{staging}/buckets")
-    batch.select(F.col(id_col).alias("doc_id")).distinct() \
-        .write.mode("overwrite").parquet(f"{staging}/docs")
-    fs.create(P(f"{staging}/_COMMIT")).close()   # the commit point
-    _finish_lsh_commit(spark, out_dir)
+    # staged UNpartitioned (commit_tables' contract): bucket must stay a
+    # real string column here — staging it as a partition value would
+    # round-trip through partition type inference on the publish read
+    # and lose its leading zeros
+    _LSH_FAMILY.commit_tables(spark, out_dir, {
+        "buckets": lsh_build_index(batch, id_col=id_col,
+                                   n_bits=int(p.n_bits),
+                                   n_tables=int(p.n_tables)),
+        "docs": batch.select(F.col(id_col).alias("doc_id")).distinct()})
 
 
 def write_pq_index(spark: SparkSession, embeddings: DataFrame, out_dir: str,
@@ -730,12 +715,7 @@ def _finish_dedup_commit(spark: SparkSession, out_dir: str,
     bands keyed append, through :func:`_finish_staging` (the cluster/
     band/pair triple previously committed non-atomically — the same
     crash-window class ADVICE r7 flagged for the count artifacts)."""
-    return _finish_staging(
-        spark, f"{out_dir}/dedup__staging",
-        swaps={"clusters": f"{out_dir}/dedup_clusters",
-               "pairs": f"{out_dir}/dedup_pairs"},
-        appends={"bands": (f"{out_dir}/dedup_bands", "doc_id")},
-        as_reader=as_reader)
+    return _DEDUP_FAMILY.finish(spark, out_dir, as_reader=as_reader)
 
 
 def load_dedup_clusters(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -882,13 +862,8 @@ def append_dedup_clusters(spark: SparkSession, new_documents: DataFrame,
     # publish (swap clusters/pairs, keyed-append bands) — a crash at any
     # point leaves the artifact untouched or fully updated, never the
     # stale-bands/new-clusters mix the old in-place writes risked
-    staging = f"{out_dir}/dedup__staging"
-    clusters.write.mode("overwrite").parquet(f"{staging}/clusters")
-    final_pairs.write.mode("overwrite").parquet(f"{staging}/pairs")
-    bands_b.write.mode("overwrite").parquet(f"{staging}/bands")
-    fs, P = _hadoop_fs(spark, out_dir)
-    fs.create(P(f"{staging}/_COMMIT")).close()   # the commit point
-    _finish_dedup_commit(spark, out_dir)
+    _DEDUP_FAMILY.commit_tables(spark, out_dir, {
+        "clusters": clusters, "pairs": final_pairs, "bands": bands_b})
 
 
 # ---------------------------------------------------------------------------
@@ -1077,16 +1052,123 @@ def _finish_staging(spark: SparkSession, staging: str,
     return True
 
 
+class _StagedFamily:
+    """ONE staged-commit family: a staging-dir base name plus the
+    declarative swap/append table spec :func:`_finish_staging` consumes.
+
+    Every persisted-artifact family (LSH buckets+ledger, the dedup
+    cluster/band/pair triple, the KN/LID counts+ledger pairs, LSH
+    compaction) shares the SAME stage → presence-check → ``_COMMIT``
+    mark → rename-claim → publish mechanics — so the crash matrix
+    (claim race, stale marker, partial rename, vanished stage) lives
+    HERE once and is tested once, not re-implemented per family
+    (VERDICT r10 next #4). What differs per family is pure declaration:
+
+    - ``swaps``: {stage-subdir: live-subdir} — wholesale atomic-rename
+      replacement on publish.
+    - ``appends``: {stage-subdir: (live-subdir, nominal append key)} —
+      full-row anti-join replay-guarded append.
+    - ``prune`` / ``partition_by``: per-subdir partition-column lists
+      (see :func:`_publish_stage`).
+
+    Live names are RELATIVE to the artifact root passed at call time.
+    """
+
+    def __init__(self, base: str, swaps: dict | None = None,
+                 appends: dict | None = None, prune: dict | None = None,
+                 partition_by: dict | None = None):
+        self.base = base
+        self.swaps = swaps or {}
+        self.appends = appends or {}
+        self.prune = prune
+        self.partition_by = partition_by
+
+    def staging(self, out_dir: str) -> str:
+        return f"{out_dir}/{self.base}__staging"
+
+    def finish(self, spark: SparkSession, out_dir: str,
+               as_reader: bool = False) -> bool:
+        """Roll forward a committed stage (or discard an uncommitted
+        one) — the family-specialized :func:`_finish_staging`."""
+        return _finish_staging(
+            spark, self.staging(out_dir),
+            swaps={s: f"{out_dir}/{l}" for s, l in self.swaps.items()},
+            appends={s: (f"{out_dir}/{l}", k)
+                     for s, (l, k) in self.appends.items()},
+            prune=self.prune, partition_by=self.partition_by,
+            as_reader=as_reader)
+
+    def mark(self, spark: SparkSession, out_dir: str) -> None:
+        """Drop ``_COMMIT`` over an already-written stage — THE commit
+        point — then roll forward. Every declared table must still
+        exist at the mark: a concurrent vacuum/cleanup that deleted the
+        stage mid-write would otherwise be papered over by ``create()``
+        recreating parent dirs, leaving a marker over an empty stage —
+        the finish would then "publish" nothing and silently drop the
+        batch. Fail loudly instead (previously only the counts family
+        carried this guard; now every family does)."""
+        staging = self.staging(out_dir)
+        fs, P = _hadoop_fs(spark, out_dir)
+        for sub in list(self.swaps) + list(self.appends):
+            if not fs.exists(P(f"{staging}/{sub}")):
+                raise RuntimeError(
+                    f"staged table vanished before commit: "
+                    f"{staging}/{sub} (concurrent cleanup? one "
+                    "maintenance actor per artifact root at a time)")
+        fs.create(P(f"{staging}/_COMMIT")).close()   # the commit point
+        self.finish(spark, out_dir)
+
+    def commit_tables(self, spark: SparkSession, out_dir: str,
+                      tables: dict[str, DataFrame]) -> None:
+        """Stage every table (plain unpartitioned overwrite — staged
+        tables carry true column types; partition values never
+        round-trip through partition-type inference), then
+        :meth:`mark`. Callers needing custom staged layouts (e.g.
+        compaction's pre-partitioned buckets) write the stage
+        themselves and call :meth:`mark` directly."""
+        staging = self.staging(out_dir)
+        for sub, df in tables.items():
+            df.write.mode("overwrite").parquet(f"{staging}/{sub}")
+        self.mark(spark, out_dir)
+
+
+_LSH_FAMILY = _StagedFamily(
+    "lsh",
+    appends={"buckets": ("lsh_buckets", "cand"),
+             "docs": ("lsh_docs", "doc_id")},
+    prune={"buckets": ["t", "bucket"]},
+    partition_by={"buckets": ["t", "bucket"]})
+
+_LSH_COMPACT_FAMILY = _StagedFamily(
+    "lsh_compact",
+    swaps={"buckets": "lsh_buckets", "docs": "lsh_docs"})
+
+_DEDUP_FAMILY = _StagedFamily(
+    "dedup",
+    swaps={"clusters": "dedup_clusters", "pairs": "dedup_pairs"},
+    appends={"bands": ("dedup_bands", "doc_id")})
+
+# recognized fixed-name families, used by vacuum_staging's recovery
+_FAMILIES = {f.base: f for f in
+             (_LSH_FAMILY, _LSH_COMPACT_FAMILY, _DEDUP_FAMILY)}
+
+
+def _counts_family(counts_name: str, docs_name: str) -> _StagedFamily:
+    """Count-statistic artifact family (KN LM / LID profiles): counts
+    swap + doc-ledger append, parameterized by table name."""
+    return _StagedFamily(
+        counts_name,
+        swaps={"counts": counts_name},
+        appends={"docs": (docs_name, "doc_id")})
+
+
 def _staged_commit_finish(spark: SparkSession, out_dir: str,
                           counts_name: str, docs_name: str,
                           as_reader: bool = False) -> bool:
     """Count-artifact (KN LM / LID profile) staged-commit publish:
     counts swap + ledger append through :func:`_finish_staging`."""
-    return _finish_staging(
-        spark, f"{out_dir}/{counts_name}__staging",
-        swaps={"counts": f"{out_dir}/{counts_name}"},
-        appends={"docs": (f"{out_dir}/{docs_name}", "doc_id")},
-        as_reader=as_reader)
+    return _counts_family(counts_name, docs_name).finish(
+        spark, out_dir, as_reader=as_reader)
 
 
 def _committed_counts(spark: SparkSession, out_dir: str,
@@ -1113,23 +1195,8 @@ def _staged_commit_write(spark: SparkSession, out_dir: str,
     the marker → retry discards the stage and recomputes against
     untouched live state; crash after → the next append (or this call's
     own finish step) completes the publish exactly once."""
-    staging = f"{out_dir}/{counts_name}__staging"
-    batch_ids.write.mode("overwrite").parquet(f"{staging}/docs")
-    merged_counts.write.mode("overwrite").parquet(f"{staging}/counts")
-    fs, P = _hadoop_fs(spark, out_dir)
-    # both staged tables must still exist at the commit point: a
-    # concurrent vacuum/cleanup that deleted the stage mid-write would
-    # otherwise be papered over by create() recreating parent dirs,
-    # leaving a _COMMIT over an empty stage — the finish step would then
-    # "publish" nothing and silently drop the batch. Fail loudly instead.
-    for sub in ("docs", "counts"):
-        if not fs.exists(P(f"{staging}/{sub}")):
-            raise RuntimeError(
-                f"staged table vanished before commit: {staging}/{sub} "
-                "(concurrent cleanup? one maintenance actor per artifact "
-                "root at a time)")
-    fs.create(P(f"{staging}/_COMMIT")).close()   # the commit point
-    _staged_commit_finish(spark, out_dir, counts_name, docs_name)
+    _counts_family(counts_name, docs_name).commit_tables(
+        spark, out_dir, {"docs": batch_ids, "counts": merged_counts})
 
 
 def write_kn_lm(spark: SparkSession, documents: DataFrame, out_dir: str,
@@ -1345,18 +1412,12 @@ def vacuum_staging(spark: SparkSession, out_dir: str,
         """Run the staged-commit finish of a recognized family name;
         True if the name was recognized (finish is idempotent and
         handles empty/renamed-away stages + __publishing leftovers)."""
-        if base == "dedup":
-            _finish_dedup_commit(spark, out_dir)
-            return True
-        if base == "lsh":
-            _finish_lsh_commit(spark, out_dir)
-            return True
-        if base == "lsh_compact":
-            _finish_lsh_compact(spark, out_dir)
+        if base in _FAMILIES:
+            _FAMILIES[base].finish(spark, out_dir)
             return True
         if base.endswith("_counts"):
-            _staged_commit_finish(spark, out_dir, base,
-                                  base.replace("_counts", "_docs"))
+            _counts_family(base, base.replace("_counts", "_docs")) \
+                .finish(spark, out_dir)
             return True
         return False
 

@@ -3596,6 +3596,49 @@ def test_graph_weighted_ops_string_ids_and_fractional_rejection(spark):
                       n_rounds=2, symmetric=True)
 
 
+def test_set_similarity_join_recall_one_vs_brute_force(spark):
+    """The prefix-filter join's output equals brute-force all-pairs
+    token Jaccard AT EVERY threshold tried — recall exactly 1, the
+    guarantee class the banded-MinHash tiers don't give. Includes a
+    pair sitting exactly ON the threshold (J = 2/4 = 0.5) and docs
+    with duplicate tokens (distinct-token semantics pinned)."""
+    import itertools
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import set_similarity_join
+
+    texts = {
+        1: "a b c",
+        2: "b c d",              # J(1,2) = 2/4 = 0.5 exactly
+        3: "a b c d e f",
+        4: "a b c d e g",        # J(3,4) = 5/7
+        5: "x y z w",
+        6: "a a b b c c",        # dup tokens -> {a,b,c}: J(6,1)=1.0
+        7: "q",
+        8: "",                   # zero tokens: pairs with nothing
+    }
+    docs = spark.createDataFrame(sorted(texts.items()),
+                                 "doc_id long, text string")
+
+    def toks(t):
+        return {w for w in t.lower().split(" ") if w}
+
+    for th in (0.3, 0.5, 0.75, 1.0):
+        want = {}
+        for i, j in itertools.combinations(sorted(texts), 2):
+            a, b = toks(texts[i]), toks(texts[j])
+            inter = len(a & b)
+            if inter == 0:
+                continue
+            jac = inter / len(a | b)
+            jr = math.floor(jac * 1e6 + 0.5) / 1e6
+            if jr >= th:
+                want[(i, j)] = (inter, jr)
+        got = {(r.id1, r.id2): (r.n_common, r.jaccard)
+               for r in set_similarity_join(docs, threshold=th).collect()}
+        assert got == want, th
+
+
 def test_gap_fill_span_guard_names_offending_groups(spark):
     """A multi-year span on a 1-second grid hits the configurable
     bucket cap LOUDLY (groups + counts in the message) instead of
@@ -3686,6 +3729,46 @@ def test_weighted_sssp_cheap_route_beats_direct_edge(spark):
            for r in weighted_sssp(edges, seeds, n_rounds=2,
                                   symmetric=True).collect()}
     assert two == {0: 0, 1: 1, 2: 2, 3: 9, 4: 10}
+
+
+def test_k_truss_peel_vs_brute_force(spark):
+    """5-clique + lone triangle + pendant star: the 4-truss keeps
+    exactly the clique (every clique edge sits in 3 triangles), drops
+    the lone triangle (support 1) and every star edge (support 0 —
+    the star is the k-core false positive the truss rejects); the
+    3-truss keeps the triangle too. Values pinned against a pure-python
+    peeler."""
+    import itertools
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.graph import k_truss
+
+    clique = list(itertools.combinations(range(5), 2))
+    tri = [(10, 11), (11, 12), (10, 12)]
+    star = [(0, 100 + i) for i in range(6)]        # hub rides node 0
+    edges = spark.createDataFrame(clique + tri + star,
+                                  "src long, dst long")
+
+    def brute(es, k):
+        es = {tuple(sorted(e)) for e in es}
+        while True:
+            adj = {}
+            for u, v in es:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            sup = {e: len(adj[e[0]] & adj[e[1]]) for e in es}
+            nxt = {e for e in es if sup[e] >= k - 2}
+            if nxt == es:
+                return {e: sup[e] for e in es}
+            es = nxt
+
+    for k in (3, 4):
+        want = brute(clique + tri + star, k)
+        got = {(r.u, r.v): r.support
+               for r in k_truss(edges, k=k, max_rounds=10).collect()}
+        assert got == want, (k, got, want)
+    assert set(brute(clique + tri + star, 4)) == set(clique)
+    assert set(brute(clique + tri + star, 3)) == set(clique) | {
+        (10, 11), (10, 12), (11, 12)}
 
 
 def test_kmv_set_ops_exact_below_k_and_error_bounded(spark):
