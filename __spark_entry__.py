@@ -2042,6 +2042,29 @@ def q_set_sim_join(spark, sf_dir):
         .filter(F.col("doc_id") % 4 == 0), threshold=0.9)
 
 
+def q_dq_checks(spark, sf_dir):
+    """Declarative one-scan data-quality gate over orders — the
+    Deequ/dbt-test shape: not-null, uniqueness, range, allow-list and
+    regex constraints evaluated in ONE aggregate (unique adds exact
+    count-distincts through a single Expand of the same scan), one
+    result row per check. Exact integer counts throughout
+    (operators/profiling.py::dq_checks)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.dq_checks(orders, [
+        {"check": "not_null", "col": "o_custkey"},
+        {"check": "unique", "col": "o_orderkey"},
+        {"check": "range", "col": "o_totalprice", "lo": 0.0,
+         "hi": 400000.0},
+        {"check": "accepted_values", "col": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"check": "matches", "col": "o_orderpriority",
+         "pattern": "[1-5]-[A-Z ]+"},
+        {"check": "non_negative", "col": "o_custkey"},
+    ])
+
+
 def q_temporal_split(spark, sf_dir):
     """Purged walk-forward temporal split over the event stream: 80 %
     train by exact event-time quantile, a 1-day purge gap, the rest
@@ -3240,6 +3263,39 @@ def q_triangles(spark, sf_dir):
     return graph.triangle_count(edges)
 
 
+def q_temporal_reach(spark, sf_dir):
+    """Earliest-arrival time-respecting reachability (3 hops) over the
+    directed purchase co-activity graph: an edge u→v fires at v's
+    purchase time when v purchased 0<Δ≤30min after u; a chain counts
+    only if edge times never decrease — static BFS overcounts reach
+    through time-reversed chains. Integer epoch seconds (floored
+    identically in both engines), min/≥ relaxations exact; delta/
+    frontier rounds with the full-relaxation unroll as oracle
+    (operators/graph.py::temporal_reachability)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    _pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("u"),
+                 epoch_seconds("ts").cast("long").alias("t"))
+         .localCheckpoint(eager=True))  # feeds both join sides + seeds
+    W = 1800
+    a = p.select(F.col("u").alias("src"), F.col("t").alias("ta"),
+                 F.explode(F.array(
+                     F.floor(F.col("t") / W),
+                     F.floor(F.col("t") / W) + 1)).alias("bin"))
+    b = p.select(F.col("u").alias("dst"), F.col("t").alias("tb"),
+                 F.floor(F.col("t") / W).alias("bin"))
+    edges = (a.join(b, "bin")
+             .filter((F.col("tb") - F.col("ta") > 0)
+                     & (F.col("tb") - F.col("ta") <= W)
+                     & (F.col("src") != F.col("dst")))
+             .select("src", "dst", F.col("tb").alias("t")))
+    seeds = p.filter(F.col("u") % 20 == 0).select(F.col("u").alias("node"))
+    return graph.temporal_reachability(edges, seeds, n_rounds=3)
+
+
 def q_k_truss(spark, sf_dir):
     """k-truss membership (k=3) of the strong co-purchase graph: edges
     in >= 1 within-subgraph triangle after the simultaneous peel — the
@@ -4157,6 +4213,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_sim_join": q_set_sim_join,               # exact PPJoin-style
                                                       # prefix-filter join
         "k_truss": q_k_truss,                         # edge-support peel
+        "dq_checks": q_dq_checks,                     # one-scan DQ gate
+        "temporal_reach": q_temporal_reach,           # time-respecting
+                                                      # earliest arrival
         "hopping_windows": q_hopping_windows,         # sliding F.window
         "orc_roundtrip": q_orc_roundtrip,             # ORC source/sink
         "unpivot_measures": q_unpivot_measures,       # melt (pivot inverse)
@@ -5008,6 +5067,38 @@ sd0 AS MATERIALIZED (
   GROUP BY node)""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, dist FROM sd{rounds}")
+
+
+def _temporal_reach_sql(rounds: int = 3, window_s: int = 1800) -> str:
+    """Earliest-arrival temporal reachability unrolled to a FIXED
+    ``rounds`` CTE rounds — the ``_sssp_sql`` pattern with a
+    time-respecting relaxation (e.t >= d.arr). Exact because both
+    engines floor timestamps to integer epoch seconds and every min/>=
+    is integer arithmetic; the Spark side's delta/frontier rounds equal
+    full relaxations by the same induction as weighted_sssp. The
+    oracle builds edges with a PLAIN inequality join (exact semantics);
+    the Spark side uses the time-bin equi-join form of the same
+    predicate (scale shape) — identical row sets."""
+    parts = [f"""p AS MATERIALIZED (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type = 'purchase'),
+te AS MATERIALIZED (
+  SELECT a.u AS src, b.u AS dst, b.t AS t
+  FROM p a JOIN p b
+    ON b.t - a.t > 0 AND b.t - a.t <= {window_s} AND a.u <> b.u),
+ra0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS arr
+  FROM p WHERE u % 20 = 0)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""ra{t} AS MATERIALIZED (
+  SELECT node, min(arr) AS arr FROM (
+    SELECT node, arr FROM ra{t - 1}
+    UNION ALL
+    SELECT e.dst AS node, e.t AS arr
+    FROM ra{t - 1} d JOIN te e ON d.node = e.src AND e.t >= d.arr)
+  GROUP BY node)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, arr FROM ra{rounds}")
 
 
 def _sq_recon_ctes() -> str:
@@ -6028,6 +6119,40 @@ FROM x
 GROUP BY w_start, event_type
 """,
 
+        "dq_checks": """
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c0,
+         count(o_orderkey) - count(DISTINCT o_orderkey) AS c1,
+         sum(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+             THEN 1 ELSE 0 END) AS c2,
+         sum(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END) AS c3,
+         sum(CASE WHEN o_orderpriority IS NOT NULL
+                   AND NOT regexp_full_match(o_orderpriority,
+                                             '(?:[1-5]-[A-Z ]+)')
+             THEN 1 ELSE 0 END) AS c4,
+         sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey < 0
+             THEN 1 ELSE 0 END) AS c5
+  FROM orders
+)
+SELECT 'not_null' AS "check", 'o_custkey' AS col,
+       CAST(n AS BIGINT) AS n_rows, CAST(c0 AS BIGINT) AS n_violations,
+       c0 = 0 AS pass FROM s
+UNION ALL SELECT 'unique', 'o_orderkey', CAST(n AS BIGINT),
+       CAST(c1 AS BIGINT), c1 = 0 FROM s
+UNION ALL SELECT 'range', 'o_totalprice', CAST(n AS BIGINT),
+       CAST(c2 AS BIGINT), c2 = 0 FROM s
+UNION ALL SELECT 'accepted_values', 'o_orderstatus', CAST(n AS BIGINT),
+       CAST(c3 AS BIGINT), c3 = 0 FROM s
+UNION ALL SELECT 'matches', 'o_orderpriority', CAST(n AS BIGINT),
+       CAST(c4 AS BIGINT), c4 = 0 FROM s
+UNION ALL SELECT 'non_negative', 'o_custkey', CAST(n AS BIGINT),
+       CAST(c5 AS BIGINT), c5 = 0 FROM s
+""",
+
         "set_sim_join": """
 WITH t AS (
   SELECT doc_id,
@@ -6530,6 +6655,7 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
 
         "k_core": _k_core_sql(k=4, rounds=20),
         "k_truss": _k_truss_sql(k=3, rounds=5),
+        "temporal_reach": _temporal_reach_sql(rounds=3),
         "label_propagation": _label_prop_sql(rounds=4),
         "weighted_sssp": _sssp_sql(rounds=3),
 

@@ -229,6 +229,8 @@ HEADLINE = [
     # r11 second wave
     "set_sim_join",
     "k_truss",
+    "dq_checks",
+    "temporal_reach",
 ]
 
 

@@ -236,6 +236,71 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
             .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
 
 
+def temporal_reachability(edges: DataFrame, seeds: DataFrame,
+                          n_rounds: int = 3,
+                          src_col: str = "src", dst_col: str = "dst",
+                          t_col: str = "t", seed_col: str = "node"
+                          ) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability over a timestamped
+    directed edge multigraph — the temporal-path primitive behind
+    influence/contagion radii (Wu et al. 2014, "path problems in
+    temporal graphs"): a node v is reached at time t if some edge
+    (u, v, t) has t ≥ the time u was reached; arr(v) = the minimum such
+    t over all time-respecting chains of ≤ ``n_rounds`` edges. Static
+    BFS over the same edges OVERCOUNTS reach — it happily walks an
+    edge that fired before its predecessor.
+
+    Relaxation: arr_{r}(v) = min(arr_{r-1}(v), min over edges (u,v,t)
+    with t ≥ arr_{r-1}(u) of t). Earliest-arrival is MONOTONE
+    (improving arr(u) only widens u's usable out-edges), so the same
+    delta/frontier argument as :func:`weighted_sssp` applies verbatim:
+    relax only from nodes improved last round, and a fixed unroll of
+    FULL relaxations stays the exact SQL oracle
+    (``__spark_entry__._temporal_reach_sql``). All comparisons are on
+    integer epoch seconds — engine-exact. The edge table keeps one row
+    per edge INSTANCE (no per-pair min: an early edge may be unusable
+    when a later one is not).
+
+    Per round: one src-keyed join (frontier ⋈ edges, time filter inside
+    the join round), a partial-combining min per dst, the improvement
+    left join, and a broadcast-able anti-join merge — the
+    ``weighted_sssp`` round shape, with the same lazy dist chain and
+    every-third-round cut. Seeds start at ``arr = 0`` (reachable from
+    the epoch — pre-filter or shift timestamps for a later horizon).
+
+    Returns (node, arr): earliest arrival in epoch seconds; nodes not
+    reachable time-respectingly within ``n_rounds`` edges are absent.
+    """
+    _require_integral(edges, t_col, "temporal_reachability")
+    e = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"),
+                      F.col(t_col).cast("long").alias("t"))
+         .filter(F.col("a") != F.col("b"))
+         .localCheckpoint(eager=True))  # feeds every round
+    arr = (seeds.select(F.col(seed_col).alias("node")).distinct()
+           .withColumn("arr", F.lit(0).cast("long"))
+           .localCheckpoint(eager=True))
+    frontier = arr
+    for r in range(1, n_rounds + 1):
+        cand = (frontier.join(e, frontier["node"] == e["a"])
+                .filter(F.col("t") >= F.col("arr"))
+                .groupBy(F.col("b").alias("nxt"))
+                .agg(F.min("t").alias("cand"))
+                .withColumnRenamed("nxt", "node"))
+        improved = (cand.join(arr, "node", "left")
+                    .filter(F.col("arr").isNull()
+                            | (F.col("cand") < F.col("arr")))
+                    .select("node", F.col("cand").alias("arr"))
+                    .localCheckpoint(eager=True))
+        if improved.isEmpty():
+            break
+        arr = (arr.join(improved.select("node"), "node", "left_anti")
+               .unionByName(improved))
+        if r % 3 == 0 and r < n_rounds:
+            arr = arr.localCheckpoint(eager=True)
+        frontier = improved
+    return arr
+
+
 def k_truss(edges: DataFrame, k: int = 4, max_rounds: int = 5,
             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """k-truss decomposition membership: the maximal subgraph in which
@@ -489,7 +554,7 @@ def label_propagation(edges: DataFrame, n_rounds: int = 4,
     breaks, asynchronous visit order). This implementation is a pure
     function of the graph: updates are SYNCHRONOUS (round t+1 reads
     only round t's labels) and ties break by SMALLEST label id via a
-    (weight DESC, label ASC) row_number — so a FIXED ``n_rounds``
+    (weight DESC, label ASC) argmax — so a FIXED ``n_rounds``
     unroll in plain SQL is the exact oracle (``_label_prop_sql``, the
     ``_pagerank_sql``/``_k_core_sql`` pattern). Synchronous LPA may
     oscillate between two label sets instead of converging — with a

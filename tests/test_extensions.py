@@ -3731,6 +3731,75 @@ def test_weighted_sssp_cheap_route_beats_direct_edge(spark):
     assert two == {0: 0, 1: 1, 2: 2, 3: 9, 4: 10}
 
 
+def test_dq_checks_planted_violations(spark):
+    """Each constraint kind flags exactly its planted violations; NULLs
+    only count for not_null (the dbt convention — other checks pass
+    NULL rows through); unknown check names fail loudly."""
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import dq_checks
+
+    rows = [
+        (1, "a", 10.0, "ok"),
+        (1, "b", -5.0, "ok"),       # dup id; negative; out of range
+        (None, "c", 200.0, "bad!"), # null id; out of range; regex miss
+        (3, "zz", 50.0, None),      # value not in allow-list
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, v double, s string")
+    out = {(r.check, r.col): (r.n_rows, r.n_violations, r["pass"])
+           for r in dq_checks(df, [
+               {"check": "not_null", "col": "id"},
+               {"check": "unique", "col": "id"},
+               {"check": "range", "col": "v", "lo": 0.0, "hi": 100.0},
+               {"check": "accepted_values", "col": "cat",
+                "values": ["a", "b", "c"]},
+               {"check": "matches", "col": "s", "pattern": "[a-z]+"},
+               {"check": "non_negative", "col": "v"},
+           ]).collect()}
+    assert out == {
+        ("not_null", "id"): (4, 1, False),
+        ("unique", "id"): (4, 1, False),          # 3 non-null, 2 distinct
+        ("range", "v"): (4, 2, False),            # -5 and 200
+        ("accepted_values", "cat"): (4, 1, False),  # zz
+        ("matches", "s"): (4, 1, False),          # "bad!" (NULL passes)
+        ("non_negative", "v"): (4, 1, False),     # -5
+    }
+    clean = dq_checks(df.filter("id = 3"), [{"check": "unique", "col": "id"}])
+    assert clean.collect()[0]["pass"] is True
+    with pytest.raises(ValueError, match="unknown check"):
+        dq_checks(df, [{"check": "positive", "col": "v"}])
+
+
+def test_temporal_reachability_respects_time(spark):
+    """A chain whose second edge fires BEFORE the first is not a path:
+    a->b at t=5 then b->c at t=3 must NOT reach c, while a later b->c
+    at t=9 does (earliest arrival 9); a static-BFS shortcut would claim
+    c at hop 2 regardless. Also pins: earliest of parallel edges wins
+    only when usable, seeds emit arr=0, fractional time column rejected."""
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.graph import temporal_reachability
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 3), ("b", "c", 9),
+         ("c", "d", 2),                       # stale edge: never usable
+         ("a", "x", 1), ("x", "y", 1)],       # equal times allowed (>=)
+        "src string, dst string, t long")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.arr
+           for r in temporal_reachability(edges, seeds,
+                                          n_rounds=3).collect()}
+    assert got == {"a": 0, "b": 5, "c": 9, "x": 1, "y": 1}
+    # one round fewer: c unreachable (needs 2 hops)
+    one = {r.node: r.arr
+           for r in temporal_reachability(edges, seeds,
+                                          n_rounds=1).collect()}
+    assert one == {"a": 0, "b": 5, "x": 1}
+    with pytest.raises(TypeError, match="integral"):
+        temporal_reachability(
+            edges.withColumn("t", F.col("t").cast("double")), seeds)
+
+
 def test_k_truss_peel_vs_brute_force(spark):
     """5-clique + lone triangle + pendant star: the 4-truss keeps
     exactly the clique (every clique edge sits in 3 triangles), drops
