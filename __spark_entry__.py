@@ -222,7 +222,10 @@ _DEDUP_ARTIFACTS: dict[tuple, tuple] = {}
 
 
 def _served_dedup(spark: SparkSession, sf_dir: str) -> tuple:
-    """Build-once dedup-cluster ARTIFACT: (verified pairs, star clusters).
+    """Build-once dedup-cluster ARTIFACT: (verified pairs, star
+    clusters, band keys) — the band table added in r11 so OTHER verify
+    tiers (edit similarity) can reuse the stored banding instead of
+    re-signing the corpus.
 
     The minhash→band→verify→CC chain is the most expensive reusable
     artifact of the pipeline, and four consumers used to rebuild it
@@ -248,6 +251,7 @@ def _served_dedup(spark: SparkSession, sf_dir: str) -> tuple:
         _DEDUP_ARTIFACTS[key] = (
             spark.read.parquet(f"{out}/dedup_pairs"),
             _P.load_dedup_clusters(spark, out),
+            spark.read.parquet(f"{out}/dedup_bands"),
         )
     return _DEDUP_ARTIFACTS[key]
 
@@ -794,7 +798,7 @@ def q_minhash_jaccard_neardup(spark, sf_dir):
     verify cost is O(|candidates|) — the 100 TB near-dup shape. Served
     from the persisted dedup artifact (``_served_dedup``): the pairs
     table IS the chain's verify output, loaded instead of rebuilt."""
-    pairs, _ = _served_dedup(spark, sf_dir)
+    pairs, _, _ = _served_dedup(spark, sf_dir)
     return pairs
 
 
@@ -894,7 +898,7 @@ def q_dedup_clusters(spark, sf_dir):
     table comes from the persisted artifact (``_served_dedup``); only
     the CC algorithm under test runs per call."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs, _ = _served_dedup(spark, sf_dir)
+    pairs, _, _ = _served_dedup(spark, sf_dir)
     return dedup.connected_components(pairs, docs.select("doc_id"))
 
 
@@ -919,7 +923,7 @@ def q_dedup_clusters_chained(spark, sf_dir):
     both CC algorithms against one oracle. Serves the persisted cluster
     table itself (``_served_dedup`` → ``pipeline.load_dedup_clusters``):
     the star CC ran once at artifact build."""
-    _, clusters = _served_dedup(spark, sf_dir)
+    _, clusters, _ = _served_dedup(spark, sf_dir)
     return clusters
 
 
@@ -1001,7 +1005,7 @@ def q_dedup_keep_best(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    _, clusters = _served_dedup(spark, sf_dir)
+    _, clusters, _ = _served_dedup(spark, sf_dir)
     q = textops.quality_scores(docs).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc())
@@ -1039,7 +1043,7 @@ def q_pretrain_corpus(spark, sf_dir):
     lid = textops.language_id(docs) \
         .filter(F.col("lang_guess") == "en").select("doc_id")
     q = textops.quality_scores(docs).select("doc_id", "quality_score")
-    _, clusters = _served_dedup(spark, sf_dir)
+    _, clusters, _ = _served_dedup(spark, sf_dir)
     gated = (q.filter(F.col("quality_score") >= 0.5)
              .join(lid, "doc_id", "left_semi")
              .join(clusters, "doc_id"))
@@ -1083,7 +1087,7 @@ def q_leakage_safe_split(spark, sf_dir):
     split lacks (Lee et al. 2022). Full oracle: recursive-CC cluster
     CTEs + the same seeded-md5 CASE as split_assign."""
     docs = load_table(spark, sf_dir, "documents")
-    _, clusters = _served_dedup(spark, sf_dir)
+    _, clusters, _ = _served_dedup(spark, sf_dir)
     return dedup.leakage_safe_split(
         docs, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=SEED)
 
@@ -3183,9 +3187,15 @@ def q_edit_neardup(spark, sf_dir):
     re-scored with normalized edit similarity (1 − levenshtein/maxlen
     over the first 200 chars) — the order-sensitive verify tier that
     token-set Jaccard can't express (same words shuffled score 1.0
-    there, low here) (operators/dedup.py::edit_verified_pairs)."""
+    there, low here). Candidates serve from the persisted dedup
+    artifact's band table (``_served_dedup`` — bucket_chain_links is
+    the same chain rule the inline path computes, so results are
+    identical and the corpus is not re-signed per verify tier)
+    (operators/dedup.py::edit_verified_pairs)."""
+    _, _, bands = _served_dedup(spark, sf_dir)
     return dedup.edit_verified_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.3)
+        load_table(spark, sf_dir, "documents"), threshold=0.3,
+        candidates=dedup.bucket_chain_links(bands))
 
 
 def q_value_histogram(spark, sf_dir):

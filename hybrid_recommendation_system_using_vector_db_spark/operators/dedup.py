@@ -199,7 +199,8 @@ def minhash_dup_pairs(documents: DataFrame, n_hashes: int = 8,
 def edit_verified_pairs(documents: DataFrame, threshold: float = 0.3,
                         max_chars: int = 200, n_hashes: int = 8,
                         n_bands: int = 4, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        candidates: DataFrame | None = None) -> DataFrame:
     """Near-dup links verified by normalized edit similarity.
 
     The character-level verify tier: banded-MinHash candidates (linear
@@ -210,6 +211,12 @@ def edit_verified_pairs(documents: DataFrame, threshold: float = 0.3,
     shuffled score 1.0; edit similarity is the cheapest verify that
     penalizes reordering, so it is the right gate when near-dups must
     be *edits* of each other (template families, OCR variants).
+
+    ``candidates``: pre-computed (id1, id2) links — the artifact-serving
+    path (e.g. ``bucket_chain_links`` over a persisted band table, the
+    same rule as the inline chain): re-signing the corpus per verify
+    tier is the dominant cost when several verifies share one banding
+    (the ``jaccard_neardup_pairs(candidates=...)`` contract).
 
     Scale design: the pair space is the banded chain (never all-pairs);
     texts join onto candidates pre-truncated to ``max_chars`` so the
@@ -229,8 +236,11 @@ def edit_verified_pairs(documents: DataFrame, threshold: float = 0.3,
     output is identical to the unfiltered verify BY CONSTRUCTION
     (pinned by test_edit_length_prefilter_never_drops_a_kept_pair).
     """
-    sigs = minhash_signatures(documents, n_hashes, id_col, text_col)
-    cand = minhash_band_links(sigs, n_hashes, n_bands)
+    if candidates is not None:
+        cand = candidates.select("id1", "id2").distinct()
+    else:
+        sigs = minhash_signatures(documents, n_hashes, id_col, text_col)
+        cand = minhash_band_links(sigs, n_hashes, n_bands)
     txt = documents.select(
         F.col(id_col),
         F.substring(F.col(text_col), 1, max_chars).alias("__t"))

@@ -1395,3 +1395,39 @@ def test_compact_lsh_index_crash_windows(spark, tmp_path):
     assert sorted(map(key,
                       pipeline.load_lsh_index(spark, out).collect())) == want
     assert not os.path.exists(staging)
+
+
+def test_staged_family_mark_rejects_vanished_stage(spark, tmp_path):
+    """The vanished-stage loud check now guards EVERY family through
+    _StagedFamily.mark (r11 unification — previously only the counts
+    family had it): marking a stage missing a declared table raises
+    instead of dropping a _COMMIT over an empty stage (which the
+    finish would then "publish" as a silently lost batch)."""
+    import os
+
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark import pipeline
+
+    out = str(tmp_path / "art")
+    fam = pipeline._StagedFamily(
+        "fam", swaps={"counts": "fam_counts"},
+        appends={"docs": ("fam_docs", "doc_id")})
+    staging = fam.staging(out)
+    # only ONE of the two declared tables staged
+    spark.range(3).write.mode("overwrite").parquet(f"{staging}/counts")
+    with pytest.raises(RuntimeError, match="vanished before commit"):
+        fam.mark(spark, out)
+    assert not os.path.exists(f"{staging}/_COMMIT")
+    # commit_tables with both tables present publishes cleanly
+    fam2 = pipeline._StagedFamily(
+        "fam2", swaps={"counts": "fam2_counts"},
+        appends={"docs": ("fam2_docs", "doc_id")})
+    spark.range(2).selectExpr("id AS doc_id").write.parquet(f"{out}/fam2_docs")
+    fam2.commit_tables(spark, out, {
+        "counts": spark.range(5).selectExpr("id AS c"),
+        "docs": spark.range(2, 4).selectExpr("id AS doc_id")})
+    assert spark.read.parquet(f"{out}/fam2_counts").count() == 5
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(f"{out}/fam2_docs").collect()) == [0, 1, 2, 3]
+    assert not os.path.exists(fam2.staging(out))
