@@ -2046,6 +2046,87 @@ def q_set_sim_join(spark, sf_dir):
         .filter(F.col("doc_id") % 4 == 0), threshold=0.9)
 
 
+def q_streaming_cdc(spark, sf_dir):
+    """Streaming CDC apply: the SAME deterministic change batch as
+    cdc_apply (plus the base as ts=0 upserts) drained through a real
+    foreachBatch stream (file source, maxFilesPerTrigger=1 — multiple
+    micro-batches in arbitrary file order) into versioned parquet
+    snapshot state. Per-batch folding keeps, per key, the max-ts row
+    with TOMBSTONES RETAINED — max-ts arbitration is associative and
+    commutative, so the final snapshot equals the one-shot batch MERGE
+    regardless of the split, and the cdc_apply oracle applies verbatim
+    (streaming/events.py::merge_cdc_batch / incremental_cdc)."""
+    import shutil
+    import tempfile
+
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        incremental_cdc,
+        load_cdc_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    ups = (orders.filter(F.col("o_orderkey") % 7 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+           .withColumn("op", F.lit("U")).withColumn("ts", F.lit(1)))
+    dels = (orders.filter(F.col("o_orderkey") % 13 == 0)
+            .withColumn("op", F.lit("D")).withColumn("ts", F.lit(2)))
+    ins = (orders.filter(F.col("o_orderkey") % 11 == 0)
+           .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+           .withColumn("o_orderpriority", F.lit("9-NEW"))
+           .withColumn("op", F.lit("U")).withColumn("ts", F.lit(1)))
+    base = (orders.withColumn("op", F.lit("U"))
+            .withColumn("ts", F.lit(0)))
+    feed = base.unionByName(ups).unionByName(dels).unionByName(ins)
+    root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    chg_dir, state, ckpt = (f"{root}/feed", f"{root}/state", f"{root}/ckpt")
+    feed.repartition(4).write.parquet(chg_dir)
+    stream = (spark.readStream.schema(feed.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chg_dir))
+    sq = incremental_cdc(stream, state, ckpt, ["o_orderkey"])
+    sq.awaitTermination()
+    snap = load_cdc_snapshot(spark, state).select(*orders.columns)         .localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return snap
+
+
+def q_frequent_triples(spark, sf_dir):
+    """Apriori level-3 frequent itemsets over order baskets — triples
+    co-purchased in >= 2 orders, generated only from frequent-pair
+    prefixes (the Apriori property makes the prune lossless, so the
+    unpruned all-triples SQL oracle is bit-equal)
+    (operators/copurchase.py::frequent_triples)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return copurchase.frequent_triples(li, min_support=2)
+
+
+def q_weighted_median(spark, sf_dir):
+    """Per-returnflag quantity-weighted LOWER median of extended price:
+    the smallest price whose cumulative quantity reaches half the
+    flag's total — exact BIGINT halving test (2*cumw >= W), one
+    group-keyed sort shared by the cumsum window and the total
+    (operators/profiling.py::weighted_median)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumn("qty", F.col("l_quantity").cast("long")))
+    return profiling.weighted_median(li, "l_returnflag",
+                                     "l_extendedprice", "qty")
+
+
+def q_equidepth_histogram(spark, sf_dir):
+    """16-bin equal-frequency histogram of order totals — the
+    data-adaptive complement of the equal-width value_histogram
+    (resolution follows the mass); bins are ntile over the
+    (value, order key) total order so tie placement is a pure function
+    of the data, and DuckDB's identical floor(n/k)+1 split makes the
+    oracle row-exact (operators/profiling.py::equidepth_histogram)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.equidepth_histogram(orders, "o_totalprice",
+                                         n_bins=16, id_col="o_orderkey")
+
+
 def q_dq_checks(spark, sf_dir):
     """Declarative one-scan data-quality gate over orders — the
     Deequ/dbt-test shape: not-null, uniqueness, range, allow-list and
@@ -4224,6 +4305,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                       # prefix-filter join
         "k_truss": q_k_truss,                         # edge-support peel
         "dq_checks": q_dq_checks,                     # one-scan DQ gate
+        "weighted_median": q_weighted_median,         # exact integer-weight
+                                                      # lower median
+        "equidepth_histogram": q_equidepth_histogram,  # ntile equal-depth
+        "frequent_triples": q_frequent_triples,       # Apriori level 3
+        "streaming_cdc": q_streaming_cdc,             # foreachBatch CDC fold
         "temporal_reach": q_temporal_reach,           # time-respecting
                                                       # earliest arrival
         "hopping_windows": q_hopping_windows,         # sliding F.window
@@ -6127,6 +6213,51 @@ SELECT w_start, w_start + 21600 AS w_end, event_type,
        floor(sum(value) * 100 + 0.5) / 100 AS total_value
 FROM x
 GROUP BY w_start, event_type
+""",
+
+        "frequent_triples": """
+WITH it AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+t AS (
+  SELECT a.i AS i1, bb.i AS i2, c.i AS i3
+  FROM it a
+  JOIN it bb ON a.b = bb.b AND a.i < bb.i
+  JOIN it c ON a.b = c.b AND bb.i < c.i
+)
+SELECT i1, i2, i3, CAST(count(*) AS BIGINT) AS support
+FROM t GROUP BY i1, i2, i3 HAVING count(*) >= 2
+""",
+
+        "weighted_median": """
+WITH base AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+ranked AS (
+  SELECT grp, v, w,
+         sum(w) OVER (PARTITION BY grp ORDER BY v
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw,
+         sum(w) OVER (PARTITION BY grp) AS total_w
+  FROM base
+)
+SELECT grp, min(v) AS wmedian, max(total_w) AS total_w
+FROM ranked
+WHERE 2 * cumw >= total_w AND total_w > 0
+GROUP BY grp
+""",
+
+        "equidepth_histogram": """
+WITH b AS (
+  SELECT o_totalprice AS v,
+         ntile(16) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS INT) AS bin, min(v) AS lo, max(v) AS hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b GROUP BY bin
 """,
 
         "dq_checks": """
@@ -8385,6 +8516,11 @@ WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
     # the lifecycle path too (incremental == bulk is separately pinned
     # by test_lsh_index_incremental_append_equals_bulk)
     sql["index_lifecycle"] = sql["lsh_topk"]
+    # the streaming CDC fold drains the SAME change set (plus base as
+    # ts=0 upserts) as the batch MERGE — max-ts arbitration makes the
+    # final snapshot identical for any micro-batch split, so the batch
+    # oracle applies verbatim
+    sql["streaming_cdc"] = sql["cdc_apply"]
     return sql
 
 

@@ -231,6 +231,10 @@ HEADLINE = [
     "k_truss",
     "dq_checks",
     "temporal_reach",
+    "weighted_median",
+    "equidepth_histogram",
+    "frequent_triples",
+    "streaming_cdc",
 ]
 
 

@@ -454,3 +454,87 @@ def dq_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def weighted_median(df: DataFrame, group_col: str, value_col: str,
+                    weight_col: str) -> DataFrame:
+    """Exact per-group LOWER WEIGHTED MEDIAN: the smallest value v such
+    that Σ weight over rows with value ≤ v reaches half the group's
+    total weight — the robust center for weighted data (revenue-weighted
+    price, token-weighted quality), where the unweighted median of the
+    rows answers a different question entirely.
+
+    Weights must be a non-negative INTEGRAL column: the halving test
+    runs as ``2·cumw ≥ W`` over exact BIGINT sums — no float-summation
+    order anywhere, so the SQL oracle is bit-equal (the
+    ``idf_weighted_jaccard_pairs`` integer-exactness discipline). The
+    lower-median convention (no averaging of straddling values) keeps
+    the result an ACTUAL data value, engine-portable like
+    :func:`grouped_quantiles`' nearest-rank.
+
+    Scale shape: ONE exchange — the cumulative-weight window and the
+    per-group total share the same partitionBy(grp) sort; the answer
+    row is the ``min_by`` of the qualifying prefix, a partial-combining
+    aggregate. Ties on value are absorbed by the cumsum's (value, ties)
+    range frame: equal values share one cumulative weight, so the
+    qualifying v is well-defined without a tiebreak column.
+
+    Returns (grp, wmedian, total_w); groups with zero total weight are
+    absent (no row qualifies).
+    """
+    from .graph import _require_integral
+
+    _require_integral(df, weight_col, "weighted_median")
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(value_col).alias("v"),
+                     F.col(weight_col).cast("long").alias("w"))
+    w_cum = (Window.partitionBy("grp").orderBy("v")
+             .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("grp")
+    ranked = (base
+              .withColumn("cumw", F.sum("w").over(w_cum))
+              .withColumn("total_w", F.sum("w").over(w_all)))
+    return (ranked
+            .filter((F.lit(2) * F.col("cumw") >= F.col("total_w"))
+                    & (F.col("total_w") > 0))
+            .groupBy("grp")
+            .agg(F.min("v").alias("wmedian"),
+                 F.max("total_w").alias("total_w")))
+
+
+def equidepth_histogram(df: DataFrame, value_col: str, n_bins: int = 10,
+                        id_col: str | None = None) -> DataFrame:
+    """Equal-FREQUENCY histogram: ``n_bins`` bins each holding (as
+    close as possible to) the same number of rows, with each bin's
+    actual [lo, hi] value span — the data-adaptive complement of
+    :func:`value_histogram` (equal-width bins starve on skewed data:
+    one bin takes 90 % of rows; equi-depth puts the resolution where
+    the mass is — the histogram a query optimizer or drift monitor
+    actually wants).
+
+    Determinism: bins are ``ntile(n_bins)`` over (value, id) — ntile
+    splits ties by ROW ORDER, so without a total order equal values
+    straddle bins nondeterministically; the ``id_col`` tiebreak makes
+    the assignment a pure function of the data (pass the table's key;
+    default ``value_col`` alone only when values are unique). DuckDB's
+    ntile uses the same ⌊n/k⌋+1-then-⌊n/k⌋ split, so the oracle is
+    row-exact.
+
+    Scale shape: one global sort (the price of exact equi-depth — the
+    single-exchange ntile window) + a partial-agg rollup to n_bins
+    rows. At 100 TB use the sketch tier (``sampled_quantiles`` edges)
+    for approximate depth; this exact form is for bounded profiling
+    slices — stated, like grouped_quantiles' per-group sort.
+
+    Returns (bin 1..n_bins, lo, hi, n_rows).
+    """
+    order = ([F.col(value_col), F.col(id_col)] if id_col
+             else [F.col(value_col)])
+    w = Window.orderBy(*order)
+    return (df.select(F.col(value_col).alias("v"),
+                      F.ntile(int(n_bins)).over(w).alias("bin"))
+            .groupBy("bin")
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .select(F.col("bin").cast("int").alias("bin"),
+                    "lo", "hi", "n_rows"))

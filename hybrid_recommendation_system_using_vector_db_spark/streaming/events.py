@@ -594,3 +594,94 @@ def streaming_lm_maintenance(docs_stream: DataFrame, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_cdc_batch(batch: DataFrame, state_path: str,
+                    key_cols: list[str], epoch_id: int | None = None,
+                    run_id: str | None = None, op_col: str = "op",
+                    ts_col: str = "ts") -> None:
+    """Fold one CDC micro-batch into versioned parquet snapshot state —
+    the streaming counterpart of ``snapshot.apply_changes``.
+
+    State rows carry the key + value columns plus (``op_col``,
+    ``ts_col``): TOMBSTONES ARE RETAINED as rows, and each merge keeps,
+    per key, the row with the MAXIMUM change time across state ∪ batch
+    (row_number over ts DESC). Max-ts arbitration is associative and
+    commutative given per-key ts totality, so folding the change set in
+    ANY micro-batch partitioning yields the same final state as one
+    batch MERGE — the property that makes the stream equal to
+    ``apply_changes`` over the union no matter how the source splits
+    files into triggers (a naive per-batch last-writer apply is NOT
+    order-independent: an older change arriving in a later batch would
+    overwrite newer state). Per-key ts collisions are the caller's
+    contract as in ``apply_changes``; the batch operator enforces it
+    loudly at the source of a change feed.
+
+    Durability: the ``merge_edge_batch`` protocol verbatim — immutable
+    ``v<epoch>`` snapshot dirs, ``_CURRENT`` pointer flipped by atomic
+    rename, at-least-once replays skipped by epoch within the same
+    checkpoint run. Retained tombstones are the price of
+    order-independence; compact them past the feed's max-lateness
+    horizon the way the LSH artifact compacts (OPTIMIZE-style rewrite).
+    At 100 TB partition snapshots by bucket(key) so a merge rewrites
+    only touched buckets (Delta/Iceberg MERGE INTO is the drop-in).
+    """
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    os.makedirs(state_path, exist_ok=True)
+    cur_name, last_epoch, state_run = _read_state_pointer(state_path)
+    same_run = run_id is None or state_run is None or run_id == state_run
+    if not same_run:
+        last_epoch = -1
+    if epoch_id is not None and epoch_id <= last_epoch:
+        return
+    merged = batch
+    if cur_name is not None:
+        state = spark.read.parquet(os.path.join(state_path, cur_name))
+        merged = state.unionByName(batch)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+    latest = (merged.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+    new_epoch = epoch_id if epoch_id is not None else last_epoch + 1
+    new_name = f"v{new_epoch}"
+    latest.write.mode("overwrite").parquet(os.path.join(state_path, new_name))
+    tmp = os.path.join(state_path, "_CURRENT.tmp")
+    keep_run = run_id if run_id is not None else (state_run if same_run else None)
+    with open(tmp, "w") as f:
+        f.write(f"{new_name}\n{new_epoch}\n{keep_run or ''}\n")
+    os.replace(tmp, os.path.join(state_path, "_CURRENT"))
+    if cur_name is not None and cur_name != new_name:
+        import shutil
+        shutil.rmtree(os.path.join(state_path, cur_name), ignore_errors=True)
+
+
+def incremental_cdc(changes: DataFrame, state_path: str,
+                    checkpoint_dir: str, key_cols: list[str],
+                    op_col: str = "op", ts_col: str = "ts"):
+    """Streaming CDC apply via ``foreachBatch``: every micro-batch of
+    (key, value..., op, ts) change rows folds into the snapshot state
+    through :func:`merge_cdc_batch`. ``availableNow`` drains a backlog
+    and stops — the catch-up form; drop the trigger for continuous
+    tailing of a live feed."""
+    def process(b: DataFrame, epoch_id: int) -> None:
+        merge_cdc_batch(b, state_path, key_cols, epoch_id,
+                        run_id=checkpoint_query_id(checkpoint_dir),
+                        op_col=op_col, ts_col=ts_col)
+
+    return (changes.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def load_cdc_snapshot(spark: SparkSession, state_path: str,
+                      op_col: str = "op", ts_col: str = "ts",
+                      delete_op: str = "D") -> DataFrame:
+    """The live CDC snapshot: current state minus tombstones, change
+    metadata projected away — the table ``apply_changes`` would have
+    produced over the drained change set."""
+    cur = read_edge_state(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed CDC state under {state_path}")
+    return cur.filter(F.col(op_col) != delete_op).drop(op_col, ts_col)

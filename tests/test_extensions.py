@@ -3731,6 +3731,79 @@ def test_weighted_sssp_cheap_route_beats_direct_edge(spark):
     assert two == {0: 0, 1: 1, 2: 2, 3: 9, 4: 10}
 
 
+def test_frequent_triples_apriori_prune_lossless(spark):
+    """Planted baskets: the trio {1,2,3} appears 3x, {1,2,4} only once,
+    and a wide basket contributes its triples once each; the pruned
+    level-wise mine equals the brute-force triple count (the Apriori
+    property makes the prefix-pair restriction lossless)."""
+    import itertools
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.copurchase import frequent_triples
+
+    baskets = {
+        10: [1, 2, 3], 11: [1, 2, 3, 9], 12: [3, 2, 1],  # dup rows ok
+        13: [1, 2, 4], 14: [5, 6], 15: [1, 2, 3, 4, 5],
+    }
+    rows = [(b, i) for b, its in baskets.items() for i in its]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    def brute(min_s):
+        from collections import Counter
+        c = Counter()
+        for its in baskets.values():
+            for t in itertools.combinations(sorted(set(its)), 3):
+                c[t] += 1
+        return {t: n for t, n in c.items() if n >= min_s}
+
+    for s_min in (2, 3):
+        got = {(r.i1, r.i2, r.i3): r.support
+               for r in frequent_triples(df, min_support=s_min).collect()}
+        assert got == brute(s_min), s_min
+    assert (1, 2, 3) in brute(3)          # the planted trio survives s=3
+
+
+def test_weighted_median_and_equidepth_histogram(spark):
+    """weighted_median: weight mass moves the center where the row
+    median stays put; exact-half ties take the LOWER value; zero-weight
+    groups vanish; fractional weights rejected at plan time.
+    equidepth_histogram: skewed data gets near-equal bin counts
+    (floor(n/k)/+1 split), and the id tiebreak makes tie placement
+    deterministic."""
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        equidepth_histogram, weighted_median)
+
+    rows = [("a", 1.0, 1), ("a", 2.0, 1), ("a", 100.0, 8),
+            # row median 2.0; weight mass at 100 -> wmedian 100
+            ("b", 5.0, 2), ("b", 9.0, 2),   # 2*cumw(5)=4 == W: lower -> 5
+            ("z", 7.0, 0)]                   # zero total weight: absent
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {r.grp: (r.wmedian, r.total_w)
+           for r in weighted_median(df, "g", "v", "w").collect()}
+    assert got == {"a": (100.0, 10), "b": (5.0, 4)}
+    with pytest.raises(TypeError, match="integral"):
+        weighted_median(df.withColumn("w", F.col("w").cast("double")),
+                        "g", "v", "w")
+
+    # 97 rows: 90 at value 1.0 (ids 0..89), 7 spread out. Equal-width
+    # would put ~93% in one bin; equi-depth gives 4 bins of 25/24/24/24.
+    data = [(i, 1.0) for i in range(90)] + [
+        (90 + i, float(10 ** i)) for i in range(7)]
+    d2 = spark.createDataFrame(data, "id long, v double")
+    h = {r.bin: (r.lo, r.hi, r.n_rows)
+         for r in equidepth_histogram(d2, "v", n_bins=4,
+                                      id_col="id").collect()}
+    assert [h[b][2] for b in (1, 2, 3, 4)] == [25, 24, 24, 24]
+    assert h[1] == (1.0, 1.0, 25) and h[2][0] == 1.0   # ties split by id
+    assert h[4][1] == 10.0 ** 6
+    # deterministic under repartition (the id tiebreak's whole point)
+    h2 = {r.bin: (r.lo, r.hi, r.n_rows)
+          for r in equidepth_histogram(d2.repartition(7), "v", n_bins=4,
+                                       id_col="id").collect()}
+    assert h2 == h
+
+
 def test_dq_checks_planted_violations(spark):
     """Each constraint kind flags exactly its planted violations; NULLs
     only count for not_null (the dbt convention — other checks pass

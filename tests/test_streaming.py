@@ -501,3 +501,43 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     import pytest as _pytest
     with _pytest.raises(ValueError, match="left_outer"):
         stream_stream_attribution(stream, stream, join_type="full_outer")
+
+
+def test_merge_cdc_batch_order_independent_and_replay_safe(spark, tmp_path):
+    """Max-ts CDC folding: (a) folding the same change set in two
+    OPPOSITE batch orders yields the same snapshot (the associativity
+    that lets any micro-batch split equal the batch MERGE); (b) a
+    replayed epoch is a no-op; (c) a tombstone wins over an older
+    upsert arriving LATER and the final snapshot hides it."""
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        load_cdc_snapshot,
+        merge_cdc_batch,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "a", "U", 0), (2, "b", "U", 0), (2, "B2", "U", 5)],
+        "k long, v string, op string, ts int")
+    b2 = spark.createDataFrame(
+        [(1, "A9", "U", 9), (2, "late", "U", 3), (3, "c", "U", 1),
+         (3, None, "D", 7)],
+        "k long, v string, op string, ts int")
+
+    def fold(order, path):
+        for epoch, b in order:
+            merge_cdc_batch(b, path, ["k"], epoch_id=epoch, run_id="r")
+        return {(r.k, r.v) for r in
+                load_cdc_snapshot(spark, path).collect()}
+
+    s12 = fold([(0, b1), (1, b2)], str(tmp_path / "s12"))
+    s21 = fold([(0, b2), (1, b1)], str(tmp_path / "s21"))
+    assert s12 == s21 == {(1, "A9"), (2, "B2")}   # 3 tombstoned; late loses
+    # replayed epoch: state unchanged
+    p = str(tmp_path / "s12")
+    merge_cdc_batch(b1, p, ["k"], epoch_id=1, run_id="r")   # replay of 1
+    assert {(r.k, r.v) for r in load_cdc_snapshot(spark, p).collect()} == s12
+    # fresh run id resets the epoch watermark: a new epoch-0 batch applies
+    b3 = spark.createDataFrame([(4, "d", "U", 1)],
+                               "k long, v string, op string, ts int")
+    merge_cdc_batch(b3, p, ["k"], epoch_id=0, run_id="r2")
+    assert (4, "d") in {(r.k, r.v)
+                        for r in load_cdc_snapshot(spark, p).collect()}
