@@ -854,3 +854,41 @@ def test_kmv_set_ops_take_ordered_no_global_sort(spark, sf_dir):
                   if re.search(r"\bSort\b", ln)
                   and "TakeOrderedAndProject" not in ln]
     assert not sort_lines, (sort_lines, plan)
+
+
+def test_set_sim_join_no_quadratic_join(spark, sf_dir):
+    """The PPJoin chain must never degrade to a nested-loop/cartesian
+    plan: every join is an equi-join on the prefix token, the pair key,
+    or an id — the whole point of the prefix filter is that the
+    all-pairs space is never enumerated."""
+    import __spark_entry__ as m
+
+    plan = formatted_plan(m.q_set_sim_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_equidepth_histogram_single_sort(spark, sf_dir):
+    """Exact equi-depth pays exactly ONE global sort (the ntile
+    window); a second Sort operator would mean the rollup re-sorted
+    what the window already ordered."""
+    import re
+
+    import __spark_entry__ as m
+
+    plan = formatted_plan(m.q_equidepth_histogram(spark, sf_dir))
+    sorts = [ln for ln in plan.splitlines()
+             if re.match(r"^\(\d+\) Sort\b", ln.strip())]
+    assert len(sorts) == 1, (sorts, plan)
+
+
+def test_dq_checks_no_rescan_per_check(spark, sf_dir):
+    """The returned per-check union reads the CHECKPOINTED 1-row stats
+    table — zero parquet scans in the served plan (the full-table
+    aggregate ran exactly once at checkpoint time), so adding checks
+    can never add scans."""
+    import __spark_entry__ as m
+
+    plan = formatted_plan(m.q_dq_checks(spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
