@@ -2046,6 +2046,25 @@ def q_set_sim_join(spark, sf_dir):
         .filter(F.col("doc_id") % 4 == 0), threshold=0.9)
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend of hourly event volume per event type:
+    slope = median of all pairwise slopes, intercept = median residual
+    (~29 % breakdown point — a third of the hours can be bursts or
+    outages before the trend moves, where least squares chases them).
+    Both medians are lower nearest-rank picks over fround'ed doubles,
+    so the plain SQL oracle is bit-equal
+    (operators/timeseries.py::theil_sen_trend)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import timeseries
+
+    _pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(
+        F.col("event_type"),
+        F.floor(epoch_seconds("ts") / 3600).cast("long").alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    return timeseries.theil_sen_trend(hourly, "event_type", "x", "y")
+
+
 def q_streaming_cdc(spark, sf_dir):
     """Streaming CDC apply: the SAME deterministic change batch as
     cdc_apply (plus the base as ts=0 upserts) drained through a real
@@ -4310,6 +4329,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram": q_equidepth_histogram,  # ntile equal-depth
         "frequent_triples": q_frequent_triples,       # Apriori level 3
         "streaming_cdc": q_streaming_cdc,             # foreachBatch CDC fold
+        "theil_sen": q_theil_sen,                     # robust pairwise-median
+                                                      # trend
         "temporal_reach": q_temporal_reach,           # time-respecting
                                                       # earliest arrival
         "hopping_windows": q_hopping_windows,         # sliding F.window
@@ -6213,6 +6234,44 @@ SELECT w_start, w_start + 21600 AS w_end, event_type,
        floor(sum(value) * 100 + 0.5) / 100 AS total_value
 FROM x
 GROUP BY w_start, event_type
+""",
+
+        "theil_sen": """
+WITH h AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+sl AS (
+  SELECT a.grp,
+         floor(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS s
+  FROM h a JOIN h b ON a.grp = b.grp AND b.x > a.x
+),
+rs AS (
+  SELECT grp, s,
+         row_number() OVER (PARTITION BY grp ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM sl
+),
+med AS (
+  SELECT grp, s AS slope, n AS n_pairs FROM rs
+  WHERE rn = CAST(ceil(0.5 * n - 1e-9) AS BIGINT)
+),
+res AS (
+  SELECT h.grp, med.slope, med.n_pairs,
+         floor((h.y - med.slope * h.x) * 1000000 + 0.5) / 1000000 AS r
+  FROM h JOIN med ON h.grp = med.grp
+),
+rr AS (
+  SELECT grp, slope, n_pairs, r,
+         row_number() OVER (PARTITION BY grp ORDER BY r) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM res
+)
+SELECT grp, slope, r AS intercept, n_pairs
+FROM rr WHERE rn = CAST(ceil(0.5 * n - 1e-9) AS BIGINT)
 """,
 
         "frequent_triples": """

@@ -235,6 +235,7 @@ HEADLINE = [
     "equidepth_histogram",
     "frequent_triples",
     "streaming_cdc",
+    "theil_sen",
 ]
 
 

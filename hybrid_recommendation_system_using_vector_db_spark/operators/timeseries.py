@@ -115,3 +115,63 @@ def gap_fill(events: DataFrame, group_col: str, ts_col: str,
                     "sval", "locf_val",
                     interp.alias("interp_val"),
                     F.col("sval").isNull().alias("is_gap")))
+
+
+def theil_sen_trend(df: DataFrame, group_col: str, x_col: str,
+                    y_col: str) -> DataFrame:
+    """Per-group Theil–Sen robust trend: slope = the MEDIAN of all
+    pairwise slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j, intercept =
+    the median of y − slope·x (Theil 1950 / Sen 1968) — the
+    standard-resistant alternative to least squares (~29 % breakdown
+    point: a third of the points can be garbage before the trend
+    moves), which is what an ingest-volume or quality-drift monitor
+    wants when bursts and outages pollute the series.
+
+    Determinism: both medians are LOWER nearest-rank selections over
+    ``fround``-rounded doubles — the engines rank identical values, so
+    the plain SQL oracle is bit-equal (the ``grouped_quantiles``
+    discipline, including its 1e-9 rank-product epsilon). Equal-x
+    pairs are excluded (vertical slopes), matching the classic
+    estimator.
+
+    Scale shape: the pairwise slope space is C(n,2) PER GROUP — a
+    within-group self-join, quadratic by definition of the estimator
+    (like ``band_recall_truth``'s sampled truth table: the documented
+    eval convention). Use it on bounded series (per-key hourly/daily
+    rollups — the entry's shape); for unbounded groups pre-bucket or
+    sample x deterministically first. Both median windows ride the
+    SAME group partitioning; the slope table feeds two branches
+    (median rank + the intercept's residual join) and is checkpointed.
+
+    Returns (grp, slope, intercept, n_pairs).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    a = base.select("grp", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = base.select("grp", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (a.join(b, "grp")
+              .filter(F.col("xb") > F.col("xa"))
+              .select("grp", fround(
+                  (F.col("yb") - F.col("ya")).cast("double")
+                  / (F.col("xb") - F.col("xa")).cast("double")).alias("s")))
+    w = Window.partitionBy("grp").orderBy("s")
+    med = (slopes
+           .withColumn("rn", F.row_number().over(w))
+           .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+           .filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n") - 1e-9))
+           .select("grp", F.col("s").alias("slope"),
+                   F.col("n").alias("n_pairs"))
+           .localCheckpoint(eager=True))  # feeds the residual join + output
+    res = (base.join(med, "grp")
+           .select("grp", "slope", "n_pairs",
+                   fround(F.col("y") - F.col("slope") * F.col("x"))
+                   .alias("r")))
+    w2 = Window.partitionBy("grp").orderBy("r")
+    return (res
+            .withColumn("rn", F.row_number().over(w2))
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+            .filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n") - 1e-9))
+            .select("grp", "slope", F.col("r").alias("intercept"),
+                    "n_pairs"))

@@ -3731,6 +3731,37 @@ def test_weighted_sssp_cheap_route_beats_direct_edge(spark):
     assert two == {0: 0, 1: 1, 2: 2, 3: 9, 4: 10}
 
 
+def test_theil_sen_resists_outliers_vs_python(spark):
+    """Planted y = 2x + 5 with a third of the points replaced by
+    garbage: the Theil-Sen slope stays 2.0 exactly (median of pairwise
+    slopes) where OLS would be dragged; values pinned against a pure
+    python pairwise-median; equal-x pairs excluded."""
+    import itertools
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.timeseries import theil_sen_trend
+
+    pts = [(x, 2 * x + 5) for x in range(12)]
+    pts[3] = (3, 500); pts[7] = (7, -400); pts[11] = (11, 999)
+    rows = [("g", x, y) for x, y in pts] + [("h", 0, 1), ("h", 2, 1),
+                                            ("h", 2, 7)]  # equal-x pair
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+
+    def ts(points):
+        fr = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        sl = sorted(fr((y2 - y1) / (x2 - x1))
+                    for (x1, y1), (x2, y2) in
+                    itertools.combinations(points, 2) if x2 != x1)
+        slope = sl[math.ceil(0.5 * len(sl) - 1e-9) - 1]
+        rs = sorted(fr(y - slope * x) for x, y in points)
+        return slope, rs[math.ceil(0.5 * len(rs) - 1e-9) - 1], len(sl)
+
+    got = {r.grp: (r.slope, r.intercept, r.n_pairs)
+           for r in theil_sen_trend(df, "g", "x", "y").collect()}
+    assert got == {"g": ts(pts), "h": ts([(0, 1), (2, 1), (2, 7)])}
+    assert got["g"][0] == 2.0          # the planted trend, outliers beaten
+
+
 def test_frequent_triples_apriori_prune_lossless(spark):
     """Planted baskets: the trio {1,2,3} appears 3x, {1,2,4} only once,
     and a wide basket contributes its triples once each; the pruned

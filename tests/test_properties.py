@@ -156,3 +156,75 @@ def test_grouped_quantiles_values_from_data_and_monotone(spark, vs):
     sv = set(vs)
     assert all(q in sv for q in out.values())
     assert out[0.1] <= out[0.5] <= out[0.9]
+
+
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=25),
+                         min_size=0, max_size=12),
+                min_size=2, max_size=14),
+       st.sampled_from([0.3, 0.5, 0.7, 0.9]))
+@settings(max_examples=12, deadline=None)
+def test_set_similarity_join_recall_one_property(spark, docs, th):
+    """RANDOM token multisets at random thresholds: the prefix-filter
+    join equals brute-force all-pairs Jaccard EXACTLY — recall 1 is a
+    theorem, so hypothesis hunting the prefix-length/tie edges must
+    never find a dropped pair."""
+    import itertools
+    import math as m
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import set_similarity_join
+
+    texts = {i: " ".join(chr(97 + t) for t in toks)
+             for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    want = {}
+    for i, j in itertools.combinations(sorted(texts), 2):
+        a = {w for w in texts[i].split(" ") if w}
+        b = {w for w in texts[j].split(" ") if w}
+        inter = len(a & b)
+        if inter == 0:
+            continue
+        jac = m.floor(inter / len(a | b) * 1e6 + 0.5) / 1e6
+        if jac >= th:
+            want[(i, j)] = (inter, jac)
+    got = {(r.id1, r.id2): (r.n_common, r.jaccard)
+           for r in set_similarity_join(df, threshold=th).collect()}
+    assert got == want
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=8, deadline=None)
+def test_temporal_reachability_vs_python_relaxation(spark, seed):
+    """Random timestamped digraphs: the delta/frontier rounds equal a
+    pure-python FULL Bellman-Ford-style earliest-arrival relaxation
+    with the same fixed round count — the induction the oracle relies
+    on, hunted over random graphs instead of one hand case."""
+    import random
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.graph import temporal_reachability
+
+    rng = random.Random(seed)
+    n_nodes = rng.randint(3, 9)
+    edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes),
+              rng.randint(0, 12))
+             for _ in range(rng.randint(1, 22))]
+    edges = [(a, b, t) for a, b, t in edges if a != b]
+    seeds = sorted({rng.randrange(n_nodes)
+                    for _ in range(rng.randint(1, 2))})
+    rounds = rng.randint(1, 4)
+
+    arr = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(arr)
+        for a, b, t in edges:
+            if a in arr and t >= arr[a] and (b not in nxt or t < nxt[b]):
+                nxt[b] = min(nxt.get(b, t), t)
+        arr = nxt
+    if not edges:
+        edges = [(0, 0, 0)]  # self-loop: filtered out, schema intact
+    edf = spark.createDataFrame(edges, "src long, dst long, t long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r.node: r.arr
+           for r in temporal_reachability(edf, sdf,
+                                          n_rounds=rounds).collect()}
+    assert got == arr, (edges, seeds, rounds)
