@@ -2046,6 +2046,22 @@ def q_set_sim_join(spark, sf_dir):
         .filter(F.col("doc_id") % 4 == 0), threshold=0.9)
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov D between finished ('F') and
+    open ('O') orders' price distributions — the zero-tuning drift test
+    complementing psi_drift's fixed-edge PSI: integer cumsums over the
+    pooled distinct values, one IEEE division per side, gap rounded
+    before the max; at_value pins the smallest value achieving D
+    (operators/profiling.py::ks_drift)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.ks_drift(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") == "O"),
+        "o_totalprice")
+
+
 def q_theil_sen(spark, sf_dir):
     """Theil-Sen robust trend of hourly event volume per event type:
     slope = median of all pairwise slopes, intercept = median residual
@@ -4331,6 +4347,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc": q_streaming_cdc,             # foreachBatch CDC fold
         "theil_sen": q_theil_sen,                     # robust pairwise-median
                                                       # trend
+        "ks_drift": q_ks_drift,                       # exact 2-sample KS D
         "temporal_reach": q_temporal_reach,           # time-respecting
                                                       # earliest arrival
         "hopping_windows": q_hopping_windows,         # sliding F.window
@@ -6234,6 +6251,31 @@ SELECT w_start, w_start + 21600 AS w_end, event_type,
        floor(sum(value) * 100 + 0.5) / 100 AS total_value
 FROM x
 GROUP BY w_start, event_type
+""",
+
+        "ks_drift": """
+WITH pooled AS (
+  SELECT v, sum(r) AS nr, sum(c) AS nc FROM (
+    SELECT o_totalprice AS v, 1 AS r, 0 AS c FROM orders
+    WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_totalprice, 0, 1 FROM orders WHERE o_orderstatus = 'O'
+  ) WHERE v IS NOT NULL GROUP BY v
+),
+t AS (SELECT sum(nr) AS n_ref, sum(nc) AS n_cur FROM pooled),
+g AS (
+  SELECT v, n_ref, n_cur,
+         floor(abs(CAST(sum(nr) OVER w AS DOUBLE) / n_ref
+                   - CAST(sum(nc) OVER w AS DOUBLE) / n_cur)
+               * 1000000 + 0.5) / 1000000 AS gap
+  FROM pooled, t
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+mx AS (SELECT max(gap) AS d_stat FROM g)
+SELECT mx.d_stat, min(g.v) AS at_value, g.n_ref, g.n_cur
+FROM mx JOIN g ON g.gap = mx.d_stat
+GROUP BY mx.d_stat, g.n_ref, g.n_cur
 """,
 
         "theil_sen": """

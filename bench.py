@@ -236,6 +236,7 @@ HEADLINE = [
     "frequent_triples",
     "streaming_cdc",
     "theil_sen",
+    "ks_drift",
 ]
 
 

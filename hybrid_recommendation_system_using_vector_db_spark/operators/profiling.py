@@ -538,3 +538,59 @@ def equidepth_histogram(df: DataFrame, value_col: str, n_bins: int = 10,
                  F.count(F.lit(1)).alias("n_rows"))
             .select(F.col("bin").cast("int").alias("bin"),
                     "lo", "hi", "n_rows"))
+
+
+def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between a
+    reference slice and a current slice of one numeric column:
+    D = max over pooled values v of |F_ref(v) − F_cur(v)| — the
+    nonparametric drift test with no binning convention at all, the
+    exact complement of :func:`psi_drift` (whose PSI depends on the
+    caller's fixed edges; KS answers "did the distribution move" with
+    zero tuning).
+
+    Exactness: per-value counts are integers, the CDFs are single IEEE
+    divisions of exact integer cumsums by exact totals, and the gap is
+    ``fround``-rounded before the max — bit-equal in the SQL oracle.
+    ``at_value`` = the SMALLEST pooled value achieving the max (ties
+    pinned), so the whole row is deterministic.
+
+    Scale shape: one union + one partial-agg count per distinct value,
+    then a cumulative window over the pooled DISTINCT values — a
+    single-partition sort, the stated price of the exact statistic
+    (same contract as ``equidepth_histogram``'s global ntile): exact
+    KS is for bounded-cardinality columns or profiling slices; at
+    100 TB run it over ``sampled_quantiles``-bucketed values (KS on a
+    quantile sketch bounds the true D within the sketch's rank error).
+
+    Returns ONE row: (d_stat, at_value, n_ref, n_cur).
+    """
+    pooled = (ref.select(F.col(value_col).alias("v"),
+                         F.lit(1).alias("r"), F.lit(0).alias("c"))
+              .unionByName(cur.select(F.col(value_col).alias("v"),
+                                      F.lit(0).alias("r"),
+                                      F.lit(1).alias("c")))
+              .filter(F.col("v").isNotNull())
+              .groupBy("v")
+              .agg(F.sum("r").alias("nr"), F.sum("c").alias("nc"))
+              # feeds the totals aggregate AND the cumulative window
+              .localCheckpoint(eager=True))
+    totals = pooled.agg(F.sum("nr").alias("n_ref"),
+                        F.sum("nc").alias("n_cur"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    gaps = (pooled
+            .withColumn("cr", F.sum("nr").over(w))
+            .withColumn("cc", F.sum("nc").over(w))
+            .crossJoin(F.broadcast(totals))
+            .select("v", "n_ref", "n_cur",
+                    fround(F.abs(F.col("cr").cast("double") / F.col("n_ref")
+                                 - F.col("cc").cast("double")
+                                 / F.col("n_cur")),
+                           ROUND_SCORE).alias("gap")))
+    return (gaps.groupBy("n_ref", "n_cur")
+            .agg(F.max("gap").alias("d_stat"),
+                 F.min_by("v", F.struct(
+                     (-F.col("gap")).alias("ng"), F.col("v")))
+                 .alias("at_value"))
+            .select("d_stat", "at_value", "n_ref", "n_cur"))

@@ -3731,6 +3731,36 @@ def test_weighted_sssp_cheap_route_beats_direct_edge(spark):
     assert two == {0: 0, 1: 1, 2: 2, 3: 9, 4: 10}
 
 
+def test_ks_drift_exact_vs_python(spark):
+    """Planted shift: D computed by a pure-python exact KS over the
+    pooled values equals the operator's; identical samples give D = 0;
+    the at_value tie pin picks the smallest maximizing value."""
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import ks_drift
+
+    ref = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0]
+    cur = [2.0, 3.0, 3.0, 9.0, 9.0]
+    rdf = spark.createDataFrame([(v,) for v in ref], "x double")
+    cdf = spark.createDataFrame([(v,) for v in cur], "x double")
+
+    def ks(a, b):
+        fr = lambda u: math.floor(u * 1e6 + 0.5) / 1e6
+        best, at = -1.0, None
+        for v in sorted(set(a) | set(b)):
+            gap = fr(abs(sum(1 for u in a if u <= v) / len(a)
+                         - sum(1 for u in b if u <= v) / len(b)))
+            if gap > best:
+                best, at = gap, v
+        return best, at
+
+    row = ks_drift(rdf, cdf, "x").collect()[0]
+    assert (row.d_stat, row.at_value) == ks(ref, cur)
+    assert (row.n_ref, row.n_cur) == (6, 5)
+    same = ks_drift(rdf, rdf, "x").collect()[0]
+    assert same.d_stat == 0.0 and same.at_value == 1.0   # smallest v tie
+
+
 def test_theil_sen_resists_outliers_vs_python(spark):
     """Planted y = 2x + 5 with a third of the points replaced by
     garbage: the Theil-Sen slope stays 2.0 exactly (median of pairwise
