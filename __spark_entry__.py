@@ -2062,6 +2062,24 @@ def q_ks_drift(spark, sf_dir):
         "o_totalprice")
 
 
+def q_ks_drift_grouped(spark, sf_dir):
+    """Per-event-type exact KS drift between the first and second half
+    of the stream's value distribution — the per-domain monitoring
+    shape: every window keys on the group, so the exact statistic's
+    sort is PER GROUP and parallelizes (operators/profiling.py::
+    ks_drift with group_col)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    _pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__t", epoch_seconds("ts"))
+    mid = ev.agg(fround((F.min("__t") + F.max("__t")) / 2.0)
+                 .alias("m")).collect()[0].m
+    return profiling.ks_drift(
+        ev.filter(F.col("__t") < mid), ev.filter(F.col("__t") >= mid),
+        "value", group_col="event_type")
+
+
 def q_theil_sen(spark, sf_dir):
     """Theil-Sen robust trend of hourly event volume per event type:
     slope = median of all pairwise slopes, intercept = median residual
@@ -4348,6 +4366,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,                     # robust pairwise-median
                                                       # trend
         "ks_drift": q_ks_drift,                       # exact 2-sample KS D
+        "ks_drift_grouped": q_ks_drift_grouped,       # per-group exact KS
         "temporal_reach": q_temporal_reach,           # time-respecting
                                                       # earliest arrival
         "hopping_windows": q_hopping_windows,         # sliding F.window
@@ -6276,6 +6295,38 @@ mx AS (SELECT max(gap) AS d_stat FROM g)
 SELECT mx.d_stat, min(g.v) AS at_value, g.n_ref, g.n_cur
 FROM mx JOIN g ON g.gap = mx.d_stat
 GROUP BY mx.d_stat, g.n_ref, g.n_cur
+""",
+
+        "ks_drift_grouped": """
+WITH b AS (
+  SELECT event_type, value, epoch(ts) AS t FROM events
+),
+m AS (SELECT floor((min(t) + max(t)) / 2.0 * 1000000 + 0.5) / 1000000
+             AS mid FROM b),
+pooled AS (
+  SELECT event_type, v, sum(r) AS nr, sum(c) AS nc FROM (
+    SELECT event_type, value AS v, 1 AS r, 0 AS c FROM b, m
+    WHERE t < mid
+    UNION ALL
+    SELECT event_type, value, 0, 1 FROM b, m WHERE t >= mid
+  ) WHERE v IS NOT NULL GROUP BY event_type, v
+),
+t AS (SELECT event_type, sum(nr) AS n_ref, sum(nc) AS n_cur
+      FROM pooled GROUP BY event_type),
+g AS (
+  SELECT pooled.event_type, v, n_ref, n_cur,
+         floor(abs(CAST(sum(nr) OVER w AS DOUBLE) / n_ref
+                   - CAST(sum(nc) OVER w AS DOUBLE) / n_cur)
+               * 1000000 + 0.5) / 1000000 AS gap
+  FROM pooled JOIN t ON pooled.event_type = t.event_type
+  WHERE n_ref > 0 AND n_cur > 0
+  WINDOW w AS (PARTITION BY pooled.event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+mx AS (SELECT event_type, max(gap) AS d_stat FROM g GROUP BY event_type)
+SELECT g.event_type, mx.d_stat, min(g.v) AS at_value, g.n_ref, g.n_cur
+FROM mx JOIN g ON g.event_type = mx.event_type AND g.gap = mx.d_stat
+GROUP BY g.event_type, mx.d_stat, g.n_ref, g.n_cur
 """,
 
         "theil_sen": """

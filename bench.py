@@ -237,6 +237,7 @@ HEADLINE = [
     "streaming_cdc",
     "theil_sen",
     "ks_drift",
+    "ks_drift_grouped",
 ]
 
 

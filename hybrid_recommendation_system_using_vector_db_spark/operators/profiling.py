@@ -540,7 +540,8 @@ def equidepth_histogram(df: DataFrame, value_col: str, n_bins: int = 10,
                     "lo", "hi", "n_rows"))
 
 
-def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str) -> DataFrame:
+def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+             group_col: str | None = None) -> DataFrame:
     """EXACT two-sample Kolmogorov–Smirnov statistic between a
     reference slice and a current slice of one numeric column:
     D = max over pooled values v of |F_ref(v) − F_cur(v)| — the
@@ -556,41 +557,58 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str) -> DataFrame:
     pinned), so the whole row is deterministic.
 
     Scale shape: one union + one partial-agg count per distinct value,
-    then a cumulative window over the pooled DISTINCT values — a
-    single-partition sort, the stated price of the exact statistic
-    (same contract as ``equidepth_histogram``'s global ntile): exact
-    KS is for bounded-cardinality columns or profiling slices; at
+    then a cumulative window over the pooled DISTINCT values. Ungrouped
+    that window is a single-partition sort — the stated price of the
+    exact statistic (same contract as ``equidepth_histogram``'s global
+    ntile), for bounded-cardinality columns or profiling slices; at
     100 TB run it over ``sampled_quantiles``-bucketed values (KS on a
     quantile sketch bounds the true D within the sketch's rank error).
+    With ``group_col`` (per-domain / per-source drift — the monitoring
+    shape) every window and aggregate keys on the group, so the sort is
+    PER GROUP and the whole plan parallelizes across groups.
 
-    Returns ONE row: (d_stat, at_value, n_ref, n_cur).
+    Returns one row per group — (group?, d_stat, at_value, n_ref,
+    n_cur) — for groups present on BOTH sides (a one-sided group has no
+    two-sample statistic; absent, not NULL).
     """
-    pooled = (ref.select(F.col(value_col).alias("v"),
+    gcol = [group_col] if group_col else []
+    pooled = (ref.select(*gcol, F.col(value_col).alias("v"),
                          F.lit(1).alias("r"), F.lit(0).alias("c"))
-              .unionByName(cur.select(F.col(value_col).alias("v"),
+              .unionByName(cur.select(*gcol, F.col(value_col).alias("v"),
                                       F.lit(0).alias("r"),
                                       F.lit(1).alias("c")))
               .filter(F.col("v").isNotNull())
-              .groupBy("v")
+              .groupBy(*gcol, "v")
               .agg(F.sum("r").alias("nr"), F.sum("c").alias("nc"))
               # feeds the totals aggregate AND the cumulative window
               .localCheckpoint(eager=True))
-    totals = pooled.agg(F.sum("nr").alias("n_ref"),
-                        F.sum("nc").alias("n_cur"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
-                                        Window.currentRow)
-    gaps = (pooled
-            .withColumn("cr", F.sum("nr").over(w))
-            .withColumn("cc", F.sum("nc").over(w))
-            .crossJoin(F.broadcast(totals))
-            .select("v", "n_ref", "n_cur",
-                    fround(F.abs(F.col("cr").cast("double") / F.col("n_ref")
-                                 - F.col("cc").cast("double")
-                                 / F.col("n_cur")),
-                           ROUND_SCORE).alias("gap")))
-    return (gaps.groupBy("n_ref", "n_cur")
+    if group_col:
+        totals = (pooled.groupBy(group_col)
+                  .agg(F.sum("nr").alias("n_ref"),
+                       F.sum("nc").alias("n_cur")))
+        w = (Window.partitionBy(group_col).orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = (pooled
+               .withColumn("cr", F.sum("nr").over(w))
+               .withColumn("cc", F.sum("nc").over(w))
+               .join(totals, group_col))
+    else:
+        totals = pooled.agg(F.sum("nr").alias("n_ref"),
+                            F.sum("nc").alias("n_cur"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+        cum = (pooled
+               .withColumn("cr", F.sum("nr").over(w))
+               .withColumn("cc", F.sum("nc").over(w))
+               .crossJoin(F.broadcast(totals)))
+    gaps = cum.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))         .select(*gcol, "v", "n_ref", "n_cur",
+                fround(F.abs(F.col("cr").cast("double") / F.col("n_ref")
+                             - F.col("cc").cast("double")
+                             / F.col("n_cur")),
+                       ROUND_SCORE).alias("gap"))
+    return (gaps.groupBy(*gcol, "n_ref", "n_cur")
             .agg(F.max("gap").alias("d_stat"),
                  F.min_by("v", F.struct(
                      (-F.col("gap")).alias("ng"), F.col("v")))
                  .alias("at_value"))
-            .select("d_stat", "at_value", "n_ref", "n_cur"))
+            .select(*gcol, "d_stat", "at_value", "n_ref", "n_cur"))

@@ -3759,6 +3759,16 @@ def test_ks_drift_exact_vs_python(spark):
     assert (row.n_ref, row.n_cur) == (6, 5)
     same = ks_drift(rdf, rdf, "x").collect()[0]
     assert same.d_stat == 0.0 and same.at_value == 1.0   # smallest v tie
+    # grouped: per-group statistic matches per-group python; one-sided
+    # groups (present on only one side) are ABSENT, not NULL
+    gr = spark.createDataFrame(
+        [("a", v) for v in ref] + [("only_ref", 1.0)], "g string, x double")
+    gc = spark.createDataFrame(
+        [("a", v) for v in cur] + [("only_cur", 2.0)], "g string, x double")
+    out = {r.g: (r.d_stat, r.at_value, r.n_ref, r.n_cur)
+           for r in ks_drift(gr, gc, "x", group_col="g").collect()}
+    assert set(out) == {"a"}
+    assert out["a"] == (*ks(ref, cur), 6, 5)
 
 
 def test_theil_sen_resists_outliers_vs_python(spark):
