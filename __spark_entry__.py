@@ -2062,6 +2062,22 @@ def q_ks_drift(spark, sf_dir):
         "o_totalprice")
 
 
+def q_spearman(spark, sf_dir):
+    """Per-priority Spearman rank correlation between order price and
+    order date — monotone-drift monitoring where Pearson chases
+    outliers: average ranks doubled into exact integers, all five
+    moments exact int64 sums, the final rho a fixed scalar IEEE
+    sequence on identical operands in both engines
+    (operators/profiling.py::spearman_corr)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    _pin_utc(spark)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "odate", epoch_seconds("o_orderdate").cast("long"))
+    return profiling.spearman_corr(orders, "o_totalprice", "odate",
+                                   group_col="o_orderpriority")
+
+
 def q_ks_drift_grouped(spark, sf_dir):
     """Per-event-type exact KS drift between the first and second half
     of the stream's value distribution — the per-domain monitoring
@@ -4367,6 +4383,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                       # trend
         "ks_drift": q_ks_drift,                       # exact 2-sample KS D
         "ks_drift_grouped": q_ks_drift_grouped,       # per-group exact KS
+        "spearman": q_spearman,                       # tie-corrected rank
+                                                      # correlation
         "temporal_reach": q_temporal_reach,           # time-respecting
                                                       # earliest arrival
         "hopping_windows": q_hopping_windows,         # sliding F.window
@@ -6295,6 +6313,40 @@ mx AS (SELECT max(gap) AS d_stat FROM g)
 SELECT mx.d_stat, min(g.v) AS at_value, g.n_ref, g.n_cur
 FROM mx JOIN g ON g.gap = mx.d_stat
 GROUP BY mx.d_stat, g.n_ref, g.n_cur
+""",
+
+        "spearman": """
+WITH b AS (
+  SELECT o_orderpriority AS g, o_totalprice AS x,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS y
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+),
+rk AS (
+  SELECT g,
+         CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+              + count(*) OVER (PARTITION BY g, x) - 1 AS BIGINT) AS u,
+         CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+              + count(*) OVER (PARTITION BY g, y) - 1 AS BIGINT) AS v
+  FROM b
+),
+mom AS (
+  SELECT g, count(*) AS n, sum(u) AS su, sum(v) AS sv,
+         sum(u * v) AS suv, sum(u * u) AS su2, sum(v * v) AS sv2
+  FROM rk GROUP BY g
+)
+SELECT g AS o_orderpriority,
+       CASE WHEN CAST(n AS DOUBLE) * su2 - CAST(su AS DOUBLE) * su > 0
+                AND CAST(n AS DOUBLE) * sv2 - CAST(sv AS DOUBLE) * sv > 0
+          THEN floor((CAST(n AS DOUBLE) * suv
+                      - CAST(su AS DOUBLE) * sv)
+                     / sqrt((CAST(n AS DOUBLE) * su2
+                             - CAST(su AS DOUBLE) * su)
+                            * (CAST(n AS DOUBLE) * sv2
+                               - CAST(sv AS DOUBLE) * sv))
+                     * 1000000 + 0.5) / 1000000
+          END AS rho,
+       CAST(n AS BIGINT) AS n
+FROM mom
 """,
 
         "ks_drift_grouped": """

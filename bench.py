@@ -238,6 +238,7 @@ HEADLINE = [
     "theil_sen",
     "ks_drift",
     "ks_drift_grouped",
+    "spearman",
 ]
 
 

@@ -612,3 +612,59 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
                      (-F.col("gap")).alias("ng"), F.col("v")))
                  .alias("at_value"))
             .select(*gcol, "d_stat", "at_value", "n_ref", "n_cur"))
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str,
+                  group_col: str | None = None) -> DataFrame:
+    """Per-group Spearman rank correlation with exact tie correction —
+    the monotone-association monitor (does quality drift with time?
+    does price track volume?) that Pearson gets wrong under outliers
+    and nonlinearity, computed so the SQL oracle is bit-equal.
+
+    Mechanics: Spearman ρ = Pearson over AVERAGE ranks. Average ranks
+    are half-integers, so both rank columns are DOUBLED into exact
+    integers (u = 2·rank + tie_count − 1 — `rank()` is the tie group's
+    min rank, so this IS 2× the average rank), and all five moments
+    (Σu, Σv, Σuv, Σu², Σv²) are EXACT int64 sums — no float summation
+    order anywhere. The final ρ is a fixed sequence of scalar IEEE ops
+    on those exact integers (identical in both engines), fround'ed.
+
+    Bounds (stated): Σu² ≤ 4n³ must fit int64 → n ≤ ~1.3 M rows per
+    group; beyond that ANSI mode fails LOUDLY rather than silently
+    wrapping — pre-aggregate or sample first (rank correlation on a
+    uniform sample is consistent), or swap the sums to DECIMAL(38,0).
+
+    Scale shape: two rank windows (one sort per axis, both keyed on the
+    group) + one partial-agg moment aggregate. Groups with zero rank
+    variance on either axis (all-tied column) emit NULL rho — stated,
+    not hidden (the statistic is undefined there).
+
+    Returns (group?, rho, n).
+    """
+    gcol = [group_col] if group_col else []
+    base = df.select(*gcol, F.col(x_col).alias("x"),
+                     F.col(y_col).alias("y")) \
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    wx = Window.partitionBy(*gcol).orderBy("x")
+    wy = Window.partitionBy(*gcol).orderBy("y")
+    cx = Window.partitionBy(*gcol, "x")
+    cy = Window.partitionBy(*gcol, "y")
+    ranked = base.select(
+        *gcol,
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1)
+        .cast("long").alias("u"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1)
+        .cast("long").alias("v"))
+    mom = ranked.groupBy(*gcol).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("su"), F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).alias("su2"),
+        F.sum(F.col("v") * F.col("v")).alias("sv2"))
+    n = F.col("n").cast("double")
+    num = n * F.col("suv") - F.col("su").cast("double") * F.col("sv")
+    dx = n * F.col("su2") - F.col("su").cast("double") * F.col("su")
+    dy = n * F.col("sv2") - F.col("sv").cast("double") * F.col("sv")
+    rho = F.when((dx > 0) & (dy > 0),
+                 fround(num / F.sqrt(dx * dy), ROUND_SCORE))
+    return mom.select(*gcol, rho.alias("rho"), "n")

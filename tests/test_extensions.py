@@ -3731,6 +3731,59 @@ def test_weighted_sssp_cheap_route_beats_direct_edge(spark):
     assert two == {0: 0, 1: 1, 2: 2, 3: 9, 4: 10}
 
 
+def test_spearman_corr_vs_scipy_free_reference(spark):
+    """Tie-corrected Spearman against a pure-python implementation
+    (Pearson over average ranks) on planted data: perfect monotone
+    nonlinear association gives rho = 1.0 exactly (where Pearson
+    would not), anti-monotone gives -1.0, an all-tied axis yields
+    NULL (undefined, stated), and heavy ties match the python tie
+    correction."""
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import spearman_corr
+
+    def py_spearman(pairs):
+        def avg_ranks(vals):
+            s = sorted(range(len(vals)), key=lambda i: vals[i])
+            r = [0.0] * len(vals)
+            i = 0
+            while i < len(s):
+                j = i
+                while j + 1 < len(s) and vals[s[j + 1]] == vals[s[i]]:
+                    j += 1
+                ar = (i + j) / 2 + 1
+                for k in range(i, j + 1):
+                    r[s[k]] = ar
+                i = j + 1
+            return r
+        u = avg_ranks([p[0] for p in pairs])
+        v = avg_ranks([p[1] for p in pairs])
+        n = len(pairs)
+        mu, mv = sum(u) / n, sum(v) / n
+        num = sum((a - mu) * (b - mv) for a, b in zip(u, v))
+        dx = sum((a - mu) ** 2 for a in u)
+        dy = sum((b - mv) ** 2 for b in v)
+        if dx == 0 or dy == 0:
+            return None
+        return math.floor(num / math.sqrt(dx * dy) * 1e6 + 0.5) / 1e6
+
+    data = {
+        "mono": [(x, float(x ** 3)) for x in range(-5, 6)],      # rho 1
+        "anti": [(x, float(-x ** 3)) for x in range(-5, 6)],     # rho -1
+        "ties": [(1, 2.0), (1, 5.0), (2, 5.0), (3, 1.0), (3, 1.0),
+                 (4, 9.0)],
+        "flat": [(x, 7.0) for x in range(6)],                    # NULL
+    }
+    rows = [(g, float(x), y) for g, ps in data.items() for x, y in ps]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r.rho for r in
+           spearman_corr(df, "x", "y", group_col="g").collect()}
+    assert got["mono"] == 1.0 and got["anti"] == -1.0
+    assert got["flat"] is None
+    for g in data:
+        assert got[g] == py_spearman(data[g]), g
+
+
 def test_ks_drift_exact_vs_python(spark):
     """Planted shift: D computed by a pure-python exact KS over the
     pooled values equals the operator's; identical samples give D = 0;
