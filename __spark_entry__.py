@@ -2062,6 +2062,18 @@ def q_ks_drift(spark, sf_dir):
         "o_totalprice")
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit profile of order totals — the fabricated-
+    data / unit-mixing detector: digit extracted from the exact
+    integer-cents DECIMAL STRING (no cross-engine log10; libm is not
+    bit-portable), expected shares injected as pre-rounded literals
+    into both engines (operators/profiling.py::benford_profile)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.benford_profile(orders, "o_totalprice")
+
+
 def q_spearman(spark, sf_dir):
     """Per-priority Spearman rank correlation between order price and
     order date — monotone-drift monitoring where Pearson chases
@@ -4385,6 +4397,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_grouped": q_ks_drift_grouped,       # per-group exact KS
         "spearman": q_spearman,                       # tie-corrected rank
                                                       # correlation
+        "benford": q_benford,                         # first-digit profile
         "temporal_reach": q_temporal_reach,           # time-respecting
                                                       # earliest arrival
         "hopping_windows": q_hopping_windows,         # sliding F.window
@@ -6313,6 +6326,29 @@ mx AS (SELECT max(gap) AS d_stat FROM g)
 SELECT mx.d_stat, min(g.v) AS at_value, g.n_ref, g.n_cur
 FROM mx JOIN g ON g.gap = mx.d_stat
 GROUP BY mx.d_stat, g.n_ref, g.n_cur
+""",
+
+        "benford": """
+WITH c AS (
+  SELECT CAST(floor(abs(o_totalprice) * 100 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+d AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM c WHERE c >= 1 GROUP BY 1
+),
+t AS (SELECT sum(n) AS t FROM d)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       floor(CAST(n AS DOUBLE) / t * 1000000 + 0.5) / 1000000 AS share,
+       CASE digit
+    WHEN 1 THEN 0.30103\n    WHEN 2 THEN 0.176091\n    WHEN 3 THEN 0.124939\n    WHEN 4 THEN 0.09691\n    WHEN 5 THEN 0.079181\n    WHEN 6 THEN 0.066947\n    WHEN 7 THEN 0.057992\n    WHEN 8 THEN 0.051153\n    WHEN 9 THEN 0.045757
+       END AS expected,
+       floor((floor(CAST(n AS DOUBLE) / t * 1000000 + 0.5) / 1000000
+              - CASE digit
+    WHEN 1 THEN 0.30103\n    WHEN 2 THEN 0.176091\n    WHEN 3 THEN 0.124939\n    WHEN 4 THEN 0.09691\n    WHEN 5 THEN 0.079181\n    WHEN 6 THEN 0.066947\n    WHEN 7 THEN 0.057992\n    WHEN 8 THEN 0.051153\n    WHEN 9 THEN 0.045757
+                END) * 1000000 + 0.5) / 1000000 AS dev
+FROM d, t
 """,
 
         "spearman": """

@@ -239,6 +239,7 @@ HEADLINE = [
     "ks_drift",
     "ks_drift_grouped",
     "spearman",
+    "benford",
 ]
 
 

@@ -668,3 +668,59 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     rho = F.when((dx > 0) & (dy > 0),
                  fround(num / F.sqrt(dx * dy), ROUND_SCORE))
     return mom.select(*gcol, rho.alias("rho"), "n")
+
+
+#: Benford expected first-digit shares log10(1 + 1/d), rounded at the
+#: repo scale ONCE here and injected as literals into BOTH engines —
+#: no cross-engine log() call anywhere (libm results are not
+#: bit-portable; literals are).
+BENFORD_EXPECTED = {
+    d: __import__("math").floor(
+        __import__("math").log10(1 + 1 / d) * 1e6 + 0.5) / 1e6
+    for d in range(1, 10)
+}
+
+
+def benford_profile(df: DataFrame, value_col: str,
+                    scale: int = 100) -> DataFrame:
+    """First-significant-digit profile against Benford's law — the
+    classic fabricated-data / unit-mixing detector for financial and
+    measurement columns (naturally occurring multi-magnitude data
+    leads with 1 about 30 % of the time; uniform or invented data
+    doesn't).
+
+    Portability is the design problem: the textbook digit extraction
+    (``floor(v / 10^floor(log10 v))``) calls ``log10`` — and libm
+    results are NOT bit-portable across engines. Instead the value is
+    scaled to an EXACT integer (``scale`` = 100 for 2-decimal money),
+    and the first digit is the first character of that integer's
+    decimal string — identical in any engine. Expected shares are
+    PRE-ROUNDED literals (``BENFORD_EXPECTED``), so the only runtime
+    float is the observed share's single division, fround'ed.
+
+    Rows with |value|·scale < 1 (zero after scaling) are excluded —
+    they have no first significant digit at this scale; raise
+    ``scale`` for sub-cent magnitudes. One partial-agg count by digit
+    (9 output rows) + a single-row total broadcast: one scan, flat at
+    any size.
+
+    Returns (digit 1..9, n, share, expected, dev = share − expected).
+    """
+    cents = F.floor(F.abs(F.col(value_col)) * scale + 0.5).cast("long")
+    digits = (df.filter(F.col(value_col).isNotNull())
+              .select(cents.alias("c"))
+              .filter(F.col("c") >= 1)
+              .select(F.substring(F.col("c").cast("string"), 1, 1)
+                      .cast("int").alias("digit"))
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    total = digits.agg(F.sum("n").alias("t"))
+    expected = F.create_map(*[
+        F.lit(x) for d, e in sorted(BENFORD_EXPECTED.items())
+        for x in (d, e)])
+    share = fround(F.col("n").cast("double") / F.col("t"), ROUND_SCORE)
+    return (digits.crossJoin(F.broadcast(total))
+            .withColumn("share", share)
+            .withColumn("expected", expected[F.col("digit")])
+            .select("digit", "n", "share", "expected",
+                    fround(F.col("share") - F.col("expected"), ROUND_SCORE)
+                    .alias("dev")))

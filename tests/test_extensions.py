@@ -3731,6 +3731,29 @@ def test_weighted_sssp_cheap_route_beats_direct_edge(spark):
     assert two == {0: 0, 1: 1, 2: 2, 3: 9, 4: 10}
 
 
+def test_benford_profile_digits_exact(spark):
+    """Digit extraction from exact integer cents: every planted value
+    lands on its first significant digit (incl. 0.0x values that need
+    the scale knob), sub-cent rows are excluded at scale 100, shares
+    sum to 1 and expected shares are the injected literals."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        BENFORD_EXPECTED, benford_profile)
+
+    vals = [123.45, 1.0, 19.99, 0.02, 0.004, -345.6, 900.0, 8.88]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r.digit: r for r in benford_profile(df, "v").collect()}
+    # 0.004 -> 0 cents: excluded; digits of the rest:
+    # 12345->1, 100->1, 1999->1, 2->2, 34560->3, 90000->9, 888->8
+    assert {d: r.n for d, r in out.items()} == {1: 3, 2: 1, 3: 1,
+                                                8: 1, 9: 1}
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-6
+    assert out[1].expected == BENFORD_EXPECTED[1]
+    # the scale knob picks up sub-cent magnitudes
+    fine = {r.digit: r.n for r in
+            benford_profile(df, "v", scale=10000).collect()}
+    assert fine[4] == 1                      # 0.004 -> 40 -> digit 4
+
+
 def test_spearman_corr_vs_scipy_free_reference(spark):
     """Tie-corrected Spearman against a pure-python implementation
     (Pearson over average ranks) on planted data: perfect monotone
