@@ -2062,6 +2062,27 @@ def q_ks_drift(spark, sf_dir):
         "o_totalprice")
 
 
+def q_kendall(spark, sf_dir):
+    """Kendall tau-b between hourly click and view volumes — the
+    concordance-counting member of the robust-association family.
+    All four pair counts over the FULL ordered self-cross (self/
+    both-tied pairs fall in no bucket, the doubling cancels in tau-b —
+    so no row identity, hence no nondeterministic id, is ever needed);
+    exact integer counts, one scalar IEEE tail, fround'ed
+    (operators/profiling.py::kendall_tau)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    _pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(
+        F.floor(epoch_seconds("ts") / 3600).cast("long").alias("hr"),
+        "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    x = hourly.filter(F.col("event_type") == "click")         .select("hr", F.col("c").alias("x"))
+    y = hourly.filter(F.col("event_type") == "view")         .select("hr", F.col("c").alias("y"))
+    return profiling.kendall_tau(x.join(y, "hr"), "x", "y")
+
+
 def q_benford(spark, sf_dir):
     """Benford first-digit profile of order totals — the fabricated-
     data / unit-mixing detector: digit extracted from the exact
@@ -4398,6 +4419,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,                       # tie-corrected rank
                                                       # correlation
         "benford": q_benford,                         # first-digit profile
+        "kendall": q_kendall,                         # tau-b concordance
         "temporal_reach": q_temporal_reach,           # time-respecting
                                                       # earliest arrival
         "hopping_windows": q_hopping_windows,         # sliding F.window
@@ -6326,6 +6348,39 @@ mx AS (SELECT max(gap) AS d_stat FROM g)
 SELECT mx.d_stat, min(g.v) AS at_value, g.n_ref, g.n_cur
 FROM mx JOIN g ON g.gap = mx.d_stat
 GROUP BY mx.d_stat, g.n_ref, g.n_cur
+""",
+
+        "kendall": """
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+xy AS (
+  SELECT a.c AS x, b.c AS y FROM h a
+  JOIN h b ON a.hr = b.hr
+  WHERE a.event_type = 'click' AND b.event_type = 'view'
+),
+m AS (
+  SELECT sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)
+           AS c2,
+         sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END)
+           AS d2,
+         sum(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END)
+           AS tx2,
+         sum(CASE WHEN a.x <> b.x AND a.y = b.y THEN 1 ELSE 0 END)
+           AS ty2
+  FROM xy a, xy b
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xy)
+SELECT CASE WHEN CAST(c2 + d2 + tx2 AS DOUBLE) > 0
+             AND CAST(c2 + d2 + ty2 AS DOUBLE) > 0
+       THEN floor(CAST(c2 - d2 AS DOUBLE)
+                  / sqrt(CAST(c2 + d2 + tx2 AS DOUBLE)
+                         * CAST(c2 + d2 + ty2 AS DOUBLE))
+                  * 1000000 + 0.5) / 1000000
+       END AS tau, n
+FROM m, n
 """,
 
         "benford": """

@@ -240,6 +240,7 @@ HEADLINE = [
     "ks_drift_grouped",
     "spearman",
     "benford",
+    "kendall",
 ]
 
 

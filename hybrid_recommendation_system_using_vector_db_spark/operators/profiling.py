@@ -724,3 +724,62 @@ def benford_profile(df: DataFrame, value_col: str,
             .select("digit", "n", "share", "expected",
                     fround(F.col("share") - F.col("expected"), ROUND_SCORE)
                     .alias("dev")))
+
+
+def kendall_tau(df: DataFrame, x_col: str, y_col: str,
+                group_col: str | None = None) -> DataFrame:
+    """Per-group Kendall tau-b (tie-corrected concordance) — the third
+    member of the robust-association family (:func:`spearman_corr`
+    ranks values, :func:`theil_sen_trend` medians slopes, tau COUNTS
+    agreeing pair orientations: the most outlier-insensitive of the
+    three and the one with a direct probabilistic reading, P(concord) −
+    P(discord)).
+
+    No row identity needed — the deliberate trick: counting over ALL
+    ordered row pairs (including self-pairs and duplicate rows) doubles
+    C, D, Tx and Ty uniformly (self-pairs and both-tied pairs fall in
+    no bucket), and tau-b = (C−D)/√((C+D+Tx)(C+D+Ty)) is invariant
+    under that common factor — so the plan is a per-group self-join +
+    ONE conditional-count aggregate, with no monotonically_increasing_id
+    (nondeterministic) or imposed ordering anywhere. All four counts
+    are exact integers; the final tau is a fixed scalar IEEE sequence,
+    fround'ed — bit-equal in the SQL oracle. Zero denominators (an
+    all-tied axis) yield NULL (undefined, stated).
+
+    Scale: the pair space is n² per group — the estimator's definition
+    (the ``theil_sen_trend`` bounded-series contract verbatim): use on
+    per-key rollups; sample pairs deterministically past that.
+
+    Returns (group?, tau, n).
+    """
+    gcol = [group_col] if group_col else []
+    base = (df.select(*gcol, F.col(x_col).alias("x"),
+                      F.col(y_col).alias("y"))
+            .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+            .withColumn("__g", F.lit(0) if not group_col
+                        else F.col(group_col)))
+    a = base.select("__g", *gcol, F.col("x").alias("xa"),
+                    F.col("y").alias("ya"))
+    b = base.select(F.col("__g").alias("__g2"), F.col("x").alias("xb"),
+                    F.col("y").alias("yb"))
+    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    pairs = a.join(b, a["__g"] == b["__g2"])
+    mom = pairs.groupBy(*gcol).agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).alias("c2"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).alias("d2"),
+        F.sum(F.when((F.col("xa") == F.col("xb"))
+                     & (F.col("ya") != F.col("yb")), 1)
+              .otherwise(0)).alias("tx2"),
+        F.sum(F.when((F.col("xa") != F.col("xb"))
+                     & (F.col("ya") == F.col("yb")), 1)
+              .otherwise(0)).alias("ty2"))
+    n = base.groupBy(*gcol).agg(F.count(F.lit(1)).alias("n")) \
+        if group_col else base.agg(F.count(F.lit(1)).alias("n"))
+    dx = (F.col("c2") + F.col("d2") + F.col("tx2")).cast("double")
+    dy = (F.col("c2") + F.col("d2") + F.col("ty2")).cast("double")
+    tau = F.when((dx > 0) & (dy > 0),
+                 fround((F.col("c2") - F.col("d2")).cast("double")
+                        / F.sqrt(dx * dy), ROUND_SCORE))
+    out = (mom.join(n, gcol) if group_col
+           else mom.crossJoin(F.broadcast(n)))
+    return out.select(*gcol, tau.alias("tau"), "n")

@@ -3731,6 +3731,51 @@ def test_weighted_sssp_cheap_route_beats_direct_edge(spark):
     assert two == {0: 0, 1: 1, 2: 2, 3: 9, 4: 10}
 
 
+def test_kendall_tau_b_vs_python(spark):
+    """tau-b pinned against a pure-python concordance counter on
+    planted data: nonlinear-monotone +1, anti -1, heavy ties
+    tie-corrected, all-tied axis NULL; grouped and ungrouped agree.
+    The ordered-self-cross doubling trick means no row id exists
+    anywhere — results invariant under repartition by construction."""
+    import itertools
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import kendall_tau
+
+    def py_tau(pairs):
+        C = D = Tx = Ty = 0
+        for (x1, y1), (x2, y2) in itertools.combinations(pairs, 2):
+            sgn = (x1 - x2) * (y1 - y2)
+            if sgn > 0:
+                C += 1
+            elif sgn < 0:
+                D += 1
+            elif x1 == x2 and y1 != y2:
+                Tx += 1
+            elif x1 != x2 and y1 == y2:
+                Ty += 1
+        dx, dy = C + D + Tx, C + D + Ty
+        if dx == 0 or dy == 0:
+            return None
+        return math.floor((C - D) / math.sqrt(dx * dy) * 1e6 + 0.5) / 1e6
+
+    data = {"mono": [(x, x ** 3) for x in range(-4, 5)],
+            "anti": [(x, -x) for x in range(6)],
+            "ties": [(1, 2), (1, 5), (2, 5), (3, 1), (3, 1), (4, 9)],
+            "flat": [(x, 7) for x in range(5)]}
+    rows = [(g, float(x), float(y))
+            for g, ps in data.items() for x, y in ps]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: (r.tau, r.n) for r in
+           kendall_tau(df.repartition(7), "x", "y",
+                       group_col="g").collect()}
+    for g, ps in data.items():
+        assert got[g] == (py_tau(ps), len(ps)), g
+    assert got["mono"][0] == 1.0 and got["anti"][0] == -1.0
+    u = kendall_tau(df.filter("g = 'ties'"), "x", "y").collect()[0]
+    assert (u.tau, u.n) == (py_tau(data["ties"]), 6)
+
+
 def test_benford_profile_digits_exact(spark):
     """Digit extraction from exact integer cents: every planted value
     lands on its first significant digit (incl. 0.0x values that need
