@@ -330,6 +330,18 @@ def k_truss(edges: DataFrame, k: int = 4, max_rounds: int = 5,
     support pass over the fixpoint; at a fixpoint every support is
     ≥ k−2 by definition).
     """
+    # the implicit drop of triangle-free edges is only sound for k ≥ 3
+    # (every edge trivially satisfies support ≥ k−2 ≤ 0 below that, so
+    # k = 2 would have to return the WHOLE graph, which this peel does
+    # not) — reject loudly instead of silently returning only triangle
+    # edges (ADVICE r11; the _require_integral loud-contract convention)
+    if k < 3:
+        raise ValueError(
+            f"k_truss: k={k} is below the peel's domain — every edge "
+            "satisfies support >= k-2 for k <= 2 (the 2-truss is the "
+            "whole graph), but this implementation drops triangle-free "
+            "edges; use k >= 3.")
+
     def _support(canon: DataFrame) -> DataFrame:
         tris = _oriented_triangles(canon)
         e3 = (tris.select(F.least("t1", "t2").alias("u"),

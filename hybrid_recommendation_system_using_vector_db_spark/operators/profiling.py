@@ -464,13 +464,20 @@ def weighted_median(df: DataFrame, group_col: str, value_col: str,
     price, token-weighted quality), where the unweighted median of the
     rows answers a different question entirely.
 
-    Weights must be a non-negative INTEGRAL column: the halving test
-    runs as ``2·cumw ≥ W`` over exact BIGINT sums — no float-summation
-    order anywhere, so the SQL oracle is bit-equal (the
-    ``idf_weighted_jaccard_pairs`` integer-exactness discipline). The
-    lower-median convention (no averaging of straddling values) keeps
-    the result an ACTUAL data value, engine-portable like
-    :func:`grouped_quantiles`' nearest-rank.
+    Weights must be a non-negative INTEGRAL column, and BOTH halves of
+    that contract are enforced loudly: integrality at plan time
+    (``_require_integral``), non-negativity in-plan via an
+    ``assert_true`` folded into the weight projection (ADVICE r11: a
+    negative weight makes the cumulative sum non-monotone, so the
+    ``2·cumw ≥ W`` test could silently select a wrong value — the one
+    failure mode worse than failing). The assert costs one codegen
+    comparison per row, no extra scan or action; valid data never
+    triggers it, so the SQL oracle is unaffected. The halving test runs
+    over exact BIGINT sums — no float-summation order anywhere, so the
+    oracle is bit-equal (the ``idf_weighted_jaccard_pairs``
+    integer-exactness discipline). The lower-median convention (no
+    averaging of straddling values) keeps the result an ACTUAL data
+    value, engine-portable like :func:`grouped_quantiles`' nearest-rank.
 
     Scale shape: ONE exchange — the cumulative-weight window and the
     per-group total share the same partitionBy(grp) sort; the answer
@@ -485,9 +492,21 @@ def weighted_median(df: DataFrame, group_col: str, value_col: str,
     from .graph import _require_integral
 
     _require_integral(df, weight_col, "weighted_median")
+    w_raw = F.col(weight_col).cast("long")
+    # assert_true returns NULL when the predicate holds (and fails the
+    # job with the message otherwise); coalescing the weight over it
+    # keeps the check un-prunable without changing the value
+    w_checked = F.coalesce(
+        F.assert_true(w_raw >= 0, F.concat(
+            F.lit("weighted_median: negative weight in column "
+                  f"{weight_col!r} ("),
+            w_raw.cast("string"),
+            F.lit(") — weights must be non-negative; the cumulative-sum "
+                  "halving test is undefined under negative weights.")))
+        .cast("long"), w_raw)
     base = df.select(F.col(group_col).alias("grp"),
                      F.col(value_col).alias("v"),
-                     F.col(weight_col).cast("long").alias("w"))
+                     w_checked.alias("w"))
     w_cum = (Window.partitionBy("grp").orderBy("v")
              .rangeBetween(Window.unboundedPreceding, Window.currentRow))
     w_all = Window.partitionBy("grp")

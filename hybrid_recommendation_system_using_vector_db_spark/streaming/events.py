@@ -411,9 +411,33 @@ def checkpoint_query_id(checkpoint_dir: str) -> str | None:
         return None
 
 
+def _vacuum_versions(state_path: str, current: str,
+                     keep_versions: int) -> None:
+    """Lazily delete old ``v<epoch>`` snapshot dirs, always retaining the
+    live version plus the ``keep_versions − 1`` most recently written
+    predecessors (ADVICE r11: deleting the previous snapshot immediately
+    after the ``_CURRENT`` flip races a reader that resolved the pointer
+    just before it — with ``keep_versions ≥ 2`` that reader's directory
+    survives the flip and dies only on a LATER merge, by which time the
+    pre-flip read has finished or restarted). Ordering is by directory
+    mtime, not epoch number, because epoch numbering restarts when the
+    checkpoint is cleared (a new run's ``v0`` must not be out-sorted by
+    a stale run's ``v9``). Single-actor like all artifact maintenance."""
+    import shutil
+
+    old = [d for d in os.listdir(state_path)
+           if d.startswith("v") and d != current
+           and os.path.isdir(os.path.join(state_path, d))]
+    old.sort(key=lambda d: os.path.getmtime(os.path.join(state_path, d)),
+             reverse=True)
+    for d in old[max(keep_versions - 1, 0):]:
+        shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
+
+
 def merge_edge_batch(batch: DataFrame, state_path: str,
                      epoch_id: int | None = None,
-                     run_id: str | None = None) -> None:
+                     run_id: str | None = None,
+                     keep_versions: int = 2) -> None:
     """Idempotent MERGE of one micro-batch into versioned parquet edge state.
 
     Plain parquet has no MERGE INTO, so state lives as immutable snapshot
@@ -432,6 +456,11 @@ def merge_edge_batch(batch: DataFrame, state_path: str,
     is retained, so the replay-skip only applies within the SAME run —
     a new run id resets the epoch watermark instead of silently dropping
     every batch until the counter catches up (ADVICE r2).
+
+    ``keep_versions``: superseded snapshot dirs are vacuumed LAZILY,
+    always retaining the previous version (default 2 live versions) so a
+    reader that resolved ``_CURRENT`` just before a flip never races a
+    vanishing directory (ADVICE r11; see :func:`_vacuum_versions`).
     """
     spark = batch.sparkSession
     os.makedirs(state_path, exist_ok=True)
@@ -459,9 +488,7 @@ def merge_edge_batch(batch: DataFrame, state_path: str,
     with open(tmp, "w") as f:
         f.write(f"{new_name}\n{new_epoch}\n{keep_run or ''}\n")
     os.replace(tmp, os.path.join(state_path, "_CURRENT"))
-    if cur_name is not None and cur_name != new_name:
-        import shutil
-        shutil.rmtree(os.path.join(state_path, cur_name), ignore_errors=True)
+    _vacuum_versions(state_path, new_name, keep_versions)
 
 
 def incremental_copurchase(order_lines: DataFrame, state_path: str,
@@ -599,7 +626,8 @@ def streaming_lm_maintenance(docs_stream: DataFrame, out_dir: str,
 def merge_cdc_batch(batch: DataFrame, state_path: str,
                     key_cols: list[str], epoch_id: int | None = None,
                     run_id: str | None = None, op_col: str = "op",
-                    ts_col: str = "ts") -> None:
+                    ts_col: str = "ts", tiebreak_col: str | None = None,
+                    keep_versions: int = 2) -> None:
     """Fold one CDC micro-batch into versioned parquet snapshot state —
     the streaming counterpart of ``snapshot.apply_changes``.
 
@@ -613,18 +641,29 @@ def merge_cdc_batch(batch: DataFrame, state_path: str,
     ``apply_changes`` over the union no matter how the source splits
     files into triggers (a naive per-batch last-writer apply is NOT
     order-independent: an older change arriving in a later batch would
-    overwrite newer state). Per-key ts collisions are the caller's
-    contract as in ``apply_changes``; the batch operator enforces it
-    loudly at the source of a change feed.
+    overwrite newer state). Per-key ts totality is ENFORCED here too,
+    not just in the batch operator (ADVICE r11: a feed that only flows
+    through ``foreachBatch`` never touches ``apply_changes``, so a bare
+    row_number would pick an arbitrary winner on a tied state-vs-batch
+    pair — silently breaking the order-independence this docstring
+    claims): ``rank`` is computed alongside ``row_number`` in the SAME
+    window pass, and a (rank 1, row_number 2) tied winner raises a
+    ``ValueError`` naming offending keys, which fails the streaming
+    query loudly. Feeds whose change time can collide pass
+    ``tiebreak_col`` (a monotonic change-log id, ordered DESC with the
+    rest) to restore totality — the ``apply_changes`` contract verbatim.
 
     Durability: the ``merge_edge_batch`` protocol verbatim — immutable
     ``v<epoch>`` snapshot dirs, ``_CURRENT`` pointer flipped by atomic
     rename, at-least-once replays skipped by epoch within the same
-    checkpoint run. Retained tombstones are the price of
-    order-independence; compact them past the feed's max-lateness
-    horizon the way the LSH artifact compacts (OPTIMIZE-style rewrite).
-    At 100 TB partition snapshots by bucket(key) so a merge rewrites
-    only touched buckets (Delta/Iceberg MERGE INTO is the drop-in).
+    checkpoint run, superseded snapshots vacuumed lazily with the
+    previous version retained (``keep_versions``, ADVICE r11 — readers
+    that resolved the pointer pre-flip never race a vanishing dir).
+    Retained tombstones are the price of order-independence; compact
+    them past the feed's max-lateness horizon the way the LSH artifact
+    compacts (OPTIMIZE-style rewrite). At 100 TB partition snapshots by
+    bucket(key) so a merge rewrites only touched buckets (Delta/Iceberg
+    MERGE INTO is the drop-in).
     """
     from pyspark.sql import Window
 
@@ -640,9 +679,26 @@ def merge_cdc_batch(batch: DataFrame, state_path: str,
     if cur_name is not None:
         state = spark.read.parquet(os.path.join(state_path, cur_name))
         merged = state.unionByName(batch)
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
-    latest = (merged.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1).drop("__rn"))
+    eff_order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in eff_order])
+    # rank + row_number share one window spec → ONE sort; rn ≤ 2 keeps
+    # just enough to expose an ambiguous winner (the apply_changes
+    # totality pass). Checkpointed: the ranked batch feeds the tied
+    # check AND the snapshot write.
+    ranked = (merged.withColumn("__rn", F.row_number().over(w))
+              .withColumn("__rk", F.rank().over(w))
+              .filter(F.col("__rn") <= 2)
+              .localCheckpoint(eager=True))
+    tied = ranked.filter((F.col("__rk") == 1) & (F.col("__rn") == 2))
+    if not tied.isEmpty():
+        sample = tied.select(*key_cols, *eff_order).limit(5).collect()
+        raise ValueError(
+            "merge_cdc_batch: state ∪ batch is not totally ordered within "
+            f"key(s) — tied winners on ({', '.join(eff_order)}) for e.g. "
+            f"{[tuple(r) for r in sample]}; pass tiebreak_col (a monotonic "
+            "sequence column) or fix the feed.")
+    latest = ranked.filter(F.col("__rn") == 1).drop("__rn", "__rk")
     new_epoch = epoch_id if epoch_id is not None else last_epoch + 1
     new_name = f"v{new_epoch}"
     latest.write.mode("overwrite").parquet(os.path.join(state_path, new_name))
@@ -651,14 +707,13 @@ def merge_cdc_batch(batch: DataFrame, state_path: str,
     with open(tmp, "w") as f:
         f.write(f"{new_name}\n{new_epoch}\n{keep_run or ''}\n")
     os.replace(tmp, os.path.join(state_path, "_CURRENT"))
-    if cur_name is not None and cur_name != new_name:
-        import shutil
-        shutil.rmtree(os.path.join(state_path, cur_name), ignore_errors=True)
+    _vacuum_versions(state_path, new_name, keep_versions)
 
 
 def incremental_cdc(changes: DataFrame, state_path: str,
                     checkpoint_dir: str, key_cols: list[str],
-                    op_col: str = "op", ts_col: str = "ts"):
+                    op_col: str = "op", ts_col: str = "ts",
+                    tiebreak_col: str | None = None):
     """Streaming CDC apply via ``foreachBatch``: every micro-batch of
     (key, value..., op, ts) change rows folds into the snapshot state
     through :func:`merge_cdc_batch`. ``availableNow`` drains a backlog
@@ -667,7 +722,8 @@ def incremental_cdc(changes: DataFrame, state_path: str,
     def process(b: DataFrame, epoch_id: int) -> None:
         merge_cdc_batch(b, state_path, key_cols, epoch_id,
                         run_id=checkpoint_query_id(checkpoint_dir),
-                        op_col=op_col, ts_col=ts_col)
+                        op_col=op_col, ts_col=ts_col,
+                        tiebreak_col=tiebreak_col)
 
     return (changes.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)

@@ -4141,3 +4141,38 @@ def test_kmv_set_ops_empty_inputs_fully_defined(spark):
     s = kmv_set_ops(a, empty, "v", k=64).collect()[0]
     assert (s.est_a, s.est_b, s.est_union, s.est_intersection) == (5, 0, 5, 0)
     assert s.jaccard_est == 0.0
+
+
+def test_k_truss_rejects_k_below_three(spark):
+    """ADVICE r11: k_truss(k=2) would have to return the whole graph
+    (every edge trivially satisfies support >= 0) but the peel drops
+    triangle-free edges — so k < 3 is rejected loudly at entry."""
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.graph import k_truss
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    for bad in (0, 1, 2):
+        with pytest.raises(ValueError, match="k >= 3"):
+            k_truss(edges, k=bad)
+
+
+def test_weighted_median_negative_weight_fails_loudly(spark):
+    """ADVICE r11: a negative weight makes the cumulative sum
+    non-monotone (the 2*cumw >= W test could silently pick a wrong
+    value) — the in-plan assert fails the job loudly instead."""
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame([("g", 1.0, 3), ("g", 2.0, -1)],
+                               "g string, v double, w long")
+    with pytest.raises(Exception, match="negative weight"):
+        weighted_median(df, "g", "v", "w").collect()
+    # the guard is value-transparent: valid data is unaffected
+    ok = spark.createDataFrame([("g", 1.0, 3), ("g", 2.0, 1)],
+                               "g string, v double, w long")
+    rows = weighted_median(ok, "g", "v", "w").collect()
+    assert [(r.grp, r.wmedian, r.total_w) for r in rows] == [("g", 1.0, 4)]

@@ -541,3 +541,60 @@ def test_merge_cdc_batch_order_independent_and_replay_safe(spark, tmp_path):
     merge_cdc_batch(b3, p, ["k"], epoch_id=0, run_id="r2")
     assert (4, "d") in {(r.k, r.v)
                         for r in load_cdc_snapshot(spark, p).collect()}
+
+
+def test_merge_cdc_batch_tied_winner_raises_and_tiebreak_restores(
+        spark, tmp_path):
+    """ADVICE r11: the streaming fold enforces per-key ts totality like
+    apply_changes — a tied state-vs-batch winner raises loudly instead of
+    picking an arbitrary row; an explicit tiebreak_col restores totality;
+    and a tie NOT at the winning rank stays legal."""
+    import pytest
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        load_cdc_snapshot,
+        merge_cdc_batch,
+    )
+
+    p = str(tmp_path / "tied")
+    b1 = spark.createDataFrame([(1, "a", "U", 5, 10)],
+                               "k long, v string, op string, ts int, seq int")
+    merge_cdc_batch(b1, p, ["k"], epoch_id=0, run_id="r")
+    # same key, same ts, different value → ambiguous winner
+    b2 = spark.createDataFrame([(1, "b", "U", 5, 11)],
+                               "k long, v string, op string, ts int, seq int")
+    with pytest.raises(ValueError, match="not totally ordered"):
+        merge_cdc_batch(b2, p, ["k"], epoch_id=1, run_id="r")
+    # tiebreak_col restores totality: seq 11 beats seq 10
+    merge_cdc_batch(b2, p, ["k"], epoch_id=1, run_id="r", tiebreak_col="seq")
+    snap = {(r.k, r.v) for r in
+            load_cdc_snapshot(spark, p).drop("seq").collect()}
+    assert snap == {(1, "b")}
+    # ties BELOW the winning rank are legal (rank 1 is unique)
+    b3 = spark.createDataFrame([(1, "c", "U", 9, 12)],
+                               "k long, v string, op string, ts int, seq int")
+    merge_cdc_batch(b3, p, ["k"], epoch_id=2, run_id="r")
+    snap = {(r.k, r.v) for r in
+            load_cdc_snapshot(spark, p).drop("seq").collect()}
+    assert snap == {(1, "c")}
+
+
+def test_cdc_snapshot_retention_keeps_previous_version(spark, tmp_path):
+    """ADVICE r11: the superseded snapshot dir survives the pointer flip
+    (keep_versions=2 default) so a reader that resolved _CURRENT just
+    before the flip never races a vanishing directory; the version before
+    THAT is vacuumed."""
+    import os
+
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        merge_cdc_batch,
+    )
+
+    p = str(tmp_path / "ret")
+    for epoch, (v, ts) in enumerate([("a", 1), ("b", 2), ("c", 3)]):
+        b = spark.createDataFrame([(1, v, "U", ts)],
+                                  "k long, v string, op string, ts int")
+        merge_cdc_batch(b, p, ["k"], epoch_id=epoch, run_id="r")
+    dirs = sorted(d for d in os.listdir(p) if d.startswith("v"))
+    assert dirs == ["v1", "v2"]   # live + previous; v0 vacuumed lazily
+    # the retained previous version is a readable snapshot
+    assert spark.read.parquet(os.path.join(p, "v1")).count() == 1
