@@ -241,6 +241,10 @@ HEADLINE = [
     "spearman",
     "benford",
     "kendall",
+    # r12 (VERDICT r11 next #2/#3): the stated 100 TB tiers, now real
+    "ks_drift_sketched",
+    "kendall_sampled",
+    "theil_sen_sampled",
 ]
 
 

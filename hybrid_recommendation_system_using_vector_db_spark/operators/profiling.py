@@ -580,8 +580,8 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     that window is a single-partition sort — the stated price of the
     exact statistic (same contract as ``equidepth_histogram``'s global
     ntile), for bounded-cardinality columns or profiling slices; at
-    100 TB run it over ``sampled_quantiles``-bucketed values (KS on a
-    quantile sketch bounds the true D within the sketch's rank error).
+    100 TB use :func:`ks_drift_sketched` — the bottom-k-sample tier
+    whose |D_sketch − D_exact| is DKW-bounded and test-asserted.
     With ``group_col`` (per-domain / per-source drift — the monitoring
     shape) every window and aggregate keys on the group, so the sort is
     PER GROUP and the whole plan parallelizes across groups.
@@ -631,6 +631,50 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
                      (-F.col("gap")).alias("ng"), F.col("v")))
                  .alias("at_value"))
             .select(*gcol, "d_stat", "at_value", "n_ref", "n_cur"))
+
+
+def ks_drift_sketched(ref: DataFrame, cur: DataFrame, value_col: str,
+                      id_col: str, k: int = 1024, seed: int = 42,
+                      group_col: str | None = None) -> DataFrame:
+    """The 100 TB tier of :func:`ks_drift` (VERDICT r11 next #2 — the
+    docstring's named swap-in, now real): each side is reduced to its
+    ``k`` smallest seeded-md5 rows (the ``sampled_quantiles`` bottom-k
+    uniform sample — a pure function of the data keyed on ``id_col``,
+    so the approximate statistic ITSELF is bit-reproducible in the SQL
+    oracle, which Spark's private-layout sketches never are), then the
+    exact two-sample KS runs over the two k-samples.
+
+    Error bound (DKW inequality, test-asserted): a uniform k-sample's
+    empirical CDF satisfies sup|F̂ − F| ≤ √(ln(2/δ)/(2k)) w.p. ≥ 1−δ,
+    so |D_sketch − D_exact| ≤ err_ref + err_cur — at k = 1024 that is
+    ≤ 0.085 at 95 % per side. Sides with ≤ k rows are EXACT by
+    construction (the "sample" is the whole side — also test-pinned).
+
+    Scale shape: the bottom-k selections are per-partition partial
+    top-k (``orderBy().limit()`` → TakeOrderedAndProject ungrouped;
+    one group-keyed window grouped), and everything downstream — the
+    exact-KS pooled sort included — runs over ≤ 2k rows per group:
+    the single-partition-sort contract of the exact tier disappears
+    because the sort input is bounded at 2k regardless of corpus size.
+
+    Returns :func:`ks_drift`'s schema — (group?, d_stat, at_value,
+    n_ref, n_cur) with n_* = SAMPLE sizes (≤ k), stated.
+    """
+    from ..functions.hashing import seeded_key
+
+    gcol = [group_col] if group_col else []
+
+    def _bottomk(df: DataFrame) -> DataFrame:
+        keyed = df.select(*gcol, F.col(value_col),
+                          seeded_key(F.col(id_col), seed).alias("__u"))
+        if group_col:
+            w = Window.partitionBy(*gcol).orderBy("__u", value_col)
+            return (keyed.withColumn("__bk", F.row_number().over(w))
+                    .filter(F.col("__bk") <= k).drop("__u", "__bk"))
+        return keyed.orderBy("__u", value_col).limit(k).drop("__u")
+
+    return ks_drift(_bottomk(ref), _bottomk(cur), value_col,
+                    group_col=group_col)
 
 
 def spearman_corr(df: DataFrame, x_col: str, y_col: str,
@@ -745,8 +789,55 @@ def benford_profile(df: DataFrame, value_col: str,
                     .alias("dev")))
 
 
+def bounded_pair_rows(base: DataFrame, gcol: list, value_cols: list,
+                      max_pairs: int, id_col: str | None = None,
+                      seed: int = 42) -> DataFrame:
+    """Deterministic per-group row subsample bounding an O(n²)-pair
+    estimator (:func:`kendall_tau`, ``timeseries.theil_sen_trend``) at
+    ≤ ``max_pairs`` ordered pairs: keep the ⌊√max_pairs⌋ rows with the
+    smallest seeded-md5 keys (the ``sampled_quantiles`` bottom-k
+    mechanism — a pure function of the data, bit-reproducible in the
+    SQL oracle). Sampling ROWS, not filtering pairs after the
+    self-join, is the load-bearing choice: a post-join pair filter
+    still materializes the full n² join fanout before dropping rows,
+    whereas a √max_pairs row bound shrinks the pair space at the
+    source — and the estimator over a uniform row subsample is the
+    standard consistent estimator (a U-statistic over an i.i.d.
+    subsample), with error O(1/√m) in the kept rows m.
+
+    ``id_col``: the sampling identity. Pass the table's key when one
+    exists (the ``sampling.py`` pattern). Without it the key is the
+    concatenated (group, values) tuple — fully-duplicate rows then
+    share one key and interchangeable copies fill the bottom-k in an
+    arbitrary (but result-identical: the kept MULTISET is the same)
+    order; stated, not hidden.
+
+    Grouped: one per-group bottom-k window (row_number over the md5
+    order — a single group-keyed exchange, parallel across groups).
+    Ungrouped: ``orderBy().limit()`` → TakeOrderedAndProject, per-
+    partition partial top-k, NO single-partition sort — exactly the
+    large-ungrouped-series case the tier exists for.
+    """
+    from ..functions.hashing import seeded_key
+
+    m = max(2, int(float(max_pairs) ** 0.5))
+    ident = (F.col(id_col) if id_col else
+             F.concat_ws("\x01",   # explicit escape: unit separator avoids ("1","23") vs ("12","3") key collisions; oracle mirrors chr(1)
+                         *[F.col(c).cast("string")
+                           for c in (list(gcol) + list(value_cols))]))
+    keyed = base.withColumn("__u", seeded_key(ident, seed))
+    order = [F.col("__u")] + [F.col(c) for c in value_cols]
+    if gcol:
+        w = Window.partitionBy(*gcol).orderBy(*order)
+        return (keyed.withColumn("__bk", F.row_number().over(w))
+                .filter(F.col("__bk") <= m).drop("__u", "__bk"))
+    return keyed.orderBy(*order).limit(m).drop("__u")
+
+
 def kendall_tau(df: DataFrame, x_col: str, y_col: str,
-                group_col: str | None = None) -> DataFrame:
+                group_col: str | None = None,
+                max_pairs: int | None = None,
+                id_col: str | None = None, seed: int = 42) -> DataFrame:
     """Per-group Kendall tau-b (tie-corrected concordance) — the third
     member of the robust-association family (:func:`spearman_corr`
     ranks values, :func:`theil_sen_trend` medians slopes, tau COUNTS
@@ -767,14 +858,26 @@ def kendall_tau(df: DataFrame, x_col: str, y_col: str,
 
     Scale: the pair space is n² per group — the estimator's definition
     (the ``theil_sen_trend`` bounded-series contract verbatim): use on
-    per-key rollups; sample pairs deterministically past that.
+    per-key rollups, or pass ``max_pairs`` for the SAMPLED tier
+    (VERDICT r11 next #3): rows are subsampled deterministically to
+    ⌊√max_pairs⌋ per group via :func:`bounded_pair_rows` (seeded md5 —
+    still a pure function of the data, still SQL-oracle-exact) and tau
+    is computed exactly over the subsample — a consistent estimator
+    with O(1/√m) error, CI-bound-tested against the exact statistic.
+    ``id_col`` names the sampling identity when the table has a key.
 
-    Returns (group?, tau, n).
+    Returns (group?, tau, n); with ``max_pairs``, n = kept rows.
     """
     gcol = [group_col] if group_col else []
     base = (df.select(*gcol, F.col(x_col).alias("x"),
-                      F.col(y_col).alias("y"))
-            .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+                      F.col(y_col).alias("y"),
+                      *([F.col(id_col).alias("__id")] if id_col else []))
+            .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+    if max_pairs is not None:
+        base = bounded_pair_rows(base, gcol, ["x", "y"], max_pairs,
+                                 id_col="__id" if id_col else None,
+                                 seed=seed)
+    base = (base.drop("__id")
             .withColumn("__g", F.lit(0) if not group_col
                         else F.col(group_col)))
     a = base.select("__g", *gcol, F.col("x").alias("xa"),

@@ -118,7 +118,8 @@ def gap_fill(events: DataFrame, group_col: str, ts_col: str,
 
 
 def theil_sen_trend(df: DataFrame, group_col: str, x_col: str,
-                    y_col: str) -> DataFrame:
+                    y_col: str, max_pairs: int | None = None,
+                    id_col: str | None = None, seed: int = 42) -> DataFrame:
     """Per-group Theil–Sen robust trend: slope = the MEDIAN of all
     pairwise slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j, intercept =
     the median of y − slope·x (Theil 1950 / Sen 1968) — the
@@ -138,17 +139,32 @@ def theil_sen_trend(df: DataFrame, group_col: str, x_col: str,
     within-group self-join, quadratic by definition of the estimator
     (like ``band_recall_truth``'s sampled truth table: the documented
     eval convention). Use it on bounded series (per-key hourly/daily
-    rollups — the entry's shape); for unbounded groups pre-bucket or
-    sample x deterministically first. Both median windows ride the
+    rollups — the entry's shape); for unbounded groups pass
+    ``max_pairs`` for the SAMPLED tier (VERDICT r11 next #3): rows are
+    subsampled deterministically to ⌊√max_pairs⌋ per group
+    (``profiling.bounded_pair_rows`` — seeded md5, a pure function of
+    the data, SQL-oracle-exact) and the medians are exact over the
+    subsample's slopes — the standard consistent estimator, CI-bound-
+    tested against the exact statistic; ``id_col`` names the sampling
+    identity when the table has a key. Both median windows ride the
     SAME group partitioning; the slope table feeds two branches
     (median rank + the intercept's residual join) and is checkpointed.
 
-    Returns (grp, slope, intercept, n_pairs).
+    Returns (grp, slope, intercept, n_pairs); with ``max_pairs``,
+    n_pairs = slope pairs within the subsample.
     """
     from pyspark.sql import Window
 
+    from .profiling import bounded_pair_rows
+
     base = df.select(F.col(group_col).alias("grp"),
-                     F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+                     F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                     *([F.col(id_col).alias("__id")] if id_col else []))
+    if max_pairs is not None:
+        base = bounded_pair_rows(base, ["grp"], ["x", "y"], max_pairs,
+                                 id_col="__id" if id_col else None,
+                                 seed=seed)
+    base = base.drop("__id")
     a = base.select("grp", F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = base.select("grp", F.col("x").alias("xb"), F.col("y").alias("yb"))
     slopes = (a.join(b, "grp")

@@ -4204,3 +4204,88 @@ def test_frontier_rounds_driver_lifecycle(spark):
     rows = {(r.node, r.dist) for r in out.collect()}
     assert rows == {(1, -1), (2, 5)}        # replaced, not duplicated
     assert calls == [1, 2]                  # rounds 3-5 never ran
+
+
+def test_kendall_theil_sen_sampled_tier_bounds(spark):
+    """VERDICT r11 next #3: the max_pairs sampled tier is (a) exact when
+    the row bound covers the group (subsample = everything), and (b)
+    within the O(1/sqrt(m)) CI of the exact statistic at m = 40 kept
+    rows on a correlated fixture — deterministic because the seeded-md5
+    selection is a pure function of the data."""
+    import random
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        kendall_tau,
+    )
+    from hybrid_recommendation_system_using_vector_db_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    rng = random.Random(7)
+    rows = [(i % 3, i, 2 * i + rng.randint(-40, 40)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g int, x long, y long")
+
+    exact = {r.g: r.tau for r in
+             kendall_tau(df, "x", "y", group_col="g").collect()}
+    # m = floor(sqrt(max_pairs)) >= group size -> identical to exact
+    full = {r.g: r.tau for r in
+            kendall_tau(df, "x", "y", group_col="g",
+                        max_pairs=1_000_000).collect()}
+    assert full == exact
+    # m = 40 of 100 rows per group: consistent-estimator CI (2/sqrt(m))
+    samp = {r.g: r.tau for r in
+            kendall_tau(df, "x", "y", group_col="g",
+                        max_pairs=1600).collect()}
+    assert all(abs(samp[g] - exact[g]) <= 2.0 / (40 ** 0.5) for g in exact)
+
+    ex_t = {r.grp: r.slope for r in
+            theil_sen_trend(df, "g", "x", "y").collect()}
+    full_t = {r.grp: r.slope for r in
+              theil_sen_trend(df, "g", "x", "y",
+                              max_pairs=1_000_000).collect()}
+    assert full_t == ex_t
+    samp_t = {r.grp: r.slope for r in
+              theil_sen_trend(df, "g", "x", "y", max_pairs=1600).collect()}
+    # the true slope is 2: the sampled median slope stays in a tight band
+    assert all(abs(samp_t[g] - ex_t[g]) <= 0.25 for g in ex_t)
+
+    # id_col identity path: same bounds, keyed selection
+    with_id = df.selectExpr("g", "x", "y", "x AS rid")
+    keyed = {r.g: r.tau for r in
+             kendall_tau(with_id, "x", "y", group_col="g",
+                         max_pairs=1600, id_col="rid").collect()}
+    assert all(abs(keyed[g] - exact[g]) <= 2.0 / (40 ** 0.5) for g in exact)
+
+
+def test_ks_drift_sketched_dkw_bound_and_small_side_exactness(spark):
+    """VERDICT r11 next #2: the bottom-k KS tier. (a) sides with <= k
+    rows reproduce the exact statistic bit-for-bit (the sample IS the
+    side); (b) at k = 256 over 3000-row sides, |D_sketch - D_exact| is
+    within the two-sided DKW bound at delta = 0.05 per side —
+    deterministic because the seeded selection is a pure function of
+    the data."""
+    import math
+    import random
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        ks_drift,
+        ks_drift_sketched,
+    )
+
+    rng = random.Random(11)
+    ref = spark.createDataFrame(
+        [(i, round(rng.gauss(0.0, 1.0), 4)) for i in range(3000)],
+        "rid long, v double")
+    cur = spark.createDataFrame(
+        [(i, round(rng.gauss(0.4, 1.0), 4)) for i in range(3000)],
+        "rid long, v double")
+
+    d_exact = ks_drift(ref, cur, "v").collect()[0].d_stat
+    d_big = ks_drift_sketched(ref, cur, "v", "rid", k=5000).collect()[0]
+    assert d_big.d_stat == d_exact and d_big.n_ref == 3000   # k >= n: exact
+
+    k = 256
+    d_sk = ks_drift_sketched(ref, cur, "v", "rid", k=k).collect()[0]
+    assert d_sk.n_ref == k and d_sk.n_cur == k
+    eps = math.sqrt(math.log(2 / 0.05) / (2 * k))   # DKW per side
+    assert abs(d_sk.d_stat - d_exact) <= 2 * eps
