@@ -2308,6 +2308,24 @@ def q_dq_checks(spark, sf_dir):
     ])
 
 
+def q_dq_checks_approx(spark, sf_dir):
+    """The HLL approximate-unique DQ tier (VERDICT r11 next #7): all
+    unique_approx columns share ONE register-grain pass (checks·256
+    shuffle rows, no Expand, no count-distinct state); the portable-md5
+    estimate makes the approximate verdicts themselves hash-match the
+    oracle. o_orderkey is truly unique (passes at the default 10 %
+    tolerance despite sketch error); o_orderpriority has 5 distinct
+    values (fails loudly) (operators/profiling.py::dq_checks)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.dq_checks(orders, [
+        {"check": "unique_approx", "col": "o_orderkey"},
+        {"check": "unique_approx", "col": "o_orderpriority"},
+        {"check": "not_null", "col": "o_custkey"},
+    ])
+
+
 def q_temporal_split(spark, sf_dir):
     """Purged walk-forward temporal split over the event stream: 80 %
     train by exact event-time quantile, a 1-day purge gap, the rest
@@ -4463,6 +4481,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                       # prefix-filter join
         "k_truss": q_k_truss,                         # edge-support peel
         "dq_checks": q_dq_checks,                     # one-scan DQ gate
+        # r12 (VERDICT r11 next #7): HLL approximate-unique DQ tier
+        "dq_checks_approx": q_dq_checks_approx,       # no-Expand unique tier
         "weighted_median": q_weighted_median,         # exact integer-weight
                                                       # lower median
         "equidepth_histogram": q_equidepth_histogram,  # ntile equal-depth
@@ -7668,6 +7688,48 @@ SELECT grp AS event_type,
        ELSE {_hll_am2} / (s_used + (256 - used)) END + 0.5) AS BIGINT)
     AS est_distinct
 FROM per
+"""
+    # HLL approximate-unique DQ tier: per-column estimate = the
+    # hll_distinct math verbatim (md5 registers, same small-range
+    # correction), violations/pass mirrored from profiling.dq_checks
+    def _hll_est_cte(col: str) -> str:
+        u2 = _hex8_u32("substr(h, 9, 8)")
+        return f"""(
+  SELECT CAST(floor(CASE WHEN ({_hll_am2} / (s_used + (256 - used)))
+                          <= 640.0 AND used < 256
+       THEN 256.0 * ln(256.0 / CAST(256 - used AS DOUBLE))
+       ELSE {_hll_am2} / (s_used + (256 - used)) END + 0.5) AS BIGINT) AS e
+  FROM (
+    SELECT sum(power(2.0, -mr)) AS s_used, count(*) AS used FROM (
+      SELECT reg, max(rho) AS mr FROM (
+        SELECT {_hex8_u32('h')} % 256 AS reg,
+               CASE WHEN {u2} = 0 THEN 33
+                    ELSE 33 - length(bin({u2})) END AS rho
+        FROM (SELECT md5(CAST({col} AS VARCHAR)) AS h FROM orders
+              WHERE {col} IS NOT NULL)) GROUP BY reg)))"""
+
+    sql["dq_checks_approx"] = f"""
+WITH s AS (
+  SELECT count(*) AS n,
+         count(o_orderkey) AS c0,
+         count(o_orderpriority) AS c1,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c2
+  FROM orders
+),
+e0 AS {_hll_est_cte('o_orderkey')},
+e1 AS {_hll_est_cte('o_orderpriority')}
+SELECT 'unique_approx' AS "check", 'o_orderkey' AS col,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(greatest(0, c0 - e) AS BIGINT) AS n_violations,
+       CAST(greatest(0, c0 - e) AS DOUBLE) <= 0.1 * CAST(c0 AS DOUBLE)
+         AS pass
+FROM s, e0
+UNION ALL SELECT 'unique_approx', 'o_orderpriority', CAST(n AS BIGINT),
+       CAST(greatest(0, c1 - e) AS BIGINT),
+       CAST(greatest(0, c1 - e) AS DOUBLE) <= 0.1 * CAST(c1 AS DOUBLE)
+FROM s, e1
+UNION ALL SELECT 'not_null', 'o_custkey', CAST(n AS BIGINT),
+       CAST(c2 AS BIGINT), c2 = 0 FROM s
 """
     # deterministic count-min sketch: same md5 row-hashes, same bucketing,
     # same min-over-rows estimator — mirrors sketches.cms_heavy_hitters

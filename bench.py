@@ -245,6 +245,8 @@ HEADLINE = [
     "ks_drift_sketched",
     "kendall_sampled",
     "theil_sen_sampled",
+    # r12 (VERDICT r11 next #7): HLL approximate-unique DQ tier
+    "dq_checks_approx",
 ]
 
 

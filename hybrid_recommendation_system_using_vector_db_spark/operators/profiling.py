@@ -397,6 +397,12 @@ def dq_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     - ``matches`` (``pattern``)         — non-null strings not fully
       matching the anchored regex
     - ``non_negative``                  — non-null values < 0
+    - ``unique_approx`` (``rtol``)      — like ``unique`` but estimated
+      with the portable HLL sketch (p = 8, m = 256 registers — the
+      VERDICT r11 next #7 tier): violations = max(0, non-null rows −
+      HLL estimate), pass when violations ≤ ``rtol``·non-null rows
+      (default 0.1 — above the sketch's ~6.5 % standard error, so a
+      truly-unique column never false-alarms at default settings)
 
     NULL handling follows the dbt convention: only ``not_null`` counts
     NULLs — every other check passes NULL rows through (compose with a
@@ -407,14 +413,25 @@ def dq_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     one table scan (map-side partial combine, 1-row output); ``unique``
     checks add exact ``count(distinct)``s, which Spark plans through a
     single Expand over the same scan — still one pass of the data, with
-    the expand factor = number of distinct unique-checked columns. The
+    the expand factor = number of distinct unique-checked columns. At
+    extreme column counts swap those for ``unique_approx``: ALL
+    approximate-unique columns share ONE extra register-grain pass
+    (stacked into (check-idx, register, rank) triples, shuffle bounded
+    at checks·256 rows — no Expand, no count-distinct state), riding
+    the same portable-md5 HLL as ``sketches.hll_distinct`` so the
+    approximate verdicts still hash-match the SQL oracle. The
     per-check result rows come from a bounded literal-labeled union
     over the 1-row aggregate (never a driver loop over the data).
     Output: (check, col, n_rows, n_violations, pass) ordered by the
-    caller's check list; every count is an exact integer, so the SQL
-    oracle is bit-equal.
+    caller's check list; every count is an exact integer (the HLL
+    estimate included — same floor(x + 0.5) in both engines), so the
+    SQL oracle is bit-equal.
     """
+    from .sketches import hll_distinct
+
     aggs = [F.count(F.lit(1)).alias("__n")]
+    ua = [(i, c) for i, c in enumerate(checks)
+          if c["check"] == "unique_approx"]
     for i, c in enumerate(checks):
         col, kind = F.col(c["col"]), c["check"]
         if kind == "not_null":
@@ -422,6 +439,9 @@ def dq_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
         elif kind == "unique":
             aggs.append(F.count(col).alias(f"__c{i}"))
             aggs.append(F.countDistinct(col).alias(f"__d{i}"))
+            continue
+        elif kind == "unique_approx":
+            aggs.append(F.count(col).alias(f"__c{i}"))
             continue
         elif kind == "range":
             cond = col.isNotNull() & ((col < F.lit(c["lo"]))
@@ -440,8 +460,36 @@ def dq_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     # it so the full-table aggregate runs once, not per check (the
     # simhash re-execution defect class, VERDICT r5 #1)
     stats = df.agg(*aggs).localCheckpoint(eager=True)
+    ests = None
+    if ua:
+        # one register-grain pass shared by ALL unique_approx columns;
+        # bounded (≤ |ua|·256 rows) and feeding one branch per check —
+        # checkpoint so the corpus scan runs once
+        stacked = (df.select(F.explode(F.array(*[
+            F.struct(F.lit(i).alias("ci"),
+                     F.col(c["col"]).cast("string").alias("v"))
+            for i, c in ua])).alias("s"))
+            .select(F.col("s.ci").alias("ci"), F.col("s.v").alias("v")))
+        ests = (hll_distinct(stacked, "ci", "v", p=8)
+                .localCheckpoint(eager=True))
     rows = []
     for i, c in enumerate(checks):
+        if c["check"] == "unique_approx":
+            rtol = float(c.get("rtol", 0.1))
+            est = (ests.filter(F.col("ci") == i)
+                   .agg(F.coalesce(F.max("est_distinct"), F.lit(0))
+                        .alias("__e")))
+            viol = F.greatest(F.lit(0).cast("long"),
+                              F.col(f"__c{i}") - F.col("__e"))
+            rows.append(stats.crossJoin(F.broadcast(est)).select(
+                F.lit(c["check"]).alias("check"),
+                F.lit(c["col"]).alias("col"),
+                F.col("__n").cast("long").alias("n_rows"),
+                viol.cast("long").alias("n_violations"),
+                (viol.cast("double")
+                 <= F.lit(rtol) * F.col(f"__c{i}").cast("double"))
+                .alias("pass")))
+            continue
         viol = (F.col(f"__c{i}") - F.col(f"__d{i}")
                 if c["check"] == "unique" else F.col(f"__c{i}"))
         rows.append(stats.select(

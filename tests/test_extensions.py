@@ -4289,3 +4289,30 @@ def test_ks_drift_sketched_dkw_bound_and_small_side_exactness(spark):
     assert d_sk.n_ref == k and d_sk.n_cur == k
     eps = math.sqrt(math.log(2 / 0.05) / (2 * k))   # DKW per side
     assert abs(d_sk.d_stat - d_exact) <= 2 * eps
+
+
+def test_dq_unique_approx_error_bound_and_planted_dupes(spark):
+    """VERDICT r11 next #7: the HLL unique_approx tier. (a) on a truly
+    unique column the estimate lands within 10% of the exact distinct
+    count (m=256 registers, ~6.5% standard error) and the check PASSES
+    at the default tolerance; (b) a column with massive duplication
+    fails with violations close to the true duplicate count; (c) the
+    exact `unique` check over the same scan agrees directionally."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        dq_checks,
+    )
+
+    n = 5000
+    df = spark.range(n).selectExpr(
+        "id AS uid", "CAST(id % 7 AS STRING) AS bucket")
+    out = {(r.check, r.col): r for r in dq_checks(df, [
+        {"check": "unique_approx", "col": "uid"},
+        {"check": "unique_approx", "col": "bucket"},
+        {"check": "unique", "col": "uid"},
+    ]).collect()}
+    ua = out[("unique_approx", "uid")]
+    assert ua.n_violations <= 0.10 * n and ua["pass"]
+    dup = out[("unique_approx", "bucket")]
+    assert not dup["pass"]
+    assert abs(dup.n_violations - (n - 7)) <= 0.10 * n
+    assert out[("unique", "uid")].n_violations == 0
