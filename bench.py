@@ -305,7 +305,16 @@ def main() -> None:
     all_iters: dict[str, list] = {}
     rowcounts: dict[str, int] = {}
     failed: set = set()
+    pass_load_avg: list[list[float]] = []   # host load at each pass start
+
+    def _load() -> list[float]:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            return []
+
     for _pass in range(iters):
+        pass_load_avg.append(_load())
         for name in names:
             if name in failed:
                 continue
@@ -346,6 +355,12 @@ def main() -> None:
     if windowed:
         print(f"# steal-window suspects (iter spread >3x): {windowed}",
               file=sys.stderr)
+    # VERDICT r11 next #1: the suspects list and the contention verdict
+    # go INTO the JSON record (previously stderr-only, so a polluted
+    # record wasn't machine-readably self-describing). `contended` keys
+    # off the suspects alone — absolute load_avg includes this bench's
+    # own local[32] work, so it is recorded for forensics, not judged.
+    contended = bool(windowed)
 
     # index build phases, timed separately (VERDICT r2 #8): the serve-path
     # entries above ride session-memoized persisted indexes, so the build
@@ -496,13 +511,19 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # machine-readable contention record (VERDICT r11 next #1):
+        # entries whose WARM iteration spread exceeded 3x, and the
+        # one-bit verdict — a polluted sweep is self-describing
+        "contended": contended,
+        "suspects": windowed[:12],
     }
     if serve_per_q_ms is not None:
         headline["hybrid_serve_per_query_ms"] = serve_per_q_ms
         headline["hybrid_serve_per_query_ms_min"] = serve_per_q_ms_min
         headline["hybrid_serve_n_queries"] = n_serve_q
-    full = {**headline, "iters": all_iters, "builds": build_timings,
-            "serve_iters": serve_iters, "load_avg": load_avg}
+    full = {**headline, "suspects": windowed, "iters": all_iters,
+            "builds": build_timings, "serve_iters": serve_iters,
+            "load_avg": load_avg, "pass_load_avg": pass_load_avg}
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")
     with open(full_path, "w") as fh:

@@ -267,6 +267,15 @@ def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
     q_norm[q_norm == 0] = 1.0
     qn = q_mat / q_norm[:, None]
 
+    # flattened (qid, cand) exclusion pairs for the vectorized scatter
+    # below (dict-of-arrays → two parallel arrays, built once per call)
+    if exclude:
+        ex_q = np.concatenate([np.full(c.size, q, dtype=np.int64)
+                               for q, c in exclude.items()])
+        ex_c = np.concatenate([c for c in exclude.values()])
+    else:
+        ex_q = ex_c = None
+
     def local_topk(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -280,21 +289,48 @@ def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
             # same portable rounding as fround(): floor(x·10^d + 0.5)/10^d
             scale = 10.0 ** ROUND_SCORE
             sims = np.floor((c_mat / c_norm[:, None]) @ qn.T * scale + 0.5) / scale  # (B, Q)
+            # Vectorized masking (r12 kernel rewrite — the previous shape
+            # lexsorted the FULL masked column once PER QUERY, |Q|·O(B log B)
+            # python-loop work that dominated the fold-in serve): excluded
+            # cells drop to -inf so one argpartition over the whole (B, Q)
+            # matrix replaces the per-query full sorts. Output identical —
+            # the exact (-score, cand) order is restored per query on the
+            # tiny boundary-exact candidate set below.
+            sims[c_ids[:, None] == q_ids[None, :]] = -np.inf  # B4 self
+            if ex_q is not None and ex_q.size:
+                # scatter (qid, cand) pairs into (row, col) cells via two
+                # searchsorted id→position maps — no per-query isin scans
+                c_ord = np.argsort(c_ids)
+                c_srt = c_ids[c_ord]
+                cpos = np.searchsorted(c_srt, ex_c)
+                cok = (cpos < c_srt.size) & (c_srt[np.minimum(
+                    cpos, c_srt.size - 1)] == ex_c)
+                q_ord = np.argsort(q_ids)
+                q_srt = q_ids[q_ord]
+                qpos = np.searchsorted(q_srt, ex_q)
+                qok = (qpos < q_srt.size) & (q_srt[np.minimum(
+                    qpos, q_srt.size - 1)] == ex_q)
+                hit = cok & qok
+                sims[c_ord[cpos[hit]], q_ord[qpos[hit]]] = -np.inf
+            B = sims.shape[0]
+            take = min(k, B)
+            # one C-side partition for ALL queries; per query only the
+            # boundary-exact candidate set (rows with score ≥ the take-th
+            # best — includes every tie at the boundary, so the final
+            # (-score, cand) lexsort over it is EXACTLY the old order)
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]
             out_q, out_c, out_s = [], [], []
             for j, qid in enumerate(q_ids):
                 col = sims[:, j]
-                mask = c_ids != qid  # B4 self-exclusion
-                if exclude is not None:
-                    excl = exclude.get(int(qid))
-                    if excl is not None and excl.size:
-                        mask &= ~np.isin(c_ids, excl)
-                idx = np.nonzero(mask)[0]
-                if idx.size == 0:
-                    continue
-                take = min(k, idx.size)
-                # top-k by (-score, cand) for deterministic ties
-                order = np.lexsort((c_ids[idx], -col[idx]))[:take]
-                sel = idx[order]
+                boundary = col[part[:, j]].min()
+                if boundary == -np.inf:      # < take finite candidates
+                    cset = np.nonzero(col > -np.inf)[0]
+                    if cset.size == 0:
+                        continue
+                else:
+                    cset = np.nonzero(col >= boundary)[0]
+                order = np.lexsort((c_ids[cset], -col[cset]))[:take]
+                sel = cset[order]
                 out_q.extend([qid] * sel.size)
                 out_c.extend(c_ids[sel].tolist())
                 out_s.extend(col[sel].tolist())
