@@ -15,7 +15,7 @@ Construction (all relational, seeded, no driver data):
   exactly linearly — sublinear-ish wall growth then isolates the
   engine, not the output.
 
-Usage: python scripts/r12_decades.py
+Usage: python scripts/r12_decades.py [k ...]   (default: 1 10)
 """
 import os
 import sys
@@ -58,7 +58,8 @@ def main():
         return (salted.select("doc_id", "text").unionByName(dups)
                 .localCheckpoint(eager=True))
 
-    for k in (1, 10):
+    ks = tuple(int(a) for a in sys.argv[1:]) or (1, 10)
+    for k in ks:
         corpus = build(k)
         nd = corpus.count()
         for tag in ("cold", "warm"):
