@@ -2285,6 +2285,20 @@ def q_equidepth_histogram(spark, sf_dir):
                                          n_bins=16, id_col="o_orderkey")
 
 
+def q_equidepth_sketched(spark, sf_dir):
+    """The equi-depth sketch tier (r12 — the exact tier's stated 100 TB
+    swap-in): bin edges from a bottom-k seeded sample's nearest-rank
+    quantiles (TakeOrdered, no global sort), rows assigned map-side
+    against the broadcast edge array; populations DKW-bounded in pytest
+    and the whole answer a pure function of the data, so it hash-matches
+    (operators/profiling.py::equidepth_histogram_sketched)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.equidepth_histogram_sketched(
+        orders, "o_totalprice", "o_orderkey", n_bins=10, k=1024)
+
+
 def q_dq_checks(spark, sf_dir):
     """Declarative one-scan data-quality gate over orders — the
     Deequ/dbt-test shape: not-null, uniqueness, range, allow-list and
@@ -4501,6 +4515,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": q_weighted_median,         # exact integer-weight
                                                       # lower median
         "equidepth_histogram": q_equidepth_histogram,  # ntile equal-depth
+        # r12: the exact tier's stated sketch swap-in, now real
+        "equidepth_sketched": q_equidepth_sketched,   # sample-edge depth
         "frequent_triples": q_frequent_triples,       # Apriori level 3
         "streaming_cdc": q_streaming_cdc,             # foreachBatch CDC fold
         "theil_sen": q_theil_sen,                     # robust pairwise-median
@@ -6772,6 +6788,35 @@ SELECT grp, min(v) AS wmedian, max(total_w) AS total_w
 FROM ranked
 WHERE 2 * cumw >= total_w AND total_w > 0
 GROUP BY grp
+""",
+
+        # r12 sketch tier: bottom-k sample edges + map-side assignment;
+        # the p literals are the same python floats Spark embeds
+        "equidepth_sketched": f"""
+WITH s AS (
+  SELECT v FROM (
+    SELECT o_totalprice AS v,
+           md5('42:' || CAST(o_orderkey AS VARCHAR)) AS u
+    FROM orders WHERE o_totalprice IS NOT NULL
+  ) ORDER BY u, v LIMIT 1024
+),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             count(*) OVER () AS m
+      FROM s),
+e AS (
+  SELECT list(v ORDER BY v) AS edges
+  FROM r, (SELECT unnest([{', '.join(repr(i / 10) for i in range(1, 10))}])
+           AS p)
+  WHERE rn = CAST(ceil(p * m - 1e-9) AS BIGINT)
+),
+b AS (
+  SELECT 1 + len(list_filter(e.edges, x -> o.o_totalprice > x)) AS bin,
+         o.o_totalprice AS v
+  FROM orders o CROSS JOIN e WHERE o.o_totalprice IS NOT NULL
+)
+SELECT CAST(bin AS INT) AS bin, min(v) AS lo, max(v) AS hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b GROUP BY bin
 """,
 
         "equidepth_histogram": """

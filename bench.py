@@ -247,6 +247,8 @@ HEADLINE = [
     "theil_sen_sampled",
     # r12 (VERDICT r11 next #7): HLL approximate-unique DQ tier
     "dq_checks_approx",
+    # r12: equi-depth sketch tier (sample edges, no global sort)
+    "equidepth_sketched",
 ]
 
 

@@ -75,6 +75,29 @@ def _frontier_rounds(state: DataFrame, step, n_rounds: int,
     return state
 
 
+def _peel_to_fixpoint(state: DataFrame, peel, max_rounds: int) -> DataFrame:
+    """Shared fixpoint-peel driver for :func:`k_core` and :func:`k_truss`
+    (the count-based sibling of :func:`_frontier_rounds`): per round,
+    ``peel(state)`` returns the surviving subset — eagerly checkpointed
+    (it feeds the next round's multiple plan branches) — and the loop
+    stops when the per-round count action (one scalar of bounded driver
+    state) shows nothing dropped. Both peels drop all below-threshold
+    members SIMULTANEOUSLY, so the fixpoint is unique and
+    order/partitioning-independent, and both are IDEMPOTENT past the
+    fixpoint — which is exactly what lets a FIXED ``max_rounds`` unroll
+    in plain SQL be the exact oracle (``_k_core_sql``/``_k_truss_sql``)
+    despite the data-dependent live round count."""
+    n_prev = state.count()
+    for _ in range(max_rounds):
+        nxt = peel(state).localCheckpoint(eager=True)
+        n = nxt.count()
+        state = nxt
+        if n == n_prev:
+            break
+        n_prev = n
+    return state
+
+
 def pagerank(edges: DataFrame, n_iters: int = 3, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              weight_col: str = "weight",
@@ -383,17 +406,12 @@ def k_truss(edges: DataFrame, k: int = 4, max_rounds: int = 5,
                    F.greatest("a", "b").alias("v"))
            .distinct()
            .localCheckpoint(eager=True))
-    n_prev = und.count()  # one scalar per round — bounded driver state
-    for _ in range(max_rounds):
-        und2 = (_support(und)
-                .filter(F.col("support") >= k - 2)
-                .select("u", "v")
-                .localCheckpoint(eager=True))
-        n = und2.count()
-        und = und2
-        if n == n_prev:
-            break
-        n_prev = n
+    und = _peel_to_fixpoint(
+        und,
+        lambda cur: (_support(cur)
+                     .filter(F.col("support") >= k - 2)
+                     .select("u", "v")),
+        max_rounds)
     return _support(und)
 
 
@@ -561,19 +579,15 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 20,
                    .filter(F.col("a") != F.col("b")))
                .distinct()
                .localCheckpoint(eager=True))
-    n_prev = und.count()  # one scalar per round — bounded driver state
-    for _ in range(max_rounds):
-        keep = (und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+
+    def peel(cur: DataFrame) -> DataFrame:
+        keep = (cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
                 .filter(F.col("deg") >= k)
                 .select("a"))
-        und2 = (und.join(keep, "a", "left_semi")
-                .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-                .localCheckpoint(eager=True))
-        n = und2.count()
-        und = und2
-        if n == n_prev:
-            break
-        n_prev = n
+        return (cur.join(keep, "a", "left_semi")
+                .join(keep.select(F.col("a").alias("b")), "b", "left_semi"))
+
+    und = _peel_to_fixpoint(und, peel, max_rounds)
     return (und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
             .select(F.col("a").alias("node"), "degree"))
 

@@ -589,9 +589,10 @@ def equidepth_histogram(df: DataFrame, value_col: str, n_bins: int = 10,
 
     Scale shape: one global sort (the price of exact equi-depth — the
     single-exchange ntile window) + a partial-agg rollup to n_bins
-    rows. At 100 TB use the sketch tier (``sampled_quantiles`` edges)
-    for approximate depth; this exact form is for bounded profiling
-    slices — stated, like grouped_quantiles' per-group sort.
+    rows. At 100 TB use :func:`equidepth_histogram_sketched` (bottom-k
+    sample edges + map-side assignment, zero corpus-sized sorts, DKW
+    population bound test-asserted); this exact form is for bounded
+    profiling slices — stated, like grouped_quantiles' per-group sort.
 
     Returns (bin 1..n_bins, lo, hi, n_rows).
     """
@@ -605,6 +606,59 @@ def equidepth_histogram(df: DataFrame, value_col: str, n_bins: int = 10,
                  F.count(F.lit(1)).alias("n_rows"))
             .select(F.col("bin").cast("int").alias("bin"),
                     "lo", "hi", "n_rows"))
+
+
+def equidepth_histogram_sketched(df: DataFrame, value_col: str,
+                                 id_col: str, n_bins: int = 10,
+                                 k: int = 4096, seed: int = 42) -> DataFrame:
+    """The 100 TB tier of :func:`equidepth_histogram` (its docstring's
+    named sketch swap-in, now real — the ``ks_drift_sketched`` recipe):
+    bin EDGES come from the nearest-rank quantiles of a bottom-k seeded
+    row sample (TakeOrderedAndProject — per-partition partial top-k, NO
+    global sort, which is the exact tier's stated price), and every row
+    is then assigned map-side against the broadcast edge array — one
+    corpus scan, zero corpus-sized sorts.
+
+    Convention: bin(v) = 1 + |edges e with v > e| over the ascending
+    (n_bins − 1)-edge array — values equal to an edge fall in the LOWER
+    bin (a clean total rule; the exact tier's ntile splits ties by row
+    order instead, which no sample can reproduce and which this tier
+    does not promise). Bin populations deviate from n/n_bins by the
+    sample's DKW rank error O(n·√(ln(1/δ)/k)) — test-bounded; heavy
+    value ties can legitimately empty a bin (duplicate edges), stated.
+    The whole answer is a pure function of the data (seeded md5 sample,
+    nearest-rank edges), so it hash-matches the SQL oracle.
+
+    Returns (bin 1..n_bins, lo, hi, n_rows) — lo/hi the bin's actual
+    value span, empty bins absent (same emission rule as the exact
+    tier's groupBy).
+    """
+    from ..functions.hashing import seeded_key
+
+    base = (df.select(F.col(value_col).alias("v"),
+                      F.col(id_col).alias("__id"))
+            .filter(F.col("v").isNotNull()))
+    sample = (base.select("v", seeded_key(F.col("__id"), seed).alias("__u"))
+              .orderBy("__u", "v").limit(k).select("v"))
+    # nearest-rank edges at p = i/n_bins over the ≤ k-row sample; the
+    # single-partition window is bounded at k rows by construction
+    ranked = (sample
+              .withColumn("rn", F.row_number().over(Window.orderBy("v")))
+              .withColumn("m", F.count(F.lit(1)).over(
+                  Window.partitionBy(F.lit(1)))))
+    ps = [float(i) / n_bins for i in range(1, n_bins)]
+    pexp = F.explode(F.array(*[F.lit(p) for p in ps])).alias("p")
+    edges = (ranked.select("v", "rn", "m", pexp)
+             # the grouped_quantiles 1e-9 rank-product epsilon
+             .filter(F.col("rn") == F.ceil(F.col("p") * F.col("m") - 1e-9))
+             .agg(F.sort_array(F.collect_list("v")).alias("edges")))
+    binned = (base.crossJoin(F.broadcast(edges))
+              .select((F.lit(1) + F.size(F.filter(
+                  F.col("edges"), lambda e: F.col("v") > e)))
+                  .cast("int").alias("bin"), "v"))
+    return (binned.groupBy("bin")
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                 F.count(F.lit(1)).alias("n_rows")))
 
 
 def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
@@ -726,7 +780,8 @@ def ks_drift_sketched(ref: DataFrame, cur: DataFrame, value_col: str,
 
 
 def spearman_corr(df: DataFrame, x_col: str, y_col: str,
-                  group_col: str | None = None) -> DataFrame:
+                  group_col: str | None = None,
+                  decimal_moments: bool = False) -> DataFrame:
     """Per-group Spearman rank correlation with exact tie correction —
     the monotone-association monitor (does quality drift with time?
     does price track volume?) that Pearson gets wrong under outliers
@@ -740,10 +795,14 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     order anywhere. The final ρ is a fixed sequence of scalar IEEE ops
     on those exact integers (identical in both engines), fround'ed.
 
-    Bounds (stated): Σu² ≤ 4n³ must fit int64 → n ≤ ~1.3 M rows per
-    group; beyond that ANSI mode fails LOUDLY rather than silently
-    wrapping — pre-aggregate or sample first (rank correlation on a
-    uniform sample is consistent), or swap the sums to DECIMAL(38,0).
+    Bounds: Σu² ≤ 4n³ must fit int64 → n ≤ ~1.3 M rows per group;
+    beyond that ANSI mode fails LOUDLY rather than silently wrapping.
+    ``decimal_moments=True`` is that bound's swap-in, now real (r12):
+    the five moments accumulate as DECIMAL(38,0) — still EXACT integer
+    sums (4n³ fits 38 digits to n ≈ 10^11 rows per group), identical
+    results on in-bound data (test-pinned), with the one extra cost of
+    decimal aggregation bandwidth; the final ρ tail casts the exact
+    moments to double either way (correctly rounded in both engines).
 
     Scale shape: two rank windows (one sort per axis, both keyed on the
     group) + one partial-agg moment aggregate. Groups with zero rank
@@ -760,18 +819,26 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     wy = Window.partitionBy(*gcol).orderBy("y")
     cx = Window.partitionBy(*gcol, "x")
     cy = Window.partitionBy(*gcol, "y")
+    # decimal(19,0) ranks make the squared products decimal(38,0)
+    # EXACTLY (19+19) — no precision-cap rounding anywhere in the sums
+    mtype = "decimal(19,0)" if decimal_moments else "long"
     ranked = base.select(
         *gcol,
         (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1)
-        .cast("long").alias("u"),
+        .cast(mtype).alias("u"),
         (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1)
-        .cast("long").alias("v"))
+        .cast(mtype).alias("v"))
     mom = ranked.groupBy(*gcol).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("u").alias("su"), F.sum("v").alias("sv"),
         F.sum(F.col("u") * F.col("v")).alias("suv"),
         F.sum(F.col("u") * F.col("u")).alias("su2"),
         F.sum(F.col("v") * F.col("v")).alias("sv2"))
+    if decimal_moments:   # the ρ tail runs on doubles either way
+        mom = mom.select(
+            *gcol, "n",
+            *[F.col(c).cast("double").alias(c)
+              for c in ("su", "sv", "suv", "su2", "sv2")])
     n = F.col("n").cast("double")
     num = n * F.col("suv") - F.col("su").cast("double") * F.col("sv")
     dx = n * F.col("su2") - F.col("su").cast("double") * F.col("su")

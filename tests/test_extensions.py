@@ -4316,3 +4316,53 @@ def test_dq_unique_approx_error_bound_and_planted_dupes(spark):
     assert not dup["pass"]
     assert abs(dup.n_violations - (n - 7)) <= 0.10 * n
     assert out[("unique", "uid")].n_violations == 0
+
+
+def test_equidepth_sketched_dkw_bound_and_full_sample_tightness(spark):
+    """The equi-depth sketch tier: (a) with k >= n the edges are the
+    exact nearest-rank quantiles, so on distinct values every bin
+    population is within 1 of n/n_bins; (b) at k = 256 the populations
+    stay within the sample's DKW band (3n/sqrt(k) is generous)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        equidepth_histogram_sketched,
+    )
+
+    n, bins = 4000, 10
+    df = spark.range(n).selectExpr(
+        "id AS rid", "CAST((id * 2654435761) % 1000003 AS DOUBLE) AS v")
+    full = equidepth_histogram_sketched(df, "v", "rid", n_bins=bins,
+                                        k=2 * n).collect()
+    assert len(full) == bins
+    assert all(abs(r.n_rows - n / bins) <= 1 for r in full)
+    # bins tile the value range in order without overlap
+    spans = sorted((r.bin, r.lo, r.hi) for r in full)
+    assert all(a[2] <= b[1] for a, b in zip(spans, spans[1:]))
+
+    sk = equidepth_histogram_sketched(df, "v", "rid", n_bins=bins,
+                                      k=256).collect()
+    assert sum(r.n_rows for r in sk) == n            # every row binned
+    band = 3 * n / (256 ** 0.5)
+    assert all(abs(r.n_rows - n / bins) <= band for r in sk)
+
+
+def test_spearman_decimal_moments_equal_long_path(spark):
+    """decimal_moments=True (the stated int64-overflow swap-in, now
+    real) is value-identical to the long path on in-bound data — the
+    moments are exact integers either way; only the accumulator type
+    widens."""
+    import random
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        spearman_corr,
+    )
+
+    rng = random.Random(3)
+    rows = [(i % 4, rng.randint(0, 50), rng.randint(0, 50))
+            for i in range(800)]
+    df = spark.createDataFrame(rows, "g int, x long, y long")
+    a = {r.g: (r.rho, r.n) for r in
+         spearman_corr(df, "x", "y", group_col="g").collect()}
+    b = {r.g: (r.rho, r.n) for r in
+         spearman_corr(df, "x", "y", group_col="g",
+                       decimal_moments=True).collect()}
+    assert a == b
