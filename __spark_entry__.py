@@ -2204,6 +2204,21 @@ def q_ks_drift_sketched(spark, sf_dir):
         "o_totalprice", "o_orderkey", k=512)
 
 
+def q_drift_report(spark, sf_dir):
+    """Multi-column per-ingest drift report: one bottom-k-sketched KS
+    statistic per numeric column between the F and O order populations,
+    unioned into the monitoring table — every per-column plan bounded at
+    2k rows after its TakeOrdered samples
+    (operators/profiling.py::drift_report)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.drift_report(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") == "O"),
+        ["o_totalprice", "o_custkey"], "o_orderkey", k=512)
+
+
 def q_streaming_cdc(spark, sf_dir):
     """Streaming CDC apply: the SAME deterministic change batch as
     cdc_apply (plus the base as ts=0 upserts) drained through a real
@@ -4524,6 +4539,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,                       # exact 2-sample KS D
         # r12 (VERDICT r11 next #2/#3): the stated 100 TB tiers, now real
         "ks_drift_sketched": q_ks_drift_sketched,     # bottom-k DKW-bounded KS
+        "drift_report": q_drift_report,               # per-column KS monitor
         "kendall_sampled": q_kendall_sampled,         # √max_pairs row-bounded
         "theil_sen_sampled": q_theil_sen_sampled,     # tau / trend tiers
         "spearman": q_spearman,                       # tie-corrected rank
@@ -6754,6 +6770,59 @@ mx AS (SELECT max(gap) AS d_stat FROM g)
 SELECT mx.d_stat, min(g.v) AS at_value, g.n_ref, g.n_cur
 FROM mx JOIN g ON g.gap = mx.d_stat
 GROUP BY mx.d_stat, g.n_ref, g.n_cur
+""",
+
+        # r12: the per-column monitoring table — two ks_drift_sketched
+        # chains (o_totalprice, o_custkey) labeled and unioned
+        "drift_report": """
+WITH
+sref1 AS (SELECT v FROM (SELECT o_totalprice AS v,
+          md5('42:' || CAST(o_orderkey AS VARCHAR)) AS u
+          FROM orders WHERE o_orderstatus = 'F') ORDER BY u, v LIMIT 512),
+scur1 AS (SELECT v FROM (SELECT o_totalprice AS v,
+          md5('42:' || CAST(o_orderkey AS VARCHAR)) AS u
+          FROM orders WHERE o_orderstatus = 'O') ORDER BY u, v LIMIT 512),
+p1 AS (SELECT v, sum(r) AS nr, sum(c) AS nc FROM (
+        SELECT v, 1 AS r, 0 AS c FROM sref1
+        UNION ALL SELECT v, 0, 1 FROM scur1)
+       WHERE v IS NOT NULL GROUP BY v),
+t1 AS (SELECT sum(nr) AS n_ref, sum(nc) AS n_cur FROM p1),
+g1 AS (SELECT v, n_ref, n_cur,
+         floor(abs(CAST(sum(nr) OVER w AS DOUBLE) / n_ref
+                   - CAST(sum(nc) OVER w AS DOUBLE) / n_cur)
+               * 1000000 + 0.5) / 1000000 AS gap
+       FROM p1, t1
+       WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)),
+m1 AS (SELECT max(gap) AS d_stat FROM g1),
+r1 AS (SELECT 'o_totalprice' AS col, m1.d_stat,
+              CAST(min(g1.v) AS DOUBLE) AS at_value, g1.n_ref, g1.n_cur
+       FROM m1 JOIN g1 ON g1.gap = m1.d_stat
+       GROUP BY m1.d_stat, g1.n_ref, g1.n_cur),
+sref2 AS (SELECT v FROM (SELECT o_custkey AS v,
+          md5('42:' || CAST(o_orderkey AS VARCHAR)) AS u
+          FROM orders WHERE o_orderstatus = 'F') ORDER BY u, v LIMIT 512),
+scur2 AS (SELECT v FROM (SELECT o_custkey AS v,
+          md5('42:' || CAST(o_orderkey AS VARCHAR)) AS u
+          FROM orders WHERE o_orderstatus = 'O') ORDER BY u, v LIMIT 512),
+p2 AS (SELECT v, sum(r) AS nr, sum(c) AS nc FROM (
+        SELECT v, 1 AS r, 0 AS c FROM sref2
+        UNION ALL SELECT v, 0, 1 FROM scur2)
+       WHERE v IS NOT NULL GROUP BY v),
+t2 AS (SELECT sum(nr) AS n_ref, sum(nc) AS n_cur FROM p2),
+g2 AS (SELECT v, n_ref, n_cur,
+         floor(abs(CAST(sum(nr) OVER w AS DOUBLE) / n_ref
+                   - CAST(sum(nc) OVER w AS DOUBLE) / n_cur)
+               * 1000000 + 0.5) / 1000000 AS gap
+       FROM p2, t2
+       WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)),
+m2 AS (SELECT max(gap) AS d_stat FROM g2),
+r2 AS (SELECT 'o_custkey' AS col, m2.d_stat,
+              CAST(min(g2.v) AS DOUBLE) AS at_value, g2.n_ref, g2.n_cur
+       FROM m2 JOIN g2 ON g2.gap = m2.d_stat
+       GROUP BY m2.d_stat, g2.n_ref, g2.n_cur)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
 """,
 
         "frequent_triples": """

@@ -249,6 +249,8 @@ HEADLINE = [
     "dq_checks_approx",
     # r12: equi-depth sketch tier (sample edges, no global sort)
     "equidepth_sketched",
+    # r12: per-column KS monitoring table
+    "drift_report",
 ]
 
 

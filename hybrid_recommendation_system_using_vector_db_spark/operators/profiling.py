@@ -779,6 +779,28 @@ def ks_drift_sketched(ref: DataFrame, cur: DataFrame, value_col: str,
                     group_col=group_col)
 
 
+def drift_report(ref: DataFrame, cur: DataFrame, cols: list,
+                 id_col: str, k: int = 1024, seed: int = 42) -> DataFrame:
+    """Multi-column drift report — the monitoring table a 100 TB ingest
+    publishes per batch: one bottom-k-sketched KS statistic per numeric
+    column (:func:`ks_drift_sketched` — every per-column plan is
+    bounded at 2k rows after its TakeOrdered samples, so the report
+    costs |cols| sample selections regardless of corpus size), unioned
+    into one (col, d_stat, at_value, n_ref, n_cur) table. ``at_value``
+    is cast to double (the columns are numeric by the KS contract), so
+    heterogeneous column types union cleanly. Deterministic end to end
+    (seeded samples), hence fully SQL-oracle hash-checkable.
+    """
+    out = None
+    for c in cols:
+        row = (ks_drift_sketched(ref, cur, c, id_col, k, seed)
+               .select(F.lit(c).alias("col"), "d_stat",
+                       F.col("at_value").cast("double").alias("at_value"),
+                       "n_ref", "n_cur"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def spearman_corr(df: DataFrame, x_col: str, y_col: str,
                   group_col: str | None = None,
                   decimal_moments: bool = False) -> DataFrame:

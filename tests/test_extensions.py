@@ -4366,3 +4366,26 @@ def test_spearman_decimal_moments_equal_long_path(spark):
          spearman_corr(df, "x", "y", group_col="g",
                        decimal_moments=True).collect()}
     assert a == b
+
+
+def test_drift_report_flags_planted_column_only(spark):
+    """drift_report: the shifted column shows a large D, the identical
+    column a small one — the per-column monitoring verdict is usable as
+    a gate, and the report covers exactly the requested columns."""
+    import random
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        drift_report,
+    )
+
+    rng = random.Random(5)
+    ref = spark.createDataFrame(
+        [(i, round(rng.gauss(0, 1), 3), round(rng.gauss(0, 1), 3))
+         for i in range(2000)], "rid long, a double, b double")
+    cur = spark.createDataFrame(
+        [(i, round(rng.gauss(1.5, 1), 3), round(rng.gauss(0, 1), 3))
+         for i in range(2000)], "rid long, a double, b double")
+    rep = {r.col: r.d_stat for r in
+           drift_report(ref, cur, ["a", "b"], "rid", k=512).collect()}
+    assert set(rep) == {"a", "b"}
+    assert rep["a"] > 0.4 and rep["b"] < 0.15
