@@ -3405,6 +3405,18 @@ def q_fuzzy_names(spark, sf_dir):
     return resolve.fuzzy_match_pairs(names, max_dist=2)
 
 
+def q_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution over the part-name catalog (r12):
+    blocked Levenshtein candidates → min-label transitive closure →
+    keep-smallest-id survivorship — one row per entity with its
+    canonical record and cluster size; integer/string-exact throughout,
+    recursive-CTE oracle (operators/resolve.py::entity_resolve)."""
+    parts = load_table(spark, sf_dir, "part")
+    names = (parts.groupBy(F.lower(F.col("p_name")).alias("name"))
+             .agg(F.min("p_partkey").alias("id")))
+    return resolve.entity_resolve(names, max_dist=2)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """CDC-style snapshot diff: two deterministic corpus versions derived
     from the documents table (old drops doc_id % 97 == 0, new drops
@@ -4506,6 +4518,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,                       # heavy-key shuffle profile
         "activity_anomalies": q_activity_anomalies,   # per-user daily burst flags
         "fuzzy_names": q_fuzzy_names,                 # blocked Levenshtein entity match
+        # r12: the full match→closure→survivorship composition
+        "entity_resolution": q_entity_resolution,     # id→canonical map
         "snapshot_diff": q_snapshot_diff,             # CDC added/removed/changed diff
         "bloom_prune": q_bloom_prune,                 # Bloom runtime-filter pre-join prune
         "pmi_collocations": q_pmi_collocations,       # PMI word-association mining
@@ -8183,6 +8197,33 @@ SELECT a.id AS id1, b.id AS id2, a.nm AS name1, b.nm AS name2,
        CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
 FROM k a JOIN k b ON a.blk = b.blk AND a.nm < b.nm
 WHERE levenshtein(a.nm, b.nm) <= 2
+"""
+    # r12 composition: blocked-Levenshtein pairs → recursive-CTE closure
+    # → keep-smallest-id survivorship (the fuzzy_names + rnn_clusters
+    # oracle patterns spliced)
+    sql["entity_resolution"] = """
+WITH RECURSIVE n AS (SELECT lower(p_name) AS name, min(p_partkey) AS id
+                     FROM part GROUP BY 1),
+base AS (SELECT id, lower(trim(name)) AS name FROM n),
+k AS (SELECT id, name AS nm, split_part(name, ' ', -1) AS blk FROM base),
+p AS (SELECT a.id AS id1, b.id AS id2
+      FROM k a JOIN k b ON a.blk = b.blk AND a.nm < b.nm
+      WHERE levenshtein(a.nm, b.nm) <= 2),
+und AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+reach(id, l) AS (
+  SELECT id, id FROM base
+  UNION
+  SELECT u.b, r.l FROM reach r JOIN und u ON u.a = r.id
+),
+cc AS (SELECT id, min(l) AS canonical_id FROM reach GROUP BY id),
+canon AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY 1)
+SELECT base.id, base.name, cc.canonical_id,
+       cn.name AS canonical_name, canon.cluster_size
+FROM base
+JOIN cc USING (id)
+JOIN canon USING (canonical_id)
+JOIN base cn ON cn.id = cc.canonical_id
 """
     # CDC snapshot diff: md5 content digest with \\x1f field separator and
     # \\x1e NULL sentinel (operators/snapshot.py), unchanged rows dropped

@@ -251,6 +251,8 @@ HEADLINE = [
     "equidepth_sketched",
     # r12: per-column KS monitoring table
     "drift_report",
+    # r12: match -> closure -> survivorship composition
+    "entity_resolution",
 ]
 
 

@@ -96,3 +96,51 @@ def fuzzy_match_pairs(names: DataFrame, max_dist: int = 2,
         .filter(F.col("dist") <= max_dist)
         .select("id1", "id2", "name1", "name2", "dist")
     )
+
+
+def entity_resolve(names: DataFrame, max_dist: int = 2,
+                   id_col: str = "id", name_col: str = "name",
+                   block: F.Column | None = None,
+                   max_iter: int = 25) -> DataFrame:
+    """End-to-end entity resolution over a dirty name catalog — the
+    full master-data pipeline composed from tested pieces:
+    :func:`fuzzy_match_pairs` (blocked Levenshtein candidates) →
+    ``dedup.connected_components`` (min-label transitive closure: A~B
+    and B~C merge even when A and C differ by more than ``max_dist``) →
+    survivorship (the cluster's canonical record = its smallest id, the
+    keep-first policy; swap the min for a quality argmax for keep-best,
+    the ``dedup_keep_best`` pattern).
+
+    Returns one row per INPUT entity: (id, name, canonical_id,
+    canonical_name, cluster_size) — singletons resolve to themselves
+    with cluster_size 1, so the output is a total id→canonical map a
+    downstream join can broadcast.
+
+    Scale shape: the pair fanout is the blocking design's Σ|block|²
+    (never a cross join), CC is the O(diameter) min-label propagation
+    over the (sparse) match graph, and the survivor attach is one
+    cluster-keyed partial aggregate + a broadcast-able join back to the
+    entities. Every stage is integer/string-exact, so the recursive-CTE
+    SQL oracle is row-exact.
+    """
+    from .dedup import connected_components
+
+    nm = F.lower(F.trim(F.col(name_col)))
+    base = (names.select(F.col(id_col).alias("id"), nm.alias("name"))
+            .localCheckpoint(eager=True))   # feeds pairs, CC nodes, output
+    pairs = fuzzy_match_pairs(base, max_dist, "id", "name", block)
+    cc = connected_components(pairs.select("id1", "id2"),
+                              base.select("id"), id_col="id",
+                              max_iter=max_iter)
+    canon = (cc.groupBy(F.col("cluster_id").alias("canonical_id"))
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    names_by_id = base.select(F.col("id").alias("canonical_id"),
+                              F.col("name").alias("canonical_name"))
+    return (base
+            .join(cc.select("id",
+                            F.col("cluster_id").alias("canonical_id")),
+                  "id")
+            .join(F.broadcast(canon), "canonical_id")
+            .join(F.broadcast(names_by_id), "canonical_id")
+            .select("id", "name", "canonical_id", "canonical_name",
+                    "cluster_size"))

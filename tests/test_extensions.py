@@ -4389,3 +4389,25 @@ def test_drift_report_flags_planted_column_only(spark):
            drift_report(ref, cur, ["a", "b"], "rid", k=512).collect()}
     assert set(rep) == {"a", "b"}
     assert rep["a"] > 0.4 and rep["b"] < 0.15
+
+
+def test_entity_resolve_transitive_closure_and_singletons(spark):
+    """entity_resolve: A~B and B~C merge into one cluster even when
+    lev(A, C) exceeds max_dist (the closure is the point — pairwise
+    match alone under-merges); unmatched entities resolve to themselves
+    with cluster_size 1, so the output is a TOTAL id→canonical map."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.resolve import (
+        entity_resolve,
+    )
+
+    names = spark.createDataFrame(
+        [(10, "acme corp"), (11, "acmee corp"), (12, "acmeee corp"),
+         (20, "zenith corp"), (30, "lone widget")],
+        "id long, name string")
+    out = {r.id: (r.canonical_id, r.cluster_size) for r in
+           entity_resolve(names, max_dist=1).collect()}
+    # lev(acme, acmeee) = 2 > 1, but the chain through acmee merges them
+    assert out[10] == (10, 3) and out[11] == (10, 3) and out[12] == (10, 3)
+    assert out[20] == (20, 1)       # same block ('corp'), no match
+    assert out[30] == (30, 1)       # own block, singleton
+    assert len(out) == 5            # total map
