@@ -253,6 +253,9 @@ HEADLINE = [
     "drift_report",
     # r12: match -> closure -> survivorship composition
     "entity_resolution",
+    # r12: classifier-eval completions
+    "roc_auc",
+    "calibration_table",
 ]
 
 

@@ -13,7 +13,7 @@ k-threshold explode → mean aggregation. Queries with zero hits still count
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import fround
@@ -242,3 +242,100 @@ def diversity_eval(topk: DataFrame, corpus: DataFrame,
             fround(F.col("n_items").cast("double") / F.col("__n"),
                    ROUND_SCORE).alias("coverage"))
     )
+
+
+def roc_auc(scored: DataFrame, label_col: str, score_col: str,
+            group_col: str | None = None) -> DataFrame:
+    """Exact tie-corrected ROC-AUC via the Mann–Whitney rank-sum
+    identity: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with R⁺ the sum of the
+    positives' AVERAGE ranks under the score order — the threshold-free
+    classifier metric the quality-classifier family reports alongside
+    held-out separability, exact on tied scores (a tie contributes ½,
+    which is precisely what average ranks encode).
+
+    Engine-exact by the ``spearman_corr`` discipline: average ranks are
+    half-integers, so each rank is DOUBLED into an exact integer
+    (2·rank + tie_count − 1) and R⁺ accumulates as an exact BIGINT —
+    no float summation order anywhere; the final AUC is one fixed
+    scalar IEEE sequence on exact operands, fround'ed, so the SQL
+    oracle is bit-equal. Labels must be 0/1 (validated in-plan via the
+    conditional counts: rows with other labels raise the n⁺+n⁻ ≠ n
+    check loudly). Degenerate groups (no positives or no negatives)
+    emit NULL auc — the metric is undefined there, stated.
+
+    Scale shape: ONE rank window keyed on the group + one partial-agg
+    moment aggregate — the same two-exchange profile as spearman; at
+    100 TB the rank sort keys on the group and parallelizes across
+    groups. Returns (group?, auc, n_pos, n_neg).
+    """
+    gcol = [group_col] if group_col else []
+    base = (scored.select(*gcol, F.col(label_col).cast("int").alias("y"),
+                          F.col(score_col).alias("s"))
+            .filter(F.col("s").isNotNull() & F.col("y").isNotNull()))
+    w = Window.partitionBy(*gcol).orderBy("s")
+    ties = Window.partitionBy(*gcol, "s")
+    # doubled average rank: exact integer (the spearman_corr trick)
+    ranked = base.select(
+        *gcol, "y",
+        (2 * F.rank().over(w) + F.count(F.lit(1)).over(ties) - 1)
+        .cast("long").alias("u2"))
+    mom = ranked.groupBy(*gcol).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("n_neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("u2")).otherwise(0))
+        .alias("r2_pos"))
+    checked = mom.withColumn(
+        "__ok", F.coalesce(F.assert_true(
+            F.col("n_pos") + F.col("n_neg") == F.col("n"),
+            F.lit("roc_auc: labels must be 0/1")), F.lit(None)))
+    # AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻); R⁺ = r2_pos / 2 (exact: r2_pos
+    # has the same parity as n⁺ by construction, but the halving happens
+    # in doubles AFTER the exact integer numerator is assembled)
+    num = (F.col("r2_pos").cast("double")
+           - F.col("n_pos").cast("double") * (F.col("n_pos") + 1)) / 2.0
+    auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                 fround(num / (F.col("n_pos").cast("double")
+                               * F.col("n_neg")), ROUND_SCORE))
+    return (checked
+            .select(*gcol, F.when(F.col("__ok").isNull(), auc).alias("auc"),
+                    "n_pos", "n_neg"))
+
+
+def calibration_table(scored: DataFrame, label_col: str, score_col: str,
+                      n_bins: int = 10) -> DataFrame:
+    """Reliability diagram as a table + per-bin Brier decomposition
+    input: scores binned into ``n_bins`` equal-width [0,1) buckets
+    (scores clamped into the edge bins; bin = the caller-fixed-literal
+    convention of ``psi_drift``, so runs are comparable), each bin
+    reporting its count, mean predicted score, and empirical positive
+    rate — the "is 0.8 really 80 %?" check every deployed
+    quality-classifier gate needs next to its AUC.
+
+    Determinism: counts and label sums are exact integers; the mean
+    score is the one float aggregate, made engine-portable by summing
+    1e-6-pre-rounded scores scaled to exact integer micros (the
+    ``ranking_metrics`` integer-sum discipline) before ONE final
+    division. One partial-agg pass over ≤ n_bins groups — flat at any
+    size. Returns (bin, n, mean_score, pos_rate, gap = pos_rate −
+    mean_score), ordered by bin; empty bins absent.
+    """
+    b = F.floor(F.col(score_col).cast("double") * n_bins).cast("int")
+    bin_ = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), b))
+    micros = F.floor(F.col(score_col).cast("double") * 1000000 + 0.5) \
+        .cast("long")
+    agg = (scored
+           .filter(F.col(score_col).isNotNull()
+                   & F.col(label_col).isNotNull())
+           .select(bin_.alias("bin"), micros.alias("sm"),
+                   F.col(label_col).cast("long").alias("y"))
+           .groupBy("bin")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("sm").alias("ssm"), F.sum("y").alias("sy")))
+    mean_score = fround(F.col("ssm").cast("double") / F.col("n") / 1e6,
+                        ROUND_SCORE)
+    pos_rate = fround(F.col("sy").cast("double") / F.col("n"), ROUND_SCORE)
+    return agg.select(
+        "bin", "n", mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        fround(pos_rate - mean_score, ROUND_SCORE).alias("gap"))

@@ -4411,3 +4411,54 @@ def test_entity_resolve_transitive_closure_and_singletons(spark):
     assert out[20] == (20, 1)       # same block ('corp'), no match
     assert out[30] == (30, 1)       # own block, singleton
     assert len(out) == 5            # total map
+
+
+def test_roc_auc_hand_values_ties_and_contracts(spark):
+    """roc_auc: (a) hand-computed 3/4 on a 4-row fixture; (b) a fully
+    tied score pair contributes exactly 1/2 (the average-rank tie
+    correction); (c) a group with no negatives emits NULL auc; (d) a
+    non-0/1 label fails loudly in-plan."""
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.evaluate import (
+        roc_auc,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.9), ("a", 0, 0.8), ("a", 1, 0.7), ("a", 0, 0.6),
+         ("t", 1, 0.5), ("t", 0, 0.5),
+         ("d", 1, 0.3), ("d", 1, 0.2)],
+        "grp string, y int, s double")
+    out = {r.grp: (r.auc, r.n_pos, r.n_neg) for r in
+           roc_auc(df, "y", "s", group_col="grp").collect()}
+    assert out["a"] == (0.75, 2, 2)
+    assert out["t"] == (0.5, 1, 1)
+    assert out["d"] == (None, 2, 0)
+
+    bad = spark.createDataFrame([(2, 0.5), (0, 0.4)], "y int, s double")
+    with pytest.raises(Exception, match="labels must be 0/1"):
+        roc_auc(bad, "y", "s").collect()
+
+
+def test_calibration_table_perfectly_calibrated_scores(spark):
+    """calibration_table: scores that ARE the positive rate show ~zero
+    gap per bin; a systematically overconfident score shows the
+    negative gap. Counts and bin edges are exact."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.evaluate import (
+        calibration_table,
+    )
+
+    rows = []
+    for bin10 in range(10):
+        p = bin10 / 10 + 0.05              # bin midpoint
+        for i in range(100):               # pos_rate == p exactly
+            rows.append((p, 1 if i < round(p * 100) else 0))
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = {r.bin: r for r in calibration_table(df, "y", "p").collect()}
+    assert set(out) == set(range(10))
+    assert all(out[b].n == 100 for b in out)
+    assert all(abs(out[b].gap) < 1e-6 for b in out)
+
+    over = df.selectExpr("least(1.0, p + 0.3) AS p", "y")
+    out2 = calibration_table(over, "y", "p").collect()
+    assert sum(r.gap for r in out2) < -1.5   # overconfidence shows up
