@@ -2221,6 +2221,24 @@ def q_roc_auc(spark, sf_dir):
     return evaluate.roc_auc(scored, "y", "s", group_col="grp")
 
 
+def q_average_precision(spark, sf_dir):
+    """Average precision (PR-curve area, step convention) per line
+    status — the class-imbalance complement of roc_auc: ties pinned by
+    the line's composite key, every precision contribution an exact
+    integer-micros division (cum⁺·10⁶ div k), so the cross-row sum has
+    no float-order hazard (operators/evaluate.py::average_precision)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import evaluate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_linestatus").alias("grp"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        F.col("l_extendedprice").alias("s"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"))
+    return evaluate.average_precision(scored, "y", "s", "rid",
+                                      group_col="grp")
+
+
 def q_calibration_table(spark, sf_dir):
     """Reliability diagram over a deterministic score (clamped price
     share) against the F-status label: per-bin count, mean predicted
@@ -4589,6 +4607,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_report": q_drift_report,               # per-column KS monitor
         # r12: classifier-eval completions
         "roc_auc": q_roc_auc,                         # exact rank-sum AUC
+        "average_precision": q_average_precision,     # exact PR-curve area
         "calibration_table": q_calibration_table,     # reliability diagram
         "kendall_sampled": q_kendall_sampled,         # √max_pairs row-bounded
         "theil_sen_sampled": q_theil_sen_sampled,     # tau / trend tiers
@@ -6852,6 +6871,40 @@ SELECT grp,
                     * 1000000 + 0.5) / 1000000
        END AS auc,
        CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg
+FROM m
+""",
+
+        # r12: step-convention AP — ties pinned by the composite line
+        # key, contributions as exact integer division (// in DuckDB,
+        # div in Spark), one BIGINT sum
+        "average_precision": """
+WITH b AS (
+  SELECT l_linestatus AS grp,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         l_extendedprice AS s,
+         l_orderkey * 10 + l_linenumber AS tie
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+rk AS (
+  SELECT grp, y,
+         sum(y) OVER w AS cum_pos,
+         count(*) OVER w AS k
+  FROM b
+  WINDOW w AS (PARTITION BY grp ORDER BY s DESC, tie ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT grp,
+         sum(CASE WHEN y = 1 THEN (cum_pos * 1000000) // k END) AS sm,
+         sum(y) AS n_pos, count(*) AS n
+  FROM rk GROUP BY grp
+)
+SELECT grp,
+       CASE WHEN n_pos > 0
+         THEN floor(CAST(sm AS DOUBLE) / (1000000.0 * n_pos)
+                    * 1000000 + 0.5) / 1000000
+       END AS ap,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n
 FROM m
 """,
 

@@ -255,6 +255,7 @@ HEADLINE = [
     "entity_resolution",
     # r12: classifier-eval completions
     "roc_auc",
+    "average_precision",
     "calibration_table",
 ]
 

@@ -339,3 +339,54 @@ def calibration_table(scored: DataFrame, label_col: str, score_col: str,
         "bin", "n", mean_score.alias("mean_score"),
         pos_rate.alias("pos_rate"),
         fround(pos_rate - mean_score, ROUND_SCORE).alias("gap"))
+
+
+def average_precision(scored: DataFrame, label_col: str, score_col: str,
+                      id_col: str, group_col: str | None = None) -> DataFrame:
+    """Average precision (the area under the precision-recall curve by
+    the step convention): AP = (1/n⁺) Σ over positive ranks k of P(k),
+    P(k) = positives-in-top-k / k — the metric that stays informative
+    under the class imbalance that flattens ROC-AUC (a quality gate
+    passing 1 % of documents lives exactly there).
+
+    Determinism discipline: AP needs a TOTAL ranking order, so ties on
+    the score break by ``id_col`` (caller's key — the equidepth
+    convention; an un-pinned tie order would change AP run to run).
+    Each precision contribution is discretized to exact integer micros
+    (⌊10⁶·cum⁺/k⌋ — integer division of exact integers, identical in
+    both engines), so the cross-row SUM is an exact BIGINT with no
+    float-summation-order hazard (the ``ranking_metrics``
+    integer-literal discipline, applied to data-dependent terms); the
+    single final division is fround'ed. The 1e-6 discretization is the
+    metric's stated resolution. Groups with no positives emit NULL.
+
+    Scale shape: one group-keyed rank window (cum⁺ and k share the
+    sort) + one partial-agg sum — the roc_auc profile.
+    Returns (group?, ap, n_pos, n).
+    """
+    gcol = [group_col] if group_col else []
+    base = (scored.select(*gcol, F.col(label_col).cast("int").alias("y"),
+                          F.col(score_col).alias("s"),
+                          F.col(id_col).alias("tie"))
+            .filter(F.col("s").isNotNull() & F.col("y").isNotNull()))
+    w = (Window.partitionBy(*gcol)
+         .orderBy(F.col("s").desc(), F.col("tie").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = base.select(
+        *gcol, "y",
+        F.sum("y").over(w).alias("cum_pos"),
+        F.count(F.lit(1)).over(w).alias("k"))
+    # exact integer micros: cum⁺·10⁶ div k — SQL integer division of
+    # exact BIGINTs (never a double divide + floor, whose rounding can
+    # cross an integer boundary at large operands) — summed only where
+    # the rank is a positive (the AP step definition)
+    mom = ranked.select(*gcol, "y",
+                        F.expr("cum_pos * 1000000L div k").alias("pm")) \
+        .groupBy(*gcol).agg(
+            F.sum(F.when(F.col("y") == 1, F.col("pm"))).alias("sm"),
+            F.sum("y").alias("n_pos"),
+            F.count(F.lit(1)).alias("n"))
+    ap = F.when(F.col("n_pos") > 0,
+                fround(F.col("sm").cast("double")
+                       / (F.lit(1000000.0) * F.col("n_pos")), ROUND_SCORE))
+    return mom.select(*gcol, ap.alias("ap"), "n_pos", "n")

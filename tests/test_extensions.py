@@ -4462,3 +4462,35 @@ def test_calibration_table_perfectly_calibrated_scores(spark):
     over = df.selectExpr("least(1.0, p + 0.3) AS p", "y")
     out2 = calibration_table(over, "y", "p").collect()
     assert sum(r.gap for r in out2) < -1.5   # overconfidence shows up
+
+
+def test_average_precision_hand_values_and_tie_pinning(spark):
+    """average_precision: (a) hand-computed AP on a 5-row fixture
+    (ranks 1,3,4 positive -> AP = (1/1 + 2/3 + 3/4)/3 = 0.805555 at the
+    1e-6 discretization); (b) a no-positive group emits NULL; (c) score
+    ties break by id — reversing id values changes AP exactly as the
+    pinned order dictates (determinism, not hash luck)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.evaluate import (
+        average_precision,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.9, 1), ("a", 0, 0.8, 2), ("a", 1, 0.7, 3),
+         ("a", 1, 0.6, 4), ("a", 0, 0.5, 5),
+         ("z", 0, 0.9, 6), ("z", 0, 0.1, 7)],
+        "grp string, y int, s double, rid long")
+    out = {r.grp: (r.ap, r.n_pos) for r in
+           average_precision(df, "y", "s", "rid", group_col="grp")
+           .collect()}
+    assert out["a"] == (0.805555, 3)   # floor-discretized thirds
+    assert out["z"] == (None, 0)
+
+    tied = spark.createDataFrame(
+        [(1, 0.5, 1), (0, 0.5, 2)], "y int, s double, rid long")
+    ap_pos_first = average_precision(tied, "y", "s", "rid") \
+        .collect()[0].ap
+    flipped = spark.createDataFrame(
+        [(1, 0.5, 2), (0, 0.5, 1)], "y int, s double, rid long")
+    ap_pos_second = average_precision(flipped, "y", "s", "rid") \
+        .collect()[0].ap
+    assert ap_pos_first == 1.0 and ap_pos_second == 0.5
