@@ -3107,6 +3107,21 @@ def q_pagerank(spark, sf_dir):
     return graph.pagerank(edges, n_iters=3, damping=0.85, symmetric=True)
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Seed-restart PageRank (r12): teleport and dangling mass land on
+    the seed distribution (every 20th part id), so ranks measure
+    importance RELATIVE to the seeds — the "users like you" graph
+    ranker; same per-iteration shape and fround discipline as pagerank,
+    fixed-unroll oracle (operators/graph.py::personalized_pagerank)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import graph
+
+    edges = copurchase.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    seeds = (edges.select(F.col("src").alias("node")).distinct()
+             .filter(F.col("node") % 20 == 0))
+    return graph.personalized_pagerank(edges, seeds, n_iters=3,
+                                       damping=0.85)
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention over the event stream: users grouped by
     first-activity week, then for each (cohort, week-offset) the distinct
@@ -4530,6 +4545,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,                   # IVF-PQ two-level ADC search
         "ivfpq_rerank": q_ivfpq_rerank,               # ADC shortlist + exact refine
         "pagerank": q_pagerank,                       # iterative graph rank
+        # r12: seed-restart teleport variant
+        "personalized_pagerank": q_personalized_pagerank,
         "streaming_sessions": q_streaming_sessions,   # native session_window state
         "paragraph_dedup": q_paragraph_dedup,         # Lee-et-al span-granular dedup
         "substring_dedup": q_substring_dedup,         # keep-first span removal end state
@@ -5323,6 +5340,52 @@ r{t} AS (
                * 1000000 + 0.5) / 1000000 AS rank
   FROM nodes n2 LEFT JOIN c{t} c USING (node)
   CROSS JOIN nn CROSS JOIN dg{t} dg)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank FROM r{n_iters}")
+
+
+def _ppr_sql(n_iters: int = 3, damping: float = 0.85,
+             seed_mod: int = 20) -> str:
+    """Personalized PageRank unrolled to ``n_iters`` CTE rounds over the
+    co-purchase edges, seeds = nodes with id % seed_mod == 0 — the
+    ``_pagerank_sql`` pattern with the teleport/dangling mass landing on
+    the per-node seed share s(v) instead of 1/N (matches
+    operators/graph.py::personalized_pagerank expression-for-expression;
+    the co-purchase graph is symmetric so the dangling sum is zero, but
+    the oracle keeps the term for exactness like the operator does)."""
+    d = f"CAST('{damping!r}' AS DOUBLE)"
+    omd = f"CAST('{(1.0 - damping)!r}' AS DOUBLE)"
+    z = "CAST(0.0 AS DOUBLE)"
+    parts = [f"""{_EDGES_CTE},
+nodes0 AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM nodes0
+       WHERE node % {seed_mod} = 0),
+nodes AS (SELECT node,
+                 CASE WHEN node % {seed_mod} = 0
+                      THEN CAST(1.0 AS DOUBLE) / ns.ns
+                      ELSE {z} END AS s
+          FROM nodes0 CROSS JOIN ns),
+ow AS (SELECT src, CAST(sum(weight) AS DOUBLE) AS out_w
+       FROM edges GROUP BY src),
+r0 AS (SELECT node, s AS rank, s FROM nodes)"""]
+    for t in range(1, n_iters + 1):
+        parts.append(f"""dg{t} AS (
+  SELECT coalesce(sum(r.rank), {z}) AS dang
+  FROM r{t - 1} r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+c{t} AS (
+  SELECT e.dst AS node,
+         sum((r.rank * CAST(e.weight AS DOUBLE)) / ow.out_w) AS c
+  FROM edges e JOIN ow ON e.src = ow.src JOIN r{t - 1} r ON r.node = e.src
+  GROUP BY e.dst),
+r{t} AS (
+  SELECT n2.node,
+         floor(({omd} * n2.s
+                + {d} * (coalesce(c.c, {z}) + dg.dang * n2.s))
+               * 1000000 + 0.5) / 1000000 AS rank,
+         n2.s
+  FROM nodes n2 LEFT JOIN c{t} c USING (node)
+  CROSS JOIN dg{t} dg)""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, rank FROM r{n_iters}")
 
@@ -7593,6 +7656,8 @@ SELECT qid, cand, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {TOP_K}
         "ivfpq_rerank": _ivfpq_sql(nprobe=4, rerank_pool=3 * TOP_K),
 
         "pagerank": _pagerank_sql(n_iters=3, damping=0.85),
+        "personalized_pagerank": _ppr_sql(n_iters=3, damping=0.85,
+                                          seed_mod=20),
 
         "k_core": _k_core_sql(k=4, rounds=20),
         "k_truss": _k_truss_sql(k=3, rounds=5),

@@ -257,6 +257,8 @@ HEADLINE = [
     "roc_auc",
     "average_precision",
     "calibration_table",
+    # r12: seed-restart PageRank
+    "personalized_pagerank",
 ]
 
 

@@ -214,6 +214,84 @@ def _pagerank_iteration(nodes: DataFrame, ew: DataFrame, ranks: DataFrame,
     )
 
 
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          n_iters: int = 3, damping: float = 0.85,
+                          src_col: str = "src", dst_col: str = "dst",
+                          weight_col: str = "weight",
+                          seed_col: str = "node") -> DataFrame:
+    """Seed-restart (personalized) PageRank — the serving variant of
+    :func:`pagerank`: the teleport mass lands on the SEED distribution
+    instead of uniformly, so ranks measure importance RELATIVE TO the
+    seed set (the "users like you bought" graph ranker; with one seed
+    it is the classic single-source PPR):
+
+        rank_{t+1}(v) = (1−d)·s(v) + d·( Σ_{u→v} rank_t(u)·w/out_w
+                                          + dangling_t·s(v) )
+
+    with s uniform over the seed nodes and dangling mass restarting at
+    the seeds (the standard PPR convention — mass never leaks toward
+    non-seed teleports). Ranks start at s and are ``fround``-rounded
+    each iteration, so the fixed-unroll SQL oracle (``_ppr_sql``) is
+    bit-equal — the :func:`pagerank` discipline verbatim. Seeds not
+    present in the graph are ignored (they can neither receive nor
+    propagate mass); an empty effective seed set raises loudly.
+
+    Scale shape identical to pagerank: per iteration one src-keyed
+    join + one partial-combining dst aggregate + a bounded dangling
+    aggregate broadcast; the static edge/out-weight/node tables are
+    checkpointed once. Returns (node, rank) over all graph nodes.
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"),
+                     F.col(weight_col).cast("double").alias("weight")) \
+        .localCheckpoint(eager=True)
+    out_w = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .join(out_w.select(F.col("src").alias("node"),
+                                F.lit(False).alias("is_dangling")),
+                   "node", "left")
+             .join(seeds.select(F.col(seed_col).alias("node")).distinct()
+                   .withColumn("is_seed", F.lit(True)), "node", "left")
+             .select("node",
+                     F.coalesce("is_dangling", F.lit(True))
+                     .alias("is_dangling"),
+                     F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+             .localCheckpoint(eager=True))
+    ns = nodes.filter("is_seed").count()
+    if ns == 0:
+        raise ValueError(
+            "personalized_pagerank: no seed is a node of the graph — "
+            "the restart distribution is empty.")
+    nodes = nodes.withColumn(
+        "s", F.when(F.col("is_seed"), F.lit(1.0 / ns))
+        .otherwise(F.lit(0.0)))
+    ew = e.join(out_w, "src").localCheckpoint(eager=True)
+    d, omd = damping, 1.0 - damping
+    ranks = nodes.select("node", F.col("s").alias("rank"),
+                         "is_dangling", "s")
+    for _ in range(n_iters):
+        contrib = (ew.join(ranks.select(F.col("node").alias("src"),
+                                        "rank"), "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("rank") * F.col("weight")
+                              / F.col("out_w")).alias("c")))
+        dangling = (ranks.filter("is_dangling")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("dang")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         fround(F.lit(omd) * F.col("s")
+                                + F.lit(d) * (F.coalesce("c", F.lit(0.0))
+                                              + F.col("dang") * F.col("s")),
+                                ROUND_SCORE).alias("rank"),
+                         "is_dangling", "s")
+                 .localCheckpoint(eager=True))
+    return ranks.select("node", "rank")
+
+
 def _oriented_triangles(und: DataFrame) -> DataFrame:
     """Enumerate each triangle of a CANONICAL undirected edge table
     (u < v, distinct, materialized) exactly once, via degree-ordered

@@ -4494,3 +4494,30 @@ def test_average_precision_hand_values_and_tie_pinning(spark):
     ap_pos_second = average_precision(flipped, "y", "s", "rid") \
         .collect()[0].ap
     assert ap_pos_first == 1.0 and ap_pos_second == 0.5
+
+
+def test_personalized_pagerank_mass_concentrates_at_seed(spark):
+    """PPR semantics on a hand line graph 1-2-3-4 (symmetric, unit
+    weights) with seed {1}: rank decays with distance from the seed
+    (1 > 2 > 3 > 4), total mass stays ~1, and a seed absent from the
+    graph raises loudly."""
+    import pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    e = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)]
+    edges = spark.createDataFrame([(a, b, 1) for a, b in e],
+                                  "src long, dst long, weight long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    r = {row.node: row.rank for row in
+         personalized_pagerank(edges, seeds, n_iters=6).collect()}
+    assert r[1] + r[2] > r[3] + r[4]     # seeded half holds the mass
+    assert min(r[1], r[2]) > r[4] > 0     # far end is the starved one
+    assert r[3] > r[4]
+    assert abs(sum(r.values()) - 1.0) < 1e-3
+
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(
+            edges, spark.createDataFrame([(99,)], "node long"))
