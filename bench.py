@@ -259,6 +259,8 @@ HEADLINE = [
     "calibration_table",
     # r12: seed-restart PageRank
     "personalized_pagerank",
+    # r12: additive trend/seasonal/resid split
+    "seasonal_decompose",
 ]
 
 

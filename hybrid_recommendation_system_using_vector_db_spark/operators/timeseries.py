@@ -191,3 +191,98 @@ def theil_sen_trend(df: DataFrame, group_col: str, x_col: str,
             .filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n") - 1e-9))
             .select("grp", "slope", F.col("r").alias("intercept"),
                     "n_pairs"))
+
+
+def seasonal_decompose(events: DataFrame, group_col: str, ts_col: str,
+                       value_col: str, period: int = 24,
+                       bucket_seconds: int = 3600) -> DataFrame:
+    """Classic additive seasonal decomposition of a bucketed series:
+    v = trend + seasonal + resid — the workhorse behind "is this dip a
+    trend break or just Tuesday", completing the time-series family
+    (gap_fill regularizes, EWMA smooths, theil_sen fits the robust
+    line, seasonal_anomalies flags same-phase outliers; this SPLITS the
+    signal).
+
+    Mechanics (the textbook moving-average method, made engine-exact):
+
+    - the series is the per-(group, bucket) value rollup, fround'ed to
+      cents (the ``gap_fill`` discipline) so every downstream sum can
+      run over exact integers;
+    - trend = the centered ``period``-window moving average, taken as
+      a RANGE window over the bucket value (gapped series never
+      misalign the way a row-offset frame would) and emitted only when
+      the window is COMPLETE (count == period+1 for even periods'
+      ±period/2 span — edges and gap-starved windows yield NULL trend,
+      stated, like gap_fill's trailing gaps); the average is one IEEE
+      division of an exact integer-cents sum;
+    - seasonal = the per-(group, phase) mean of the detrended values
+      (phase = (bucket/width) mod period), centered to sum ≈ 0 by
+      subtracting the group's mean seasonal — detrended values are
+      fround'ed to micros and summed as exact BIGINTs before their one
+      division (the ``calibration_table`` integer-sum discipline), and
+      the centering mean folds SEQUENTIALLY over the phase-sorted
+      per-phase means (the ``ewma_smooth`` ordered-fold portability
+      rule — a plain float sum over the phases would be
+      partition-order-dependent);
+    - resid = v − trend − seasonal on trend-complete rows.
+
+    Scale shape: one (group, bucket) partial-agg rollup, ONE group-
+    keyed sort shared by the range window, one bounded (group, phase)
+    aggregate broadcast back, all map-only after — the gap_fill
+    exchange profile. Returns (group, bucket, v, phase, trend,
+    seasonal, resid).
+    """
+    from pyspark.sql import Window
+
+    w = int(bucket_seconds)
+    half = (period // 2) * w
+    bucket = (F.floor(epoch_seconds(ts_col) / w) * w).cast("long")
+    obs = (events
+           .groupBy(F.col(group_col).alias("grp"), bucket.alias("bucket"))
+           .agg(fround(F.sum(value_col), 2).alias("v"))
+           .localCheckpoint(eager=True))   # feeds window + phase branches
+    cents = F.floor(F.col("v") * 100 + 0.5).cast("long")
+    rng = (Window.partitionBy("grp").orderBy("bucket")
+           .rangeBetween(-half, half))
+    trended = (obs
+               .withColumn("__c", cents)
+               .withColumn("__s", F.sum("__c").over(rng))
+               .withColumn("__n", F.count(F.lit(1)).over(rng))
+               .withColumn("trend", F.when(
+                   F.col("__n") == period + 1,
+                   fround(F.col("__s").cast("double")
+                          / (F.lit(100.0) * F.col("__n")), 6)))
+               .withColumn("phase",
+                           ((F.col("bucket") / w).cast("long") % period)
+                           .cast("int")))
+    detr_micros = F.floor((F.col("v") - F.col("trend")) * 1000000 + 0.5) \
+        .cast("long")
+    seas = (trended.filter(F.col("trend").isNotNull())
+            .select("grp", "phase", detr_micros.alias("dm"))
+            .groupBy("grp", "phase")
+            .agg(F.sum("dm").alias("sdm"), F.count(F.lit(1)).alias("nd"))
+            .select("grp", "phase",
+                    fround(F.col("sdm").cast("double") / F.col("nd")
+                           / 1e6, 6).alias("pm")))
+    # center the profile: the group mean of the (already-rounded)
+    # per-phase means folds SEQUENTIALLY over the phase-sorted array —
+    # a plain float SUM over the ≤ period phases would be
+    # partition-order-dependent; the ordered fold is the ewma_smooth
+    # portability discipline (list_reduce mirrors it in the oracle)
+    gmean = (seas.groupBy("grp")
+             .agg(F.aggregate(
+                 F.sort_array(F.collect_list(F.struct("phase", "pm"))),
+                 F.lit(0.0), lambda a, x: a + x["pm"]).alias("sg"),
+                 F.count(F.lit(1)).alias("np")))
+    seasonal = (seas.join(gmean, "grp")
+                .select("grp", "phase",
+                        fround(F.col("pm") - F.col("sg") / F.col("np"), 6)
+                        .alias("seasonal")))
+    out = (trended.join(F.broadcast(seasonal), ["grp", "phase"], "left")
+           .select(F.col("grp").alias(group_col), "bucket", "v", "phase",
+                   "trend", "seasonal",
+                   F.when(F.col("trend").isNotNull()
+                          & F.col("seasonal").isNotNull(),
+                          fround(F.col("v") - F.col("trend")
+                                 - F.col("seasonal"), 6)).alias("resid")))
+    return out
