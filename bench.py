@@ -261,6 +261,8 @@ HEADLINE = [
     "personalized_pagerank",
     # r12: additive trend/seasonal/resid split
     "seasonal_decompose",
+    # r12: pre-join cardinality profile
+    "join_fanout",
 ]
 
 

@@ -1045,3 +1045,57 @@ def kendall_tau(df: DataFrame, x_col: str, y_col: str,
     out = (mom.join(n, gcol) if group_col
            else mom.crossJoin(F.broadcast(n)))
     return out.select(*gcol, tau.alias("tau"), "n")
+
+
+def join_fanout_profile(left: DataFrame, right: DataFrame,
+                        left_key: str, right_key: str | None = None,
+                        top_n: int = 20) -> DataFrame:
+    """Pre-join fanout profile — the "will this join explode" check a
+    100 TB pipeline runs BEFORE an expensive equi-join (the join-side
+    companion of :func:`key_skew_profile`, which profiles one table's
+    shuffle key): the exact output cardinality of the prospective inner
+    join is Σ_k cnt_left(k)·cnt_right(k), and the keys dominating that
+    sum are exactly the ones AQE skew-join / salting must handle.
+
+    Returns the ``top_n`` keys by join fanout plus one ``__TOTAL__``
+    row: (rank, key, n_left, n_right, fanout, share) — rank 0 = the
+    total row (n_left/n_right = matching-key row totals, fanout = the
+    exact inner-join output count, share = 1); ranks 1..top_n the
+    hottest keys with their share of the total. All counts and products
+    are exact BIGINTs (the key_skew integer discipline); share is one
+    fround'ed division.
+
+    Scale shape: one partial-agg count per side keyed on the join key —
+    the same shuffles the real join would do, on count-rows instead of
+    data-rows — then a join of the two |distinct-key| count tables, a
+    single-row total broadcast, and a TakeOrdered top-n. Never touches
+    a data row twice; the profile costs two count aggregates no matter
+    the fanout it predicts.
+    """
+    rk = right_key or left_key
+    lc = (left.select(F.col(left_key).cast("string").alias("key"))
+          .groupBy("key").agg(F.count(F.lit(1)).alias("n_left")))
+    rc = (right.select(F.col(rk).cast("string").alias("key"))
+          .groupBy("key").agg(F.count(F.lit(1)).alias("n_right")))
+    # inner semantics: only keys present on BOTH sides produce rows;
+    # bounded (|matching keys|) and feeding the total + top-n branches
+    both = (lc.join(rc, "key")
+            .withColumn("fanout", F.col("n_left") * F.col("n_right"))
+            .localCheckpoint(eager=True))
+    total = both.agg(F.sum("n_left").alias("n_left"),
+                     F.sum("n_right").alias("n_right"),
+                     F.sum("fanout").alias("fanout"))
+    top = (both.orderBy(F.col("fanout").desc(), F.col("key").asc())
+           .limit(top_n)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.col("fanout").desc(), F.col("key").asc()))))
+    return (total.select(F.lit(0).alias("rank"),
+                         F.lit("__TOTAL__").alias("key"),
+                         "n_left", "n_right", "fanout",
+                         F.lit(1.0).alias("share"))
+            .unionByName(
+                top.crossJoin(F.broadcast(
+                    total.select(F.col("fanout").alias("__t"))))
+                .select("rank", "key", "n_left", "n_right", "fanout",
+                        fround(F.col("fanout").cast("double")
+                               / F.col("__t"), ROUND_SCORE).alias("share"))))

@@ -4564,3 +4564,27 @@ def test_seasonal_decompose_recovers_planted_structure(spark):
     assert all(abs(seas[p] - pattern[p]) < 0.15 for p in range(24))
     # (c) the centered profile sums to ~0
     assert abs(sum(seas.values())) < 0.01
+
+
+def test_join_fanout_profile_exact_and_skew_ranked(spark):
+    """join_fanout_profile: the __TOTAL__ row equals the ACTUAL inner
+    join's output count exactly (planted skew key included), the skew
+    key ranks first with the right n_left*n_right product, and keys
+    missing from one side contribute nothing."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        join_fanout_profile,
+    )
+
+    left = spark.createDataFrame(
+        [("hot",)] * 50 + [("a",)] * 3 + [("b",)] * 2 + [("lonly",)],
+        "k string")
+    right = spark.createDataFrame(
+        [("hot",)] * 40 + [("a",)] * 5 + [("b",)] * 1 + [("ronly",)] * 9,
+        "k string")
+    prof = {r.key: r for r in
+            join_fanout_profile(left, right, "k", "k", top_n=5).collect()}
+    actual = left.join(right, "k").count()
+    assert prof["__TOTAL__"].fanout == actual == 50 * 40 + 15 + 2
+    assert prof["hot"].rank == 1 and prof["hot"].fanout == 2000
+    assert "lonly" not in prof and "ronly" not in prof
+    assert abs(prof["hot"].share - 2000 / actual) < 1e-6
