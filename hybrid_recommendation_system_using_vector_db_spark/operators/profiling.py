@@ -1011,15 +1011,18 @@ def kendall_tau(df: DataFrame, x_col: str, y_col: str,
                       *([F.col(id_col).alias("__id")] if id_col else []))
             .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
     if max_pairs is not None:
-        # bounded (≤ ⌊√max_pairs⌋ per group) AND feeding three plan
-        # branches (both self-join sides + the n count) — checkpoint so
-        # the upstream chain and the sample selection run once, not 3×
         base = bounded_pair_rows(base, gcol, ["x", "y"], max_pairs,
                                  id_col="__id" if id_col else None,
-                                 seed=seed).localCheckpoint(eager=True)
+                                 seed=seed)
+    # base feeds THREE plan branches (both self-join sides + the n
+    # count) — checkpoint so the upstream chain runs once, not 3×
+    # (the simhash re-execution class). Bounded by the operator's own
+    # contract either way: ⌊√max_pairs⌋ rows per group when sampled,
+    # a per-key rollup (n² pairs must fit!) when exact.
     base = (base.drop("__id")
             .withColumn("__g", F.lit(0) if not group_col
-                        else F.col(group_col)))
+                        else F.col(group_col))
+            .localCheckpoint(eager=True))
     a = base.select("__g", *gcol, F.col("x").alias("xa"),
                     F.col("y").alias("ya"))
     b = base.select(F.col("__g").alias("__g2"), F.col("x").alias("xb"),
