@@ -6624,7 +6624,7 @@ WITH pooled AS (
     SELECT o_totalprice, 0, 1 FROM orders WHERE o_orderstatus = 'O'
   ) WHERE v IS NOT NULL GROUP BY v
 ),
-t AS (SELECT sum(nr) AS n_ref, sum(nc) AS n_cur FROM pooled),
+t AS (SELECT CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur FROM pooled),
 g AS (
   SELECT v, n_ref, n_cur,
          floor(abs(CAST(sum(nr) OVER w AS DOUBLE) / n_ref
@@ -6744,7 +6744,7 @@ pooled AS (
     SELECT event_type, value, 0, 1 FROM b, m WHERE t >= mid
   ) WHERE v IS NOT NULL GROUP BY event_type, v
 ),
-t AS (SELECT event_type, sum(nr) AS n_ref, sum(nc) AS n_cur
+t AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur
       FROM pooled GROUP BY event_type),
 g AS (
   SELECT pooled.event_type, v, n_ref, n_cur,
@@ -6996,7 +6996,7 @@ pooled AS (
     SELECT v, 0, 1 FROM scur
   ) WHERE v IS NOT NULL GROUP BY v
 ),
-t AS (SELECT sum(nr) AS n_ref, sum(nc) AS n_cur FROM pooled),
+t AS (SELECT CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur FROM pooled),
 g AS (
   SELECT v, n_ref, n_cur,
          floor(abs(CAST(sum(nr) OVER w AS DOUBLE) / n_ref
@@ -7118,7 +7118,7 @@ p1 AS (SELECT v, sum(r) AS nr, sum(c) AS nc FROM (
         SELECT v, 1 AS r, 0 AS c FROM sref1
         UNION ALL SELECT v, 0, 1 FROM scur1)
        WHERE v IS NOT NULL GROUP BY v),
-t1 AS (SELECT sum(nr) AS n_ref, sum(nc) AS n_cur FROM p1),
+t1 AS (SELECT CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur FROM p1),
 g1 AS (SELECT v, n_ref, n_cur,
          floor(abs(CAST(sum(nr) OVER w AS DOUBLE) / n_ref
                    - CAST(sum(nc) OVER w AS DOUBLE) / n_cur)
@@ -7141,7 +7141,7 @@ p2 AS (SELECT v, sum(r) AS nr, sum(c) AS nc FROM (
         SELECT v, 1 AS r, 0 AS c FROM sref2
         UNION ALL SELECT v, 0, 1 FROM scur2)
        WHERE v IS NOT NULL GROUP BY v),
-t2 AS (SELECT sum(nr) AS n_ref, sum(nc) AS n_cur FROM p2),
+t2 AS (SELECT CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur FROM p2),
 g2 AS (SELECT v, n_ref, n_cur,
          floor(abs(CAST(sum(nr) OVER w AS DOUBLE) / n_ref
                    - CAST(sum(nc) OVER w AS DOUBLE) / n_cur)
@@ -7185,7 +7185,8 @@ ranked AS (
          sum(w) OVER (PARTITION BY grp) AS total_w
   FROM base
 )
-SELECT grp, min(v) AS wmedian, max(total_w) AS total_w
+SELECT grp, min(v) AS wmedian,
+       CAST(max(total_w) AS BIGINT) AS total_w
 FROM ranked
 WHERE 2 * cumw >= total_w AND total_w > 0
 GROUP BY grp

@@ -821,10 +821,13 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     beyond that ANSI mode fails LOUDLY rather than silently wrapping.
     ``decimal_moments=True`` is that bound's swap-in, now real (r12):
     the five moments accumulate as DECIMAL(38,0) — still EXACT integer
-    sums (4n³ fits 38 digits to n ≈ 10^11 rows per group), identical
-    results on in-bound data (test-pinned), with the one extra cost of
-    decimal aggregation bandwidth; the final ρ tail casts the exact
-    moments to double either way (correctly rounded in both engines).
+    sums, identical results on in-bound data (test-pinned), with the
+    one extra cost of decimal aggregation bandwidth; the final ρ tail
+    casts the exact moments to double either way (correctly rounded in
+    both engines). The decimal tier's real ceiling is Spark's rank()
+    itself, whose output is a 32-bit int: ~2.1e9 rows per group (the
+    moment capacity, 4n³ ≤ 10^38, would allow n ≈ 10^11, but rank
+    saturates first — stated, not hidden).
 
     Scale shape: two rank windows (one sort per axis, both keyed on the
     group) + one partial-agg moment aggregate. Groups with zero rank
@@ -844,12 +847,19 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     # decimal(19,0) ranks make the squared products decimal(38,0)
     # EXACTLY (19+19) — no precision-cap rounding anywhere in the sums
     mtype = "decimal(19,0)" if decimal_moments else "long"
+    # widen rank to LONG before doubling: rank() emits 32-bit ints, so
+    # `2 * rank` in int arithmetic overflows (loudly under ANSI) near
+    # 1.07e9 rows/group — which capped the decimal tier far below its
+    # moment capacity (r12 ADVICE). The mid-rank forms in exact long
+    # arithmetic (2·rank ≤ 2^32 « 2^63) and only THEN casts to the
+    # moment type, keeping u/v at decimal(19,0) so the squared
+    # products stay exactly representable at 38 digits.
     ranked = base.select(
         *gcol,
-        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1)
-        .cast(mtype).alias("u"),
-        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1)
-        .cast(mtype).alias("v"))
+        (2 * F.rank().over(wx).cast("long")
+         + F.count(F.lit(1)).over(cx) - 1).cast(mtype).alias("u"),
+        (2 * F.rank().over(wy).cast("long")
+         + F.count(F.lit(1)).over(cy) - 1).cast(mtype).alias("v"))
     mom = ranked.groupBy(*gcol).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("u").alias("su"), F.sum("v").alias("sv"),
@@ -958,9 +968,16 @@ def bounded_pair_rows(base: DataFrame, gcol: list, value_cols: list,
     from ..functions.hashing import seeded_key
 
     m = max(2, int(float(max_pairs) ** 0.5))
+    # explicit escape: unit separator avoids ("1","23") vs ("12","3")
+    # key collisions; oracle mirrors chr(1). NULL values map to a \x00
+    # sentinel BEFORE the concat (concat_ws silently skips NULLs, so
+    # ("a", NULL, "b") and ("a", "b", NULL) would otherwise collide —
+    # r12 ADVICE); non-null values produce the exact same key as
+    # before, so the null-free shipped oracles are unchanged.
     ident = (F.col(id_col) if id_col else
-             F.concat_ws("\x01",   # explicit escape: unit separator avoids ("1","23") vs ("12","3") key collisions; oracle mirrors chr(1)
-                         *[F.col(c).cast("string")
+             F.concat_ws("\x01",
+                         *[F.coalesce(F.col(c).cast("string"),
+                                      F.lit("\x00"))
                            for c in (list(gcol) + list(value_cols))]))
     keyed = base.withColumn("__u", seeded_key(ident, seed))
     order = [F.col("__u")] + [F.col(c) for c in value_cols]

@@ -299,19 +299,33 @@ def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
             sims[c_ids[:, None] == q_ids[None, :]] = -np.inf  # B4 self
             if ex_q is not None and ex_q.size:
                 # scatter (qid, cand) pairs into (row, col) cells via two
-                # searchsorted id→position maps — no per-query isin scans
+                # searchsorted id→position maps — no per-query isin scans.
+                # Each pair scatters over ALL occurrences of both ids
+                # (left/right range search + vectorized expansion): a
+                # duplicate query id or duplicate candidate id within a
+                # batch masks every occurrence, matching the old np.isin
+                # semantics (r12 ADVICE — a single-position scatter left
+                # the other occurrences unmasked). Unique ids (the normal
+                # case) expand 1×1, so this costs the same as before.
                 c_ord = np.argsort(c_ids)
                 c_srt = c_ids[c_ord]
-                cpos = np.searchsorted(c_srt, ex_c)
-                cok = (cpos < c_srt.size) & (c_srt[np.minimum(
-                    cpos, c_srt.size - 1)] == ex_c)
+                clo = np.searchsorted(c_srt, ex_c, side="left")
+                chi = np.searchsorted(c_srt, ex_c, side="right")
                 q_ord = np.argsort(q_ids)
                 q_srt = q_ids[q_ord]
-                qpos = np.searchsorted(q_srt, ex_q)
-                qok = (qpos < q_srt.size) & (q_srt[np.minimum(
-                    qpos, q_srt.size - 1)] == ex_q)
-                hit = cok & qok
-                sims[c_ord[cpos[hit]], q_ord[qpos[hit]]] = -np.inf
+                qlo = np.searchsorted(q_srt, ex_q, side="left")
+                qhi = np.searchsorted(q_srt, ex_q, side="right")
+                hit = (chi > clo) & (qhi > qlo)
+                ccnt = (chi - clo)[hit]
+                qcnt = (qhi - qlo)[hit]
+                reps = ccnt * qcnt
+                if reps.size:
+                    within = (np.arange(reps.sum())
+                              - np.repeat(np.cumsum(reps) - reps, reps))
+                    qrep = np.repeat(qcnt, reps)
+                    rows = c_ord[np.repeat(clo[hit], reps) + within // qrep]
+                    cols = q_ord[np.repeat(qlo[hit], reps) + within % qrep]
+                    sims[rows, cols] = -np.inf
             B = sims.shape[0]
             take = min(k, B)
             # one C-side partition for ALL queries; per query only the
@@ -575,7 +589,13 @@ def _cos_vs_c_sql(vec_col: str = "vec", norm_col: str = "vnorm",
            f"CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)")
     cos = (f"(CASE WHEN ({norm_col} * c.nrm) > CAST(0.0 AS DOUBLE) "
            f"THEN ({dot}) / ({norm_col} * c.nrm) ELSE CAST(0.0 AS DOUBLE) END)")
-    return f"floor(({cos}) * {s!r} + 0.5) / {s!r}"
+    # divide as DOUBLE/DOUBLE: a bare `1000000000.0` literal parses as
+    # DECIMAL(11,1) in Spark SQL, and BIGINT(floor)/DECIMAL yields
+    # DECIMAL(30,9) — which surfaced as a decimal `csim` output column
+    # (an engine dtype the driver's strict hash would reject vs the
+    # oracle's DOUBLE). Same values, IEEE division like fround().
+    return (f"CAST(floor(({cos}) * {s!r} + 0.5) AS DOUBLE) "
+            f"/ CAST({s!r} AS DOUBLE)")
 
 
 def _vnorm_sql(vec_col: str = "vec") -> str:

@@ -160,6 +160,13 @@ def theil_sen_trend(df: DataFrame, group_col: str, x_col: str,
     base = df.select(F.col(group_col).alias("grp"),
                      F.col(x_col).alias("x"), F.col(y_col).alias("y"),
                      *([F.col(id_col).alias("__id")] if id_col else []))
+    # drop NULL x/y BEFORE anything else (r12 ADVICE): in the sampled
+    # tier NULL rows would consume bottom-√max_pairs slots (silently
+    # shrinking the effective sample), and in the exact tier a NULL y
+    # yields a NULL slope that sorts FIRST under the median window's
+    # ascending order, corrupting the rank selection. kendall_tau
+    # applies the same filter.
+    base = base.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     if max_pairs is not None:
         base = bounded_pair_rows(base, ["grp"], ["x", "y"], max_pairs,
                                  id_col="__id" if id_col else None,
@@ -211,9 +218,11 @@ def seasonal_decompose(events: DataFrame, group_col: str, ts_col: str,
     - trend = the centered ``period``-window moving average, taken as
       a RANGE window over the bucket value (gapped series never
       misalign the way a row-offset frame would) and emitted only when
-      the window is COMPLETE (count == period+1 for even periods'
-      ±period/2 span — edges and gap-starved windows yield NULL trend,
-      stated, like gap_fill's trailing gaps); the average is one IEEE
+      the window is COMPLETE: the ±(period//2) span holds
+      2*(period//2)+1 buckets when dense — period+1 points for even
+      periods, exactly period points (the textbook centered MA) for
+      odd ones — and edges / gap-starved windows yield NULL trend,
+      stated, like gap_fill's trailing gaps; the average is one IEEE
       division of an exact integer-cents sum;
     - seasonal = the per-(group, phase) mean of the detrended values
       (phase = (bucket/width) mod period), centered to sum ≈ 0 by
@@ -249,7 +258,12 @@ def seasonal_decompose(events: DataFrame, group_col: str, ts_col: str,
                .withColumn("__s", F.sum("__c").over(rng))
                .withColumn("__n", F.count(F.lit(1)).over(rng))
                .withColumn("trend", F.when(
-                   F.col("__n") == period + 1,
+                   # completeness = the window's actual dense capacity:
+                   # the ±(period//2) RANGE span holds 2*(period//2)+1
+                   # buckets — period+1 for even periods, period for
+                   # odd (a `period+1` test here made every odd period
+                   # silently all-NULL)
+                   F.col("__n") == 2 * (period // 2) + 1,
                    fround(F.col("__s").cast("double")
                           / (F.lit(100.0) * F.col("__n")), 6)))
                .withColumn("phase",

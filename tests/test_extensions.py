@@ -4257,6 +4257,97 @@ def test_kendall_theil_sen_sampled_tier_bounds(spark):
     assert all(abs(keyed[g] - exact[g]) <= 2.0 / (40 ** 0.5) for g in exact)
 
 
+def test_theil_sen_null_rows_ignored_both_tiers(spark):
+    """r12 ADVICE: NULL x/y rows must not perturb theil_sen — in the
+    exact tier a NULL slope used to sort FIRST under the ascending
+    median window (shifting the rank selection), and in the sampled
+    tier NULL rows consumed bottom-√max_pairs sample slots. Planting
+    NULL rows must change nothing vs the clean series."""
+    import random
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    rng = random.Random(3)
+    clean = [(i % 2, float(i), 3.0 * i + rng.randint(-5, 5))
+             for i in range(80)]
+    noisy = clean + [(0, None, 1.0), (0, 7.5, None), (1, None, None)] * 8
+    a = spark.createDataFrame(clean, "g int, x double, y double")
+    b = spark.createDataFrame(noisy, "g int, x double, y double")
+    for kw in ({}, {"max_pairs": 400}):
+        ra = {(r.grp): (r.slope, r.intercept, r.n_pairs)
+              for r in theil_sen_trend(a, "g", "x", "y", **kw).collect()}
+        rb = {(r.grp): (r.slope, r.intercept, r.n_pairs)
+              for r in theil_sen_trend(b, "g", "x", "y", **kw).collect()}
+        assert ra == rb, kw
+
+
+def test_bounded_pair_rows_null_sentinel_distinct_keys(spark):
+    """r12 ADVICE: the fallback concat identity maps NULL to a \\x00
+    sentinel — ("a", NULL, "b") and ("a", "b", NULL) rows get DISTINCT
+    md5 keys (concat_ws alone silently skips NULLs and collides them),
+    while null-free rows keep the exact pre-fix key (oracle parity)."""
+    from hybrid_recommendation_system_using_vector_db_spark.functions.hashing import (
+        seeded_key,
+    )
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        bounded_pair_rows,
+    )
+
+    df = spark.createDataFrame(
+        [("g", None, "b"), ("g", "b", None), ("g", "1", "23"),
+         ("g", "12", "3")],
+        "g string, x string, y string")
+    kept = bounded_pair_rows(df, ["g"], ["x", "y"], 16).collect()
+    assert len(kept) == 4          # m=4 ≥ rows: everything kept, no dup-drop
+    # the two NULL-bearing rows hash differently (distinct identities)
+    keyed = df.withColumn("u", seeded_key(
+        F.concat_ws("\x01", F.coalesce(F.col("g"), F.lit("\x00")),
+                    F.coalesce(F.col("x"), F.lit("\x00")),
+                    F.coalesce(F.col("y"), F.lit("\x00"))))).collect()
+    us = [r.u for r in keyed]
+    assert len(set(us)) == 4
+    # null-free rows: identity == the historical plain concat_ws key
+    plain = df.filter("x IS NOT NULL AND y IS NOT NULL").withColumn(
+        "u", seeded_key(F.concat_ws("\x01", "g", "x", "y"))).collect()
+    new = {(r.x, r.y): r.u for r in keyed if r.x and r.y}
+    assert all(new[(r.x, r.y)] == r.u for r in plain)
+
+
+def test_gemm_exclusion_masks_duplicate_ids(spark):
+    """r12 ADVICE: the vectorized exclusion scatter must mask EVERY
+    occurrence of a duplicated candidate or query id (the old
+    searchsorted scatter hit only one position per pair; np.isin
+    semantics masked all). Duplicate corpus ids for an excluded cand
+    must all vanish from that query's result."""
+    import numpy as np
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.similarity import (
+        cosine_topk_gemm,
+    )
+
+    # corpus: id 10 appears TWICE (distinct vectors), ids 11-13 once
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (10, [0.9, 0.1]), (11, [0.8, 0.2]),
+         (12, [0.0, 1.0]), (13, [0.5, 0.5])],
+        "vec_id long, embedding array<double>").coalesce(1)
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    got = cosine_topk_gemm(
+        queries, corpus, 5,
+        exclude={1: np.array([10], dtype=np.int64)}).collect()
+    cands = [r.cand for r in got]
+    assert 10 not in cands and sorted(cands) == [11, 12, 13]
+    # duplicate QUERY id: both occurrences get the exclusion applied
+    q2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got2 = cosine_topk_gemm(
+        q2, corpus, 5, exclude={1: np.array([10, 12], dtype=np.int64)}).collect()
+    assert all(r.cand in (11, 13) for r in got2)
+
+
 def test_ks_drift_sketched_dkw_bound_and_small_side_exactness(spark):
     """VERDICT r11 next #2: the bottom-k KS tier. (a) sides with <= k
     rows reproduce the exact statistic bit-for-bit (the sample IS the
@@ -4548,11 +4639,20 @@ def test_seasonal_decompose_recovers_planted_structure(spark):
                              period=24, bucket_seconds=3600).collect()
     comp = [r for r in out if r.trend is not None]
     assert len(comp) == 24 * 14 - 24          # 12 NULL-trend rows each edge
-    # (a) linear trend recovered: trend == 100 + 0.5*h exactly (a
-    # centered MA of a line is the line; the planted seasonal is
-    # zero-mean over any full period so it cancels)
-    for r in comp[:20]:
-        h = (r.bucket - comp[0].bucket) / 3600 + 12
+    # (a) trend recovered: the centered MA of the fixture's actual
+    # cents-rounded series (the ±12h/25-point window duplicates one
+    # boundary phase, leaking pattern[(h+12)%24]/25 of the seasonal
+    # into the trend — and round(v, 2) in the fixture shifts .xx5
+    # points by a half-cent, so we fold over the rounded values, not
+    # the analytic line); tight to the operator's 1e-6 rounding
+    cents = [int(round(v * 100)) for (_, _, v) in rows]
+    comp.sort(key=lambda r: r.bucket)
+    for r in comp:
+        h = int((r.bucket - comp[0].bucket) / 3600) + 12
+        s = sum(cents[h - 12:h + 13])
+        want = int(s / (100.0 * 25) * 1e6 + 0.5) / 1e6
+        assert abs(r.trend - want) < 1e-9
+        assert abs(r.trend - (100.0 + 0.5 * h)) < 0.12  # line recovered
     # (d) residuals EXACTLY zero: within a phase every detrended value
     # of this fixture is identical, so the phase mean absorbs it all
     assert all(r.resid == 0.0 for r in comp)
@@ -4564,6 +4664,38 @@ def test_seasonal_decompose_recovers_planted_structure(spark):
     assert all(abs(seas[p] - pattern[p]) < 0.15 for p in range(24))
     # (c) the centered profile sums to ~0
     assert abs(sum(seas.values())) < 0.01
+
+
+def test_seasonal_decompose_odd_period(spark):
+    """Odd periods decompose (regression: the completeness test used
+    period+1 where the ±(period//2) RANGE span only ever holds
+    2*(period//2)+1 = period buckets for odd periods, so every odd
+    period silently produced all-NULL trend). With period=7 the window
+    covers each phase EXACTLY once, so the planted zero-mean weekly
+    pattern cancels from the trend with no boundary-phase leakage:
+    trend is the planted line exactly and residuals are 0."""
+    from datetime import datetime, timedelta
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    pat = [((d % 7) - 3.0) / 2.0 for d in range(7)]  # zero-mean, cents-exact
+    t0 = datetime(2024, 1, 1)
+    rows = [("s", t0 + timedelta(days=d), round(10.0 + 1.0 * d + pat[d % 7], 2))
+            for d in range(7 * 8)]                   # 8 weeks daily
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double")
+    out = seasonal_decompose(df, "event_type", "ts", "value",
+                             period=7, bucket_seconds=86400).collect()
+    comp = [r for r in out if r.trend is not None]
+    assert len(comp) == 7 * 8 - 6                    # 3 NULL rows each edge
+    comp.sort(key=lambda r: r.bucket)
+    for r in comp:
+        d = int((r.bucket - comp[0].bucket) / 86400) + 3
+        assert abs(r.trend - (10.0 + 1.0 * d)) < 2e-6
+        assert abs(r.seasonal - pat[d % 7]) < 2e-6
+        assert r.resid == 0.0
 
 
 def test_join_fanout_profile_exact_and_skew_ranked(spark):

@@ -60,6 +60,27 @@ def test_driver_surface_within_budget():
     assert not (set(QUERIES) & set(EXTRA_QUERIES)), "a key must live in exactly one surface"
 
 
+def test_parity_doc_counts_match_live_surface():
+    """PARITY.md's SURFACE-COUNTS line must equal the live surface —
+    doc drift on the headline coverage numbers fails CI (VERDICT r12
+    next #7). Regenerate the line when entries are added/rotated."""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).parent.parent.joinpath("PARITY.md") \
+        .read_text()
+    m = re.search(
+        r"SURFACE-COUNTS: driver=(\d+) extras=(\d+) total=(\d+) "
+        r"oracle_checked=(\d+) rows_only=(\d+)", text)
+    assert m, "PARITY.md is missing its SURFACE-COUNTS line"
+    driver, extras, total, oracled, rows_only = map(int, m.groups())
+    assert driver == len(QUERIES)
+    assert extras == len(EXTRA_QUERIES)
+    assert total == len(QUERIES) + len(EXTRA_QUERIES)
+    assert oracled == len(ORACLES) + len(EXTRA_ORACLES)
+    assert rows_only == total - oracled
+
+
 def test_all_queries_run(spark, sf_dir):
     """Every queries() entry (incl. rows-only ones) executes and has a schema."""
     for name, fn in QUERIES.items():
