@@ -4427,8 +4427,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join shape inside copurchase_edges) → extras, freeing slots
         # for the r10 second wave: deterministic LPA communities and
         # the hypertable gap-fill primitive
-        "label_propagation": q_label_propagation,     # LPA communities
-        "gap_fill": q_gap_fill,                       # gapfill + locf/interp
+        # r13 rotation (VERDICT r12 next #3): label_propagation + gap_fill
+        # + k_core (driver-proven green r10-r12; LPA and k-core share the
+        # driver-checked weighted_sssp's frontier/peel lifecycle —
+        # _frontier_rounds/_peel_to_fixpoint verbatim — and gap_fill's
+        # LOCF/interp windows ride the extras-pinned seasonal_decompose
+        # chain) and dup_spans (driver-proven r6-r12; its rolling-hash
+        # anchors stay exercised by the extras-pinned doc_fingerprints +
+        # paragraph_dedup oracles) -> extras, freeing slots for the r12
+        # wave's four headline capabilities: the DECIMAL-moment Spearman,
+        # the per-column drift monitor, the end-to-end entity-resolution
+        # composition, and exact rank-sum ROC-AUC
+        "spearman": q_spearman,                       # tie-corrected rank corr
+        "drift_report": q_drift_report,               # per-column KS monitor
+        "entity_resolution": q_entity_resolution,     # match→closure→golden
+        "roc_auc": q_roc_auc,                         # exact rank-sum AUC
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_recall": q_ann_recall,
@@ -4464,7 +4477,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_sim_join": q_set_sim_join,               # PPJoin prefix filter,
                                                       # recall 1 by construction
         "ks_drift_grouped": q_ks_drift_grouped,       # per-domain exact KS
-        "k_core": q_k_core,                           # iterative k-core peel
         "sampled_quantiles": q_sampled_quantiles,     # bottom-k sketch tier
         # r10 second rotation (VERDICT r9 next #2 named it the candidate):
         # path_ngrams (driver-proven green r8-r9; its window-lead journey
@@ -4502,10 +4514,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chain as dedup_clusters_chained — shared oracle) → extras, so a
         # driver slot covers the r6 PSI drift monitor instead
         "dedup_clusters_chained": q_dedup_clusters_chained,
-        # r6 rotation: token_stats → extras (its map-only stats are
-        # embedded in quality_scores' blended score, still driver-checked)
-        # to put the ExactSubstr span detector under the driver gate
-        "dup_spans": q_dup_spans,
         # --- text analysis extensions ---
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -4614,8 +4622,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,                       # heavy-key shuffle profile
         "activity_anomalies": q_activity_anomalies,   # per-user daily burst flags
         "fuzzy_names": q_fuzzy_names,                 # blocked Levenshtein entity match
-        # r12: the full match→closure→survivorship composition
-        "entity_resolution": q_entity_resolution,     # id→canonical map
         "snapshot_diff": q_snapshot_diff,             # CDC added/removed/changed diff
         "bloom_prune": q_bloom_prune,                 # Bloom runtime-filter pre-join prune
         "pmi_collocations": q_pmi_collocations,       # PMI word-association mining
@@ -4653,15 +4659,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,                       # exact 2-sample KS D
         # r12 (VERDICT r11 next #2/#3): the stated 100 TB tiers, now real
         "ks_drift_sketched": q_ks_drift_sketched,     # bottom-k DKW-bounded KS
-        "drift_report": q_drift_report,               # per-column KS monitor
+        # r13 rotation: spearman / drift_report / entity_resolution /
+        # roc_auc promoted into the driver 50 (VERDICT r12 next #3); the
+        # four veterans they displaced keep their oracles here
+        "label_propagation": q_label_propagation,     # LPA communities
+        "gap_fill": q_gap_fill,                       # gapfill + locf/interp
+        "k_core": q_k_core,                           # iterative k-core peel
+        "dup_spans": q_dup_spans,                     # ExactSubstr dup spans
         # r12: classifier-eval completions
-        "roc_auc": q_roc_auc,                         # exact rank-sum AUC
         "average_precision": q_average_precision,     # exact PR-curve area
         "calibration_table": q_calibration_table,     # reliability diagram
         "kendall_sampled": q_kendall_sampled,         # √max_pairs row-bounded
         "theil_sen_sampled": q_theil_sen_sampled,     # tau / trend tiers
-        "spearman": q_spearman,                       # tie-corrected rank
-                                                      # correlation
         "benford": q_benford,                         # first-digit profile
         "kendall": q_kendall,                         # tau-b concordance
         "temporal_reach": q_temporal_reach,           # time-respecting
