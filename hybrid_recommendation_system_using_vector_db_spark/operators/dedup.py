@@ -1220,7 +1220,9 @@ def band_recall_metrics(documents: DataFrame,
 
 def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        spill_dir: str | None = None,
+                        checkpoint_tokens: bool = True) -> DataFrame:
     """EXACT all-pairs token-set Jaccard join via prefix filtering —
     the PPJoin candidate family (Chaudhuri et al. 2006 "primitive
     operator for similarity joins"; Xiao et al. 2008). Returns EVERY
@@ -1257,12 +1259,29 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
 
     Returns (id1, id2, n_common, jaccard), id1 < id2. Docs with zero
     tokens pair with nothing (J undefined ≡ no emission).
+
+    Token-table materialization (r13, the SCALE.md 100×-decade knob):
+    the token table feeds four branches, so by default it is
+    ``localCheckpoint``'d once. On a single-JVM local block manager
+    that in-memory copy is exactly what the measured 100× decade
+    super-linearity pointed at, so two alternatives are first-class:
+    ``spill_dir`` writes the token table to parquet and reads it back
+    (disk-backed, column-pruned, partition-parallel — what a cluster
+    job does for a large reused intermediate; caller owns the
+    directory's lifecycle), and ``checkpoint_tokens=False`` leaves the
+    map-only tokenize lazy (each branch re-derives it from the source
+    scan) and checkpoints only the small PREFIX table, the one input
+    the self-join actually reads twice.
     """
     tok = _spread(documents.select(F.col(id_col).alias("doc_id"),
                                    F.col(text_col).alias(text_col))) \
         .select("doc_id",
-                F.explode(TT.distinct_tokens(F.col(text_col))).alias("tok")) \
-        .localCheckpoint(eager=True)
+                F.explode(TT.distinct_tokens(F.col(text_col))).alias("tok"))
+    if spill_dir is not None:
+        tok.write.mode("overwrite").parquet(spill_dir)
+        tok = documents.sparkSession.read.parquet(spill_dir)
+    elif checkpoint_tokens:
+        tok = tok.localCheckpoint(eager=True)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w_ord = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -1272,6 +1291,11 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz")
         - F.ceil(F.lit(float(threshold)) * F.col("sz") - 1e-9) + 1)
+    if spill_dir is None and not checkpoint_tokens:
+        # tokens stayed lazy: pin the (much smaller) prefix table
+        # instead, the only input read by both sides of the self-join
+        prefix = prefix.select("doc_id", "tok", "sz") \
+            .localCheckpoint(eager=True)
     a = prefix.select(F.col("doc_id").alias("id1"), "tok",
                       F.col("sz").alias("sz1"))
     b = prefix.select(F.col("doc_id").alias("id2"), "tok",
