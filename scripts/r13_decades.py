@@ -172,10 +172,11 @@ def run_er(ks=(1, 10)):
                     " ELSE name END AS name")
             recs = recs.localCheckpoint(eager=True)
             nr = recs.count()
-            t0 = time.time()
-            out = resolve.entity_resolve(recs, max_dist=2).count()
-            print(f"er k={k} rows={nr} skew={skew}: "
-                  f"{time.time()-t0:.1f}s resolved={out}", flush=True)
+            for tag in ("cold", "warm"):
+                t0 = time.time()
+                out = resolve.entity_resolve(recs, max_dist=2).count()
+                print(f"er k={k} rows={nr} skew={skew} {tag}: "
+                      f"{time.time()-t0:.1f}s resolved={out}", flush=True)
     spark.stop()
 
 
@@ -187,8 +188,7 @@ def run_drift(col_counts=(2, 4, 8)):
     orders = load_table(spark, SF_DIR, "orders")
     ref = orders.filter(F.col("o_orderstatus") == "F")
     cur = orders.filter(F.col("o_orderstatus") == "O")
-    base_cols = ["o_totalprice", "o_custkey", "o_shippriority",
-                 "o_orderkey"]
+    base_cols = ["o_totalprice", "o_custkey", "o_orderkey"]
     for nc in col_counts:
         cols = []
         r, c = ref, cur

@@ -3639,6 +3639,31 @@ def test_set_similarity_join_recall_one_vs_brute_force(spark):
         assert got == want, th
 
 
+def test_set_similarity_join_materialization_knobs_identical(spark, tmp_path):
+    """r13 scale knobs: the parquet-spill and prefix-only-checkpoint
+    token materializations produce bit-identical output to the default
+    localCheckpoint path (same plan semantics, different intermediate
+    storage)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import set_similarity_join
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} shared")
+         for i in range(60)],
+        "doc_id long, text string")
+    base = {(r.id1, r.id2): (r.n_common, r.jaccard)
+            for r in set_similarity_join(docs, threshold=0.5).collect()}
+    assert base  # non-trivial fixture
+    spill = {(r.id1, r.id2): (r.n_common, r.jaccard)
+             for r in set_similarity_join(
+                 docs, threshold=0.5,
+                 spill_dir=str(tmp_path / "tok")).collect()}
+    prefix_only = {(r.id1, r.id2): (r.n_common, r.jaccard)
+                   for r in set_similarity_join(
+                       docs, threshold=0.5,
+                       checkpoint_tokens=False).collect()}
+    assert spill == base and prefix_only == base
+
+
 def test_gap_fill_span_guard_names_offending_groups(spark):
     """A multi-year span on a 1-second grid hits the configurable
     bucket cap LOUDLY (groups + counts in the message) instead of
