@@ -824,6 +824,16 @@ def q_quality_scores(spark, sf_dir):
     return textops.quality_scores(load_table(spark, sf_dir, "documents"))
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Reproducible dataset-publishing manifest (r13): seeded-md5 shard
+    assignment + per-shard doc/token/byte counts and an ORDER-INDEPENDENT
+    content hash (sum of per-doc md5-u32s — identical under any row
+    layout, changed by any flipped byte). One map-only pass + one
+    n_shards-row hash aggregate (textops.shard_manifest)."""
+    return textops.shard_manifest(load_table(spark, sf_dir, "documents"),
+                                  n_shards=16)
+
+
 def q_char_entropy(spark, sf_dir):
     """Shannon char-entropy quality signal (textops.char_entropy): the
     exact, JVM-side form of the Gopher compressibility check — flags
@@ -4596,6 +4606,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the driver 50 in r6 for dup_spans: map-only token
         # stats whose mechanics stay driver-checked inside quality_scores
         "token_stats": q_token_stats,
+        # r13: dataset-publishing manifest (seeded shards, order-
+        # independent content hash)
+        "shard_manifest": q_shard_manifest,
         "boilerplate_removal": q_boilerplate_removal, # CCNet line-docfreq filter
         "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
         "mmr_topk": q_mmr_topk,                       # MMR diversified serving
@@ -6154,6 +6167,26 @@ SELECT doc_id,
   CAST(len({_DTOKS}) AS INT) AS n_distinct_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_pieces
 FROM documents
+""",
+
+        # r13: per-shard counts are exact integers; the content hash is
+        # the order-independent SUM of per-doc md5-u32s, so the GROUP BY
+        # is layout-insensitive in both engines
+        "shard_manifest": f"""
+WITH d AS (
+  SELECT CAST({_hex8_u32("md5('42:' || CAST(doc_id AS VARCHAR))")} % 16
+              AS INT) AS shard,
+         len({_TOKS}) AS nt,
+         strlen(text) AS nb,
+         {_hex8_u32("md5(CAST(doc_id AS VARCHAR) || ':' || text)")} AS h
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nb) AS BIGINT) AS n_bytes,
+       CAST(sum(h) AS BIGINT) AS content_hash
+FROM d GROUP BY shard
 """,
 
         "quality_scores": f"""

@@ -381,6 +381,54 @@ def pack_sequences(documents: DataFrame, budget: int, n_shards: int = 8,
     )
 
 
+def shard_manifest(documents: DataFrame, n_shards: int = 16,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   seed: int = 42) -> DataFrame:
+    """Reproducible shard assignment + publishing manifest — the step
+    between a curated corpus and a released dataset: every doc maps to
+    a shard by a pure function of (seed, id), and each shard row
+    carries the verification stats a consumer re-derives to prove the
+    copy they downloaded is the copy that was published.
+
+    Per shard: ``n_docs``, ``n_tokens`` (whitespace tokens — the same
+    tokenizer as ``token_stats``), ``n_bytes`` (octet length of the
+    text), and ``content_hash`` — the SUM over member docs of the u32
+    value of md5(id:text). A sum of per-doc hashes is ORDER-INDEPENDENT
+    (the manifest is identical however the shard's rows are laid out or
+    partitioned, unlike a hash-of-concatenation) and exact as a BIGINT
+    to ~2^31 docs per shard; any flipped byte, dropped doc, or id swap
+    in the published shard changes it.
+
+    Shard assignment is ``hex8_u32(md5(seed:id)) % n_shards`` —
+    uniform, seeded, engine-portable (the split_assign / pack_sequences
+    hash family), and exposed deterministically so the writer
+    (``df.repartition(n_shards, shard_col)``) and the manifest can
+    never disagree.
+
+    Scale shape: one map-only projection + one n_shards-row hash
+    aggregate (partial map-side combine makes the shuffle n_shards
+    rows per task). No windows, no joins; at 100 TB this is a single
+    pass over the corpus. Returns (shard, n_docs, n_tokens, n_bytes,
+    content_hash) — all exact integers, hash-checkable in the oracle.
+    """
+    from ..functions.hashing import hex8_u32, seeded_key
+
+    shard = (hex8_u32(seeded_key(F.col(id_col), seed))
+             % n_shards).cast("int")
+    doc_hash = hex8_u32(F.md5(F.concat(F.col(id_col).cast("string"),
+                                       F.lit(":"), F.col(text_col))))
+    d = documents.select(
+        shard.alias("shard"),
+        F.size(TT.tokens(F.col(text_col))).alias("__nt"),
+        F.octet_length(F.col(text_col)).alias("__nb"),
+        doc_hash.alias("__h"))
+    return (d.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__nt").alias("n_tokens"),
+                 F.sum("__nb").cast("bigint").alias("n_bytes"),
+                 F.sum("__h").alias("content_hash")))
+
+
 def tfidf_top_terms(documents: DataFrame, top_n: int = 3,
                     id_col: str = "doc_id", text_col: str = "text",
                     min_df: int = 1,

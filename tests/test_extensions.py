@@ -3664,6 +3664,56 @@ def test_set_similarity_join_materialization_knobs_identical(spark, tmp_path):
     assert spill == base and prefix_only == base
 
 
+def test_shard_manifest_layout_invariant_and_tamper_sensitive(spark):
+    """r13 shard_manifest: (a) the manifest is IDENTICAL under any
+    input partitioning/row order (the content hash is a sum of per-doc
+    hashes, not a hash of concatenation); (b) every doc lands in
+    exactly one shard and the counts add up; (c) flipping one byte of
+    one doc's text, dropping a doc, or swapping two ids each change
+    exactly the affected shard's content_hash and nothing else they
+    shouldn't."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import shard_manifest
+
+    rows = [(i, f"doc {i} body tok{i % 5} tail") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r.shard: r for r in shard_manifest(docs, n_shards=8).collect()}
+    # (a) layout invariance
+    shuffled = {r.shard: r for r in
+                shard_manifest(docs.repartition(13).orderBy(F.rand(7)),
+                               n_shards=8).collect()}
+    assert {k: tuple(v) for k, v in base.items()} == \
+           {k: tuple(v) for k, v in shuffled.items()}
+    # (b) totals
+    assert sum(r.n_docs for r in base.values()) == 200
+    assert sum(r.n_tokens for r in base.values()) == 200 * 5
+    assert sum(r.n_bytes for r in base.values()) == \
+           sum(len(t.encode()) for _, t in rows)
+    # (c) tamper detection: flip one byte of doc 0's text
+    tampered = spark.createDataFrame(
+        [(0, "doc 0 bodY tok0 tail")] + rows[1:],
+        "doc_id long, text string")
+    tam = {r.shard: r for r in shard_manifest(tampered, n_shards=8).collect()}
+    diff = [s for s in base
+            if tuple(base[s]) != tuple(tam[s])]
+    assert len(diff) == 1
+    s0 = diff[0]
+    assert tam[s0].content_hash != base[s0].content_hash
+    assert tam[s0].n_docs == base[s0].n_docs  # same byte count, same docs
+    # dropping a doc changes exactly its shard (count and hash)
+    dropped = {r.shard: r for r in
+               shard_manifest(docs.filter("doc_id <> 0"),
+                              n_shards=8).collect()}
+    diff2 = [s for s in base if tuple(base[s]) != tuple(dropped.get(s, ()))]
+    assert diff2 == [s0] and dropped[s0].n_docs == base[s0].n_docs - 1
+    # id swap (same texts, ids exchanged) changes content hashes only
+    swapped = spark.createDataFrame(
+        [(1, rows[0][1]), (0, rows[1][1])] + rows[2:],
+        "doc_id long, text string")
+    sw = {r.shard: r for r in shard_manifest(swapped, n_shards=8).collect()}
+    assert any(sw[s].content_hash != base[s].content_hash for s in base)
+    assert all(sw[s].n_docs == base[s].n_docs for s in base)
+
+
 def test_gap_fill_span_guard_names_offending_groups(spark):
     """A multi-year span on a 1-second grid hits the configurable
     bucket cap LOUDLY (groups + counts in the message) instead of
