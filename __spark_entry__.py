@@ -824,6 +824,33 @@ def q_quality_scores(spark, sf_dir):
     return textops.quality_scores(load_table(spark, sf_dir, "documents"))
 
 
+def q_shard_manifest_merge(spark, sf_dir):
+    """Additive manifest algebra (r13): manifest(even ids) ⊕ manifest(odd
+    ids) must equal manifest(all) — every column is a per-shard SUM of
+    per-doc terms, so the merged result is hash-checked against the SAME
+    oracle SQL as shard_manifest (textops.shard_manifest_merge — the
+    O(batch) incremental-append path that never rescans the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.shard_manifest_merge(
+        textops.shard_manifest(docs.filter(F.col("doc_id") % 2 == 0),
+                               n_shards=16),
+        textops.shard_manifest(docs.filter(F.col("doc_id") % 2 == 1),
+                               n_shards=16))
+
+
+def q_mixing_order(spark, sf_dir):
+    """Deterministic examples-proportional interleave schedule (r13):
+    seeded within-domain ranks → stride key (r − 0.5)/w_d; reading
+    ORDER BY mix_key consumes src0 at 3× the rate of src1/src2, and
+    domains outside the weight map are excluded
+    (operators/sampling.py::mixing_order)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mixing_order(
+        docs, {"src0": 3.0, "src1": 1.0, "src2": 1.0})
+
+
 def q_shard_manifest(spark, sf_dir):
     """Reproducible dataset-publishing manifest (r13): seeded-md5 shard
     assignment + per-shard doc/token/byte counts and an ORDER-INDEPENDENT
@@ -4607,8 +4634,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stats whose mechanics stay driver-checked inside quality_scores
         "token_stats": q_token_stats,
         # r13: dataset-publishing manifest (seeded shards, order-
-        # independent content hash)
+        # independent content hash), its additive merge algebra, and
+        # the examples-proportional interleave schedule
         "shard_manifest": q_shard_manifest,
+        "shard_manifest_merge": q_shard_manifest_merge,
+        "mixing_order": q_mixing_order,
         "boilerplate_removal": q_boilerplate_removal, # CCNet line-docfreq filter
         "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
         "mmr_topk": q_mmr_topk,                       # MMR diversified serving
@@ -6187,6 +6217,24 @@ SELECT shard,
        CAST(sum(nb) AS BIGINT) AS n_bytes,
        CAST(sum(h) AS BIGINT) AS content_hash
 FROM d GROUP BY shard
+""",
+
+        # r13: the stride-key interleave — same seeded ranking as the
+        # sampling family, scale-free weights as CASE literals
+        "mixing_order": """
+WITH r AS (
+  SELECT doc_id, source AS domain,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS r,
+         CASE source WHEN 'src0' THEN 3.0
+                     WHEN 'src1' THEN 1.0
+                     WHEN 'src2' THEN 1.0 END AS w
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT doc_id, domain, CAST(r AS INT) AS dom_rank,
+       floor((r - 0.5) / w * 1000000 + 0.5) / 1000000 AS mix_key
+FROM r
 """,
 
         "quality_scores": f"""
@@ -9606,6 +9654,10 @@ WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
     # final snapshot identical for any micro-batch split, so the batch
     # oracle applies verbatim
     sql["streaming_cdc"] = sql["cdc_apply"]
+    # r13: manifest(even) ⊕ manifest(odd) must equal manifest(all) —
+    # the additive algebra means the FULL-corpus manifest SQL is the
+    # exact oracle for the merged two-half computation
+    sql["shard_manifest_merge"] = sql["shard_manifest"]
     return sql
 
 

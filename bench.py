@@ -263,6 +263,8 @@ HEADLINE = [
     "seasonal_decompose",
     # r12: pre-join cardinality profile
     "join_fanout",
+    # r13: dataset-publishing manifest (one-pass, order-independent hash)
+    "shard_manifest",
 ]
 
 

@@ -130,6 +130,58 @@ def domain_mix_sample(df: DataFrame, targets: dict, domain_col: str = "source",
     )
 
 
+def mixing_order(df: DataFrame, weights: dict, domain_col: str = "source",
+                 key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic examples-proportional interleave — the CONSUMPTION-
+    ORDER twin of :func:`domain_mix_sample` (which picks WHAT to keep;
+    this orders an already-selected corpus so a sequential reader sees
+    domains interleaved at their target rates — the T5/PaLM mixing
+    schedule, made a pure function of (data, weights, seed)).
+
+    Mechanics: within each domain, docs get the seeded-md5 rank r
+    (1-based, ties by ``key_col`` — the ``domain_mix_sample`` ranking);
+    the schedule key is the STRIDE position ``mix_key = (r − 0.5) / w_d``
+    (the r-th example of a weight-w domain sits at its r-th multiple of
+    the 1/w stride; the −0.5 centers strides so two domains with equal
+    weight alternate instead of clumping at shared multiples). Reading
+    the corpus ORDER BY (mix_key, domain, id) consumes domain d at rate
+    proportional to w_d for as long as d has examples — weights need
+    not sum to 1 (only ratios matter; they are scale-free in the key's
+    ORDER). Rows of domains absent from ``weights`` (or with weight
+    ≤ 0) are EXCLUDED, matching domain_mix_sample's contract.
+
+    mix_key is fround'ed (repo 1e-6) so the oracle is bit-equal; ties
+    across domains are pinned by the (domain, id) suffix.
+
+    Scale shape: ONE ranking-window shuffle keyed by the domain column,
+    map-only after — the global interleave is encoded in the KEY, not
+    materialized by a global sort; the writer that wants physically
+    interleaved files does its usual ``repartitionByRange(mix_key)``
+    write, which is the sort it would pay anyway.
+
+    Returns (``key_col``, domain, dom_rank, mix_key).
+    """
+    from pyspark.sql import Window
+
+    doms = {d: float(w) for d, w in weights.items() if w > 0}
+    if not doms:
+        raise ValueError(
+            "mixing_order: no domain has a positive weight "
+            f"(weights={weights!r})")
+    w_col = F.lit(None).cast("double")
+    for d, wd in doms.items():
+        w_col = F.when(F.col(domain_col) == d, F.lit(wd)).otherwise(w_col)
+    win = Window.partitionBy(domain_col).orderBy(
+        seeded_key(F.col(key_col), seed), F.col(key_col).asc())
+    return (df.filter(F.col(domain_col).isin(list(doms)))
+            .withColumn("__r", F.row_number().over(win))
+            .select(F.col(key_col),
+                    F.col(domain_col).alias("domain"),
+                    F.col("__r").alias("dom_rank"),
+                    fround((F.col("__r") - 0.5) / w_col, 6)
+                    .alias("mix_key")))
+
+
 def _nib_sql(expr: str) -> str:
     """Value 0-15 of one lowercase hex char, as engine-portable SQL text
     (ascii math — identical in Spark SQL and DuckDB, so the oracle embeds

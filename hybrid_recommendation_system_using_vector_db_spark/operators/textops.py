@@ -429,6 +429,35 @@ def shard_manifest(documents: DataFrame, n_shards: int = 16,
                  F.sum("__h").alias("content_hash")))
 
 
+def shard_manifest_merge(*manifests: DataFrame) -> DataFrame:
+    """Additive manifest maintenance — the incremental-append companion
+    of :func:`shard_manifest` (the A3/A4 lifecycle argument applied to
+    publishing): because every manifest column is a per-shard SUM of
+    per-doc terms, the manifest of (corpus ∪ batch) is exactly the
+    per-shard column-wise sum of the two manifests. An O(batch) append
+    therefore updates the manifest WITHOUT rescanning the corpus:
+    manifest(new shard files) ⊕ stored manifest.
+
+    Input manifests must come from the same (n_shards, seed) assignment
+    — same-id docs in two inputs are counted twice (this is a UNION-ALL
+    algebra, like the KMV/HLL register merges; dedup before manifest,
+    not after). Scale shape: a union of n_shards-row tables + one
+    n_shards-row aggregate — driver-free, cost independent of corpus
+    size. Returns the same (shard, n_docs, n_tokens, n_bytes,
+    content_hash) schema.
+    """
+    if not manifests:
+        raise ValueError("shard_manifest_merge: need at least one manifest")
+    u = manifests[0]
+    for m in manifests[1:]:
+        u = u.unionByName(m)
+    return (u.groupBy("shard")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_bytes").alias("n_bytes"),
+                 F.sum("content_hash").alias("content_hash")))
+
+
 def tfidf_top_terms(documents: DataFrame, top_n: int = 3,
                     id_col: str = "doc_id", text_col: str = "text",
                     min_df: int = 1,

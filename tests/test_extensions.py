@@ -3714,6 +3714,46 @@ def test_shard_manifest_layout_invariant_and_tamper_sensitive(spark):
     assert all(sw[s].n_docs == base[s].n_docs for s in base)
 
 
+def test_mixing_order_prefix_rates_and_exclusion(spark):
+    """r13 mixing_order: (a) reading ORDER BY mix_key consumes domains
+    at their weight ratios — in every prefix of the schedule, a
+    weight-3 domain has supplied 3× the examples of a weight-1 domain
+    (±1 stride slot); (b) unlisted domains are excluded; (c) the
+    schedule is a pure function of (data, weights, seed): identical
+    under repartition; (d) weights are scale-free (only ratios
+    matter)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sampling import mixing_order
+
+    rows = ([(i, "a") for i in range(300)]
+            + [(1000 + i, "b") for i in range(100)]
+            + [(2000 + i, "junk") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixing_order(df, {"a": 3.0, "b": 1.0}).collect()
+    assert {r.domain for r in out} == {"a", "b"}          # (b)
+    assert len(out) == 400
+    sched = sorted(out, key=lambda r: (r.mix_key, r.domain, r.doc_id))
+    # (a) prefix rates: while both domains still have examples, every
+    # prefix holds ~3 a's per b (stride interleave, ±1 boundary slot)
+    na = nb = 0
+    for r in sched:
+        if r.domain == "a":
+            na += 1
+        else:
+            nb += 1
+        if na < 300 and nb < 100:
+            assert abs(na - 3 * nb) <= 3, (na, nb)
+    # (c) repartition-stable
+    again = mixing_order(df.repartition(7), {"a": 3.0, "b": 1.0}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # (d) scale-free weights: 6/2 gives the SAME ORDER as 3/1 (keys
+    # halve, ranks and relative order identical)
+    scaled = mixing_order(df, {"a": 6.0, "b": 2.0}).collect()
+    key = lambda rs: [(r.doc_id, r.domain, r.dom_rank) for r in
+                      sorted(rs, key=lambda r: (r.mix_key, r.domain,
+                                                r.doc_id))]
+    assert key(out) == key(scaled)
+
+
 def test_gap_fill_span_guard_names_offending_groups(spark):
     """A multi-year span on a 1-second grid hits the configurable
     bucket cap LOUDLY (groups + counts in the message) instead of
