@@ -13,6 +13,7 @@ Cross-engine determinism discipline (SURVEY §7.1-7.2):
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -2744,6 +2745,45 @@ def q_streaming_hourly(spark, sf_dir):
     )
 
 
+def q_streaming_psi_drift(spark, sf_dir):
+    """Per-window streaming PSI drift vs a static reference (r13):
+    CHAINED stateful aggregations in append mode — per-(window, bin)
+    counts re-aggregated on window_time into per-window cell sets, PSI
+    computed map-only from the cells against reference-bin literals
+    (derived here from the first half of events by time — the same
+    floor-rounded midpoint as ks_drift_grouped). Append emission =
+    every window whose end ≤ max(ts) − watermark, which the oracle
+    mirrors (streaming/events.py::streaming_psi_drift)."""
+    _pin_utc(spark)
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_psi_drift,
+    )
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_psi_mem":
+            q.stop()
+    ev = load_table(spark, sf_dir, "events")
+    es = epoch_seconds(F.col("ts"))
+    st = ev.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
+    mid = math.floor((st.lo + st.hi) / 2.0 * 1e6 + 0.5) / 1e6
+    b = F.greatest(F.lit(0), F.least(
+        F.lit(19), F.floor(F.col("value").cast("double") / 5.0).cast("int")))
+    refc = {r.bin: r.n for r in
+            (ev.filter(es < mid).filter(F.col("value").isNotNull())
+             .select(b.alias("bin"))
+             .groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect())}
+    ref_counts = [int(refc.get(i, 0)) for i in range(20)]
+    out = streaming_psi_drift(read_events_stream(spark, sf_dir), ref_counts,
+                              lo=0.0, hi=100.0, window="6 hours",
+                              watermark="2 hours")
+    sq = run_stream_to_memory(out, "q_streaming_psi_mem",
+                              output_mode="append")
+    sq.stop()
+    return spark.table("q_streaming_psi_mem")
+
+
 def q_text_scrub(spark, sf_dir):
     """URL/email scrubbing over documents (training-data cleaning op).
 
@@ -4693,6 +4733,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_sketched": q_equidepth_sketched,   # sample-edge depth
         "frequent_triples": q_frequent_triples,       # Apriori level 3
         "streaming_cdc": q_streaming_cdc,             # foreachBatch CDC fold
+        # r13: chained stateful aggs (append mode) — per-window PSI
+        "streaming_psi_drift": q_streaming_psi_drift,
         "theil_sen": q_theil_sen,                     # robust pairwise-median
                                                       # trend
         # r12: the classic additive trend/seasonal/resid split
@@ -8782,6 +8824,54 @@ SELECT bin, ref_n, cur_n,
                    / ((cur_n + 0.5) / (ct + 10.0)))) * 1000000 + 0.5)
          / 1000000 AS psi
 FROM j CROSS JOIN t
+"""
+    # r13 streaming PSI: same binning/smoothing/ln-at-1e-6 discipline as
+    # psi_drift, per 6 h window; append-mode emission = windows whose end
+    # precedes the final watermark (max non-null-value event time − 2 h)
+    sql["streaming_psi_drift"] = """
+WITH b AS (
+  SELECT value, epoch(ts) AS t FROM events
+),
+st AS (SELECT floor((min(t) + max(t)) / 2.0 * 1000000 + 0.5) / 1000000
+              AS mid FROM b),
+wm AS (SELECT max(t) - 7200 AS cut FROM b WHERE value IS NOT NULL),
+ref AS (
+  SELECT greatest(0, least(19, CAST(floor(value::DOUBLE / 5.0) AS INT)))
+           AS bin,
+         count(*) AS rn
+  FROM b, st WHERE value IS NOT NULL AND t < mid GROUP BY 1
+),
+rt AS (SELECT sum(rn) AS ref_tot FROM ref),
+cur AS (
+  SELECT CAST(floor(t / 21600) * 21600 AS BIGINT) AS w_start,
+         greatest(0, least(19, CAST(floor(value::DOUBLE / 5.0) AS INT)))
+           AS bin,
+         count(*) AS cn
+  FROM b WHERE value IS NOT NULL GROUP BY 1, 2
+),
+em AS (SELECT cur.* FROM cur, wm WHERE w_start + 21600 <= cut),
+tot AS (SELECT w_start, CAST(sum(cn) AS BIGINT) AS cur_total
+        FROM em GROUP BY 1),
+g AS (SELECT CAST(range AS INT) AS bin FROM range(20)),
+cells AS (
+  SELECT tot.w_start, tot.cur_total, g.bin,
+         coalesce(em.cn, 0) AS cn, coalesce(ref.rn, 0) AS rn
+  FROM tot CROSS JOIN g
+  LEFT JOIN em ON em.w_start = tot.w_start AND em.bin = g.bin
+  LEFT JOIN ref ON ref.bin = g.bin
+),
+con AS (
+  SELECT w_start, cur_total,
+         floor((((rn + 0.5) / (ref_tot + 10.0))
+                - ((cn + 0.5) / (cur_total + 10.0)))
+               * ln(((rn + 0.5) / (ref_tot + 10.0))
+                    / ((cn + 0.5) / (cur_total + 10.0)))
+               * 1000000 + 0.5) / 1000000 AS c
+  FROM cells, rt
+)
+SELECT w_start, w_start + 21600 AS w_end, cur_total,
+       floor(sum(c) * 1000000 + 0.5) / 1000000 AS psi
+FROM con GROUP BY w_start, cur_total
 """
     # Bloom runtime prune: deterministic md5 positions — the pruned set
     # (members + the filter's own false positives) hash-checks exactly

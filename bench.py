@@ -265,6 +265,8 @@ HEADLINE = [
     "join_fanout",
     # r13: dataset-publishing manifest (one-pass, order-independent hash)
     "shard_manifest",
+    # r13: chained stateful aggs — per-window streaming PSI monitor
+    "streaming_psi_drift",
 ]
 
 

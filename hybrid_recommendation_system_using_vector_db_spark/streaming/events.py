@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import ROUND_SCORE
 from ..functions.portable import epoch_seconds, fround
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +228,92 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame,
     """
     d = dim.withColumnRenamed(dim_key, stream_key)
     return events.join(F.broadcast(d), stream_key, "inner")
+
+
+def streaming_psi_drift(events: DataFrame, ref_counts: list[int],
+                        value_col: str = "value",
+                        lo: float = 0.0, hi: float = 100.0,
+                        alpha: float = 0.5,
+                        window: str = "6 hours",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Per-event-time-window PSI drift of a streaming column against a
+    static reference distribution — the monitor a 100 TB ingest runs AS
+    THE DATA LANDS (the streaming twin of ``profiling.psi_drift``,
+    which compares two batch slices after the fact).
+
+    ``ref_counts``: the reference's per-bin integer counts (length =
+    n_bins over the caller-fixed ``[lo, hi)`` equal-width grid, clamped
+    edge bins — the psi_drift binning verbatim). A bounded literal list
+    (the codebook pattern): a production monitor pins its reference at
+    train time, so shipping it as plan literals is the honest shape and
+    keeps the whole query free of stream-static joins.
+
+    Plan shape — CHAINED STATEFUL AGGREGATIONS (append mode, the
+    Spark 3.4+ multiple-stateful-operators support):
+
+    1. stateful: per-(event-time window, bin) counts — watermarked
+       tumbling windows, ≤ n_bins rows of state per open window;
+    2. stateful: per-window re-aggregation keyed on
+       ``window(window_time(w), window)`` collecting the ≤ n_bins
+       (bin, cur_n) cells of each window;
+    3. map-only: PSI from the cells — the cur map joins the ref
+       literals over the FULL bin grid (empty bins participate via the
+       Laplace ``alpha``), each bin's (p−q)·ln(p/q) contribution is
+       fround'ed and the total folds SEQUENTIALLY in bin order (the
+       ewma ordered-fold portability rule — collect_list order is
+       partition-dependent; the fold order must not be).
+
+    Append-mode emission: a window's PSI row emits once the watermark
+    passes its end — over a static file source that is every window
+    whose end ≤ max(ts) − watermark (trailing windows stay in state),
+    which is exactly the cutoff the SQL oracle mirrors, so the drained
+    memory sink is hash-checkable.
+
+    Returns (w_start, w_end, cur_total, psi) — epoch seconds, exact
+    integer total, rounded PSI.
+    """
+    n_bins = len(ref_counts)
+    if n_bins < 2:
+        raise ValueError("streaming_psi_drift: need >= 2 reference bins")
+    width = (hi - lo) / n_bins
+    ref_tot = int(sum(ref_counts))
+    b = F.floor((F.col(value_col).cast("double") - F.lit(lo))
+                / F.lit(width)).cast("int")
+    bins = (events.filter(F.col(value_col).isNotNull())
+            .withColumn("bin", F.greatest(
+                F.lit(0), F.least(F.lit(n_bins - 1), b))))
+    s1 = (bins.withWatermark("ts", watermark)
+          .groupBy(F.window("ts", window).alias("w"), "bin")
+          .agg(F.count(F.lit(1)).alias("cur_n")))
+    s2 = (s1.groupBy(F.window(F.window_time("w"), window).alias("w2"))
+          .agg(F.sort_array(
+              F.collect_list(F.struct("bin", "cur_n"))).alias("cells")))
+    cur_map = F.map_from_entries("cells")
+    cur_tot = F.aggregate("cells", F.lit(0).cast("long"),
+                          lambda a, x: a + x["cur_n"])
+    sm = float(alpha) * n_bins
+    ref_arr = F.array(*[F.lit(int(c)).cast("long") for c in ref_counts])
+    scale = float(10 ** ROUND_SCORE)
+
+    def contrib(acc, i):
+        # p/q are IEEE doubles from exact integer counts; one ln per
+        # bin. element_at semantics differ by container: the cur MAP is
+        # keyed by the bin id i itself; the ref ARRAY is 1-indexed.
+        q = ((F.coalesce(F.element_at(cur_map, i), F.lit(0).cast("long"))
+              + F.lit(float(alpha)))
+             / (cur_tot.cast("double") + F.lit(sm)))
+        p = ((F.element_at(ref_arr, i + 1) + F.lit(float(alpha)))
+             / (F.lit(float(ref_tot)) + F.lit(sm)))
+        c = F.floor((p - q) * F.log(p / q) * F.lit(scale) + 0.5) / F.lit(scale)
+        return acc + c
+
+    psi = F.aggregate(F.sequence(F.lit(0), F.lit(n_bins - 1)),
+                      F.lit(0.0), contrib)
+    return s2.select(
+        epoch_seconds(F.col("w2.start")).cast("long").alias("w_start"),
+        epoch_seconds(F.col("w2.end")).cast("long").alias("w_end"),
+        cur_tot.alias("cur_total"),
+        fround(psi, ROUND_SCORE).alias("psi"))
 
 
 def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete"):

@@ -598,3 +598,73 @@ def test_cdc_snapshot_retention_keeps_previous_version(spark, tmp_path):
     assert dirs == ["v1", "v2"]   # live + previous; v0 vacuumed lazily
     # the retained previous version is a readable snapshot
     assert spark.read.parquet(os.path.join(p, "v1")).count() == 1
+
+
+def test_streaming_psi_drift_planted_shift_and_emission_cutoff(spark, tmp_path):
+    """r13 streaming_psi_drift (chained stateful aggs, append mode):
+    (a) emission = exactly the windows whose end <= max(ts) - watermark
+    (trailing windows stay in state); (b) windows whose values match
+    the reference distribution score ~0 PSI, a planted shifted window
+    scores high; (c) the per-window PSI equals an independent python
+    computation of the same formula (to the ln/rounding tolerance)."""
+    import math
+    from datetime import datetime, timedelta
+
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_psi_drift,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # 5 six-hour windows, 120 events each (one per 3 minutes).
+    # windows 0-2 and 4 follow the reference pattern (value cycles
+    # bins 0..19 uniformly); window 3 is shifted (all mass in bins
+    # 15-19). Window 4 exists so the watermark passes window 3's end
+    # and the SHIFTED window actually emits.
+    for w in range(5):
+        for i in range(120):
+            ts = t0 + timedelta(hours=6 * w, minutes=3 * i)
+            v = (75.0 + 5.0 * (i % 5) + 2.5 if w == 3
+                 else 5.0 * (i % 20) + 2.5)
+            rows.append((w * 1000 + i, 1, "click", ts, v))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src + "/tmpdir")
+    # read_events_stream globs 'events.parquet' under the dir
+    import glob
+    import shutil
+    part = glob.glob(src + "/tmpdir/part-*.parquet")[0]
+    shutil.move(part, src + "/events.parquet")
+
+    ref_counts = [6] * 20                       # the uniform pattern
+    out = streaming_psi_drift(
+        read_events_stream(spark, src), ref_counts,
+        lo=0.0, hi=100.0, window="6 hours", watermark="2 hours")
+    q = run_stream_to_memory(out, "psi_test_mem", output_mode="append")
+    q.stop()
+    got = {r.w_start: r for r in spark.table("psi_test_mem").collect()}
+    # (a) max ts = window4 start + 357min (~29:57); watermark cuts 2h
+    # before (~27:57) -> windows 0-3 emitted (ends 6/12/18/24h), the
+    # partial window 4 (ends 30h) held back in state.
+    base = int(t0.timestamp())
+    assert set(got) == {base + 21600 * k for k in range(4)}
+    # (b) uniform windows match the reference (~0 PSI); the planted
+    # shifted window 3 scores far above the 0.25 "significant" line
+    for k in (0, 1, 2):
+        r = got[base + 21600 * k]
+        assert r.cur_total == 120 and abs(r.psi) < 0.01
+    assert got[base + 21600 * 3].psi > 0.5
+    # (c) exact python mirror of one window's formula
+    alpha, nb, rt = 0.5, 20, sum(ref_counts)
+    cur = [6] * 20
+    psi = 0.0
+    for b in range(nb):
+        p = (ref_counts[b] + alpha) / (rt + alpha * nb)
+        qq = (cur[b] + alpha) / (120 + alpha * nb)
+        psi += math.floor((p - qq) * math.log(p / qq) * 1e6 + 0.5) / 1e6
+    psi = math.floor(psi * 1e6 + 0.5) / 1e6
+    assert abs(got[base].psi - psi) < 1e-4
