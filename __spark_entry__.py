@@ -2745,6 +2745,35 @@ def q_streaming_hourly(spark, sf_dir):
     )
 
 
+def q_streaming_shard_manifest(spark, sf_dir):
+    """Streaming manifest maintenance (r13): the documents corpus drained
+    through a real foreachBatch stream (maxFilesPerTrigger=1 — multiple
+    micro-batches, arbitrary file order) folding manifest(batch) into
+    versioned parquet state per batch. Additivity makes the fold
+    split-invariant, so the final snapshot equals the one-shot batch
+    shard_manifest and that SQL oracle applies verbatim
+    (streaming/events.py::incremental_manifest)."""
+    import shutil
+    import tempfile
+
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        incremental_manifest,
+        read_edge_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="spark_graft_manifest_")
+    feed_dir, state, ckpt = (f"{root}/feed", f"{root}/state", f"{root}/ckpt")
+    docs.repartition(4).write.parquet(feed_dir)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed_dir))
+    sq = incremental_manifest(stream, state, ckpt, n_shards=16)
+    sq.awaitTermination()
+    snap = read_edge_state(spark, state).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return snap
+
+
 def q_streaming_psi_drift(spark, sf_dir):
     """Per-window streaming PSI drift vs a static reference (r13):
     CHAINED stateful aggregations in append mode — per-(window, bin)
@@ -4735,6 +4764,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc": q_streaming_cdc,             # foreachBatch CDC fold
         # r13: chained stateful aggs (append mode) — per-window PSI
         "streaming_psi_drift": q_streaming_psi_drift,
+        # r13: foreachBatch manifest fold (additive merge, split-invariant)
+        "streaming_shard_manifest": q_streaming_shard_manifest,
         "theil_sen": q_theil_sen,                     # robust pairwise-median
                                                       # trend
         # r12: the classic additive trend/seasonal/resid split
@@ -9746,8 +9777,11 @@ WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
     sql["streaming_cdc"] = sql["cdc_apply"]
     # r13: manifest(even) ⊕ manifest(odd) must equal manifest(all) —
     # the additive algebra means the FULL-corpus manifest SQL is the
-    # exact oracle for the merged two-half computation
+    # exact oracle for the merged two-half computation; the streaming
+    # foreachBatch fold is split-invariant by the same algebra, so the
+    # drained snapshot uses it verbatim too
     sql["shard_manifest_merge"] = sql["shard_manifest"]
+    sql["streaming_shard_manifest"] = sql["shard_manifest"]
     return sql
 
 

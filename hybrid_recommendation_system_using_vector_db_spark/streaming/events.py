@@ -603,6 +603,69 @@ def incremental_copurchase(order_lines: DataFrame, state_path: str,
     )
 
 
+def merge_manifest_batch(batch_docs: DataFrame, state_path: str,
+                         epoch_id: int | None = None,
+                         run_id: str | None = None,
+                         n_shards: int = 16, seed: int = 42,
+                         keep_versions: int = 2) -> None:
+    """Idempotent fold of one document micro-batch into a versioned
+    shard-manifest state — ``merge_edge_batch``'s snapshot/pointer/
+    replay-skip protocol applied to the publishing manifest: because
+    every manifest column is an additive per-shard sum
+    (``textops.shard_manifest_merge``), folding manifest(batch) into the
+    stored manifest gives EXACTLY the manifest of all documents seen,
+    with per-batch cost O(batch) + an n_shards-row merge — the corpus
+    is never rescanned.
+    """
+    from ..operators.textops import shard_manifest, shard_manifest_merge
+
+    spark = batch_docs.sparkSession
+    os.makedirs(state_path, exist_ok=True)
+    cur_name, last_epoch, state_run = _read_state_pointer(state_path)
+    same_run = run_id is None or state_run is None or run_id == state_run
+    if not same_run:
+        last_epoch = -1  # fresh checkpoint: epoch numbering restarted
+    if epoch_id is not None and epoch_id <= last_epoch:
+        return  # at-least-once replay of an already-merged batch
+    delta = shard_manifest(batch_docs, n_shards=n_shards, seed=seed)
+    if cur_name is not None:
+        state = spark.read.parquet(os.path.join(state_path, cur_name))
+        merged = shard_manifest_merge(state, delta)
+    else:
+        merged = delta
+    new_epoch = epoch_id if epoch_id is not None else last_epoch + 1
+    new_name = f"v{new_epoch}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_name))
+    tmp = os.path.join(state_path, "_CURRENT.tmp")
+    keep_run = run_id if run_id is not None else (state_run if same_run else None)
+    with open(tmp, "w") as f:
+        f.write(f"{new_name}\n{new_epoch}\n{keep_run or ''}\n")
+    os.replace(tmp, os.path.join(state_path, "_CURRENT"))
+    _vacuum_versions(state_path, new_name, keep_versions)
+
+
+def incremental_manifest(docs: DataFrame, state_path: str,
+                         checkpoint_dir: str, n_shards: int = 16,
+                         seed: int = 42):
+    """Streaming manifest maintenance: every document micro-batch folds
+    into the versioned manifest state via :func:`merge_manifest_batch`
+    (the ``incremental_copurchase`` lifecycle for the publishing
+    manifest). Drained over any batch split, the final snapshot equals
+    the one-shot batch ``shard_manifest`` — additivity makes the fold
+    split-invariant, which is the oracle."""
+    def process(b: DataFrame, epoch_id: int) -> None:
+        merge_manifest_batch(b, state_path, epoch_id,
+                             run_id=checkpoint_query_id(checkpoint_dir),
+                             n_shards=n_shards, seed=seed)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents table (schema probed from a
     one-off batch footer read, like ``read_events_stream``)."""

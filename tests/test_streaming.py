@@ -668,3 +668,34 @@ def test_streaming_psi_drift_planted_shift_and_emission_cutoff(spark, tmp_path):
         psi += math.floor((p - qq) * math.log(p / qq) * 1e6 + 0.5) / 1e6
     psi = math.floor(psi * 1e6 + 0.5) / 1e6
     assert abs(got[base].psi - psi) < 1e-4
+
+
+def test_merge_manifest_batch_fold_and_replay_idempotent(spark, tmp_path):
+    """r13 incremental manifest: folding doc batches one at a time gives
+    the SAME state as the one-shot batch manifest (additivity), and an
+    at-least-once replay of an already-merged epoch is a no-op."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import (
+        shard_manifest,
+    )
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        merge_manifest_batch,
+        read_edge_state,
+    )
+
+    rows = [(i, f"body tok{i % 9} of doc {i}") for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "manifest_state")
+    for epoch, lo in enumerate(range(0, 120, 40)):
+        b = spark.createDataFrame(rows[lo:lo + 40], "doc_id long, text string")
+        merge_manifest_batch(b, state, epoch_id=epoch, run_id="r",
+                             n_shards=8)
+    want = {r.shard: tuple(r) for r in
+            shard_manifest(docs, n_shards=8).collect()}
+    got = {r.shard: tuple(r) for r in read_edge_state(spark, state).collect()}
+    assert got == want
+    # replaying epoch 1 (at-least-once delivery) changes nothing
+    b1 = spark.createDataFrame(rows[40:80], "doc_id long, text string")
+    merge_manifest_batch(b1, state, epoch_id=1, run_id="r", n_shards=8)
+    again = {r.shard: tuple(r) for r in
+             read_edge_state(spark, state).collect()}
+    assert again == want
