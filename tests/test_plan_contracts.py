@@ -892,3 +892,40 @@ def test_dq_checks_no_rescan_per_check(spark, sf_dir):
     plan = formatted_plan(m.q_dq_checks(spark, sf_dir))
     assert plan.count("Scan parquet") == 0, plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_shard_manifest_is_one_pass_partial_aggregate(spark, sf_dir):
+    """r13 shard_manifest must be the single-pass shape it claims: one
+    parquet scan, a map-side partial + final hash aggregate (the
+    shuffle carries n_shards rows per task), no window, no join, and a
+    pruned read (doc_id + text only)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import (
+        shard_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = shard_manifest(docs, n_shards=16)
+    plan = formatted_plan(out)
+    # formatted explain lists each node twice (tree + detail section)
+    assert plan.count("Scan parquet") <= 2, plan
+    assert plan.count("HashAggregate") >= 2, plan       # partial + final
+    assert "Window" not in plan and "Join" not in plan, plan
+    schemas = read_schemas(out)
+    assert schemas and all("lang" not in s and "source" not in s
+                           for s in schemas), schemas
+
+
+def test_mixing_order_single_window_exchange(spark, sf_dir):
+    """r13 mixing_order: ONE domain-keyed ranking window, no global
+    sort (the interleave lives in the key), no join."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sampling import (
+        mixing_order,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixing_order(docs, {"src0": 3.0, "src1": 1.0})
+    plan = formatted_plan(out)
+    # tree + detail section each list the node once
+    assert plan.count("Window") <= 2, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "Window" in plan and "Join" not in plan, plan
