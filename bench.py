@@ -263,8 +263,13 @@ HEADLINE = [
     "seasonal_decompose",
     # r12: pre-join cardinality profile
     "join_fanout",
-    # r13: dataset-publishing manifest (one-pass, order-independent hash)
+    # r13: dataset-publishing manifest (one-pass, order-independent hash),
+    # its additive merge, and the streaming foreachBatch fold
     "shard_manifest",
+    "shard_manifest_merge",
+    "streaming_shard_manifest",
+    # r13: examples-proportional interleave schedule
+    "mixing_order",
     # r13: chained stateful aggs — per-window streaming PSI monitor
     "streaming_psi_drift",
 ]
