@@ -3053,6 +3053,56 @@ def q_hll_distinct(spark, sf_dir):
     return sketches.hll_distinct(ev, "event_type", "user_id", p=8)
 
 
+def q_hll_merge(spark, sf_dir):
+    """HLL sketch-union algebra (r13): registers built on the two
+    user-id-parity halves of events, merged register-wise (MAX monoid),
+    estimated — bit-identical to the one-shot hll_distinct, whose
+    oracle applies verbatim (operators/sketches.py::hll_merge)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    ra = sketches.hll_registers(ev.filter(F.col("event_id") % 2 == 0),
+                                "event_type", "user_id", p=8)
+    rb = sketches.hll_registers(ev.filter(F.col("event_id") % 2 == 1),
+                                "event_type", "user_id", p=8)
+    return sketches.hll_estimate(sketches.hll_merge(ra, rb),
+                                 "event_type", p=8)
+
+
+def q_sampled_quantiles_merge(spark, sf_dir):
+    """Bottom-k sample-union algebra (r13): per-half seeded bottom-k
+    samples merged by re-taking the bottom-k — the merged sample (and
+    every quantile read from it) is bit-identical to the one-shot
+    sampled_quantiles, whose oracle applies verbatim
+    (operators/sketches.py::bottomk_merge)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    sa = sketches.bottomk_sample(orders.filter(F.col("o_orderkey") % 2 == 0),
+                                 "o_orderpriority", "o_totalprice",
+                                 "o_orderkey", k=256, seed=SEED)
+    sb = sketches.bottomk_sample(orders.filter(F.col("o_orderkey") % 2 == 1),
+                                 "o_orderpriority", "o_totalprice",
+                                 "o_orderkey", k=256, seed=SEED)
+    merged = sketches.bottomk_merge(sa, sb, k=256).select("grp", "v")
+    return sketches.quantiles_from_sample(merged)
+
+
+def q_cms_merge(spark, sf_dir):
+    """CMS counter-union algebra (r13): the (r, b, cnt) cell tables of
+    the two event halves summed cell-wise — exactly the cells of the
+    full corpus, hash-checked against a direct SQL build
+    (operators/sketches.py::cms_merge)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    ca = sketches.cms_cells(ev.filter(F.col("event_id") % 2 == 0),
+                            "user_id", depth=4, width=256)
+    cb = sketches.cms_cells(ev.filter(F.col("event_id") % 2 == 1),
+                            "user_id", depth=4, width=256)
+    return sketches.cms_merge(ca, cb)
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic 98/1/1 train/val/test split over documents (map-only
     CASE over seeded-md5 hex thresholds — no shuffle, no RNG state)."""
@@ -4719,6 +4769,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix": q_gram_matrix,                 # Arrow partial-GEMM X^T X
         "maxsim_topk": q_maxsim_topk,                 # ColBERT late-interaction MaxSim
         "hll_distinct": q_hll_distinct,               # portable HyperLogLog sketch
+        # r13: the sketch-union algebras — per-batch states merged by
+        # their monoid (register max / bottom-k re-take / counter sum),
+        # each bit-identical to the one-shot build
+        "hll_merge": q_hll_merge,
+        "sampled_quantiles_merge": q_sampled_quantiles_merge,
+        "cms_merge": q_cms_merge,
         "tpch_q3": q_tpch_q3,                         # 3-table join + top-10 (broadcast semi)
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,                       # returned-item customer ranking
@@ -9782,6 +9838,25 @@ WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
     # drained snapshot uses it verbatim too
     sql["shard_manifest_merge"] = sql["shard_manifest"]
     sql["streaming_shard_manifest"] = sql["shard_manifest"]
+    # r13 sketch-union algebras: each merged-halves computation is
+    # bit-identical to the one-shot build, so the one-shot oracle
+    # applies verbatim (register max / bottom-k re-take monoids)
+    sql["hll_merge"] = sql["hll_distinct"]
+    sql["sampled_quantiles_merge"] = sql["sampled_quantiles"]
+    # cms_merge: direct one-shot cell build (counter sum monoid)
+    sql["cms_merge"] = f"""
+WITH v AS (
+  SELECT CAST(user_id AS VARCHAR) AS vs FROM events
+  WHERE user_id IS NOT NULL
+),
+rs AS (SELECT CAST(range AS INT) AS r FROM range(4))
+SELECT r,
+       CAST({_hex8_u32("md5('cms' || CAST(r AS VARCHAR) || ':' || vs)")}
+            % 256 AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM v CROSS JOIN rs
+GROUP BY 1, 2
+"""
     return sql
 
 

@@ -272,6 +272,10 @@ HEADLINE = [
     "mixing_order",
     # r13: chained stateful aggs — per-window streaming PSI monitor
     "streaming_psi_drift",
+    # r13: sketch-union algebras (register max / bottom-k / counter sum)
+    "hll_merge",
+    "sampled_quantiles_merge",
+    "cms_merge",
 ]
 
 

@@ -124,6 +124,41 @@ def cms_heavy_hitters(df: DataFrame, value_col: str,
     )
 
 
+def cms_cells(df: DataFrame, value_col: str,
+              depth: int = 4, width: int = 256) -> DataFrame:
+    """The count-min sketch's mergeable STATE: the (r, b, cnt) counter
+    table (same md5 bucket derivation as :func:`cms_heavy_hitters`) —
+    exposed (r13) because CMS counters obey the additive sketch-union
+    algebra: cells(A ∪ B) = cell-wise SUM of cells(A) and cells(B)
+    (:func:`cms_merge`), the manifest's monoid applied to frequency
+    counters. ≤ depth·width rows regardless of corpus size; point
+    estimates and heavy-hitter probes finalize from this table alone."""
+    v = (df.filter(F.col(value_col).isNotNull())
+         .select(F.col(value_col).cast("string").alias("vs")))
+    rb = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (hex8_u32(F.md5(F.concat(F.lit(f"cms{r}:"), F.col("vs"))))
+                  % F.lit(width)).alias("b"))
+        for r in range(depth)])).alias("rb")
+    return (v.select(rb)
+            .select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+            .groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*states: DataFrame) -> DataFrame:
+    """Cell-wise SUM of CMS counter tables — merging per-batch sketches
+    gives EXACTLY the sketch of the union'd input (counter addition is
+    the CMS update rule), so every point estimate from the merged table
+    equals the one-shot build's. Bounded: ≤ sides·depth·width rows in,
+    ≤ depth·width out."""
+    if not states:
+        raise ValueError("cms_merge: need at least one counter table")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+
+
 def hll_distinct(df: DataFrame, group_col: str, value_col: str,
                  p: int = 8) -> DataFrame:
     """Per-group HyperLogLog distinct-count estimate (Flajolet et al.
@@ -152,8 +187,20 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
     bounded by groups·m regardless of corpus size (the production UDAF
     holds the m-byte register array per group; same estimator).
     """
+    return hll_estimate(hll_registers(df, group_col, value_col, p),
+                        group_col, p)
+
+
+def hll_registers(df: DataFrame, group_col: str, value_col: str,
+                  p: int = 8) -> DataFrame:
+    """The HLL's mergeable STATE: the (grp, reg, mr) register table —
+    per (group, register) the max rank seen. Exposed separately (r13)
+    because registers obey the sketch-union algebra: registers(A ∪ B)
+    = register-wise MAX of registers(A) and registers(B)
+    (:func:`hll_merge`), so a 100 TB profile maintains its HLL by
+    folding per-batch register tables — like the manifest's additive
+    sums, but with max as the monoid. ≤ 2^p rows per group."""
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard bias constant, m ≥ 128
     src = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         F.md5(F.col(value_col).cast("string")).alias("h"))
@@ -165,7 +212,30 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
         F.lit(33) - F.length(F.conv(u2.cast("string"), 10, 2)))
     keyed = src.select(
         "grp", (hex8_u32(F.col("h")) % m).alias("reg"), rho.alias("rho"))
-    regs = keyed.groupBy("grp", "reg").agg(F.max("rho").alias("mr"))
+    return keyed.groupBy("grp", "reg").agg(F.max("rho").alias("mr"))
+
+
+def hll_merge(*states: DataFrame) -> DataFrame:
+    """Register-wise MAX of HLL register tables — the sketch-union
+    monoid: merging per-batch registers gives EXACTLY the registers of
+    the union'd input (same md5 derivation, max is associative/
+    commutative/idempotent), so the merged estimate equals the one-shot
+    estimate bit-for-bit. Bounded work: a union of ≤ groups·2^p-row
+    tables + one partial-agg max."""
+    if not states:
+        raise ValueError("hll_merge: need at least one register table")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("grp", "reg").agg(F.max("mr").alias("mr"))
+
+
+def hll_estimate(regs: DataFrame, group_col: str, p: int = 8) -> DataFrame:
+    """The HLL estimator tail over a register table (raw harmonic mean
+    + small-range correction — see :func:`hll_distinct` for the
+    portability argument)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard bias constant, m ≥ 128
     per = regs.groupBy("grp").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s_used"),
         F.count(F.lit(1)).alias("used"))
@@ -291,15 +361,54 @@ def sampled_quantiles(df: DataFrame, group_col: str, value_col: str,
 
     Returns (grp, p, q_est, n_sample).
     """
+    sample = bottomk_sample(df, group_col, value_col, id_col, k, seed) \
+        .select("grp", "v")
+    return quantiles_from_sample(sample, ps)
+
+
+def bottomk_sample(df: DataFrame, group_col: str, value_col: str,
+                   id_col: str, k: int = 256,
+                   seed: int = 42) -> DataFrame:
+    """The quantile sketch's mergeable STATE: the per-group bottom-k
+    rows (grp, u, v) under the seeded-md5 key — exposed (r13) because
+    bottom-k obeys the sketch-union algebra: the k smallest keys of
+    A ∪ B are among the union of each side's k smallest
+    (:func:`bottomk_merge`), so per-batch samples fold into exactly the
+    sample the full corpus would have produced — the seeded key makes
+    that equality bit-exact, not just distributional."""
     from ..functions.hashing import seeded_key
 
     base = df.select(F.col(group_col).alias("grp"),
                      F.col(value_col).alias("v"),
-                     seeded_key(F.col(id_col), seed).alias("__u"))
-    wk = Window.partitionBy("grp").orderBy("__u", "v")
-    sample = (base.withColumn("__rk", F.row_number().over(wk))
-              .filter(F.col("__rk") <= k)
-              .select("grp", "v"))
+                     seeded_key(F.col(id_col), seed).alias("u"))
+    wk = Window.partitionBy("grp").orderBy("u", "v")
+    return (base.withColumn("__rk", F.row_number().over(wk))
+            .filter(F.col("__rk") <= k)
+            .select("grp", "u", "v"))
+
+
+def bottomk_merge(*states: DataFrame, k: int = 256) -> DataFrame:
+    """Re-take the per-group bottom-k over a union of bottom-k samples:
+    bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) for any k — the
+    merged sample (and every quantile read from it) is bit-identical to
+    the one-shot sample of the union'd data. Bounded work: the union
+    holds ≤ sides·k rows per group."""
+    if not states:
+        raise ValueError("bottomk_merge: need at least one sample")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    wk = Window.partitionBy("grp").orderBy("u", "v")
+    return (u.withColumn("__rk", F.row_number().over(wk))
+            .filter(F.col("__rk") <= k)
+            .select("grp", "u", "v"))
+
+
+def quantiles_from_sample(sample: DataFrame,
+                          ps: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Nearest-rank quantile estimates over a (grp, v) sample — the
+    finalize tail shared by :func:`sampled_quantiles` and the merged-
+    sample path."""
     wq = Window.partitionBy("grp").orderBy("v")
     ranked = (sample
               .withColumn("rn", F.row_number().over(wq))

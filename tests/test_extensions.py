@@ -4835,3 +4835,54 @@ def test_join_fanout_profile_exact_and_skew_ranked(spark):
     assert prof["hot"].rank == 1 and prof["hot"].fanout == 2000
     assert "lonly" not in prof and "ronly" not in prof
     assert abs(prof["hot"].share - 2000 / actual) < 1e-6
+
+
+def test_sketch_merge_monoids_bit_identical(spark):
+    """r13 sketch-union algebras: for ANY split of the input into
+    batches, folding per-batch states through the sketch's monoid
+    (HLL register MAX, bottom-k re-take, CMS counter SUM) reproduces
+    the one-shot build bit-for-bit — the property that lets a 100 TB
+    profile maintain itself incrementally."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_sample,
+        cms_cells,
+        cms_merge,
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+        quantiles_from_sample,
+        sampled_quantiles,
+    )
+
+    rows = [(i, f"g{i % 3}", float((i * 37) % 500)) for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    splits = [df.filter(F.col("id") % 3 == j) for j in range(3)]
+
+    # HLL: merged registers -> estimate == one-shot hll_distinct
+    one = {r.grp: r.est_distinct for r in
+           hll_distinct(df, "grp", "v", p=6).collect()}
+    merged = hll_merge(*[hll_registers(s, "grp", "v", p=6) for s in splits])
+    got = {r.grp: r.est_distinct for r in
+           hll_estimate(merged, "grp", p=6).collect()}
+    assert got == one
+
+    # bottom-k: merged samples -> quantiles == one-shot sampled_quantiles
+    one_q = {(r.grp, r.p): (r.q_est, r.n_sample) for r in
+             sampled_quantiles(df, "grp", "v", "id", k=64).collect()}
+    ms = bottomk_merge(*[bottomk_sample(s, "grp", "v", "id", k=64)
+                         for s in splits], k=64)
+    got_q = {(r.grp, r.p): (r.q_est, r.n_sample) for r in
+             quantiles_from_sample(ms.select("grp", "v")).collect()}
+    assert got_q == one_q
+    # and the merged SAMPLE itself is the one-shot sample (multiset)
+    direct = sorted(map(tuple, bottomk_sample(df, "grp", "v", "id",
+                                              k=64).collect()))
+    assert sorted(map(tuple, ms.collect())) == direct
+
+    # CMS: cell-wise sum == one-shot cells
+    one_c = sorted(map(tuple, cms_cells(df, "v", depth=3, width=32).collect()))
+    got_c = sorted(map(tuple, cms_merge(
+        *[cms_cells(s, "v", depth=3, width=32) for s in splits]).collect()))
+    assert got_c == one_c
