@@ -31,6 +31,22 @@ from ..functions.hashing import hex8_u32
 from ..functions.portable import fround
 
 
+def union_states(states: tuple, what: str) -> DataFrame:
+    """Union-all of sketch/manifest state tables — the shared preamble
+    of every merge monoid (``hll_merge`` / ``cms_merge`` /
+    ``bottomk_merge`` / ``textops.shard_manifest_merge``), with the one
+    authoritative empty-input error. Inputs must come from the same
+    sketch parameters (same p / depth·width / k / (n_shards, seed)) —
+    the state tables don't carry their parameters, so a mixed-parameter
+    union is silently meaningless; that contract lives here, once."""
+    if not states:
+        raise ValueError(f"{what}: need at least one state table")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u
+
+
 def _uniform_hash(col: F.Column) -> F.Column:
     """Deterministic uniform (0,1] hash: first 8 md5 hex chars as u32.
 
@@ -151,12 +167,8 @@ def cms_merge(*states: DataFrame) -> DataFrame:
     the CMS update rule), so every point estimate from the merged table
     equals the one-shot build's. Bounded: ≤ sides·depth·width rows in,
     ≤ depth·width out."""
-    if not states:
-        raise ValueError("cms_merge: need at least one counter table")
-    u = states[0]
-    for s in states[1:]:
-        u = u.unionByName(s)
-    return u.groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+    return union_states(states, "cms_merge") \
+        .groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
 
 
 def hll_distinct(df: DataFrame, group_col: str, value_col: str,
@@ -222,12 +234,8 @@ def hll_merge(*states: DataFrame) -> DataFrame:
     commutative/idempotent), so the merged estimate equals the one-shot
     estimate bit-for-bit. Bounded work: a union of ≤ groups·2^p-row
     tables + one partial-agg max."""
-    if not states:
-        raise ValueError("hll_merge: need at least one register table")
-    u = states[0]
-    for s in states[1:]:
-        u = u.unionByName(s)
-    return u.groupBy("grp", "reg").agg(F.max("mr").alias("mr"))
+    return union_states(states, "hll_merge") \
+        .groupBy("grp", "reg").agg(F.max("mr").alias("mr"))
 
 
 def hll_estimate(regs: DataFrame, group_col: str, p: int = 8) -> DataFrame:
@@ -393,11 +401,7 @@ def bottomk_merge(*states: DataFrame, k: int = 256) -> DataFrame:
     merged sample (and every quantile read from it) is bit-identical to
     the one-shot sample of the union'd data. Bounded work: the union
     holds ≤ sides·k rows per group."""
-    if not states:
-        raise ValueError("bottomk_merge: need at least one sample")
-    u = states[0]
-    for s in states[1:]:
-        u = u.unionByName(s)
+    u = union_states(states, "bottomk_merge")
     wk = Window.partitionBy("grp").orderBy("u", "v")
     return (u.withColumn("__rk", F.row_number().over(wk))
             .filter(F.col("__rk") <= k)

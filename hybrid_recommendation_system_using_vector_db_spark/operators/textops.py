@@ -446,12 +446,9 @@ def shard_manifest_merge(*manifests: DataFrame) -> DataFrame:
     size. Returns the same (shard, n_docs, n_tokens, n_bytes,
     content_hash) schema.
     """
-    if not manifests:
-        raise ValueError("shard_manifest_merge: need at least one manifest")
-    u = manifests[0]
-    for m in manifests[1:]:
-        u = u.unionByName(m)
-    return (u.groupBy("shard")
+    from .sketches import union_states
+
+    return (union_states(manifests, "shard_manifest_merge").groupBy("shard")
             .agg(F.sum("n_docs").alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"),
                  F.sum("n_bytes").alias("n_bytes"),

@@ -521,6 +521,54 @@ def _vacuum_versions(state_path: str, current: str,
         shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
 
 
+def _fold_versioned_state(spark: SparkSession, state_path: str, fold,
+                          epoch_id: int | None = None,
+                          run_id: str | None = None,
+                          keep_versions: int = 2,
+                          materialize: bool = True) -> None:
+    """THE versioned snapshot/pointer/replay protocol — one authoritative
+    copy shared by :func:`merge_edge_batch`, :func:`merge_cdc_batch`
+    and :func:`merge_manifest_batch` (r13 review: the ~20 lines of
+    pointer read / same-run epoch reset / replay skip / versioned write
+    / atomic ``_CURRENT`` flip / lazy vacuum existed in three
+    near-verbatim copies, and two of them could overwrite the snapshot
+    directory their own plan was still lazily reading when a CROSS-RUN
+    epoch number collided with the live version name — a cleared
+    checkpoint restarts epochs at 0, so run B's ``v0`` write lands on
+    run A's live ``v0``).
+
+    ``fold(state_df_or_none) -> DataFrame`` computes the next state
+    from the live snapshot (None on first merge). Unless
+    ``materialize=False`` (pass it ONLY when the fold already severed
+    lineage from the snapshot read, e.g. via its own localCheckpoint),
+    the result is materialized here BEFORE the overwrite write, so the
+    write can never delete a directory its plan still reads — the
+    collision-safe discipline ``merge_cdc_batch`` pioneered, now
+    applied to every fold.
+    """
+    os.makedirs(state_path, exist_ok=True)
+    cur_name, last_epoch, state_run = _read_state_pointer(state_path)
+    same_run = run_id is None or state_run is None or run_id == state_run
+    if not same_run:
+        last_epoch = -1  # fresh checkpoint: epoch numbering restarted
+    if epoch_id is not None and epoch_id <= last_epoch:
+        return  # at-least-once replay of an already-merged batch
+    state = (spark.read.parquet(os.path.join(state_path, cur_name))
+             if cur_name is not None else None)
+    merged = fold(state)
+    if materialize:
+        merged = merged.localCheckpoint(eager=True)
+    new_epoch = epoch_id if epoch_id is not None else last_epoch + 1
+    new_name = f"v{new_epoch}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_name))
+    tmp = os.path.join(state_path, "_CURRENT.tmp")
+    keep_run = run_id if run_id is not None else (state_run if same_run else None)
+    with open(tmp, "w") as f:
+        f.write(f"{new_name}\n{new_epoch}\n{keep_run or ''}\n")
+    os.replace(tmp, os.path.join(state_path, "_CURRENT"))
+    _vacuum_versions(state_path, new_name, keep_versions)
+
+
 def merge_edge_batch(batch: DataFrame, state_path: str,
                      epoch_id: int | None = None,
                      run_id: str | None = None,
@@ -549,33 +597,17 @@ def merge_edge_batch(batch: DataFrame, state_path: str,
     reader that resolved ``_CURRENT`` just before a flip never races a
     vanishing directory (ADVICE r11; see :func:`_vacuum_versions`).
     """
-    spark = batch.sparkSession
-    os.makedirs(state_path, exist_ok=True)
-    cur_name, last_epoch, state_run = _read_state_pointer(state_path)
-    same_run = run_id is None or state_run is None or run_id == state_run
-    if not same_run:
-        last_epoch = -1  # fresh checkpoint: epoch numbering restarted
-    if epoch_id is not None and epoch_id <= last_epoch:
-        return  # at-least-once replay of an already-merged batch
     deltas = batch.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
-    if cur_name is not None:
-        state = spark.read.parquet(os.path.join(state_path, cur_name))
-        merged = (
-            state.unionByName(deltas)
-            .groupBy("src", "dst")
-            .agg(F.sum("weight").alias("weight"))
-        )
-    else:
-        merged = deltas
-    new_epoch = epoch_id if epoch_id is not None else last_epoch + 1
-    new_name = f"v{new_epoch}"
-    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_name))
-    tmp = os.path.join(state_path, "_CURRENT.tmp")
-    keep_run = run_id if run_id is not None else (state_run if same_run else None)
-    with open(tmp, "w") as f:
-        f.write(f"{new_name}\n{new_epoch}\n{keep_run or ''}\n")
-    os.replace(tmp, os.path.join(state_path, "_CURRENT"))
-    _vacuum_versions(state_path, new_name, keep_versions)
+
+    def fold(state: DataFrame | None) -> DataFrame:
+        if state is None:
+            return deltas
+        return (state.unionByName(deltas)
+                .groupBy("src", "dst")
+                .agg(F.sum("weight").alias("weight")))
+
+    _fold_versioned_state(batch.sparkSession, state_path, fold,
+                          epoch_id, run_id, keep_versions)
 
 
 def incremental_copurchase(order_lines: DataFrame, state_path: str,
@@ -619,29 +651,13 @@ def merge_manifest_batch(batch_docs: DataFrame, state_path: str,
     """
     from ..operators.textops import shard_manifest, shard_manifest_merge
 
-    spark = batch_docs.sparkSession
-    os.makedirs(state_path, exist_ok=True)
-    cur_name, last_epoch, state_run = _read_state_pointer(state_path)
-    same_run = run_id is None or state_run is None or run_id == state_run
-    if not same_run:
-        last_epoch = -1  # fresh checkpoint: epoch numbering restarted
-    if epoch_id is not None and epoch_id <= last_epoch:
-        return  # at-least-once replay of an already-merged batch
     delta = shard_manifest(batch_docs, n_shards=n_shards, seed=seed)
-    if cur_name is not None:
-        state = spark.read.parquet(os.path.join(state_path, cur_name))
-        merged = shard_manifest_merge(state, delta)
-    else:
-        merged = delta
-    new_epoch = epoch_id if epoch_id is not None else last_epoch + 1
-    new_name = f"v{new_epoch}"
-    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_name))
-    tmp = os.path.join(state_path, "_CURRENT.tmp")
-    keep_run = run_id if run_id is not None else (state_run if same_run else None)
-    with open(tmp, "w") as f:
-        f.write(f"{new_name}\n{new_epoch}\n{keep_run or ''}\n")
-    os.replace(tmp, os.path.join(state_path, "_CURRENT"))
-    _vacuum_versions(state_path, new_name, keep_versions)
+
+    def fold(state: DataFrame | None) -> DataFrame:
+        return delta if state is None else shard_manifest_merge(state, delta)
+
+    _fold_versioned_state(batch_docs.sparkSession, state_path, fold,
+                          epoch_id, run_id, keep_versions)
 
 
 def incremental_manifest(docs: DataFrame, state_path: str,
@@ -817,47 +833,34 @@ def merge_cdc_batch(batch: DataFrame, state_path: str,
     """
     from pyspark.sql import Window
 
-    spark = batch.sparkSession
-    os.makedirs(state_path, exist_ok=True)
-    cur_name, last_epoch, state_run = _read_state_pointer(state_path)
-    same_run = run_id is None or state_run is None or run_id == state_run
-    if not same_run:
-        last_epoch = -1
-    if epoch_id is not None and epoch_id <= last_epoch:
-        return
-    merged = batch
-    if cur_name is not None:
-        state = spark.read.parquet(os.path.join(state_path, cur_name))
-        merged = state.unionByName(batch)
-    eff_order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
-    w = Window.partitionBy(*key_cols).orderBy(
-        *[F.col(c).desc() for c in eff_order])
-    # rank + row_number share one window spec → ONE sort; rn ≤ 2 keeps
-    # just enough to expose an ambiguous winner (the apply_changes
-    # totality pass). Checkpointed: the ranked batch feeds the tied
-    # check AND the snapshot write.
-    ranked = (merged.withColumn("__rn", F.row_number().over(w))
-              .withColumn("__rk", F.rank().over(w))
-              .filter(F.col("__rn") <= 2)
-              .localCheckpoint(eager=True))
-    tied = ranked.filter((F.col("__rk") == 1) & (F.col("__rn") == 2))
-    if not tied.isEmpty():
-        sample = tied.select(*key_cols, *eff_order).limit(5).collect()
-        raise ValueError(
-            "merge_cdc_batch: state ∪ batch is not totally ordered within "
-            f"key(s) — tied winners on ({', '.join(eff_order)}) for e.g. "
-            f"{[tuple(r) for r in sample]}; pass tiebreak_col (a monotonic "
-            "sequence column) or fix the feed.")
-    latest = ranked.filter(F.col("__rn") == 1).drop("__rn", "__rk")
-    new_epoch = epoch_id if epoch_id is not None else last_epoch + 1
-    new_name = f"v{new_epoch}"
-    latest.write.mode("overwrite").parquet(os.path.join(state_path, new_name))
-    tmp = os.path.join(state_path, "_CURRENT.tmp")
-    keep_run = run_id if run_id is not None else (state_run if same_run else None)
-    with open(tmp, "w") as f:
-        f.write(f"{new_name}\n{new_epoch}\n{keep_run or ''}\n")
-    os.replace(tmp, os.path.join(state_path, "_CURRENT"))
-    _vacuum_versions(state_path, new_name, keep_versions)
+    def fold(state: DataFrame | None) -> DataFrame:
+        merged = batch if state is None else state.unionByName(batch)
+        eff_order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in eff_order])
+        # rank + row_number share one window spec → ONE sort; rn ≤ 2
+        # keeps just enough to expose an ambiguous winner (the
+        # apply_changes totality pass). Checkpointed: the ranked batch
+        # feeds the tied check AND the snapshot write — and the
+        # checkpoint also severs lineage from the live snapshot read,
+        # which is why this fold passes materialize=False below.
+        ranked = (merged.withColumn("__rn", F.row_number().over(w))
+                  .withColumn("__rk", F.rank().over(w))
+                  .filter(F.col("__rn") <= 2)
+                  .localCheckpoint(eager=True))
+        tied = ranked.filter((F.col("__rk") == 1) & (F.col("__rn") == 2))
+        if not tied.isEmpty():
+            sample = tied.select(*key_cols, *eff_order).limit(5).collect()
+            raise ValueError(
+                "merge_cdc_batch: state ∪ batch is not totally ordered "
+                f"within key(s) — tied winners on ({', '.join(eff_order)}) "
+                f"for e.g. {[tuple(r) for r in sample]}; pass tiebreak_col "
+                "(a monotonic sequence column) or fix the feed.")
+        return ranked.filter(F.col("__rn") == 1).drop("__rn", "__rk")
+
+    _fold_versioned_state(batch.sparkSession, state_path, fold,
+                          epoch_id, run_id, keep_versions,
+                          materialize=False)
 
 
 def incremental_cdc(changes: DataFrame, state_path: str,

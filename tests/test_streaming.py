@@ -699,3 +699,42 @@ def test_merge_manifest_batch_fold_and_replay_idempotent(spark, tmp_path):
     again = {r.shard: tuple(r) for r in
              read_edge_state(spark, state).collect()}
     assert again == want
+
+
+def test_versioned_fold_cross_run_vname_collision_safe(spark, tmp_path):
+    """r13 review finding: a cleared checkpoint restarts epochs at 0, so
+    run B's first merge writes v0 — the SAME directory run A's live
+    state occupies — while the fold still lazily reads it. The shared
+    protocol now materializes the fold result before the overwrite, so
+    the collision is safe and no pre-restart counts are lost (both for
+    the manifest fold and the edge fold)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import (
+        shard_manifest,
+    )
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        merge_edge_batch,
+        merge_manifest_batch,
+        read_edge_state,
+    )
+
+    rows = [(i, f"body tok{i % 5} of doc {i}") for i in range(80)]
+    docs_a = spark.createDataFrame(rows[:40], "doc_id long, text string")
+    docs_b = spark.createDataFrame(rows[40:], "doc_id long, text string")
+    state = str(tmp_path / "m_state")
+    merge_manifest_batch(docs_a, state, epoch_id=0, run_id="runA", n_shards=4)
+    # checkpoint cleared: run B starts its epochs at 0 again
+    merge_manifest_batch(docs_b, state, epoch_id=0, run_id="runB", n_shards=4)
+    alldocs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {r.shard: tuple(r) for r in
+            shard_manifest(alldocs, n_shards=4).collect()}
+    got = {r.shard: tuple(r) for r in read_edge_state(spark, state).collect()}
+    assert got == want
+
+    edges = str(tmp_path / "e_state")
+    ba = spark.createDataFrame([(1, 2)] * 3 + [(2, 3)], "src long, dst long")
+    bb = spark.createDataFrame([(1, 2)] * 2 + [(3, 4)], "src long, dst long")
+    merge_edge_batch(ba, edges, epoch_id=0, run_id="runA")
+    merge_edge_batch(bb, edges, epoch_id=0, run_id="runB")
+    got_e = {(r.src, r.dst): r.weight for r in
+             read_edge_state(spark, edges).collect()}
+    assert got_e == {(1, 2): 5, (2, 3): 1, (3, 4): 1}
