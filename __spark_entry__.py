@@ -2774,6 +2774,36 @@ def q_streaming_shard_manifest(spark, sf_dir):
     return snap
 
 
+def q_streaming_hll(spark, sf_dir):
+    """Streaming distinct-count maintenance (r13): events drained
+    through foreachBatch (maxFilesPerTrigger=1), each batch's HLL
+    registers folded into versioned state by register-wise MAX; the
+    drained state estimates bit-identically to the one-shot
+    hll_distinct, whose oracle applies verbatim
+    (streaming/events.py::incremental_hll)."""
+    import shutil
+    import tempfile
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        incremental_hll,
+        read_edge_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    root = tempfile.mkdtemp(prefix="spark_graft_hll_")
+    feed_dir, state, ckpt = (f"{root}/feed", f"{root}/state", f"{root}/ckpt")
+    ev.repartition(4).write.parquet(feed_dir)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed_dir))
+    sq = incremental_hll(stream, state, ckpt, "event_type", "user_id", p=8)
+    sq.awaitTermination()
+    out = sketches.hll_estimate(read_edge_state(spark, state),
+                                "event_type", p=8).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_streaming_psi_drift(spark, sf_dir):
     """Per-window streaming PSI drift vs a static reference (r13):
     CHAINED stateful aggregations in append mode — per-(window, bin)
@@ -4822,6 +4852,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_psi_drift": q_streaming_psi_drift,
         # r13: foreachBatch manifest fold (additive merge, split-invariant)
         "streaming_shard_manifest": q_streaming_shard_manifest,
+        # r13: foreachBatch HLL register fold (MAX monoid)
+        "streaming_hll": q_streaming_hll,
         "theil_sen": q_theil_sen,                     # robust pairwise-median
                                                       # trend
         # r12: the classic additive trend/seasonal/resid split
@@ -9842,6 +9874,7 @@ WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
     # bit-identical to the one-shot build, so the one-shot oracle
     # applies verbatim (register max / bottom-k re-take monoids)
     sql["hll_merge"] = sql["hll_distinct"]
+    sql["streaming_hll"] = sql["hll_distinct"]
     sql["sampled_quantiles_merge"] = sql["sampled_quantiles"]
     # cms_merge: direct one-shot cell build (counter sum monoid)
     sql["cms_merge"] = f"""

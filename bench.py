@@ -274,6 +274,7 @@ HEADLINE = [
     "streaming_psi_drift",
     # r13: sketch-union algebras (register max / bottom-k / counter sum)
     "hll_merge",
+    "streaming_hll",
     "sampled_quantiles_merge",
     "cms_merge",
 ]

@@ -682,6 +682,46 @@ def incremental_manifest(docs: DataFrame, state_path: str,
     )
 
 
+def merge_hll_batch(batch: DataFrame, state_path: str,
+                    group_col: str, value_col: str, p: int = 8,
+                    epoch_id: int | None = None,
+                    run_id: str | None = None,
+                    keep_versions: int = 2) -> None:
+    """Fold one micro-batch's HLL registers into versioned state — the
+    sketch-union algebra (``sketches.hll_merge``, register-wise MAX)
+    through the shared :func:`_fold_versioned_state` protocol: the
+    drained state is bit-identical to the one-shot registers of all
+    rows seen, at O(batch) + a ≤ groups·2^p-row merge per batch."""
+    from ..operators.sketches import hll_merge, hll_registers
+
+    delta = hll_registers(batch, group_col, value_col, p)
+
+    def fold(state: DataFrame | None) -> DataFrame:
+        return delta if state is None else hll_merge(state, delta)
+
+    _fold_versioned_state(batch.sparkSession, state_path, fold,
+                          epoch_id, run_id, keep_versions)
+
+
+def incremental_hll(rows: DataFrame, state_path: str, checkpoint_dir: str,
+                    group_col: str, value_col: str, p: int = 8):
+    """Streaming distinct-count maintenance: per-batch HLL registers
+    fold into versioned state (the :func:`incremental_manifest`
+    lifecycle with MAX as the monoid). Finalize the live state with
+    ``sketches.hll_estimate`` — split-invariant, so the one-shot
+    ``hll_distinct`` oracle applies to the drained estimate."""
+    def process(b: DataFrame, epoch_id: int) -> None:
+        merge_hll_batch(b, state_path, group_col, value_col, p, epoch_id,
+                        run_id=checkpoint_query_id(checkpoint_dir))
+
+    return (
+        rows.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents table (schema probed from a
     one-off batch footer read, like ``read_events_stream``)."""

@@ -738,3 +738,31 @@ def test_versioned_fold_cross_run_vname_collision_safe(spark, tmp_path):
     got_e = {(r.src, r.dst): r.weight for r in
              read_edge_state(spark, edges).collect()}
     assert got_e == {(1, 2): 5, (2, 3): 1, (3, 4): 1}
+
+
+def test_incremental_hll_fold_matches_one_shot(spark, tmp_path):
+    """r13 incremental_hll: folding per-batch HLL registers through the
+    shared versioned-state protocol (MAX monoid) and estimating the
+    drained state equals the one-shot hll_distinct, for any split."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+    )
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        merge_hll_batch,
+        read_edge_state,
+    )
+
+    rows = [(f"g{i % 2}", (i * 7) % 300) for i in range(600)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    state = str(tmp_path / "hll_state")
+    for epoch in range(3):
+        b = spark.createDataFrame(rows[epoch * 200:(epoch + 1) * 200],
+                                  "grp string, v long")
+        merge_hll_batch(b, state, "grp", "v", p=6, epoch_id=epoch,
+                        run_id="r")
+    want = {r.grp: r.est_distinct for r in
+            hll_distinct(df, "grp", "v", p=6).collect()}
+    got = {r.grp: r.est_distinct for r in
+           hll_estimate(read_edge_state(spark, state), "grp", p=6).collect()}
+    assert got == want
