@@ -545,6 +545,14 @@ def _fold_versioned_state(spark: SparkSession, state_path: str, fold,
     write can never delete a directory its plan still reads — the
     collision-safe discipline ``merge_cdc_batch`` pioneered, now
     applied to every fold.
+
+    r14: on top of materialization, the new snapshot dir NAME is chosen
+    to never equal the live dir or any existing dir (``v{e}`` →
+    ``v{e}r{n}``), so the overwrite can never delete the live snapshot
+    before the ``_CURRENT`` flip — a crash between the write and the
+    flip always leaves the previous snapshot live, even on a cross-run
+    epoch collision. The pointer records dir name and epoch separately,
+    so epoch accounting is unaffected.
     """
     os.makedirs(state_path, exist_ok=True)
     cur_name, last_epoch, state_run = _read_state_pointer(state_path)
@@ -559,7 +567,24 @@ def _fold_versioned_state(spark: SparkSession, state_path: str, fold,
     if materialize:
         merged = merged.localCheckpoint(eager=True)
     new_epoch = epoch_id if epoch_id is not None else last_epoch + 1
+    # Never write into a directory that already exists — above all the LIVE
+    # one. On a cross-run epoch collision (cleared checkpoint restarts
+    # epochs at 0 while run A's live state IS v0), ``mode("overwrite")``
+    # would DELETE the live snapshot before the ``_CURRENT`` flip below, so
+    # a crash in that window would leave the pointer targeting a destroyed
+    # or half-written directory — violating the documented guarantee that a
+    # crash mid-write leaves the previous snapshot live (r13 review). A
+    # retained predecessor (``keep_versions``) may likewise still be read
+    # by a racing reader, and a partial dir from a crashed earlier attempt
+    # is cheap to leave for the lazy vacuum; suffix the name instead. The
+    # pointer stores the dir name and the epoch separately, so epoch
+    # accounting is unchanged.
     new_name = f"v{new_epoch}"
+    retry = 0
+    while new_name == cur_name or os.path.isdir(os.path.join(state_path,
+                                                             new_name)):
+        retry += 1
+        new_name = f"v{new_epoch}r{retry}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_name))
     tmp = os.path.join(state_path, "_CURRENT.tmp")
     keep_run = run_id if run_id is not None else (state_run if same_run else None)

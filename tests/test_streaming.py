@@ -766,3 +766,43 @@ def test_incremental_hll_fold_matches_one_shot(spark, tmp_path):
     got = {r.grp: r.est_distinct for r in
            hll_estimate(read_edge_state(spark, state), "grp", p=6).collect()}
     assert got == want
+
+
+def test_versioned_fold_crash_between_write_and_flip_preserves_live(
+        spark, tmp_path, monkeypatch):
+    """r13 review (What's wrong #1): on a cross-run epoch collision, run
+    B's first merge must never write INTO run A's live ``v0`` directory
+    — otherwise a crash between the snapshot write and the ``_CURRENT``
+    flip leaves the pointer targeting a destroyed directory. Simulate
+    the crash by failing the pointer flip and assert run A's state is
+    still fully readable, then that a retry recovers to the merged
+    state."""
+    import os
+
+    from hybrid_recommendation_system_using_vector_db_spark.streaming import events as ev
+
+    state = str(tmp_path / "e_state")
+    ba = spark.createDataFrame([(1, 2)] * 3 + [(2, 3)], "src long, dst long")
+    bb = spark.createDataFrame([(1, 2)] * 2 + [(3, 4)], "src long, dst long")
+    ev.merge_edge_batch(ba, state, epoch_id=0, run_id="runA")
+
+    real_replace = os.replace
+
+    def crash_on_flip(src, dst):
+        if os.path.basename(dst) == "_CURRENT":
+            raise RuntimeError("simulated crash before pointer flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(ev.os, "replace", crash_on_flip)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ev.merge_edge_batch(bb, state, epoch_id=0, run_id="runB")
+    # the live pointer still resolves run A's INTACT snapshot
+    got_a = {(r.src, r.dst): r.weight for r in
+             ev.read_edge_state(spark, state).collect()}
+    assert got_a == {(1, 2): 3, (2, 3): 1}
+    # recovery: the replayed batch lands on a fresh dir and flips cleanly
+    monkeypatch.setattr(ev.os, "replace", real_replace)
+    ev.merge_edge_batch(bb, state, epoch_id=0, run_id="runB")
+    got = {(r.src, r.dst): r.weight for r in
+           ev.read_edge_state(spark, state).collect()}
+    assert got == {(1, 2): 5, (2, 3): 1, (3, 4): 1}
