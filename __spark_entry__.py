@@ -2368,15 +2368,20 @@ def q_streaming_cdc(spark, sf_dir):
             .withColumn("ts", F.lit(0)))
     feed = base.unionByName(ups).unionByName(dels).unionByName(ins)
     root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
-    chg_dir, state, ckpt = (f"{root}/feed", f"{root}/state", f"{root}/ckpt")
-    feed.repartition(4).write.parquet(chg_dir)
-    stream = (spark.readStream.schema(feed.schema)
-              .option("maxFilesPerTrigger", 1).parquet(chg_dir))
-    sq = incremental_cdc(stream, state, ckpt, ["o_orderkey"])
-    sq.awaitTermination()
-    snap = load_cdc_snapshot(spark, state).select(*orders.columns)         .localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
-    return snap
+    # try/finally: a failed stream run or state read must not leak the
+    # feed/state/checkpoint dirs (r13 ADVICE, same shape as manifest/hll)
+    try:
+        chg_dir, state, ckpt = (f"{root}/feed", f"{root}/state",
+                                f"{root}/ckpt")
+        feed.repartition(4).write.parquet(chg_dir)
+        stream = (spark.readStream.schema(feed.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chg_dir))
+        sq = incremental_cdc(stream, state, ckpt, ["o_orderkey"])
+        sq.awaitTermination()
+        return (load_cdc_snapshot(spark, state).select(*orders.columns)
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_frequent_triples(spark, sf_dir):
@@ -2763,15 +2768,19 @@ def q_streaming_shard_manifest(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="spark_graft_manifest_")
-    feed_dir, state, ckpt = (f"{root}/feed", f"{root}/state", f"{root}/ckpt")
-    docs.repartition(4).write.parquet(feed_dir)
-    stream = (spark.readStream.schema(docs.schema)
-              .option("maxFilesPerTrigger", 1).parquet(feed_dir))
-    sq = incremental_manifest(stream, state, ckpt, n_shards=16)
-    sq.awaitTermination()
-    snap = read_edge_state(spark, state).localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
-    return snap
+    # try/finally: a failed stream run or state read must not leak the
+    # feed/state/checkpoint dirs (r13 ADVICE)
+    try:
+        feed_dir, state, ckpt = (f"{root}/feed", f"{root}/state",
+                                 f"{root}/ckpt")
+        docs.repartition(4).write.parquet(feed_dir)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(feed_dir))
+        sq = incremental_manifest(stream, state, ckpt, n_shards=16)
+        sq.awaitTermination()
+        return read_edge_state(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_streaming_hll(spark, sf_dir):
@@ -2792,16 +2801,22 @@ def q_streaming_hll(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     root = tempfile.mkdtemp(prefix="spark_graft_hll_")
-    feed_dir, state, ckpt = (f"{root}/feed", f"{root}/state", f"{root}/ckpt")
-    ev.repartition(4).write.parquet(feed_dir)
-    stream = (spark.readStream.schema(ev.schema)
-              .option("maxFilesPerTrigger", 1).parquet(feed_dir))
-    sq = incremental_hll(stream, state, ckpt, "event_type", "user_id", p=8)
-    sq.awaitTermination()
-    out = sketches.hll_estimate(read_edge_state(spark, state),
-                                "event_type", p=8).localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
-    return out
+    # try/finally: a failed stream run or state read must not leak the
+    # feed/state/checkpoint dirs (r13 ADVICE)
+    try:
+        feed_dir, state, ckpt = (f"{root}/feed", f"{root}/state",
+                                 f"{root}/ckpt")
+        ev.repartition(4).write.parquet(feed_dir)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(feed_dir))
+        sq = incremental_hll(stream, state, ckpt, "event_type", "user_id",
+                             p=8)
+        sq.awaitTermination()
+        return sketches.hll_estimate(
+            read_edge_state(spark, state), "event_type",
+            p=8).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_streaming_psi_drift(spark, sf_dir):
@@ -7143,8 +7158,8 @@ xy AS (
 samp AS (
   SELECT x, y FROM (
     SELECT x, y,
-           md5('42:' || (CAST(x AS VARCHAR) || chr(1)
-                         || CAST(y AS VARCHAR))) AS u
+           md5('42:' || ('v' || CAST(x AS VARCHAR) || chr(1)
+                         || 'v' || CAST(y AS VARCHAR))) AS u
     FROM xy
   ) ORDER BY u, x, y LIMIT 40
 ),
@@ -7184,8 +7199,10 @@ samp AS (
     SELECT grp, x, y,
            row_number() OVER (
              PARTITION BY grp
-             ORDER BY md5('42:' || (grp || chr(1) || CAST(x AS VARCHAR)
-                                        || chr(1) || CAST(y AS VARCHAR))),
+             ORDER BY md5('42:' || ('v' || grp || chr(1)
+                                    || 'v' || CAST(x AS VARCHAR)
+                                    || chr(1)
+                                    || 'v' || CAST(y AS VARCHAR))),
                       x, y)
              AS bk
     FROM h

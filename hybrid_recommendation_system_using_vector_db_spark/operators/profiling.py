@@ -162,6 +162,13 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     full-outer align on bin id, and single-row totals broadcast back —
     data is touched exactly once per side.
     """
+    if n_bins < 2:
+        raise ValueError("psi_drift: need >= 2 bins")
+    if not hi > lo:
+        # a degenerate range clamps everything into the edge bins and
+        # yields a meaningless PSI — fail loud (r13 ADVICE, streaming
+        # twin got the same check)
+        raise ValueError(f"psi_drift: need hi > lo, got lo={lo} hi={hi}")
     width = (hi - lo) / n_bins
 
     def binned(df: DataFrame, out: str) -> DataFrame:
@@ -969,15 +976,19 @@ def bounded_pair_rows(base: DataFrame, gcol: list, value_cols: list,
 
     m = max(2, int(float(max_pairs) ** 0.5))
     # explicit escape: unit separator avoids ("1","23") vs ("12","3")
-    # key collisions; oracle mirrors chr(1). NULL values map to a \x00
-    # sentinel BEFORE the concat (concat_ws silently skips NULLs, so
-    # ("a", NULL, "b") and ("a", "b", NULL) would otherwise collide —
-    # r12 ADVICE); non-null values produce the exact same key as
-    # before, so the null-free shipped oracles are unchanged.
+    # key collisions; oracle mirrors chr(1). NULLs need a sentinel
+    # BEFORE the concat (concat_ws silently skips NULLs, so ("a", NULL,
+    # "b") and ("a", "b", NULL) would otherwise collide — r12 ADVICE),
+    # and the sentinel must live in a namespace no VALUE can reach: a
+    # bare "\x00" sentinel collides with a genuine "\x00" string (r13
+    # ADVICE), so non-null values are prefixed "v" and NULL maps to the
+    # prefix-free "n" — ("v" || value) can never equal "n" because the
+    # prefixes differ. Oracles mirror 'v' || CAST(... AS VARCHAR).
     ident = (F.col(id_col) if id_col else
              F.concat_ws("\x01",
-                         *[F.coalesce(F.col(c).cast("string"),
-                                      F.lit("\x00"))
+                         *[F.coalesce(F.concat(F.lit("v"),
+                                               F.col(c).cast("string")),
+                                      F.lit("n"))
                            for c in (list(gcol) + list(value_cols))]))
     keyed = base.withColumn("__u", seeded_key(ident, seed))
     order = [F.col("__u")] + [F.col(c) for c in value_cols]

@@ -31,16 +31,63 @@ from ..functions.hashing import hex8_u32
 from ..functions.portable import fround
 
 
+_PARAMS_KEY = "sketch_params"
+
+
+def _stamp_params(df: DataFrame, what: str, **params) -> DataFrame:
+    """Stamp a state table with its sketch parameters (r13 ADVICE: the
+    same-parameters merge contract was documentation-only — merging
+    states built with different p / depth·width / k / (n_shards, seed)
+    type-checked and produced silently meaningless results).
+
+    The stamp rides as METADATA on the first column's schema field, so
+    it survives ``select``/``unionByName``/``localCheckpoint`` AND a
+    parquet round-trip (Spark persists field metadata in the parquet
+    footer's schema property, exactly how ML attribute metadata
+    travels) — which is what lets the versioned-state folds in
+    ``streaming.events`` keep the stamp across snapshots without any
+    schema change: no extra columns, no sidecar files, byte-identical
+    data pages."""
+    first = df.columns[0]
+    meta = {_PARAMS_KEY: {"what": what, **{k: v for k, v in
+                                           sorted(params.items())}}}
+    return df.withColumn(first, F.col(first).alias(first, metadata=meta))
+
+
+def read_state_params(df: DataFrame) -> dict | None:
+    """The sketch-parameter stamp of a state table (None if unstamped —
+    e.g. a pre-r14 snapshot or a hand-built table)."""
+    for f in df.schema.fields:
+        if f.metadata and _PARAMS_KEY in f.metadata:
+            p = f.metadata[_PARAMS_KEY]
+            # Spark metadata round-trips ints as longs and may hand back
+            # floats for ints read from JSON; normalize numerics so
+            # equality is by value
+            return {k: (int(v) if isinstance(v, float) and v == int(v)
+                        else v) for k, v in p.items()}
+    return None
+
+
 def union_states(states: tuple, what: str) -> DataFrame:
     """Union-all of sketch/manifest state tables — the shared preamble
     of every merge monoid (``hll_merge`` / ``cms_merge`` /
     ``bottomk_merge`` / ``textops.shard_manifest_merge``), with the one
-    authoritative empty-input error. Inputs must come from the same
-    sketch parameters (same p / depth·width / k / (n_shards, seed)) —
-    the state tables don't carry their parameters, so a mixed-parameter
-    union is silently meaningless; that contract lives here, once."""
+    authoritative empty-input error and (r14) the same-parameters
+    contract ENFORCED: every stamped input (:func:`_stamp_params`) must
+    carry identical parameters — a mixed-parameter union (different
+    p / depth·width / k / (n_shards, seed)) is silently meaningless, so
+    it raises here, once, for every merge. Unstamped inputs (pre-r14
+    snapshots, hand-built tables) pass through unchecked for
+    compatibility; the check engages as soon as two stamps exist."""
     if not states:
         raise ValueError(f"{what}: need at least one state table")
+    stamped = [p for p in (read_state_params(s) for s in states)
+               if p is not None]
+    for p in stamped[1:]:
+        if p != stamped[0]:
+            raise ValueError(
+                f"{what}: mixed sketch parameters — {stamped[0]} vs {p}; "
+                "states must be built with identical parameters to merge")
     u = states[0]
     for s in states[1:]:
         u = u.unionByName(s)
@@ -156,9 +203,11 @@ def cms_cells(df: DataFrame, value_col: str,
                  (hex8_u32(F.md5(F.concat(F.lit(f"cms{r}:"), F.col("vs"))))
                   % F.lit(width)).alias("b"))
         for r in range(depth)])).alias("rb")
-    return (v.select(rb)
-            .select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
-            .groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt")))
+    return _stamp_params(
+        v.select(rb)
+        .select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt")),
+        "cms", depth=depth, width=width)
 
 
 def cms_merge(*states: DataFrame) -> DataFrame:
@@ -166,9 +215,13 @@ def cms_merge(*states: DataFrame) -> DataFrame:
     gives EXACTLY the sketch of the union'd input (counter addition is
     the CMS update rule), so every point estimate from the merged table
     equals the one-shot build's. Bounded: ≤ sides·depth·width rows in,
-    ≤ depth·width out."""
-    return union_states(states, "cms_merge") \
-        .groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+    ≤ depth·width out. Mixed (depth, width) inputs raise in
+    :func:`union_states`; the merged table re-carries the stamp."""
+    u = union_states(states, "cms_merge")
+    merged = u.groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+    p = next((q for q in map(read_state_params, states) if q), None)
+    return _stamp_params(merged, "cms", depth=p["depth"],
+                         width=p["width"]) if p else merged
 
 
 def hll_distinct(df: DataFrame, group_col: str, value_col: str,
@@ -224,7 +277,9 @@ def hll_registers(df: DataFrame, group_col: str, value_col: str,
         F.lit(33) - F.length(F.conv(u2.cast("string"), 10, 2)))
     keyed = src.select(
         "grp", (hex8_u32(F.col("h")) % m).alias("reg"), rho.alias("rho"))
-    return keyed.groupBy("grp", "reg").agg(F.max("rho").alias("mr"))
+    return _stamp_params(
+        keyed.groupBy("grp", "reg").agg(F.max("rho").alias("mr")),
+        "hll", p=p)
 
 
 def hll_merge(*states: DataFrame) -> DataFrame:
@@ -233,15 +288,25 @@ def hll_merge(*states: DataFrame) -> DataFrame:
     the union'd input (same md5 derivation, max is associative/
     commutative/idempotent), so the merged estimate equals the one-shot
     estimate bit-for-bit. Bounded work: a union of ≤ groups·2^p-row
-    tables + one partial-agg max."""
-    return union_states(states, "hll_merge") \
-        .groupBy("grp", "reg").agg(F.max("mr").alias("mr"))
+    tables + one partial-agg max. Mixed-``p`` inputs raise in
+    :func:`union_states`; the merged table re-carries the stamp."""
+    u = union_states(states, "hll_merge")
+    merged = u.groupBy("grp", "reg").agg(F.max("mr").alias("mr"))
+    p = next((q for q in map(read_state_params, states) if q), None)
+    return _stamp_params(merged, "hll", p=p["p"]) if p else merged
 
 
 def hll_estimate(regs: DataFrame, group_col: str, p: int = 8) -> DataFrame:
     """The HLL estimator tail over a register table (raw harmonic mean
     + small-range correction — see :func:`hll_distinct` for the
-    portability argument)."""
+    portability argument). If ``regs`` carries a parameter stamp, its
+    ``p`` must match — finalizing with the wrong m mis-scales every
+    estimate silently (r14, same contract as the merges)."""
+    sp = read_state_params(regs)
+    if sp is not None and sp.get("what") == "hll" and sp["p"] != p:
+        raise ValueError(
+            f"hll_estimate: register table was built with p={sp['p']}, "
+            f"finalize called with p={p}")
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)  # standard bias constant, m ≥ 128
     per = regs.groupBy("grp").agg(
@@ -390,9 +455,11 @@ def bottomk_sample(df: DataFrame, group_col: str, value_col: str,
                      F.col(value_col).alias("v"),
                      seeded_key(F.col(id_col), seed).alias("u"))
     wk = Window.partitionBy("grp").orderBy("u", "v")
-    return (base.withColumn("__rk", F.row_number().over(wk))
-            .filter(F.col("__rk") <= k)
-            .select("grp", "u", "v"))
+    return _stamp_params(
+        base.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
+        .select("grp", "u", "v"),
+        "bottomk", k=k, seed=seed)
 
 
 def bottomk_merge(*states: DataFrame, k: int = 256) -> DataFrame:
@@ -400,12 +467,22 @@ def bottomk_merge(*states: DataFrame, k: int = 256) -> DataFrame:
     bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) for any k — the
     merged sample (and every quantile read from it) is bit-identical to
     the one-shot sample of the union'd data. Bounded work: the union
-    holds ≤ sides·k rows per group."""
+    holds ≤ sides·k rows per group. Mixed (k, seed) inputs — or a
+    merge ``k`` larger than the states' build ``k`` (a k-element sample
+    cannot be widened after the fact) — raise; the merged table
+    re-carries the stamp."""
+    p = next((q for q in map(read_state_params, states) if q), None)
+    if p is not None and k > p["k"]:
+        raise ValueError(
+            f"bottomk_merge: merge k={k} exceeds the states' build "
+            f"k={p['k']} — a bottom-k sample cannot be widened")
     u = union_states(states, "bottomk_merge")
     wk = Window.partitionBy("grp").orderBy("u", "v")
-    return (u.withColumn("__rk", F.row_number().over(wk))
-            .filter(F.col("__rk") <= k)
-            .select("grp", "u", "v"))
+    merged = (u.withColumn("__rk", F.row_number().over(wk))
+              .filter(F.col("__rk") <= k)
+              .select("grp", "u", "v"))
+    return (_stamp_params(merged, "bottomk", k=k, seed=p["seed"])
+            if p else merged)
 
 
 def quantiles_from_sample(sample: DataFrame,

@@ -422,11 +422,15 @@ def shard_manifest(documents: DataFrame, n_shards: int = 16,
         F.size(TT.tokens(F.col(text_col))).alias("__nt"),
         F.octet_length(F.col(text_col)).alias("__nb"),
         doc_hash.alias("__h"))
-    return (d.groupBy("shard")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("__nt").alias("n_tokens"),
-                 F.sum("__nb").cast("bigint").alias("n_bytes"),
-                 F.sum("__h").alias("content_hash")))
+    from .sketches import _stamp_params
+
+    return _stamp_params(
+        d.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("__nt").alias("n_tokens"),
+             F.sum("__nb").cast("bigint").alias("n_bytes"),
+             F.sum("__h").alias("content_hash")),
+        "manifest", n_shards=n_shards, seed=seed)
 
 
 def shard_manifest_merge(*manifests: DataFrame) -> DataFrame:
@@ -441,18 +445,24 @@ def shard_manifest_merge(*manifests: DataFrame) -> DataFrame:
     Input manifests must come from the same (n_shards, seed) assignment
     — same-id docs in two inputs are counted twice (this is a UNION-ALL
     algebra, like the KMV/HLL register merges; dedup before manifest,
-    not after). Scale shape: a union of n_shards-row tables + one
-    n_shards-row aggregate — driver-free, cost independent of corpus
-    size. Returns the same (shard, n_docs, n_tokens, n_bytes,
-    content_hash) schema.
+    not after). r14: the contract is enforced — manifests carry their
+    (n_shards, seed) as a parameter stamp and a mixed-parameter merge
+    raises in ``union_states``. Scale shape: a union of n_shards-row
+    tables + one n_shards-row aggregate — driver-free, cost independent
+    of corpus size. Returns the same (shard, n_docs, n_tokens, n_bytes,
+    content_hash) schema, stamp re-carried.
     """
-    from .sketches import union_states
+    from .sketches import _stamp_params, read_state_params, union_states
 
-    return (union_states(manifests, "shard_manifest_merge").groupBy("shard")
-            .agg(F.sum("n_docs").alias("n_docs"),
-                 F.sum("n_tokens").alias("n_tokens"),
-                 F.sum("n_bytes").alias("n_bytes"),
-                 F.sum("content_hash").alias("content_hash")))
+    merged = (union_states(manifests, "shard_manifest_merge")
+              .groupBy("shard")
+              .agg(F.sum("n_docs").alias("n_docs"),
+                   F.sum("n_tokens").alias("n_tokens"),
+                   F.sum("n_bytes").alias("n_bytes"),
+                   F.sum("content_hash").alias("content_hash")))
+    p = next((q for q in map(read_state_params, manifests) if q), None)
+    return (_stamp_params(merged, "manifest", n_shards=p["n_shards"],
+                          seed=p["seed"]) if p else merged)
 
 
 def tfidf_top_terms(documents: DataFrame, top_n: int = 3,

@@ -275,6 +275,11 @@ def streaming_psi_drift(events: DataFrame, ref_counts: list[int],
     n_bins = len(ref_counts)
     if n_bins < 2:
         raise ValueError("streaming_psi_drift: need >= 2 reference bins")
+    if not hi > lo:
+        # a degenerate range would silently clamp every value into the
+        # edge bins and yield a meaningless PSI (r13 ADVICE) — fail loud
+        raise ValueError(
+            f"streaming_psi_drift: need hi > lo, got lo={lo} hi={hi}")
     width = (hi - lo) / n_bins
     ref_tot = int(sum(ref_counts))
     b = F.floor((F.col(value_col).cast("double") - F.lit(lo))

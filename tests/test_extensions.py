@@ -4399,10 +4399,14 @@ def test_theil_sen_null_rows_ignored_both_tiers(spark):
 
 
 def test_bounded_pair_rows_null_sentinel_distinct_keys(spark):
-    """r12 ADVICE: the fallback concat identity maps NULL to a \\x00
-    sentinel — ("a", NULL, "b") and ("a", "b", NULL) rows get DISTINCT
-    md5 keys (concat_ws alone silently skips NULLs and collides them),
-    while null-free rows keep the exact pre-fix key (oracle parity)."""
+    """r12+r13 ADVICE: the fallback concat identity must give DISTINCT
+    md5 keys to ("a", NULL, "b") vs ("a", "b", NULL) (concat_ws alone
+    silently skips NULLs and collides them — r12) AND to NULL vs a
+    genuine "\\x00" string value (the bare sentinel aliased them —
+    r13): the encoding is now 'v'||value for non-null and the
+    prefix-free 'n' for NULL, so no value string can reach the
+    sentinel's namespace. All rows must survive the bounded sample
+    un-deduplicated."""
     from hybrid_recommendation_system_using_vector_db_spark.functions.hashing import (
         seeded_key,
     )
@@ -4412,22 +4416,26 @@ def test_bounded_pair_rows_null_sentinel_distinct_keys(spark):
 
     df = spark.createDataFrame(
         [("g", None, "b"), ("g", "b", None), ("g", "1", "23"),
-         ("g", "12", "3")],
+         ("g", "12", "3"), ("g", "\x00", "b"), ("g", None, None),
+         ("g", "\x00", "\x00")],
         "g string, x string, y string")
-    kept = bounded_pair_rows(df, ["g"], ["x", "y"], 16).collect()
-    assert len(kept) == 4          # m=4 ≥ rows: everything kept, no dup-drop
-    # the two NULL-bearing rows hash differently (distinct identities)
+    kept = bounded_pair_rows(df, ["g"], ["x", "y"], 64).collect()
+    assert len(kept) == 7    # m=8 ≥ rows: everything kept, no dup-drop
+    # every row's identity is distinct — including NULL vs literal \x00
     keyed = df.withColumn("u", seeded_key(
-        F.concat_ws("\x01", F.coalesce(F.col("g"), F.lit("\x00")),
-                    F.coalesce(F.col("x"), F.lit("\x00")),
-                    F.coalesce(F.col("y"), F.lit("\x00"))))).collect()
+        F.concat_ws("\x01", *[
+            F.coalesce(F.concat(F.lit("v"), F.col(c)), F.lit("n"))
+            for c in ("g", "x", "y")]))).collect()
     us = [r.u for r in keyed]
-    assert len(set(us)) == 4
-    # null-free rows: identity == the historical plain concat_ws key
-    plain = df.filter("x IS NOT NULL AND y IS NOT NULL").withColumn(
-        "u", seeded_key(F.concat_ws("\x01", "g", "x", "y"))).collect()
-    new = {(r.x, r.y): r.u for r in keyed if r.x and r.y}
-    assert all(new[(r.x, r.y)] == r.u for r in plain)
+    assert len(set(us)) == 7
+    # and the test's own formula IS the implementation's: the same rows
+    # ordered by the recomputed key match bounded_pair_rows' survivors
+    # under a tighter budget (m=2 of max_pairs=4)
+    tight = {(r.x, r.y) for r in
+             bounded_pair_rows(df, ["g"], ["x", "y"], 4).collect()}
+    want = {(r.x, r.y) for r in
+            sorted(keyed, key=lambda r: (r.u, r.x or "", r.y or ""))[:2]}
+    assert tight == want
 
 
 def test_gemm_exclusion_masks_duplicate_ids(spark):
@@ -4886,3 +4894,96 @@ def test_sketch_merge_monoids_bit_identical(spark):
     got_c = sorted(map(tuple, cms_merge(
         *[cms_cells(s, "v", depth=3, width=32) for s in splits]).collect()))
     assert got_c == one_c
+
+
+def test_sketch_state_parameter_stamp_enforced(spark, tmp_path):
+    """r14 (r13 ADVICE): state tables carry their sketch parameters as
+    first-column metadata; a mixed-parameter merge raises instead of
+    producing a silently meaningless result; the stamp survives a
+    parquet round-trip (the versioned-fold transport); finalizing with
+    the wrong parameter raises too."""
+    import pytest as _pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_sample,
+        cms_cells,
+        cms_merge,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+        read_state_params,
+    )
+    from hybrid_recommendation_system_using_vector_db_spark.operators.textops import (
+        shard_manifest,
+        shard_manifest_merge,
+    )
+
+    rows = [(i, f"g{i % 2}", float(i % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+
+    r6 = hll_registers(df, "grp", "v", p=6)
+    assert read_state_params(r6) == {"what": "hll", "p": 6}
+    # mixed p raises
+    with _pytest.raises(ValueError, match="mixed sketch parameters"):
+        hll_merge(r6, hll_registers(df, "grp", "v", p=7))
+    # wrong finalize p raises
+    with _pytest.raises(ValueError, match="built with p=6"):
+        hll_estimate(r6, "grp", p=8)
+    # stamp survives parquet round-trip, and the round-tripped state
+    # still merges (and still rejects a mismatched partner)
+    path = str(tmp_path / "hll_state")
+    r6.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert read_state_params(back) == {"what": "hll", "p": 6}
+    assert read_state_params(hll_merge(back, r6)) == {"what": "hll", "p": 6}
+    with _pytest.raises(ValueError, match="mixed sketch parameters"):
+        hll_merge(back, hll_registers(df, "grp", "v", p=7))
+
+    # CMS: mixed geometry raises; merged output re-carries the stamp
+    c = cms_cells(df, "v", depth=3, width=32)
+    assert read_state_params(c) == {"what": "cms", "depth": 3, "width": 32}
+    with _pytest.raises(ValueError, match="mixed sketch parameters"):
+        cms_merge(c, cms_cells(df, "v", depth=3, width=64))
+    assert read_state_params(cms_merge(c, c)) == \
+        {"what": "cms", "depth": 3, "width": 32}
+
+    # bottom-k: mixed (k, seed) raises; widening the merge k raises
+    b = bottomk_sample(df, "grp", "v", "id", k=32)
+    with _pytest.raises(ValueError, match="mixed sketch parameters"):
+        bottomk_merge(b, bottomk_sample(df, "grp", "v", "id", k=32,
+                                        seed=7), k=32)
+    with _pytest.raises(ValueError, match="cannot be widened"):
+        bottomk_merge(b, b, k=64)
+    assert read_state_params(bottomk_merge(b, b, k=32)) == \
+        {"what": "bottomk", "k": 32, "seed": 42}
+
+    # manifest: mixed (n_shards, seed) raises; stamp re-carried
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(60)], "doc_id long, text string")
+    m8 = shard_manifest(docs, n_shards=8)
+    with _pytest.raises(ValueError, match="mixed sketch parameters"):
+        shard_manifest_merge(m8, shard_manifest(docs, n_shards=16))
+    assert read_state_params(shard_manifest_merge(m8, m8)) == \
+        {"what": "manifest", "n_shards": 8, "seed": 42}
+
+
+def test_psi_drift_degenerate_range_raises(spark):
+    """r13 ADVICE: a degenerate [lo, hi] range silently clamps every
+    value into the edge bins and yields a meaningless PSI — both the
+    batch and the streaming operator must fail loudly instead."""
+    import pytest as _pytest
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        psi_drift,
+    )
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        streaming_psi_drift,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    for lo, hi in ((5.0, 5.0), (10.0, 0.0)):
+        with _pytest.raises(ValueError, match="hi > lo"):
+            psi_drift(df, df, "value", lo=lo, hi=hi)
+        with _pytest.raises(ValueError, match="hi > lo"):
+            streaming_psi_drift(df, [1] * 4, lo=lo, hi=hi)
