@@ -4600,10 +4600,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": q_hybrid_topk,                 # C2+C3+G8 (EP2)
         "hybrid_topk_ann": q_hybrid_topk_ann,         # EP2 on the LSH path
         "precision_eval": q_precision_eval,           # D3+D4+F3 (EP3)
-        # rank-aware eval metrics (r6: rotated in for simhash_fingerprints,
-        # which stays fully exercised inside simhash_neardup's chain and
-        # oracle-pinned in extra_queries())
-        "ranking_eval": q_ranking_eval,
+        # r14 rotation (VERDICT r13 next #3): ranking_eval (driver-proven
+        # green r6-r13; the rank-window eval mechanics stay driver-checked
+        # inside precision_eval and extras-pinned every CI run),
+        # embedding_neardup + content_topk_gemm (driver-proven r9-r13;
+        # the LSH-bucket and GEMM tiers stay recall-gated inside the
+        # driver-checked ann_recall / lsh_topk_mp chains),
+        # idf_jaccard_neardup (driver-proven r11-r13; the weighted-
+        # Jaccard family stays covered by minhash/containment/set_sim
+        # driver entries), kmv_set_ops (driver-proven r11-r13; the
+        # sketch algebra slot passes to the rotating-in hll_merge), and
+        # cube_revenue (driver-proven r5-r13; grouping-set aggregation
+        # also rides the driver-checked tpch entries) -> extras, freeing
+        # six slots for the r13 wave: chained-stateful-agg streaming PSI,
+        # the publishing manifest + its additive merge, the HLL register
+        # monoid, the examples-proportional mixing schedule, and
+        # contrastive hard-negative mining
+        "streaming_psi_drift": q_streaming_psi_drift,  # chained stateful aggs
+        "shard_manifest": q_shard_manifest,           # publishing manifest
+        "shard_manifest_merge": q_shard_manifest_merge,  # additive algebra
+        "hll_merge": q_hll_merge,                     # register MAX monoid
+        "mixing_order": q_mixing_order,               # T5/PaLM interleave
+        "hard_negatives": q_hard_negatives,           # negative mining
         "part_doc_projection": q_part_doc_projection, # B2+G6+G12
         "query_resolution": q_query_resolution,       # C4+G4/G5
         "seeded_sample": q_seeded_sample,             # F2
@@ -4644,9 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,     # match→closure→golden
         "roc_auc": q_roc_auc,                         # exact rank-sum AUC
         "ivf_topk": q_ivf_topk,
-        "embedding_neardup": q_embedding_neardup,
         "ann_recall": q_ann_recall,
-        "content_topk_gemm": q_content_topk_gemm,
         # r9 rotation (VERDICT r8 next #3): driver-proven veterans whose
         # mechanics other driver entries exercise — cluster_centroids
         # (k-means chain rides ivf_topk/ann_recall), quantized_topk +
@@ -4665,7 +4681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # third-wave capability classes still pytest-only: the
         # delta/frontier Bellman-Ford and the KMV theta-sketch algebra
         "weighted_sssp": q_weighted_sssp,             # frontier Bellman-Ford
-        "idf_jaccard_neardup": q_idf_jaccard_neardup,  # idf-weighted Jaccard
         # r12 rotation (VERDICT r11 next #5): bfs_distances + band_recall
         # (driver-proven green r9-r11; BFS's frontier lifecycle is now
         # LITERALLY the same _frontier_rounds driver as the driver-checked
@@ -4692,7 +4707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregates) → extras, freeing the slot for the A3/A4 persisted
         # index write→append→load→serve lifecycle under the hash gate
         "index_lifecycle": q_index_lifecycle,         # A3+A4 sink lifecycle
-        "kmv_set_ops": q_kmv_set_ops,                 # theta-sketch set algebra
         "streaming_enrich": q_streaming_enrich,       # stream-static join
         # r10 third rotation: tpch_q14 (driver-proven r8-r9; its
         # conditional-ratio shape also rides the driver-checked
@@ -4735,7 +4749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": q_streaming_hourly,  # Structured Streaming path
         "streaming_dedup": q_streaming_dedup,  # streaming dropDuplicates state
         "asof_attribution": q_asof_attribution,
-        "cube_revenue": q_cube_revenue,
     }
 
 
@@ -4797,12 +4810,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the driver 50 in r6 for dup_spans: map-only token
         # stats whose mechanics stay driver-checked inside quality_scores
         "token_stats": q_token_stats,
-        # r13: dataset-publishing manifest (seeded shards, order-
-        # independent content hash), its additive merge algebra, and
-        # the examples-proportional interleave schedule
-        "shard_manifest": q_shard_manifest,
-        "shard_manifest_merge": q_shard_manifest_merge,
-        "mixing_order": q_mixing_order,
+        # r14 rotation out of the driver 50 (for the r13 wave): six
+        # driver-proven veterans, each still oracle-pinned here every CI
+        # run — see the queries() rotation note for the coverage argument
+        "ranking_eval": q_ranking_eval,
+        "embedding_neardup": q_embedding_neardup,
+        "content_topk_gemm": q_content_topk_gemm,
+        "idf_jaccard_neardup": q_idf_jaccard_neardup,
+        "kmv_set_ops": q_kmv_set_ops,
+        "cube_revenue": q_cube_revenue,
         "boilerplate_removal": q_boilerplate_removal, # CCNet line-docfreq filter
         "lm_perplexity": q_lm_perplexity,             # CCNet char-bigram LM filter
         "mmr_topk": q_mmr_topk,                       # MMR diversified serving
@@ -4815,9 +4831,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": q_maxsim_topk,                 # ColBERT late-interaction MaxSim
         "hll_distinct": q_hll_distinct,               # portable HyperLogLog sketch
         # r13: the sketch-union algebras — per-batch states merged by
-        # their monoid (register max / bottom-k re-take / counter sum),
-        # each bit-identical to the one-shot build
-        "hll_merge": q_hll_merge,
+        # their monoid (bottom-k re-take / counter sum; the register-max
+        # hll_merge rotated under the driver gate in r14)
         "sampled_quantiles_merge": q_sampled_quantiles_merge,
         "cms_merge": q_cms_merge,
         "tpch_q3": q_tpch_q3,                         # 3-table join + top-10 (broadcast semi)
@@ -4863,8 +4878,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_sketched": q_equidepth_sketched,   # sample-edge depth
         "frequent_triples": q_frequent_triples,       # Apriori level 3
         "streaming_cdc": q_streaming_cdc,             # foreachBatch CDC fold
-        # r13: chained stateful aggs (append mode) — per-window PSI
-        "streaming_psi_drift": q_streaming_psi_drift,
         # r13: foreachBatch manifest fold (additive merge, split-invariant)
         "streaming_shard_manifest": q_streaming_shard_manifest,
         # r13: foreachBatch HLL register fold (MAX monoid)
@@ -4934,7 +4947,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": q_streaming_neardup,     # first-seen MinHash signatures (stream)
         "chunk_documents": q_chunk_documents,         # sliding-window token chunking
         "centroid_outliers": q_centroid_outliers,     # per-cluster prototypicality flags
-        "hard_negatives": q_hard_negatives,           # contrastive-pair negative mining
         "streaming_attribution": q_streaming_attribution,  # stream-stream interval join
         "cms_heavy_hitters": q_cms_heavy_hitters,     # count-min frequency sketch
         "chunk_pooled_embeddings": q_chunk_pooled_embeddings,  # chunk→embed→mean-pool

@@ -343,8 +343,45 @@ def main() -> None:
         except OSError:
             return []
 
+    # r14 (VERDICT r13 wrong #2): the warm-spread gate only catches steal
+    # WINDOWS — a uniformly busy host inflates every pass equally and
+    # sailed through as contended:false while shared-key totals drifted
+    # +7.6%. Canary: a fixed SINGLE-THREADED numpy workload runs before
+    # each pass while Spark is idle; one runnable thread on a 32-CPU box
+    # cannot meaningfully self-stall, so any CPU pressure (PSI
+    # /proc/pressure/cpu `some total` delta) during the canary window is
+    # EXTERNAL load — exactly the signal loadavg can't give because
+    # loadavg includes this bench's own local[32] work. Two gates:
+    # stall fraction > 10% in any canary window (uniform external load),
+    # canary max/min > 1.25 across passes (load that comes and goes).
+    def _psi_total():
+        try:
+            with open("/proc/pressure/cpu") as fh:
+                return int(fh.readline().rsplit("total=", 1)[1])
+        except Exception:
+            return None
+
+    def _canary():
+        import numpy as _np
+        a = _np.random.default_rng(0).random(500_000)
+        p0, t0 = _psi_total(), time.perf_counter()
+        acc = 0.0
+        for _ in range(40):
+            acc += float(_np.sort(a)[0] + a.sum())
+        dt = time.perf_counter() - t0
+        p1 = _psi_total()
+        stall = (None if p0 is None or p1 is None
+                 else round((p1 - p0) / 1e6 / dt, 4))
+        return round(dt * 1000.0, 1), stall
+
+    canary_ms: list[float] = []
+    canary_stall: list = []
+
     for _pass in range(iters):
         pass_load_avg.append(_load())
+        cms, cstall = _canary()
+        canary_ms.append(cms)
+        canary_stall.append(cstall)
         for name in names:
             if name in failed:
                 continue
@@ -388,9 +425,20 @@ def main() -> None:
     # VERDICT r11 next #1: the suspects list and the contention verdict
     # go INTO the JSON record (previously stderr-only, so a polluted
     # record wasn't machine-readably self-describing). `contended` keys
-    # off the suspects alone — absolute load_avg includes this bench's
-    # own local[32] work, so it is recorded for forensics, not judged.
-    contended = bool(windowed)
+    # off the suspects + the canary gates — absolute load_avg includes
+    # this bench's own local[32] work, so it is recorded for forensics,
+    # not judged; the canary isolates EXTERNAL load (r14, VERDICT r13
+    # wrong #2: a uniform +7.6% inflation passed as contended:false).
+    stalls = [s for s in canary_stall if s is not None]
+    canary_spread = (max(canary_ms) / min(canary_ms)
+                     if canary_ms and min(canary_ms) > 0 else 1.0)
+    canary_contended = (bool(stalls) and max(stalls) > 0.10) \
+        or canary_spread > 1.25
+    if canary_contended:
+        print(f"# canary contention: ms={canary_ms} "
+              f"stall_frac={canary_stall} spread={canary_spread:.2f}x",
+              file=sys.stderr)
+    contended = bool(windowed) or canary_contended
 
     # index build phases, timed separately (VERDICT r2 #8): the serve-path
     # entries above ride session-memoized persisted indexes, so the build
@@ -546,6 +594,11 @@ def main() -> None:
         # one-bit verdict — a polluted sweep is self-describing
         "contended": contended,
         "suspects": windowed[:12],
+        # external-load canary (r14): single-threaded fixed work per
+        # pass — ms per run and the CPU-PSI stall fraction during it;
+        # comparable across rounds on the same host class
+        "canary_ms": canary_ms,
+        "canary_stall": canary_stall,
     }
     if serve_per_q_ms is not None:
         headline["hybrid_serve_per_query_ms"] = serve_per_q_ms

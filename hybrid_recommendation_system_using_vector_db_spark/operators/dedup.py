@@ -1222,7 +1222,8 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id",
                         text_col: str = "text",
                         spill_dir: str | None = None,
-                        checkpoint_tokens: bool = True) -> DataFrame:
+                        checkpoint_tokens: bool = True,
+                        auto_spill_tokens: int = 10_000_000) -> DataFrame:
     """EXACT all-pairs token-set Jaccard join via prefix filtering —
     the PPJoin candidate family (Chaudhuri et al. 2006 "primitive
     operator for similarity joins"; Xiao et al. 2008). Returns EVERY
@@ -1260,14 +1261,22 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
     Returns (id1, id2, n_common, jaccard), id1 < id2. Docs with zero
     tokens pair with nothing (J undefined ≡ no emission).
 
-    Token-table materialization (r13, the SCALE.md 100×-decade knob):
-    the token table feeds four branches, so by default it is
-    ``localCheckpoint``'d once. On a single-JVM local block manager
-    that in-memory copy is exactly what the measured 100× decade
-    super-linearity pointed at, so two alternatives are first-class:
-    ``spill_dir`` writes the token table to parquet and reads it back
-    (disk-backed, column-pruned, partition-parallel — what a cluster
-    job does for a large reused intermediate; caller owns the
+    Token-table materialization (r13, the SCALE.md 100×-decade knob;
+    r14 auto-selected): the token table feeds four branches, so it is
+    materialized once. On a single-JVM local block manager an
+    in-memory ``localCheckpoint`` copy is exactly what the measured
+    100× decade super-linearity pointed at (SCALE.md r13: warm passes
+    DEGRADE 42 → 115 s at 510 k docs under block-manager pressure,
+    while a parquet spill is linear across the decade), so the default
+    now MEASURES instead of guessing: one map-only ``count()`` of the
+    token table picks ``localCheckpoint`` below ``auto_spill_tokens``
+    rows (default 10 M — the measured threshold) and a parquet spill to
+    a session-temp dir above it (disk-backed, column-pruned,
+    partition-parallel — what a cluster job does for a large reused
+    intermediate; the dir is removed at interpreter exit). The count
+    costs one extra tokenize pass — O(corpus) map-only, amortized
+    against the join's multiple passes and the avoided super-linearity.
+    Explicit ``spill_dir`` still forces the spill (caller owns the
     directory's lifecycle), and ``checkpoint_tokens=False`` leaves the
     map-only tokenize lazy (each branch re-derives it from the source
     scan) and checkpoints only the small PREFIX table, the one input
@@ -1277,6 +1286,14 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
                                    F.col(text_col).alias(text_col))) \
         .select("doc_id",
                 F.explode(TT.distinct_tokens(F.col(text_col))).alias("tok"))
+    if spill_dir is None and checkpoint_tokens \
+            and tok.count() > auto_spill_tokens:
+        import atexit
+        import shutil
+        import tempfile
+
+        spill_dir = tempfile.mkdtemp(prefix="spark_graft_ssj_spill_")
+        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
     if spill_dir is not None:
         tok.write.mode("overwrite").parquet(spill_dir)
         tok = documents.sparkSession.read.parquet(spill_dir)

@@ -3662,6 +3662,13 @@ def test_set_similarity_join_materialization_knobs_identical(spark, tmp_path):
                        docs, threshold=0.5,
                        checkpoint_tokens=False).collect()}
     assert spill == base and prefix_only == base
+    # r14 auto-selection: forcing the token-count threshold to 0 makes
+    # the DEFAULT path (no caller knob) pick the parquet spill — same
+    # bit-identical output, and the temp spill dir is session-owned
+    auto = {(r.id1, r.id2): (r.n_common, r.jaccard)
+            for r in set_similarity_join(
+                docs, threshold=0.5, auto_spill_tokens=0).collect()}
+    assert auto == base
 
 
 def test_shard_manifest_layout_invariant_and_tamper_sensitive(spark):
