@@ -4583,6 +4583,110 @@ def q_amazon_meta_ingest(spark, sf_dir):
     )
 
 
+def q_js_drift(spark, sf_dir):
+    """Jensen-Shannon drift between the even-/odd-user event-value
+    slices over the psi_drift grid ([0, 500), 20 bins) — the BOUNDED
+    (≤ ln 2) symmetric member of the drift family, same fixed-literal
+    binning + Laplace smoothing + exact integer counts
+    (operators/profiling.py::js_divergence_drift)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    ev = load_table(spark, sf_dir, "events")
+    return profiling.js_divergence_drift(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value", lo=0.0, hi=500.0, n_bins=20)
+
+
+def q_chi2_drift(spark, sf_dir):
+    """Pearson χ² goodness-of-fit of the odd-user slice against the
+    even-user reference distribution (same grid as psi/js) — the drift
+    statistic with a sampling theory (total ~ χ²(19) under no drift),
+    expected counts Laplace-smoothed at the family α
+    (operators/profiling.py::chi_square_drift)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    ev = load_table(spark, sf_dir, "events")
+    return profiling.chi_square_drift(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value", lo=0.0, hi=500.0, n_bins=20)
+
+
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V association between order status and priority — χ²
+    over the contingency table with every cell contribution half-up
+    rounded to integer micros and summed as BIGINT (no float-order
+    hazard), normalized to [0, 1]
+    (operators/profiling.py::cramers_v)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import profiling
+
+    return profiling.cramers_v(load_table(spark, sf_dir, "orders"),
+                               "o_orderstatus", "o_orderpriority")
+
+
+def q_calibration_ece(spark, sf_dir):
+    """Expected + maximum calibration error over the calibration_table
+    scored frame (clamped price share vs F-status label) — the one-row
+    gate summary; bin gaps are exact micro multiples weighted by exact
+    integer counts, so the Σ is a BIGINT
+    (operators/evaluate.py::calibration_ece)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import evaluate
+
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.least(F.lit(1.0), F.col("o_totalprice") / 600000.0).alias("p"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"))
+    return evaluate.calibration_ece(scored, "y", "p", n_bins=10)
+
+
+def q_kmv_overlap_grouped(spark, sf_dir):
+    """Per-event-type KMV overlap of the even-/odd-event-id halves'
+    user sets — the grouped theta-sketch algebra ("how much do two
+    corpora overlap, per domain?"): one group-keyed bottom-64 window
+    per estimate, union+max-flag membership (never a full-outer join),
+    every value a pure function of the input sets
+    (operators/sketches.py::kmv_overlap_by_group)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.kmv_overlap_by_group(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "event_type", "user_id", k=64)
+
+
+def q_streaming_cms(spark, sf_dir):
+    """Streaming CMS maintenance (r14): events drained through
+    foreachBatch (maxFilesPerTrigger=1), each batch's counter cells
+    folded into versioned state by cell-wise SUM — completing the
+    manifest/HLL/CMS streaming sketch-fold family; the drained state
+    is bit-identical to the one-shot cms_cells, whose oracle applies
+    verbatim (streaming/events.py::incremental_cms)."""
+    import shutil
+    import tempfile
+
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        incremental_cms,
+        read_edge_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    root = tempfile.mkdtemp(prefix="spark_graft_cms_")
+    try:
+        feed_dir, state, ckpt = (f"{root}/feed", f"{root}/state",
+                                 f"{root}/ckpt")
+        ev.repartition(4).write.parquet(feed_dir)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(feed_dir))
+        sq = incremental_cms(stream, state, ckpt, "user_id",
+                             depth=4, width=256)
+        sq.awaitTermination()
+        return read_edge_state(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-checked query surface — EXACTLY 50 entries, the driver's
     per-round correctness budget (VERDICT r4 What's-wrong #2: at 61
@@ -5016,6 +5120,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_ngrams": q_path_ngrams,
         "edit_neardup": q_edit_neardup,               # levenshtein-verified near-dup
         "psi_drift": q_psi_drift,                     # PSI drift monitor
+        # r14 wave: the drift family's bounded + sampling-theory
+        # members, categorical association, the calibration gate
+        # summary, the grouped theta-sketch algebra, and the CMS
+        # streaming fold completing the manifest/HLL/CMS triple
+        "js_drift": q_js_drift,                       # bounded symmetric JS
+        "chi2_drift": q_chi2_drift,                   # χ² goodness-of-fit
+        "cramers_v": q_cramers_v,                     # categorical association
+        "calibration_ece": q_calibration_ece,         # ECE/MCE gate summary
+        "kmv_overlap_grouped": q_kmv_overlap_grouped, # per-group theta ops
+        "streaming_cms": q_streaming_cms,             # foreachBatch CMS fold
         "char_entropy": q_char_entropy,               # Shannon char entropy
         "text_scrub": q_text_scrub,                   # PII regex scrub
         "vocab_topk": q_vocab_topk,                   # global top-k vocabulary
@@ -9918,6 +10032,193 @@ SELECT r,
        CAST(count(*) AS BIGINT) AS cnt
 FROM v CROSS JOIN rs
 GROUP BY 1, 2
+"""
+    # r14 streaming CMS fold: split-invariant, so the one-shot cell
+    # build (cms_merge's oracle) applies verbatim to the drained state
+    sql["streaming_cms"] = sql["cms_merge"]
+
+    # r14 drift family additions: same grid/smoothing CTEs as psi_drift,
+    # different per-bin statistic — JS (bounded, two ln) and χ²
+    # (Laplace-smoothed expected at the current total)
+    _DRIFT_CTES = """
+WITH r AS (
+  SELECT greatest(0, least(19,
+           CAST(floor((value::DOUBLE - 0.0) / 25.0) AS INT))) AS bin,
+         count(*) AS ref_n
+  FROM events WHERE value IS NOT NULL AND user_id % 2 = 0 GROUP BY 1
+),
+c AS (
+  SELECT greatest(0, least(19,
+           CAST(floor((value::DOUBLE - 0.0) / 25.0) AS INT))) AS bin,
+         count(*) AS cur_n
+  FROM events WHERE value IS NOT NULL AND user_id % 2 = 1 GROUP BY 1
+),
+g AS (SELECT CAST(range AS INT) AS bin FROM range(20)),
+j AS (
+  SELECT g.bin, coalesce(r.ref_n, 0) AS ref_n, coalesce(c.cur_n, 0) AS cur_n
+  FROM g LEFT JOIN r ON g.bin = r.bin LEFT JOIN c ON g.bin = c.bin
+),
+t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j)
+"""
+    sql["js_drift"] = _DRIFT_CTES + """
+SELECT bin, ref_n, cur_n,
+       floor((0.5 * ((ref_n + 0.5) / (rt + 10.0))
+                  * ln(((ref_n + 0.5) / (rt + 10.0))
+                       / ((((ref_n + 0.5) / (rt + 10.0))
+                           + ((cur_n + 0.5) / (ct + 10.0))) / 2.0))
+              + 0.5 * ((cur_n + 0.5) / (ct + 10.0))
+                  * ln(((cur_n + 0.5) / (ct + 10.0))
+                       / ((((ref_n + 0.5) / (rt + 10.0))
+                           + ((cur_n + 0.5) / (ct + 10.0))) / 2.0)))
+             * 1000000 + 0.5) / 1000000 AS js
+FROM j CROSS JOIN t
+"""
+    sql["chi2_drift"] = _DRIFT_CTES + """
+SELECT bin, ref_n, cur_n,
+       floor((((ref_n + 0.5) / (rt + 10.0)) * ct) * 1000000 + 0.5)
+         / 1000000 AS expected,
+       floor(((cur_n::DOUBLE - ((ref_n + 0.5) / (rt + 10.0)) * ct)
+              * (cur_n::DOUBLE - ((ref_n + 0.5) / (rt + 10.0)) * ct)
+              / (((ref_n + 0.5) / (rt + 10.0)) * ct))
+             * 1000000 + 0.5) / 1000000 AS chi2
+FROM j CROSS JOIN t
+"""
+
+    # r14 Cramér's V: exact integer contingency margins, each cell's χ²
+    # contribution half-up rounded to integer micros and summed as
+    # BIGINT (the Spark side's order-free fold, mirrored)
+    sql["cramers_v"] = """
+WITH cells AS (
+  SELECT o_orderstatus AS x, o_orderpriority AS y,
+         CAST(count(*) AS BIGINT) AS nij
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+),
+rm AS (SELECT x, CAST(sum(nij) AS BIGINT) AS ri FROM cells GROUP BY 1),
+cm AS (SELECT y, CAST(sum(nij) AS BIGINT) AS cj FROM cells GROUP BY 1),
+t AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+             CAST(count(DISTINCT x) AS BIGINT) AS xl,
+             CAST(count(DISTINCT y) AS BIGINT) AS yl
+      FROM cells),
+per AS (
+  SELECT CAST(sum(CAST(floor(
+           (nij::DOUBLE - (ri::DOUBLE * cj) / n)
+           * (nij::DOUBLE - (ri::DOUBLE * cj) / n)
+           / ((ri::DOUBLE * cj) / n) * 1000000 + 0.5) AS BIGINT))
+         AS BIGINT) AS chi2_m,
+         max(n) AS n, max(xl) AS xl, max(yl) AS yl
+  FROM cells JOIN rm USING (x) JOIN cm USING (y) CROSS JOIN t
+)
+SELECT n, xl AS x_levels, yl AS y_levels,
+  floor((CAST(chi2_m AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000
+    AS chi2,
+  CAST((xl - 1) * (yl - 1) AS BIGINT) AS dof,
+  CASE WHEN least(xl, yl) - 1 > 0 THEN
+    floor(sqrt((CAST(chi2_m AS DOUBLE) / 1000000.0)
+               / (CAST(n AS DOUBLE) * (least(xl, yl) - 1)))
+          * 1000000 + 0.5) / 1000000
+  END AS v
+FROM per
+"""
+
+    # r14 ECE/MCE: the calibration_table chain folded to one row —
+    # |gap| is an exact micro multiple, weighted by the exact bin count
+    sql["calibration_ece"] = """
+WITH sc AS (
+  SELECT least(1.0, o_totalprice / 600000.0) AS p,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+a AS (
+  SELECT greatest(0, least(9, CAST(floor(p * 10) AS INT))) AS bin,
+         CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS sm, y
+  FROM sc
+),
+g AS (SELECT bin, count(*) AS n, sum(sm) AS ssm, sum(y) AS sy
+      FROM a GROUP BY bin),
+e AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(floor(abs(
+           floor((floor(CAST(sy AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+                  - floor(CAST(ssm AS DOUBLE) / n / 1000000.0
+                          * 1000000 + 0.5) / 1000000)
+                 * 1000000 + 0.5) / 1000000)
+           * 1000000 + 0.5) AS BIGINT) AS gm
+  FROM g
+)
+SELECT CAST(sum(n) AS BIGINT) AS n,
+  floor(CAST(sum(n * gm) AS DOUBLE)
+        / (CAST(sum(n) AS DOUBLE) * 1000000.0) * 1000000 + 0.5)
+    / 1000000 AS ece,
+  floor((CAST(max(gm) AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000
+    AS mce
+FROM e
+"""
+
+    # r14 grouped theta-sketch algebra: per-group bottom-64 windows
+    # over the distinct (group, hash) sets of the two event-id halves
+    sql["kmv_overlap_grouped"] = f"""
+WITH ha AS (
+  SELECT DISTINCT event_type AS grp,
+         ({_hex8_u32("md5(CAST(user_id AS VARCHAR))")} + 1.0)
+         / 4294967296.0 AS u
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND event_id % 2 = 0
+),
+hb AS (
+  SELECT DISTINCT event_type AS grp,
+         ({_hex8_u32("md5(CAST(user_id AS VARCHAR))")} + 1.0)
+         / 4294967296.0 AS u
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND event_id % 2 = 1
+),
+merged AS (
+  SELECT grp, u, max(fa) AS in_a, max(fb) AS in_b FROM (
+    SELECT grp, u, 1 AS fa, 0 AS fb FROM ha
+    UNION ALL SELECT grp, u, 0, 1 FROM hb
+  ) GROUP BY grp, u
+),
+ta AS (
+  SELECT grp, max(u) AS uk, count(*) AS m FROM (
+    SELECT grp, u, row_number() OVER (PARTITION BY grp ORDER BY u) AS rk
+    FROM merged WHERE in_a = 1
+  ) WHERE rk <= 64 GROUP BY grp
+),
+tb AS (
+  SELECT grp, max(u) AS uk, count(*) AS m FROM (
+    SELECT grp, u, row_number() OVER (PARTITION BY grp ORDER BY u) AS rk
+    FROM merged WHERE in_b = 1
+  ) WHERE rk <= 64 GROUP BY grp
+),
+tu AS (
+  SELECT grp, max(u) AS uk, count(*) AS m,
+         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+  FROM (
+    SELECT grp, u, in_a, in_b,
+           row_number() OVER (PARTITION BY grp ORDER BY u) AS rk
+    FROM merged
+  ) WHERE rk <= 64 GROUP BY grp
+)
+SELECT tu.grp AS event_type,
+  CAST(coalesce(CASE WHEN ta.m < 64 THEN CAST(ta.m AS DOUBLE)
+                     ELSE floor(63.0 / ta.uk + 0.5) END, 0)
+       AS BIGINT) AS est_a,
+  CAST(coalesce(CASE WHEN tb.m < 64 THEN CAST(tb.m AS DOUBLE)
+                     ELSE floor(63.0 / tb.uk + 0.5) END, 0)
+       AS BIGINT) AS est_b,
+  CAST(CASE WHEN tu.m < 64 THEN CAST(tu.m AS DOUBLE)
+            ELSE floor(63.0 / tu.uk + 0.5) END AS BIGINT) AS est_union,
+  CAST(floor((CASE WHEN tu.m = 0 THEN 0.0
+                   ELSE n_both / tu.m END)
+             * (CASE WHEN tu.m < 64 THEN CAST(tu.m AS DOUBLE)
+                     ELSE floor(63.0 / tu.uk + 0.5) END) + 0.5)
+       AS BIGINT) AS est_intersection,
+  floor((CASE WHEN tu.m = 0 THEN 0.0 ELSE n_both / tu.m END)
+        * 1000000 + 0.5) / 1000000 AS jaccard_est
+FROM tu LEFT JOIN ta ON tu.grp = ta.grp LEFT JOIN tb ON tu.grp = tb.grp
 """
     return sql
 

@@ -277,6 +277,15 @@ HEADLINE = [
     "streaming_hll",
     "sampled_quantiles_merge",
     "cms_merge",
+    # r14: bounded/sampling-theory drift members, categorical
+    # association, the calibration gate summary, grouped theta-sketch
+    # algebra, and the CMS streaming fold
+    "js_drift",
+    "chi2_drift",
+    "cramers_v",
+    "calibration_ece",
+    "kmv_overlap_grouped",
+    "streaming_cms",
 ]
 
 

@@ -390,3 +390,32 @@ def average_precision(scored: DataFrame, label_col: str, score_col: str,
                 fround(F.col("sm").cast("double")
                        / (F.lit(1000000.0) * F.col("n_pos")), ROUND_SCORE))
     return mom.select(*gcol, ap.alias("ap"), "n_pos", "n")
+
+
+def calibration_ece(scored: DataFrame, label_col: str, score_col: str,
+                    n_bins: int = 10) -> DataFrame:
+    """Expected + maximum calibration error — the one-row summary of
+    :func:`calibration_table` a model gate thresholds on (the full
+    reliability table is for humans; ECE = Σ_b (n_b/N)·|pos_rate_b −
+    mean_score_b| and MCE = max_b |gap_b| are what a CI check compares
+    to a budget).
+
+    Engine-exact fold: each bin's ``gap`` leaves ``calibration_table``
+    already half-up rounded to 1e-6, so |gap| is an exact multiple of
+    a micro — rescaled to integer micros and weighted by the exact
+    integer bin count, the Σ accumulates as BIGINT (no float-summation
+    order, the ``average_precision`` discipline); one final division +
+    fround. MCE is a plain max over ≤ n_bins rounded doubles (order-
+    free). One pass + a ≤ n_bins-row fold on top of the table's
+    single aggregate. Returns ONE row (n, ece, mce).
+    """
+    ct = calibration_table(scored, label_col, score_col, n_bins)
+    gap_m = F.floor(F.abs(F.col("gap")) * 1000000 + F.lit(0.5)).cast("long")
+    agg = ct.agg(F.sum("n").alias("n"),
+                 F.sum(F.col("n") * gap_m).alias("wsum_m"),
+                 F.max(gap_m).alias("mce_m"))
+    return agg.select(
+        "n",
+        fround(F.col("wsum_m").cast("double")
+               / (F.col("n").cast("double") * 1e6), ROUND_SCORE).alias("ece"),
+        fround(F.col("mce_m").cast("double") / 1e6, ROUND_SCORE).alias("mce"))

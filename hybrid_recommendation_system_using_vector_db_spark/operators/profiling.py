@@ -162,13 +162,36 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     full-outer align on bin id, and single-row totals broadcast back —
     data is touched exactly once per side.
     """
+    joined, tot = _aligned_bin_counts(ref, cur, value_col, lo, hi, n_bins,
+                                      "psi_drift")
+    sm = F.lit(float(alpha)) * n_bins
+    p = (F.col("ref_n") + F.lit(float(alpha))) / (F.col("rt") + sm)
+    q = (F.col("cur_n") + F.lit(float(alpha))) / (F.col("ct") + sm)
+    return (joined.crossJoin(F.broadcast(tot))
+            .select("bin", "ref_n", "cur_n",
+                    fround((p - q) * F.log(p / q), ROUND_SCORE).alias("psi")))
+
+
+def _aligned_bin_counts(ref: DataFrame, cur: DataFrame, value_col: str,
+                        lo: float, hi: float, n_bins: int,
+                        what: str):
+    """The shared front half of every fixed-grid drift statistic
+    (:func:`psi_drift` / :func:`js_divergence_drift` /
+    :func:`chi_square_drift`): caller-fixed-literal equal-width [lo, hi)
+    bins with clamped edges, one partial-agg count per side, the FULL
+    bin grid restored by a broadcast left join (empty bins must
+    participate), checkpointed (the bounded table feeds both the totals
+    aggregate and the output — without the pin the per-side corpus
+    scans execute twice, the recurring two-branch defect). Returns
+    (joined ≤ n_bins-row DataFrame with bin/ref_n/cur_n, 1-row totals
+    rt/ct)."""
     if n_bins < 2:
-        raise ValueError("psi_drift: need >= 2 bins")
+        raise ValueError(f"{what}: need >= 2 bins")
     if not hi > lo:
         # a degenerate range clamps everything into the edge bins and
-        # yields a meaningless PSI — fail loud (r13 ADVICE, streaming
-        # twin got the same check)
-        raise ValueError(f"psi_drift: need hi > lo, got lo={lo} hi={hi}")
+        # yields a meaningless statistic — fail loud (r13 ADVICE,
+        # applied family-wide)
+        raise ValueError(f"{what}: need hi > lo, got lo={lo} hi={hi}")
     width = (hi - lo) / n_bins
 
     def binned(df: DataFrame, out: str) -> DataFrame:
@@ -180,22 +203,131 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
                 .groupBy("bin").agg(F.count(F.lit(1)).alias(out)))
 
     r, c = binned(ref, "ref_n"), binned(cur, "cur_n")
-    grid = r.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    grid = r.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin"))
     joined = (grid.join(F.broadcast(r), "bin", "left")
               .join(F.broadcast(c), "bin", "left")
               .select("bin", F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
                       F.coalesce("cur_n", F.lit(0)).alias("cur_n"))
-              # bounded (n_bins rows) table feeds BOTH the totals agg and
-              # the output — checkpoint or the full per-side scans execute
-              # twice (the recurring two-branch re-execution defect)
               .localCheckpoint(eager=True))
     tot = joined.agg(F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct"))
+    return joined, tot
+
+
+def js_divergence_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+                        lo: float, hi: float, n_bins: int = 20,
+                        alpha: float = 0.5) -> DataFrame:
+    """Jensen–Shannon divergence between a reference and a current
+    slice of the same numeric column — the BOUNDED member of the drift
+    family (:func:`psi_drift` is unbounded and blows up on bins one
+    side never hits even with smoothing; JS is symmetric and capped at
+    ln 2 ≈ 0.693, which makes alerting thresholds portable across
+    columns with very different support) — the metric the Dolma/RefinedWeb
+    ingest monitors report next to PSI for exactly that reason.
+
+    Same fixed-literal binning, Laplace smoothing and exact integer
+    counts as ``psi_drift`` (one corpus pass per side, ≤ n_bins state);
+    per bin the contribution is ``½·p·ln(p/m) + ½·q·ln(q/m)`` with
+    ``m = (p+q)/2`` — every term one fixed IEEE sequence on exact
+    operands, fround'ed, so the DuckDB oracle mirrors the expression
+    text verbatim (the psi/bm25 ln-portability contract). Total JS is
+    ``sum(js)``; 0 ≤ total ≤ ln 2.
+
+    Returns (bin, ref_n, cur_n, js) over the full grid.
+    """
+    joined, tot = _aligned_bin_counts(ref, cur, value_col, lo, hi, n_bins,
+                                      "js_divergence_drift")
     sm = F.lit(float(alpha)) * n_bins
     p = (F.col("ref_n") + F.lit(float(alpha))) / (F.col("rt") + sm)
     q = (F.col("cur_n") + F.lit(float(alpha))) / (F.col("ct") + sm)
+    m = (p + q) / F.lit(2.0)
+    js = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
     return (joined.crossJoin(F.broadcast(tot))
             .select("bin", "ref_n", "cur_n",
-                    fround((p - q) * F.log(p / q), ROUND_SCORE).alias("psi")))
+                    fround(js, ROUND_SCORE).alias("js")))
+
+
+def chi_square_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+                     lo: float, hi: float, n_bins: int = 20,
+                     alpha: float = 0.5) -> DataFrame:
+    """Pearson χ² goodness-of-fit of the current slice against the
+    reference distribution — the drift statistic with a SAMPLING
+    THEORY: under "no drift" the total is ~χ²(n_bins−1), so a monitor
+    can pick thresholds from quantiles instead of folklore (PSI's
+    0.1/0.25 bands), which is what makes it the right member of the
+    family for small current slices where PSI/JS noise floors dominate.
+
+    Expected count per bin is the Laplace-smoothed reference share
+    scaled to the current total: ``e = (ref_n+α)/(rt+α·k) · ct`` —
+    smoothing keeps e > 0 on bins the reference never hit (the classic
+    χ² undefinedness) using the family's one α convention. Per bin the
+    contribution is ``(cur_n − e)²/e`` on exact integer counts,
+    fround'ed; the caller sums (dof = n_bins − 1). One corpus pass per
+    side, ≤ n_bins state — identical scale shape to ``psi_drift``.
+
+    Returns (bin, ref_n, cur_n, expected, chi2) over the full grid.
+    """
+    joined, tot = _aligned_bin_counts(ref, cur, value_col, lo, hi, n_bins,
+                                      "chi_square_drift")
+    sm = F.lit(float(alpha)) * n_bins
+    e = ((F.col("ref_n") + F.lit(float(alpha))) / (F.col("rt") + sm)
+         * F.col("ct"))
+    d = F.col("cur_n").cast("double") - e
+    return (joined.crossJoin(F.broadcast(tot))
+            .select("bin", "ref_n", "cur_n",
+                    fround(e, ROUND_SCORE).alias("expected"),
+                    fround(d * d / e, ROUND_SCORE).alias("chi2")))
+
+
+def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Association strength between two CATEGORICAL columns — Pearson
+    χ² over the contingency table, normalized to Cramér's V ∈ [0, 1]
+    (the categorical twin of :func:`spearman_corr`: "does source
+    predict language?" is a profiling question no rank statistic can
+    answer). V = √(χ²/(N·(min(r,c)−1))) with r/c the observed level
+    counts — 0 = independent, 1 = one column determines the other.
+
+    Engine-exact summation discipline: each cell's χ² contribution
+    ``(n_ij − r_i·c_j/N)²/(r_i·c_j/N)`` is computed on exact integer
+    margins, HALF-UP rounded to integer MICROS, and the micros are
+    summed as BIGINT — a float Σ over cells would be partition-order
+    dependent (the ewma ordered-fold rule); the integer sum is not.
+    Degenerate tables (min(r,c) = 1, i.e. a constant column) emit NULL
+    v — the statistic is undefined there, stated.
+
+    Scale shape: one hash aggregate over the distinct (x, y) cells,
+    two broadcast margin joins (≤ levels rows each), one 1-row fold —
+    never touches the corpus twice. Returns ONE row
+    (n, x_levels, y_levels, chi2, dof, v).
+    """
+    base = (df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .select(F.col(x_col).cast("string").alias("x"),
+                    F.col(y_col).cast("string").alias("y")))
+    cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nij")) \
+        .localCheckpoint(eager=True)
+    rm = cells.groupBy("x").agg(F.sum("nij").alias("ri"))
+    cm = cells.groupBy("y").agg(F.sum("nij").alias("cj"))
+    tot = cells.agg(F.sum("nij").alias("n"),
+                    F.count_distinct("x").alias("xl"),
+                    F.count_distinct("y").alias("yl"))
+    e = (F.col("ri").cast("double") * F.col("cj")) / F.col("n")
+    d = F.col("nij").cast("double") - e
+    contrib_micros = F.floor(d * d / e * 1000000 + F.lit(0.5)).cast("long")
+    per = (cells.join(F.broadcast(rm), "x").join(F.broadcast(cm), "y")
+           .crossJoin(F.broadcast(tot))
+           .agg(F.sum(contrib_micros).alias("chi2_m"),
+                F.max("n").alias("n"), F.max("xl").alias("xl"),
+                F.max("yl").alias("yl")))
+    chi2 = F.col("chi2_m").cast("double") / 1e6
+    mind = F.least(F.col("xl"), F.col("yl")) - 1
+    v = F.when(mind > 0, fround(
+        F.sqrt(chi2 / (F.col("n").cast("double") * mind)), ROUND_SCORE))
+    return per.select(
+        F.col("n"), F.col("xl").alias("x_levels"),
+        F.col("yl").alias("y_levels"),
+        fround(chi2, ROUND_SCORE).alias("chi2"),
+        ((F.col("xl") - 1) * (F.col("yl") - 1)).alias("dof"),
+        v.alias("v"))
 
 
 def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,

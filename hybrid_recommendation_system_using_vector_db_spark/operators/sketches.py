@@ -579,3 +579,83 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str,
             .crossJoin(out)
             .select("est_a", "est_b", "est_union",
                     "est_intersection", "jaccard_est"))
+
+
+def kmv_overlap_by_group(a: DataFrame, b: DataFrame, group_col: str,
+                         value_col: str, k: int = 64) -> DataFrame:
+    """Per-GROUP KMV set algebra between two element tables — the
+    grouped form of :func:`kmv_set_ops` (r14): "how much does corpus
+    B's vocabulary overlap corpus A's, PER LANGUAGE / PER DOMAIN?" is
+    the corpus-comparison question the one-row global form can't
+    answer without a driver loop over groups. Same estimators
+    (Beyer et al. 2007 / theta-sketch convention), same portable-hash
+    honesty contract: every output value is a pure function of the
+    input sets that the DuckDB oracle reproduces bit-for-bit.
+
+    Scale shape: each side contributes its DISTINCT (group, hash)
+    rows; membership flags come from the union + max-flag aggregate
+    (NOT a full-outer join — the :func:`kmv_set_ops` SortMergeJoin
+    argument, per group); the three bottom-k selections are ONE
+    group-keyed window each (row_number over the hash order —
+    parallel across groups, never a single-partition sort), and every
+    aggregate thereafter runs over ≤ k rows per group. Groups present
+    on one side only report est=0 for the missing side (their union
+    sketch is just the present side).
+
+    Returns (group_col, est_a, est_b, est_union, est_intersection,
+    jaccard_est) — one row per group observed on either side.
+    """
+    def _hashes(df: DataFrame) -> DataFrame:
+        return (df.filter(F.col(group_col).isNotNull()
+                          & F.col(value_col).isNotNull())
+                .select(F.col(group_col).alias("grp"),
+                        _uniform_hash(F.col(value_col)).alias("u"))
+                .distinct())
+
+    ha, hb = _hashes(a), _hashes(b)
+    merged = (ha.select("grp", "u", F.lit(1).alias("fa"),
+                        F.lit(0).alias("fb"))
+              .unionByName(hb.select("grp", "u", F.lit(0).alias("fa"),
+                                     F.lit(1).alias("fb")))
+              .groupBy("grp", "u")
+              .agg(F.max("fa").alias("in_a"), F.max("fb").alias("in_b"))
+              # feeds three window branches (union/a/b bottom-k) —
+              # bounded by distinct (grp, hash); pin once
+              .localCheckpoint(eager=True))
+
+    def _est(m, uk):
+        return (F.when(m < k, m.cast("double"))
+                .otherwise(F.floor(F.lit(float(k - 1)) / uk + F.lit(0.5))))
+
+    def _side_est(flag: str, out: str) -> DataFrame:
+        wk = Window.partitionBy("grp").orderBy("u")
+        side = merged.filter(F.col(flag) == 1)
+        top = (side.withColumn("__rk", F.row_number().over(wk))
+               .filter(F.col("__rk") <= k)
+               .groupBy("grp")
+               .agg(F.max("u").alias("uk"), F.count(F.lit(1)).alias("m")))
+        return top.select("grp", _est(F.col("m"), F.col("uk"))
+                          .cast("bigint").alias(out))
+
+    wk = Window.partitionBy("grp").orderBy("u")
+    utop = (merged.withColumn("__rk", F.row_number().over(wk))
+            .filter(F.col("__rk") <= k)
+            .groupBy("grp")
+            .agg(F.max("u").alias("uk"), F.count(F.lit(1)).alias("m"),
+                 F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1),
+                              1).otherwise(0)).alias("both")))
+    est_u = _est(F.col("m"), F.col("uk"))
+    jacc = F.when(F.col("m") == 0, F.lit(0.0)) \
+        .otherwise(F.col("both") / F.col("m"))
+    uni = utop.select(
+        "grp", est_u.cast("bigint").alias("est_union"),
+        F.floor(jacc * est_u + F.lit(0.5)).cast("bigint")
+        .alias("est_intersection"),
+        fround(jacc).alias("jaccard_est"))
+    return (uni
+            .join(_side_est("in_a", "est_a"), "grp", "left")
+            .join(_side_est("in_b", "est_b"), "grp", "left")
+            .select(F.col("grp").alias(group_col),
+                    F.coalesce("est_a", F.lit(0)).alias("est_a"),
+                    F.coalesce("est_b", F.lit(0)).alias("est_b"),
+                    "est_union", "est_intersection", "jaccard_est"))

@@ -752,6 +752,51 @@ def incremental_hll(rows: DataFrame, state_path: str, checkpoint_dir: str,
     )
 
 
+def merge_cms_batch(batch: DataFrame, state_path: str, value_col: str,
+                    depth: int = 4, width: int = 256,
+                    epoch_id: int | None = None,
+                    run_id: str | None = None,
+                    keep_versions: int = 2) -> None:
+    """Fold one micro-batch's CMS counter cells into versioned state —
+    the ADDITIVE sketch-union algebra (``sketches.cms_merge``,
+    cell-wise SUM) through the shared :func:`_fold_versioned_state`
+    protocol: the drained state is bit-identical to the one-shot cells
+    of all rows seen, at O(batch) + a ≤ depth·width-row merge per
+    batch. Completes the streaming sketch-fold family (r14): manifest
+    = per-shard SUM, HLL = register MAX, CMS = counter SUM — the same
+    lifecycle, three monoids. The cells carry their (depth, width)
+    parameter stamp, so a feed reconfigured mid-stream raises in the
+    merge instead of silently corrupting the counters."""
+    from ..operators.sketches import cms_cells, cms_merge
+
+    delta = cms_cells(batch, value_col, depth, width)
+
+    def fold(state: DataFrame | None) -> DataFrame:
+        return delta if state is None else cms_merge(state, delta)
+
+    _fold_versioned_state(batch.sparkSession, state_path, fold,
+                          epoch_id, run_id, keep_versions)
+
+
+def incremental_cms(rows: DataFrame, state_path: str, checkpoint_dir: str,
+                    value_col: str, depth: int = 4, width: int = 256):
+    """Streaming frequency-sketch maintenance: per-batch CMS cells fold
+    into versioned state (the :func:`incremental_hll` lifecycle with
+    cell SUM as the monoid). Point estimates / heavy-hitter probes
+    finalize from the drained state table alone — split-invariant, so
+    the one-shot ``cms_cells`` oracle applies verbatim."""
+    def process(b: DataFrame, epoch_id: int) -> None:
+        merge_cms_batch(b, state_path, value_col, depth, width, epoch_id,
+                        run_id=checkpoint_query_id(checkpoint_dir))
+
+    return (
+        rows.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents table (schema probed from a
     one-off batch footer read, like ``read_events_stream``)."""

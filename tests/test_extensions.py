@@ -4994,3 +4994,144 @@ def test_psi_drift_degenerate_range_raises(spark):
             psi_drift(df, df, "value", lo=lo, hi=hi)
         with _pytest.raises(ValueError, match="hi > lo"):
             streaming_psi_drift(df, [1] * 4, lo=lo, hi=hi)
+
+
+def test_js_divergence_drift_symmetric_bounded_zero_on_identical(spark):
+    """r14 JS drift: zero on identical slices (p = q in every bin),
+    SYMMETRIC under ref/cur swap, total bounded by ln 2, and each bin
+    matches the python mirror of the smoothed two-ln formula."""
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        js_divergence_drift,
+    )
+
+    a = spark.createDataFrame([(float(i % 40),) for i in range(400)],
+                              "value double")
+    b = spark.createDataFrame([(float(60 + i % 35),) for i in range(300)],
+                              "value double")
+    same = js_divergence_drift(a, a, "value", lo=0.0, hi=100.0,
+                               n_bins=10).collect()
+    assert all(r.js == 0.0 for r in same)
+    fwd = {r.bin: r.js for r in js_divergence_drift(
+        a, b, "value", lo=0.0, hi=100.0, n_bins=10).collect()}
+    rev = {r.bin: r.js for r in js_divergence_drift(
+        b, a, "value", lo=0.0, hi=100.0, n_bins=10).collect()}
+    assert fwd == rev                      # JS is symmetric
+    assert 0.0 < sum(fwd.values()) <= math.log(2) + 1e-6
+    # python mirror of one bin
+    ref = {r.bin: (r.ref_n, r.cur_n) for r in js_divergence_drift(
+        a, b, "value", lo=0.0, hi=100.0, n_bins=10).collect()}
+    rt, ct = (sum(v[0] for v in ref.values()),
+              sum(v[1] for v in ref.values()))
+    for bin_, (rn, cn) in ref.items():
+        p = (rn + 0.5) / (rt + 5.0)
+        q = (cn + 0.5) / (ct + 5.0)
+        m = (p + q) / 2.0
+        want = math.floor((0.5 * p * math.log(p / m)
+                           + 0.5 * q * math.log(q / m)) * 1e6 + 0.5) / 1e6
+        assert abs(fwd[bin_] - want) < 1e-9
+
+
+def test_chi_square_drift_formula_and_sensitivity(spark):
+    """r14 χ² drift: per-bin contributions match the python mirror of
+    the smoothed-expected formula, and a shifted current slice scores
+    strictly higher than an identical one."""
+    import math
+
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        chi_square_drift,
+    )
+
+    a = spark.createDataFrame([(float(i % 40),) for i in range(400)],
+                              "value double")
+    b = spark.createDataFrame([(float(30 + i % 40),) for i in range(400)],
+                              "value double")
+    got = {r.bin: r for r in chi_square_drift(
+        a, b, "value", lo=0.0, hi=100.0, n_bins=10).collect()}
+    rt = sum(r.ref_n for r in got.values())
+    ct = sum(r.cur_n for r in got.values())
+    for bin_, r in got.items():
+        e = (r.ref_n + 0.5) / (rt + 5.0) * ct
+        want = math.floor((r.cur_n - e) ** 2 / e * 1e6 + 0.5) / 1e6
+        assert abs(r.chi2 - want) < 1e-9
+        assert abs(r.expected
+                   - math.floor(e * 1e6 + 0.5) / 1e6) < 1e-9
+    same_tot = sum(r.chi2 for r in chi_square_drift(
+        a, a, "value", lo=0.0, hi=100.0, n_bins=10).collect())
+    assert sum(r.chi2 for r in got.values()) > same_tot
+
+
+def test_cramers_v_extremes(spark):
+    """r14 Cramér's V: exactly 1 on a deterministic x→y mapping,
+    exactly 0 on an exactly independent table, NULL on a constant
+    column (min(r,c) = 1 — undefined, stated)."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.profiling import (
+        cramers_v,
+    )
+
+    det = spark.createDataFrame(
+        [(f"x{i % 3}", f"y{i % 3}") for i in range(90)],
+        "a string, b string")
+    r = cramers_v(det, "a", "b").collect()[0]
+    assert (r.v, r.x_levels, r.y_levels, r.dof) == (1.0, 3, 3, 4)
+    indep = spark.createDataFrame(
+        [(f"x{i % 3}", f"y{(i // 3) % 4}") for i in range(120)],
+        "a string, b string")
+    assert cramers_v(indep, "a", "b").collect()[0].v == 0.0
+    const = spark.createDataFrame(
+        [("x", f"y{i % 4}") for i in range(40)], "a string, b string")
+    assert cramers_v(const, "a", "b").collect()[0].v is None
+
+
+def test_calibration_ece_matches_table_fold(spark):
+    """r14 ECE/MCE: the one-row summary equals the python fold of
+    calibration_table's own rows."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.evaluate import (
+        calibration_ece,
+        calibration_table,
+    )
+
+    rows = [((i % 100) / 100.0, 1 if (i * 7) % 10 < 4 else 0)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    tab = calibration_table(df, "y", "p", n_bins=10).collect()
+    n = sum(r.n for r in tab)
+    gms = [round(abs(r.gap) * 1e6) for r in tab]
+    want_ece = round(sum(r.n * g for r, g in zip(tab, gms)) / (n * 1e6), 6)
+    want_mce = max(gms) / 1e6
+    got = calibration_ece(df, "y", "p", n_bins=10).collect()[0]
+    assert got.n == n
+    assert abs(got.ece - want_ece) < 2e-6
+    assert abs(got.mce - want_mce) < 1e-9
+
+
+def test_kmv_overlap_by_group_exact_below_k(spark):
+    """r14 grouped theta ops: groups with fewer than k distinct hashes
+    are EXACT by construction — est_a/est_b/est_union/est_intersection
+    equal the true set sizes, jaccard the true Jaccard; a group seen on
+    one side only reports 0 for the missing side."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sketches import (
+        kmv_overlap_by_group,
+    )
+
+    a = spark.createDataFrame(
+        [("g1", v) for v in range(30)]
+        + [("g2", v) for v in range(10)]
+        + [("only_a", v) for v in range(5)],
+        "grp string, v long")
+    b = spark.createDataFrame(
+        [("g1", v) for v in range(15, 45)]       # overlap 15, union 45
+        + [("g2", v) for v in range(10, 20)],     # disjoint-ish: overlap 0
+        "grp string, v long")
+    got = {r.grp: r for r in
+           kmv_overlap_by_group(a, b, "grp", "v", k=64).collect()}
+    g1 = got["g1"]
+    assert (g1.est_a, g1.est_b, g1.est_union, g1.est_intersection) \
+        == (30, 30, 45, 15)
+    assert abs(g1.jaccard_est - round(15 / 45, 6)) < 1e-6
+    g2 = got["g2"]
+    assert (g2.est_a, g2.est_b, g2.est_union, g2.est_intersection) \
+        == (10, 10, 20, 0)
+    oa = got["only_a"]
+    assert (oa.est_a, oa.est_b, oa.est_union) == (5, 0, 5)

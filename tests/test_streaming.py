@@ -806,3 +806,40 @@ def test_versioned_fold_crash_between_write_and_flip_preserves_live(
     got = {(r.src, r.dst): r.weight for r in
            ev.read_edge_state(spark, state).collect()}
     assert got == {(1, 2): 5, (2, 3): 1, (3, 4): 1}
+
+
+def test_incremental_cms_fold_matches_one_shot(spark, tmp_path):
+    """r14 incremental_cms: folding per-batch CMS cells through the
+    shared versioned-state protocol (SUM monoid) equals the one-shot
+    cms_cells for any split, replay of a merged epoch is a no-op, and
+    the drained state still carries its (depth, width) parameter stamp
+    through the parquet snapshots."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.sketches import (
+        cms_cells,
+        read_state_params,
+    )
+    from hybrid_recommendation_system_using_vector_db_spark.streaming.events import (
+        merge_cms_batch,
+        read_edge_state,
+    )
+
+    rows = [((i * 13) % 97,) for i in range(600)]
+    df = spark.createDataFrame(rows, "v long")
+    state = str(tmp_path / "cms_state")
+    for epoch in range(3):
+        b = spark.createDataFrame(rows[epoch * 200:(epoch + 1) * 200],
+                                  "v long")
+        merge_cms_batch(b, state, "v", depth=3, width=64,
+                        epoch_id=epoch, run_id="r")
+    want = sorted(map(tuple, cms_cells(df, "v", depth=3,
+                                       width=64).collect()))
+    got_df = read_edge_state(spark, state)
+    assert sorted(map(tuple, got_df.collect())) == want
+    assert read_state_params(got_df) == \
+        {"what": "cms", "depth": 3, "width": 64}
+    # replaying epoch 1 changes nothing
+    b1 = spark.createDataFrame(rows[200:400], "v long")
+    merge_cms_batch(b1, state, "v", depth=3, width=64,
+                    epoch_id=1, run_id="r")
+    assert sorted(map(tuple,
+                      read_edge_state(spark, state).collect())) == want
