@@ -10101,6 +10101,11 @@ t AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
              CAST(count(DISTINCT x) AS BIGINT) AS xl,
              CAST(count(DISTINCT y) AS BIGINT) AS yl
       FROM cells),
+grid AS (
+  SELECT rm.x, cm.y, rm.ri, cm.cj, coalesce(cells.nij, 0) AS nij
+  FROM rm CROSS JOIN cm
+  LEFT JOIN cells ON cells.x = rm.x AND cells.y = cm.y
+),
 per AS (
   SELECT CAST(sum(CAST(floor(
            (nij::DOUBLE - (ri::DOUBLE * cj) / n)
@@ -10108,7 +10113,7 @@ per AS (
            / ((ri::DOUBLE * cj) / n) * 1000000 + 0.5) AS BIGINT))
          AS BIGINT) AS chi2_m,
          max(n) AS n, max(xl) AS xl, max(yl) AS yl
-  FROM cells JOIN rm USING (x) JOIN cm USING (y) CROSS JOIN t
+  FROM grid CROSS JOIN t
 )
 SELECT n, xl AS x_levels, yl AS y_levels,
   floor((CAST(chi2_m AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000

@@ -296,9 +296,13 @@ def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     v — the statistic is undefined there, stated.
 
     Scale shape: one hash aggregate over the distinct (x, y) cells,
-    two broadcast margin joins (≤ levels rows each), one 1-row fold —
-    never touches the corpus twice. Returns ONE row
-    (n, x_levels, y_levels, chi2, dof, v).
+    then everything runs on the FULL levels×levels grid (margin cross
+    join — UNOBSERVED cells must contribute (0−e)²/e or a perfect
+    association scores √(observed/expected-cells) instead of 1; r14
+    test caught exactly that) — bounded by the level-count product,
+    the right regime for categorical profiling columns; never touches
+    the corpus twice. Returns ONE row (n, x_levels, y_levels, chi2,
+    dof, v).
     """
     base = (df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
             .select(F.col(x_col).cast("string").alias("x"),
@@ -310,11 +314,13 @@ def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     tot = cells.agg(F.sum("nij").alias("n"),
                     F.count_distinct("x").alias("xl"),
                     F.count_distinct("y").alias("yl"))
+    grid = (F.broadcast(rm).crossJoin(F.broadcast(cm))
+            .join(cells, ["x", "y"], "left")
+            .select("ri", "cj", F.coalesce("nij", F.lit(0)).alias("nij")))
     e = (F.col("ri").cast("double") * F.col("cj")) / F.col("n")
     d = F.col("nij").cast("double") - e
     contrib_micros = F.floor(d * d / e * 1000000 + F.lit(0.5)).cast("long")
-    per = (cells.join(F.broadcast(rm), "x").join(F.broadcast(cm), "y")
-           .crossJoin(F.broadcast(tot))
+    per = (grid.crossJoin(F.broadcast(tot))
            .agg(F.sum(contrib_micros).alias("chi2_m"),
                 F.max("n").alias("n"), F.max("xl").alias("xl"),
                 F.max("yl").alias("yl")))
