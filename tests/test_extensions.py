@@ -1588,7 +1588,7 @@ def test_hard_negatives_exclude_positives_and_never_underfill(spark, sf_dir):
     import __spark_entry__ as m
     from hybrid_recommendation_system_using_vector_db_spark.datamodel import load_table
 
-    out = m.extra_queries()["hard_negatives"](spark, sf_dir).toPandas()
+    out = {**m.extra_queries(), **m.queries()}["hard_negatives"](spark, sf_dir).toPandas()
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label").toPandas()
     lbl = dict(zip(emb.vec_id, emb.label))
     assert len(out) > 0
