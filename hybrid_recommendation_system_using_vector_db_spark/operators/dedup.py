@@ -1268,15 +1268,21 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
     100× decade super-linearity pointed at (SCALE.md r13: warm passes
     DEGRADE 42 → 115 s at 510 k docs under block-manager pressure,
     while a parquet spill is linear across the decade), so the default
-    now MEASURES instead of guessing: one map-only ``count()`` of the
-    token table picks ``localCheckpoint`` below ``auto_spill_tokens``
+    now MEASURES instead of guessing: an ESTIMATE of the token-table
+    row count picks ``localCheckpoint`` below ``auto_spill_tokens``
     rows (default 10 M — the measured threshold) and a parquet spill to
     a session-temp dir above it (disk-backed, column-pruned,
     partition-parallel — what a cluster job does for a large reused
-    intermediate; the dir is removed at interpreter exit). The count
-    costs one extra tokenize pass — O(corpus) map-only, amortized
-    against the join's multiple passes and the avoided super-linearity.
-    Explicit ``spill_dir`` still forces the spill (caller owns the
+    intermediate; the dir is removed at interpreter exit). The
+    estimate is ``count(documents) × avg distinct tokens over a
+    256-doc sample`` — two bounded jobs instead of the full extra
+    tokenize pass a ``tok.count()`` costs (r14, guide §1.2: the
+    decision sits ~50× below/above the threshold on the measured
+    decade's endpoints, so a sampling-accuracy estimate picks the same
+    strategy the exact count does, at ~0 marginal cost; both
+    strategies produce identical results regardless, so a borderline
+    misestimate costs only the measured materialization delta, never
+    correctness). Explicit ``spill_dir`` still forces the spill (caller owns the
     directory's lifecycle), and ``checkpoint_tokens=False`` leaves the
     map-only tokenize lazy (each branch re-derives it from the source
     scan) and checkpoints only the small PREFIX table, the one input
@@ -1286,14 +1292,21 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
                                    F.col(text_col).alias(text_col))) \
         .select("doc_id",
                 F.explode(TT.distinct_tokens(F.col(text_col))).alias("tok"))
-    if spill_dir is None and checkpoint_tokens \
-            and tok.count() > auto_spill_tokens:
-        import atexit
-        import shutil
-        import tempfile
+    if spill_dir is None and checkpoint_tokens:
+        n_docs = documents.count()
+        avg_tok = 0.0
+        if n_docs:
+            avg_tok = (documents
+                       .select(F.col(text_col).alias(text_col)).limit(256)
+                       .agg(F.avg(F.size(TT.distinct_tokens(
+                           F.col(text_col))))).first()[0]) or 0.0
+        if n_docs * avg_tok > auto_spill_tokens:
+            import atexit
+            import shutil
+            import tempfile
 
-        spill_dir = tempfile.mkdtemp(prefix="spark_graft_ssj_spill_")
-        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
+            spill_dir = tempfile.mkdtemp(prefix="spark_graft_ssj_spill_")
+            atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
     if spill_dir is not None:
         tok.write.mode("overwrite").parquet(spill_dir)
         tok = documents.sparkSession.read.parquet(spill_dir)

@@ -167,10 +167,22 @@ def pagerank(edges: DataFrame, n_iters: int = 3, damping: float = 0.85,
     # off the checkpoint blocks
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"),
                          "is_dangling")
-    for _ in range(n_iters):
+    for r in range(1, n_iters + 1):
         ranks = _pagerank_iteration(nodes, ew, ranks, n, d, omd,
-                                    no_dangling=symmetric)\
-            .localCheckpoint(eager=True)
+                                    no_dangling=symmetric)
+        # the rank table feeds TWO plan branches per round in the
+        # general form (next round's contrib join + the dangling
+        # aggregate) — an uncut chain re-executes upstream rounds per
+        # branch, so each round is eagerly checkpointed. With
+        # no_dangling (symmetric) the dangling branch does not exist:
+        # each rank table feeds exactly ONE consumer — the next round —
+        # so rounds chain lazily inside a single job and a checkpoint
+        # lands only every third round to bound plan depth (the
+        # label_propagation lifecycle; r14, guide §1.2/§2.4: one action
+        # instead of one per round, values bit-identical — a checkpoint
+        # never changes them)
+        if (not symmetric) or (r % 3 == 0 and r < n_iters):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 
@@ -218,7 +230,8 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                           n_iters: int = 3, damping: float = 0.85,
                           src_col: str = "src", dst_col: str = "dst",
                           weight_col: str = "weight",
-                          seed_col: str = "node") -> DataFrame:
+                          seed_col: str = "node",
+                          symmetric: bool = False) -> DataFrame:
     """Seed-restart (personalized) PageRank — the serving variant of
     :func:`pagerank`: the teleport mass lands on the SEED distribution
     instead of uniformly, so ranks measure importance RELATIVE TO the
@@ -240,23 +253,43 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     join + one partial-combining dst aggregate + a bounded dangling
     aggregate broadcast; the static edge/out-weight/node tables are
     checkpointed once. Returns (node, rank) over all graph nodes.
+
+    ``symmetric=True`` (r14): the caller asserts an undirected edge
+    list with both directions present (e.g. the co-purchase aggregate)
+    — the same contract as :func:`pagerank`'s fast path, with the same
+    bit-identical argument: every node then has an out-edge, so the
+    node set IS ``out_w``'s key set (one partial-agg pass instead of
+    the union+distinct exchange over 2|E| rows) and the dangling set is
+    EMPTY by construction, so the per-iteration dangling aggregate and
+    its broadcast are dropped — the general form adds
+    ``d·(dang·s)`` with ``dang = 0.0`` and ``s ≥ 0``, an exact IEEE
+    no-op (``c`` is a sum of non-negative products, so ``c + 0.0`` is
+    bit-equal to ``c``). With the dangling branch gone each rank table
+    feeds exactly ONE consumer, so rounds chain lazily with an
+    every-third-round cut (the pagerank/label_propagation lifecycle)
+    instead of paying an eager checkpoint action per round.
     """
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst"),
                      F.col(weight_col).cast("double").alias("weight")) \
         .localCheckpoint(eager=True)
     out_w = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct()
-             .join(out_w.select(F.col("src").alias("node"),
-                                F.lit(False).alias("is_dangling")),
-                   "node", "left")
+    if symmetric:
+        base = out_w.select(F.col("src").alias("node"),
+                            F.lit(False).alias("is_dangling"))
+    else:
+        base = (e.select(F.col("src").alias("node"))
+                .unionByName(e.select(F.col("dst").alias("node")))
+                .distinct()
+                .join(out_w.select(F.col("src").alias("node"),
+                                   F.lit(False).alias("is_dangling")),
+                      "node", "left")
+                .select("node", F.coalesce("is_dangling", F.lit(True))
+                        .alias("is_dangling")))
+    nodes = (base
              .join(seeds.select(F.col(seed_col).alias("node")).distinct()
                    .withColumn("is_seed", F.lit(True)), "node", "left")
-             .select("node",
-                     F.coalesce("is_dangling", F.lit(True))
-                     .alias("is_dangling"),
+             .select("node", "is_dangling",
                      F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
              .localCheckpoint(eager=True))
     ns = nodes.filter("is_seed").count()
@@ -271,24 +304,33 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     d, omd = damping, 1.0 - damping
     ranks = nodes.select("node", F.col("s").alias("rank"),
                          "is_dangling", "s")
-    for _ in range(n_iters):
+    for r in range(1, n_iters + 1):
         contrib = (ew.join(ranks.select(F.col("node").alias("src"),
                                         "rank"), "src")
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum(F.col("rank") * F.col("weight")
                               / F.col("out_w")).alias("c")))
-        dangling = (ranks.filter("is_dangling")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                         .alias("dang")))
-        ranks = (nodes.join(contrib, "node", "left")
-                 .crossJoin(F.broadcast(dangling))
-                 .select("node",
-                         fround(F.lit(omd) * F.col("s")
-                                + F.lit(d) * (F.coalesce("c", F.lit(0.0))
-                                              + F.col("dang") * F.col("s")),
-                                ROUND_SCORE).alias("rank"),
-                         "is_dangling", "s")
-                 .localCheckpoint(eager=True))
+        if symmetric:
+            dang_term = F.lit(0.0)
+            joined = nodes.join(contrib, "node", "left")
+        else:
+            dangling = (ranks.filter("is_dangling")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                             .alias("dang")))
+            dang_term = F.col("dang") * F.col("s")
+            joined = (nodes.join(contrib, "node", "left")
+                      .crossJoin(F.broadcast(dangling)))
+        ranks = joined.select(
+            "node",
+            fround(F.lit(omd) * F.col("s")
+                   + F.lit(d) * (F.coalesce("c", F.lit(0.0)) + dang_term),
+                   ROUND_SCORE).alias("rank"),
+            "is_dangling", "s")
+        # two consumers per round (contrib + dangling) in the general
+        # form → eager cut per round; one consumer in the symmetric
+        # form → lazy chain, cut every third round (see pagerank)
+        if (not symmetric) or (r % 3 == 0 and r < n_iters):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 

@@ -529,8 +529,7 @@ def _vacuum_versions(state_path: str, current: str,
 def _fold_versioned_state(spark: SparkSession, state_path: str, fold,
                           epoch_id: int | None = None,
                           run_id: str | None = None,
-                          keep_versions: int = 2,
-                          materialize: bool = True) -> None:
+                          keep_versions: int = 2) -> None:
     """THE versioned snapshot/pointer/replay protocol — one authoritative
     copy shared by :func:`merge_edge_batch`, :func:`merge_cdc_batch`
     and :func:`merge_manifest_batch` (r13 review: the ~20 lines of
@@ -543,21 +542,25 @@ def _fold_versioned_state(spark: SparkSession, state_path: str, fold,
     run A's live ``v0``).
 
     ``fold(state_df_or_none) -> DataFrame`` computes the next state
-    from the live snapshot (None on first merge). Unless
-    ``materialize=False`` (pass it ONLY when the fold already severed
-    lineage from the snapshot read, e.g. via its own localCheckpoint),
-    the result is materialized here BEFORE the overwrite write, so the
-    write can never delete a directory its plan still reads — the
-    collision-safe discipline ``merge_cdc_batch`` pioneered, now
-    applied to every fold.
+    from the live snapshot (None on first merge).
 
-    r14: on top of materialization, the new snapshot dir NAME is chosen
-    to never equal the live dir or any existing dir (``v{e}`` →
-    ``v{e}r{n}``), so the overwrite can never delete the live snapshot
-    before the ``_CURRENT`` flip — a crash between the write and the
-    flip always leaves the previous snapshot live, even on a cross-run
-    epoch collision. The pointer records dir name and epoch separately,
-    so epoch accounting is unaffected.
+    r14: the new snapshot dir NAME is chosen to never equal the live
+    dir or any existing dir (``v{e}`` → ``v{e}r{n}``), so the write can
+    never delete the live snapshot before the ``_CURRENT`` flip — a
+    crash between the write and the flip always leaves the previous
+    snapshot live, even on a cross-run epoch collision, AND the fold's
+    lazy read of the live snapshot can never race its own write. That
+    naming guarantee is what made the r13 interim fix (eagerly
+    ``localCheckpoint``-ing the fold result before the write)
+    redundant, so the protocol no longer materializes: the fold plan
+    executes exactly once, inside the snapshot write — one pass and one
+    copy of the state per batch instead of two (guide §5: the state
+    table is the thing that gets BIG at 100 TB; double-writing it per
+    micro-batch doubled the fold's I/O). A fold whose plan feeds more
+    than one consumer (e.g. a validation probe + the write, as in
+    ``merge_cdc_batch``) still checkpoints internally. The pointer
+    records dir name and epoch separately, so epoch accounting is
+    unaffected.
     """
     os.makedirs(state_path, exist_ok=True)
     cur_name, last_epoch, state_run = _read_state_pointer(state_path)
@@ -569,8 +572,6 @@ def _fold_versioned_state(spark: SparkSession, state_path: str, fold,
     state = (spark.read.parquet(os.path.join(state_path, cur_name))
              if cur_name is not None else None)
     merged = fold(state)
-    if materialize:
-        merged = merged.localCheckpoint(eager=True)
     new_epoch = epoch_id if epoch_id is not None else last_epoch + 1
     # Never write into a directory that already exists — above all the LIVE
     # one. On a cross-run epoch collision (cleared checkpoint restarts
@@ -955,10 +956,9 @@ def merge_cdc_batch(batch: DataFrame, state_path: str,
             *[F.col(c).desc() for c in eff_order])
         # rank + row_number share one window spec → ONE sort; rn ≤ 2
         # keeps just enough to expose an ambiguous winner (the
-        # apply_changes totality pass). Checkpointed: the ranked batch
-        # feeds the tied check AND the snapshot write — and the
-        # checkpoint also severs lineage from the live snapshot read,
-        # which is why this fold passes materialize=False below.
+        # apply_changes totality pass). Checkpointed because the ranked
+        # batch feeds TWO consumers — the tied check and the snapshot
+        # write (the two-branch re-execution class).
         ranked = (merged.withColumn("__rn", F.row_number().over(w))
                   .withColumn("__rk", F.rank().over(w))
                   .filter(F.col("__rn") <= 2)
@@ -974,8 +974,7 @@ def merge_cdc_batch(batch: DataFrame, state_path: str,
         return ranked.filter(F.col("__rn") == 1).drop("__rn", "__rk")
 
     _fold_versioned_state(batch.sparkSession, state_path, fold,
-                          epoch_id, run_id, keep_versions,
-                          materialize=False)
+                          epoch_id, run_id, keep_versions)
 
 
 def incremental_cdc(changes: DataFrame, state_path: str,

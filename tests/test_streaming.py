@@ -705,9 +705,10 @@ def test_versioned_fold_cross_run_vname_collision_safe(spark, tmp_path):
     """r13 review finding: a cleared checkpoint restarts epochs at 0, so
     run B's first merge writes v0 — the SAME directory run A's live
     state occupies — while the fold still lazily reads it. The shared
-    protocol now materializes the fold result before the overwrite, so
-    the collision is safe and no pre-restart counts are lost (both for
-    the manifest fold and the edge fold)."""
+    protocol names the new snapshot dir away from every existing dir
+    (v0 → v0r1), so the write can never delete the directory its own
+    plan reads and no pre-restart counts are lost (both for the
+    manifest fold and the edge fold)."""
     from hybrid_recommendation_system_using_vector_db_spark.operators.textops import (
         shard_manifest,
     )
