@@ -562,11 +562,18 @@ def q_ann_recall(spark, sf_dir):
     regression in either ANN path fails the round gate, not just a doc."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    # exact and the query list feed every one of the seven method
-    # branches — checkpoint both (|Q|·k and |Q| rows) so the exact
-    # ranking runs once per call, not once per method (scan-sweep class)
-    exact = (similarity.cosine_topk(qs, emb, TOP_K, dim=VEC_DIM)
-             .select("qid", "cand").localCheckpoint(eager=False))
+    # the exact top-k TRUTH table is deterministic per dataset — serve it
+    # from the session-memoized all-corpus exact rank table
+    # (_knn_rank10, already built for mutual_knn/rnn_clusters) filtered
+    # to the eval query set, instead of re-running the brute-force
+    # ranking on every gate call (r14; the band_recall truth-table memo
+    # convention — VERDICT r9 wrong #2's fix). cosine_topk_gemm is
+    # bit-equal to the declarative cosine_topk (same rounding and
+    # tiebreaks, pinned by content_topk_gemm's own oracle), and the
+    # (qid, cand) sets were verified identical at sf0.01/sf0.1. The
+    # query list feeds every method branch — keep it lazily pinned.
+    exact = (_knn_rank10(spark, sf_dir)
+             .filter(F.col("qid") % QUERY_MOD == 0).select("qid", "cand"))
     qid_df = qs.select(F.col("vec_id").alias("qid")).localCheckpoint(eager=False)
     outs = []
     for method, ann in [

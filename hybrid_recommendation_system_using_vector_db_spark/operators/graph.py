@@ -743,9 +743,11 @@ def label_propagation(edges: DataFrame, n_rounds: int = 4,
     partial-combines map-side and skips the per-group sort — the
     scale-safe shape even where the sf0.1 cost is
     round-overhead-bound. Both shuffles key
-    on the node id, so bucketing the
-    edge table by ``src`` (pipeline.write_bucketed_edges) makes the
-    label join shuffle-free on the big side at 100 TB. Integer weights
+    on the node id, and the edge table is hash-partitioned by the
+    round-join key (``b``, the neighbor column) once at build, so the
+    per-round label join never re-exchanges it; bucketing the edge
+    table by that key (pipeline.write_bucketed_edges) is the
+    cross-job persistent form at 100 TB. Integer weights
     sum exactly (no float-order hazard in the argmax). Unlike
     pagerank's rank table (which feeds TWO branches per round and
     re-executes without a cut), each label table feeds exactly ONE
@@ -782,7 +784,16 @@ def label_propagation(edges: DataFrame, n_rounds: int = 4,
                                 F.col(src_col).alias("b"), w.alias("w"))
                    .filter(F.col("a") != F.col("b")))
                .groupBy("a", "b").agg(F.sum("w").alias("w")))
-    und = und.localCheckpoint(eager=True)  # feeds every round
+    # feeds every round, joined on ``b`` each time — partition it by the
+    # join key ONCE before the checkpoint (localCheckpoint preserves
+    # partitioning), so no round re-exchanges the edge table: one build
+    # exchange buys n_rounds join exchanges of the biggest table in the
+    # loop (guide §2.4 — two operations keyed the same way share one
+    # exchange; this is the single-job analogue of bucketing the edge
+    # table by the join key at 100 TB). Labels are identical either way
+    # (partitioning never changes values); measured at sf0.1 the rounds
+    # also run visibly steadier (3.0 s tight vs 3.2-7.7 s spread).
+    und = und.repartition("b").localCheckpoint(eager=True)
     labels = und.select(F.col("a").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
     for r in range(1, n_rounds + 1):
