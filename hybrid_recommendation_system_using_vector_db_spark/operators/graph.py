@@ -52,9 +52,11 @@ def _frontier_rounds(state: DataFrame, step, n_rounds: int,
     relax / improve / checkpoint / lineage-cut lifecycle previously
     written three times (VERDICT r11 next #4). Per round,
     ``step(frontier, state, r)`` returns the rows that IMPROVE the
-    state (strictly better value, or brand-new key); the driver eagerly
-    checkpoints exactly that (much smaller) table, short-circuits on an
-    empty one (monotone relaxation: the fixpoint equals every later
+    state (strictly better value, or brand-new key); the driver
+    checkpoints exactly that (much smaller) table — non-eagerly, with
+    the emptiness count as the materializing action, so each round is
+    ONE job — and short-circuits on an empty one (monotone relaxation:
+    the fixpoint equals every later
     round, so fixed-unroll SQL oracles stay exact), merges it into the
     LAZY state chain (VERDICT r9 wrong #3: checkpointing the merged
     state re-executed each round's chain), and cuts lineage every third
@@ -63,8 +65,14 @@ def _frontier_rounds(state: DataFrame, step, n_rounds: int,
     merge a plain union — no per-round anti-join on the state."""
     frontier = state
     for r in range(1, n_rounds + 1):
-        improved = step(frontier, state, r).localCheckpoint(eager=True)
-        if improved.isEmpty():
+        # NON-eager checkpoint + count as the materializing action: one
+        # job computes, checkpoints, and tests emptiness, instead of an
+        # eager-checkpoint job followed by an isEmpty job — the
+        # connected_components_star round discipline (r14; iterative
+        # rounds are pure scheduler floor on a cluster, so fewer jobs
+        # per round is the lever)
+        improved = step(frontier, state, r).localCheckpoint(eager=False)
+        if improved.count() == 0:
             break
         merged = (state if disjoint
                   else state.join(improved.select(key), key, "left_anti"))
@@ -89,7 +97,9 @@ def _peel_to_fixpoint(state: DataFrame, peel, max_rounds: int) -> DataFrame:
     despite the data-dependent live round count."""
     n_prev = state.count()
     for _ in range(max_rounds):
-        nxt = peel(state).localCheckpoint(eager=True)
+        # one job per round: the count materializes the non-eager
+        # checkpoint (see _frontier_rounds)
+        nxt = peel(state).localCheckpoint(eager=False)
         n = nxt.count()
         state = nxt
         if n == n_prev:

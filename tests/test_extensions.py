@@ -4744,6 +4744,33 @@ def test_personalized_pagerank_mass_concentrates_at_seed(spark):
             edges, spark.createDataFrame([(99,)], "node long"))
 
 
+def test_ppr_and_pagerank_symmetric_paths_bit_identical(spark):
+    """r14 optimization contract: the symmetric fast paths (node set =
+    out-weight keys, dangling aggregate dropped as an exact IEEE no-op,
+    rounds chained lazily instead of eagerly checkpointed) must be
+    BIT-identical to the general form on a symmetric graph — weights
+    deliberately uneven so the argmax/contrib sums are nontrivial."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    e = [(1, 2, 3), (2, 1, 3), (2, 3, 1), (3, 2, 1), (3, 4, 7), (4, 3, 7),
+         (1, 4, 2), (4, 1, 2), (4, 5, 1), (5, 4, 1)]
+    edges = spark.createDataFrame(e, "src long, dst long, weight long")
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    gen = {r.node: r.rank for r in
+           personalized_pagerank(edges, seeds, n_iters=5).collect()}
+    sym = {r.node: r.rank for r in
+           personalized_pagerank(edges, seeds, n_iters=5,
+                                 symmetric=True).collect()}
+    assert gen == sym
+    pgen = {r.node: r.rank for r in pagerank(edges, n_iters=5).collect()}
+    psym = {r.node: r.rank for r in
+            pagerank(edges, n_iters=5, symmetric=True).collect()}
+    assert pgen == psym
+
+
 def test_seasonal_decompose_recovers_planted_structure(spark):
     """seasonal_decompose on a planted series (linear trend + clean
     daily sine-ish phase pattern, one event per hour): (a) the centered
