@@ -958,11 +958,14 @@ def merge_cdc_batch(batch: DataFrame, state_path: str,
         # keeps just enough to expose an ambiguous winner (the
         # apply_changes totality pass). Checkpointed because the ranked
         # batch feeds TWO consumers — the tied check and the snapshot
-        # write (the two-branch re-execution class).
+        # write (the two-branch re-execution class). NON-eager: the tied
+        # isEmpty() below is the materializing action, so each batch
+        # schedules two jobs (probe + write) instead of three (the
+        # one-job-per-round discipline of the iterative drivers, r14).
         ranked = (merged.withColumn("__rn", F.row_number().over(w))
                   .withColumn("__rk", F.rank().over(w))
                   .filter(F.col("__rn") <= 2)
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
         tied = ranked.filter((F.col("__rk") == 1) & (F.col("__rn") == 2))
         if not tied.isEmpty():
             sample = tied.select(*key_cols, *eff_order).limit(5).collect()
