@@ -574,8 +574,16 @@ def q_ann_recall(spark, sf_dir):
     # convention — VERDICT r9 wrong #2's fix). cosine_topk_gemm is
     # bit-equal to the declarative cosine_topk (same rounding and
     # tiebreaks, pinned by content_topk_gemm's own oracle), and the
-    # (qid, cand) sets were verified identical at sf0.01/sf0.1. The
-    # query list feeds every method branch — keep it lazily pinned.
+    # (qid, cand) sets were verified identical at sf0.01/sf0.1 — an
+    # empirical parity, NOT an unconditional bit-equality claim: the
+    # GEMM normalizes before the dot while the declarative form divides
+    # the raw dot by the norm product, so a rounding-boundary crossing
+    # at an unverified scale is conceivable (ADVICE r14). The memo also
+    # hardcodes k=10, so pin the implicit assumption loudly rather than
+    # silently serving the wrong-k truth if TOP_K ever moves.
+    assert TOP_K == 10, (
+        "ann_recall serves its truth table from _knn_rank10 (k=10); "
+        f"TOP_K moved to {TOP_K} — re-derive the truth table")
     exact = (_knn_rank10(spark, sf_dir)
              .filter(F.col("qid") % QUERY_MOD == 0).select("qid", "cand"))
     qid_df = qs.select(F.col("vec_id").alias("qid")).localCheckpoint(eager=False)

@@ -959,9 +959,13 @@ def merge_cdc_batch(batch: DataFrame, state_path: str,
         # apply_changes totality pass). Checkpointed because the ranked
         # batch feeds TWO consumers — the tied check and the snapshot
         # write (the two-branch re-execution class). NON-eager: the tied
-        # isEmpty() below is the materializing action, so each batch
-        # schedules two jobs (probe + write) instead of three (the
-        # one-job-per-round discipline of the iterative drivers, r14).
+        # isEmpty() below triggers materialization — isEmpty itself only
+        # computes the partitions its limit(1) reaches, and the
+        # remaining partitions complete via Spark's post-action
+        # checkpoint backfill rather than inside the probe job (ADVICE
+        # r14: probe + backfill + write, not a strict two-job batch —
+        # the point is the EAGER checkpoint action r13 paid is gone and
+        # the ranked rows are still computed once for both consumers).
         ranked = (merged.withColumn("__rn", F.row_number().over(w))
                   .withColumn("__rk", F.rank().over(w))
                   .filter(F.col("__rn") <= 2)
