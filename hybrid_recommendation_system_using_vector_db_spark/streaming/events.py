@@ -33,6 +33,34 @@ from pyspark.sql import types as T
 from .. import ROUND_SCORE
 from ..functions.portable import epoch_seconds, fround
 
+
+def _pin_stream_io(spark: SparkSession) -> None:
+    """Disable Spark 4.1's checkpoint-file checksums before starting a
+    streaming query (r15, VERDICT r14 next #1).
+
+    4.1's ChecksumCheckpointFileManager wraps every checkpoint/state
+    file write in a checksum pipeline whose IO thread pools are NEVER
+    shut down when the query stops: measured on this engine's
+    restart-per-call lifecycle, each stream-stream join query leaked
+    512 ``ChecksumCheckpointFileManager-Thread``s (32 partitions x 4
+    state stores x pool of 4), degrading every later streaming call in
+    the session (streaming_attribution warm pass: 10-13 s with the
+    leak, 5.5-6.7 s without — the r14 streaming-family "regressions"
+    were this, not host steal). Beyond the leak, the checksum doubles
+    the checkpoint file count and CRCs every state commit — per-batch
+    overhead the 3.5/4.0 lineage never paid. Integrity checking of a
+    durable production checkpoint is a reasonable default; for this
+    engine's bounded-run folds the leak dominates, so the engine pins
+    it OFF (set before ``start()``; a caller that wants checksums back
+    can re-set the conf after the helper runs).
+    """
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    except Exception:
+        pass  # pre-4.1 sessions: the conf (and the leak) do not exist
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table, normalized to a session-tz
     TIMESTAMP ``ts``.
@@ -324,6 +352,7 @@ def streaming_psi_drift(events: DataFrame, ref_counts: list[int],
 def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming aggregation to completion over static files
     (memory sink; ``processAllAvailable`` makes it synchronous for tests)."""
+    _pin_stream_io(agg.sparkSession)
     q = (
         agg.writeStream.outputMode(output_mode)
         .format("memory").queryName(name)
@@ -658,6 +687,7 @@ def incremental_copurchase(order_lines: DataFrame, state_path: str,
         merge_edge_batch(pairs, state_path, epoch_id,
                          run_id=checkpoint_query_id(checkpoint_dir))
 
+    _pin_stream_io(order_lines.sparkSession)
     return (
         order_lines.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
@@ -705,6 +735,7 @@ def incremental_manifest(docs: DataFrame, state_path: str,
                              run_id=checkpoint_query_id(checkpoint_dir),
                              n_shards=n_shards, seed=seed)
 
+    _pin_stream_io(docs.sparkSession)
     return (
         docs.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
@@ -745,6 +776,8 @@ def incremental_hll(rows: DataFrame, state_path: str, checkpoint_dir: str,
         merge_hll_batch(b, state_path, group_col, value_col, p, epoch_id,
                         run_id=checkpoint_query_id(checkpoint_dir))
 
+    _pin_stream_io(rows.sparkSession)
+    _pin_stream_io(rows.sparkSession)
     return (
         rows.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
@@ -897,6 +930,7 @@ def streaming_lm_maintenance(docs_stream: DataFrame, out_dir: str,
         pipeline.append_kn_lm(batch.sparkSession, batch, out_dir,
                               id_col=id_col, text_col=text_col)
 
+    _pin_stream_io(docs_stream.sparkSession)
     return (
         docs_stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)
@@ -999,6 +1033,7 @@ def incremental_cdc(changes: DataFrame, state_path: str,
                         op_col=op_col, ts_col=ts_col,
                         tiebreak_col=tiebreak_col)
 
+    _pin_stream_io(changes.sparkSession)
     return (changes.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
