@@ -438,22 +438,44 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+
+    def _propagate(lab: DataFrame) -> DataFrame:
+        """One min-label hop. ``lab`` carries (id, label, changed);
+        the output's ``changed`` ORs the input's, so hops chain without
+        a flag-reconciling join."""
         neighbor_min = (
-            und.join(labels.withColumnRenamed("id", "a"), "a")
+            und.join(lab.select(F.col("id").alias("a"), "label"), "a")
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select("id", F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-                    (F.col("nmin") < F.col("label")).alias("changed"))
-        ).localCheckpoint(eager=False)
+        return (
+            lab.join(neighbor_min, "id", "left")
+            .select("id",
+                    F.least(F.col("label"),
+                            F.coalesce("nmin", F.col("label"))).alias("label"),
+                    (F.col("changed")
+                     | (F.col("nmin") < F.col("label"))).alias("changed"))
+        )
+
+    # TWO propagations per materialized round (r15, VERDICT r14 next #5):
+    # after round t every label is exactly min(id) over the t-hop
+    # neighborhood — a closed form independent of how hops are grouped
+    # into jobs — so batching two hops per checkpoint+count halves the
+    # per-round job floor (the sf0.1 cost is scheduler floor, not bytes;
+    # 9 -> 5 materialized rounds on the dedup chain) while the converged
+    # labels stay bit-identical (integer min has one fixpoint: min
+    # reachable id; an extra no-op propagation after convergence is the
+    # identity). The ORed `changed` flag keeps the stop test exact: the
+    # loop stops only when NEITHER hop moved a label.
+    labels = labels.withColumn("changed", F.lit(False))
+    for _ in range(max_iter):
+        new_labels = _propagate(_propagate(labels)) \
+            .localCheckpoint(eager=False)
         # NON-eager checkpoint: this count is the materializing action, so
-        # each round is one job (compute + checkpoint + count in a single
-        # pass) instead of an eager-checkpoint job followed by a count job
+        # each double-round is one job (compute both hops, checkpoint,
+        # count in a single pass)
         n_changed = new_labels.filter(F.col("changed")).count()
-        labels = new_labels.drop("changed")
+        labels = new_labels.withColumn("changed", F.lit(False))
         if n_changed == 0:
             break
     else:
@@ -533,6 +555,19 @@ def connected_components_star(pairs: DataFrame, nodes: DataFrame,
              .distinct()
              .localCheckpoint(eager=True))
     n_prev = edges.count()
+    # NOT double-stepped (r15, VERDICT r14 next #5 — measured rejection):
+    # batching two large/small-star alternations per materialized round
+    # is result-identical (the alternation's potential strictly
+    # decreases, Kiveris et al. SoCC'14, so a double step is fixed iff
+    # the single step is) and halves the count/probe actions (5 -> 3
+    # materialized rounds on the reciprocal-kNN graph), but measured
+    # WORSE back-to-back: AQE submits a job per shuffle stage, so jobs
+    # track TOTAL star steps, not materialized rounds (38 -> 45 jobs on
+    # dedup_clusters_star, 62 -> 64 on rnn_clusters) and the doubled
+    # form runs one wasted post-fixpoint alternation (+45% wall on
+    # rnn_clusters, +2.4 s on dedup_clusters_star). min-label CC keeps
+    # its two-hop batching (there the flag rides the same join, no extra
+    # shuffles) — see connected_components.
     for _ in range(max_iter):
         stepped = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         n_new = stepped.count()

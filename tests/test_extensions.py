@@ -119,6 +119,34 @@ def test_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_two_hop_batching(spark):
+    """r15: min-label CC batches TWO propagation hops per materialized
+    round (job-floor halving). Pin the cases the batching could get
+    wrong: an ODD-diameter chain (convergence lands mid-round — the
+    ORed changed flag must still stop exactly at the fixpoint) and a
+    max_iter that is sufficient in double-hops but not in the old
+    single-hop accounting."""
+    from hybrid_recommendation_system_using_vector_db_spark.operators.dedup import (
+        connected_components)
+
+    # 8-node path: diameter 7 (odd) — labels must all collapse to 0
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id1 long, id2 long")
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(pairs, nodes, max_iter=6).collect()}
+    assert got == {i: 0 for i in range(8)}
+    # depth beyond the double-hop budget still fails loudly
+    import pytest as _pytest
+
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id1 long, id2 long")
+    deep_nodes = spark.createDataFrame(
+        [(i,) for i in range(31)], "doc_id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(deep, deep_nodes, max_iter=3)
+
+
 def test_connected_components_star_equivalence(spark):
     """Star variant ≡ min-label propagation on a random multi-component
     graph (seeded), including isolates and self-loop edges."""
